@@ -1,0 +1,70 @@
+"""Engine facade: one object, two planes.
+
+- ``sql(q)``       -> exact DataFrame via Spark SQL (arbitrary SQL).
+- ``query(q)``     -> exact DataFrame via our parser + compiler
+                      (the reference grammar, SURVEY.md §2 table A).
+- ``estimate(q)``  -> model-plane cardinality / AQP estimate from the
+                      trained RSPN ensemble, never touching the data
+                      (reference: spn_ensemble.py::SPNEnsemble).
+
+Mirrors the reference's maqp.py entry point split into a library API
+(SURVEY.md §3 "rebuild lifecycle").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .plans.compiler import ExactCompiler
+from .plans.parser import parse_query
+from .plans.query import Query
+from .plans.schema import SchemaGraph, tpch_like_schema
+from .sources.catalog import load_tables
+
+
+def default_session(app_name: str = "deepdb_public_spark", cpus: str = "*") -> SparkSession:
+    """local[] session tuned for the fixture scale; on a real cluster
+    the same code runs unchanged — partitioning choices (AQE, shuffle
+    partitions) are the knobs that scale."""
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        schema: SchemaGraph | None = None,
+    ) -> None:
+        self.spark = spark
+        self.schema = schema or tpch_like_schema()
+        self.catalog = load_tables(spark, sf_dir)
+        self.compiler = ExactCompiler(self.schema, self.catalog)
+        self.ensemble = None  # set by spn.train / spn.ensemble loaders
+
+    def sql(self, q: str) -> DataFrame:
+        return self.spark.sql(q)
+
+    def parse(self, q: str) -> Query:
+        return parse_query(q, self.schema)
+
+    def query(self, q: str | Query) -> DataFrame:
+        ir = self.parse(q) if isinstance(q, str) else q
+        return self.compiler.compile(ir)
+
+    def estimate(self, q: str | Query):
+        """Model-plane estimate (reference: SPNEnsemble.cardinality /
+        evaluate_query). Requires a trained ensemble."""
+        if self.ensemble is None:
+            raise RuntimeError("no ensemble trained/loaded — see spn.train")
+        ir = self.parse(q) if isinstance(q, str) else q
+        return self.ensemble.answer(ir)

@@ -1,0 +1,137 @@
+"""Exact plane: Query IR -> Spark DataFrame.
+
+This replaces the reference's Postgres ground-truth executor
+(reference: ensemble_compilation/physical_db.py::DBConnection /
+::TrueCardinalityEstimator) with Spark SQL. We only *declare* the
+logical plan — scan, filter, join, aggregate — and let Catalyst do
+predicate pushdown, column pruning, join reordering and
+broadcast-vs-sort-merge selection (SURVEY.md §4.2). The only physical
+hint we add ourselves is ``broadcast()`` on declared-small dimension
+tables, driven by SchemaGraph metadata, so a 100 TB fact-side join
+never shuffles the dimension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .query import (
+    AggOperation,
+    AggregationOperationType,
+    AggregationType,
+    Condition,
+    Query,
+)
+from .schema import SchemaGraph
+
+
+def condition_to_column(cond: Condition) -> Column:
+    col = F.col(cond.column)
+    if cond.op == "=":
+        return col == F.lit(cond.value)
+    if cond.op == "<>":
+        return col != F.lit(cond.value)
+    if cond.op == "<":
+        return col < F.lit(cond.value)
+    if cond.op == "<=":
+        return col <= F.lit(cond.value)
+    if cond.op == ">":
+        return col > F.lit(cond.value)
+    if cond.op == ">=":
+        return col >= F.lit(cond.value)
+    if cond.op == "BETWEEN":
+        return col.between(F.lit(cond.value[0]), F.lit(cond.value[1]))
+    if cond.op == "IN":
+        return col.isin(list(cond.value))
+    if cond.op == "IS_NULL":
+        return col.isNull()
+    if cond.op == "IS_NOT_NULL":
+        return col.isNotNull()
+    raise ValueError(f"unknown operator {cond.op!r}")
+
+
+def _agg_column(op: AggOperation) -> Column:
+    if op.agg_type is AggregationType.COUNT:
+        return F.count(F.lit(1))
+    expr = F.col(op.operands[0][1])
+    for _, c in op.operands[1:]:
+        expr = expr * F.col(c)
+    return F.sum(expr) if op.agg_type is AggregationType.SUM else F.avg(expr)
+
+
+def build_agg_columns(aggregations: list[AggOperation]) -> list[Column]:
+    """Fold the AGGREGATION/PLUS/MINUS sequence (reference A13) into
+    Spark aggregate expressions, one output column per accumulated run."""
+    out: list[Column] = []
+    acc: Column | None = None
+    alias: str | None = None
+    for i, op in enumerate(aggregations):
+        col = _agg_column(op)
+        if op.op_type is AggregationOperationType.AGGREGATION:
+            if acc is not None:
+                out.append(acc.alias(alias or f"agg_{len(out)}"))
+            acc, alias = col, op.alias
+        elif op.op_type is AggregationOperationType.PLUS:
+            acc = acc + col
+            alias = op.alias or alias
+        else:
+            acc = acc - col
+            alias = op.alias or alias
+    if acc is not None:
+        out.append(acc.alias(alias or f"agg_{len(out)}"))
+    return out
+
+
+class ExactCompiler:
+    """Compile Query IR to a DataFrame over a table catalog."""
+
+    def __init__(self, schema: SchemaGraph, catalog: dict[str, DataFrame]) -> None:
+        self.schema = schema
+        self.catalog = catalog
+
+    def _scan(self, table: str, query: Query, joined_tables: int) -> DataFrame:
+        """Scan one table with its filters applied pre-join (explicit
+        pushdown; Catalyst would also push these through the join) and
+        a broadcast hint when the schema declares it small."""
+        df = self.catalog[table]
+        for cond in query.conditions_for(table):
+            df = df.filter(condition_to_column(cond))
+        meta = self.schema.tables.get(table)
+        if joined_tables > 0 and meta is not None and meta.is_dimension:
+            df = F.broadcast(df)
+        return df
+
+    def compile(self, query: Query) -> DataFrame:
+        rels = [self.schema.relationships[r] for r in sorted(query.relationship_set)]
+        # Join along the schema-graph path: start anywhere, repeatedly
+        # attach an edge with exactly one side already joined.
+        start = rels[0].start if rels else next(iter(sorted(query.table_set)))
+        df = self._scan(start, query, 0)
+        joined = {start}
+        pending = list(rels)
+        while pending:
+            progressed = False
+            for rel in list(pending):
+                if rel.start in joined and rel.end in joined:
+                    pending.remove(rel)
+                    progressed = True
+                elif rel.start in joined or rel.end in joined:
+                    other = rel.end if rel.start in joined else rel.start
+                    right = self._scan(other, query, len(joined))
+                    df = df.join(
+                        right, F.col(rel.start_attr) == F.col(rel.end_attr), "inner"
+                    )
+                    joined.add(other)
+                    pending.remove(rel)
+                    progressed = True
+            if not progressed:
+                raise ValueError(f"join graph is disconnected: {pending}")
+
+        group_cols = [c for _, c in query.group_bys]
+        agg_cols = build_agg_columns(query.aggregations)
+        if not agg_cols:
+            agg_cols = [F.count(F.lit(1)).alias("count")]
+        if group_cols:
+            return df.groupBy(*group_cols).agg(*agg_cols)
+        return df.agg(*agg_cols)

@@ -1,0 +1,259 @@
+"""SQL front end for the reference grammar (SURVEY.md §2 table A).
+
+Port of the reference's regex parser (reference:
+evaluation/utils.py::parse_query) to our Query IR. The accepted
+fragment is intentionally identical to the reference:
+
+  SELECT <agg-list | COUNT(*)>
+  FROM t1 [a1], t2 [a2], ...
+  WHERE <FK equi-joins AND conjunctive predicates>
+  [GROUP BY t.a, ...]
+
+Predicates: =, <>, !=, <, <=, >, >=, BETWEEN, IN, IS [NOT] NULL —
+conjunctions only (no OR/NOT/parentheses, as in the reference).
+Aggregates: COUNT(*), SUM/AVG over a column or product of columns,
+and +/- arithmetic between aggregates (reference A12/A13).
+
+The exact plane does NOT need this parser for arbitrary SQL — Spark
+SQL parses anything — but routing the reference grammar through our
+own IR is what lets the model plane answer the same query without
+touching data.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .query import (
+    AggOperation,
+    AggregationOperationType,
+    AggregationType,
+    Condition,
+    Query,
+    QueryType,
+)
+from .schema import SchemaGraph
+
+_JOIN_RE = re.compile(r"^(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)$")
+_PRED_RE = re.compile(r"^(\w+)\.(\w+)\s*(<=|>=|<>|!=|=|<|>)\s*(.+)$", re.DOTALL)
+_BETWEEN_RE = re.compile(
+    r"^(\w+)\.(\w+)\s+BETWEEN\s+(.+)\s+AND\s+(.+)$", re.IGNORECASE
+)
+_IN_RE = re.compile(r"^(\w+)\.(\w+)\s+IN\s*\((.+)\)$", re.IGNORECASE | re.DOTALL)
+_NULL_RE = re.compile(r"^(\w+)\.(\w+)\s+IS\s+(NOT\s+)?NULL$", re.IGNORECASE)
+_AGG_RE = re.compile(r"^(SUM|AVG|COUNT)\s*\((.+)\)$", re.IGNORECASE | re.DOTALL)
+
+
+def _parse_literal(text: str):
+    text = text.strip()
+    if (text.startswith("'") and text.endswith("'")) or (
+        text.startswith('"') and text.endswith('"')
+    ):
+        return text[1:-1]
+    m = re.match(r"^DATE\s+'(.+)'$", text, re.IGNORECASE)
+    if m:
+        return m.group(1)
+    try:
+        return int(text)
+    except ValueError:
+        pass
+    try:
+        return float(text)
+    except ValueError:
+        return text
+
+
+def _split_conjuncts(where: str) -> list[str]:
+    """Split on AND, re-merging the AND that belongs to BETWEEN."""
+    parts = [p.strip() for p in re.split(r"\s+AND\s+", where, flags=re.IGNORECASE)]
+    out: list[str] = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if re.search(r"\bBETWEEN\b", p, re.IGNORECASE) and i + 1 < len(parts):
+            out.append(p + " AND " + parts[i + 1])
+            i += 2
+        else:
+            out.append(p)
+            i += 1
+    return out
+
+
+def _resolve(alias_map: dict[str, str], name: str) -> str:
+    if name not in alias_map:
+        raise ValueError(f"unknown table or alias: {name!r}")
+    return alias_map[name]
+
+
+def _split_top_level(text: str, sep: str) -> list[str]:
+    """Split on sep outside parentheses (for the SELECT list)."""
+    parts, depth, cur = [], 0, []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _parse_operand_product(
+    expr: str, alias_map: dict[str, str], default_table: str
+) -> list[tuple[str, str]]:
+    """``t.a * t.b * ...`` (or bare ``t.a``) -> [(table, col), ...]."""
+    operands = []
+    for factor in expr.split("*"):
+        factor = factor.strip()
+        if "." in factor:
+            t, c = factor.split(".", 1)
+            operands.append((_resolve(alias_map, t.strip()), c.strip()))
+        else:
+            operands.append((default_table, factor))
+    return operands
+
+
+def _parse_select_list(
+    select: str, alias_map: dict[str, str], default_table: str, query: Query
+) -> None:
+    for item in _split_top_level(select, ","):
+        alias = None
+        m_alias = re.search(r"\s+AS\s+(\w+)\s*$", item, re.IGNORECASE)
+        if m_alias:
+            alias = m_alias.group(1)
+            item = item[: m_alias.start()].strip()
+        if "." in item and _AGG_RE.match(item) is None:
+            # bare group-by output column t.c — carried by group_bys
+            continue
+        # split aggregate arithmetic: SUM(a) - SUM(b) + SUM(c)
+        chunks = re.split(r"\s*([+-])\s*(?=(?:SUM|AVG|COUNT)\s*\()", item, flags=re.IGNORECASE)
+        op_type = AggregationOperationType.AGGREGATION
+        for chunk in chunks:
+            chunk = chunk.strip()
+            if chunk == "+":
+                op_type = AggregationOperationType.PLUS
+                continue
+            if chunk == "-":
+                op_type = AggregationOperationType.MINUS
+                continue
+            m = _AGG_RE.match(chunk)
+            if not m:
+                raise ValueError(f"cannot parse select item: {item!r}")
+            agg_type = AggregationType[m.group(1).upper()]
+            inner = m.group(2).strip()
+            operands: list[tuple[str, str]] = []
+            if not (agg_type is AggregationType.COUNT and inner == "*"):
+                operands = _parse_operand_product(inner, alias_map, default_table)
+            query.aggregations.append(
+                AggOperation(op_type, agg_type, operands, alias=alias)
+            )
+            query.query_type = QueryType.AQP
+            op_type = AggregationOperationType.AGGREGATION
+    # pure COUNT(*) single aggregate => cardinality query (reference A15)
+    aggs = query.aggregations
+    if (
+        len(aggs) == 1
+        and aggs[0].agg_type is AggregationType.COUNT
+        and not query.group_bys
+    ):
+        query.query_type = QueryType.CARDINALITY
+
+
+def parse_query(sql: str, schema: SchemaGraph) -> Query:
+    """(reference: evaluation/utils.py::parse_query). Raises ValueError
+    on anything outside the reference grammar."""
+    sql = re.sub(r"\s+", " ", sql.strip()).rstrip(";")
+    m = re.match(
+        r"^SELECT (?P<select>.+?) FROM (?P<from>.+?)"
+        r"(?: WHERE (?P<where>.+?))?(?: GROUP BY (?P<group>.+?))?$",
+        sql,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"query outside the supported grammar: {sql!r}")
+
+    query = Query()
+    alias_map: dict[str, str] = {}
+    for entry in m.group("from").split(","):
+        toks = entry.strip().split()
+        tname = toks[0]
+        if tname not in schema.tables:
+            raise ValueError(f"table {tname!r} not in schema graph")
+        alias_map[tname] = tname
+        if len(toks) == 2:
+            alias_map[toks[1]] = tname
+        elif len(toks) > 2:
+            raise ValueError(f"cannot parse FROM entry: {entry!r}")
+        query.table_set.add(tname)
+
+    if m.group("group"):
+        for gb in m.group("group").split(","):
+            t, c = gb.strip().split(".")
+            query.add_group_by(_resolve(alias_map, t), c)
+
+    default_table = next(iter(query.table_set))
+    _parse_select_list(m.group("select"), alias_map, default_table, query)
+
+    if m.group("where"):
+        for conjunct in _split_conjuncts(m.group("where")):
+            jm = _JOIN_RE.match(conjunct)
+            if jm:
+                t1, a1, t2, a2 = jm.groups()
+                if t1 in alias_map and t2 in alias_map:
+                    rel = schema.find_relationship(
+                        _resolve(alias_map, t1), a1, _resolve(alias_map, t2), a2
+                    )
+                    if rel is None:
+                        raise ValueError(
+                            f"join {conjunct!r} is not a declared FK edge"
+                        )
+                    query.add_join_condition(rel.identifier)
+                    continue
+            bm = _BETWEEN_RE.match(conjunct)
+            if bm:
+                t, c, lo, hi = bm.groups()
+                query.add_where_condition(
+                    Condition(
+                        _resolve(alias_map, t), c, "BETWEEN",
+                        (_parse_literal(lo), _parse_literal(hi)),
+                    )
+                )
+                continue
+            im = _IN_RE.match(conjunct)
+            if im:
+                t, c, vals = im.groups()
+                query.add_where_condition(
+                    Condition(
+                        _resolve(alias_map, t), c, "IN",
+                        [_parse_literal(v) for v in vals.split(",")],
+                    )
+                )
+                continue
+            nm = _NULL_RE.match(conjunct)
+            if nm:
+                t, c, notnull = nm.groups()
+                query.add_where_condition(
+                    Condition(
+                        _resolve(alias_map, t), c,
+                        "IS_NOT_NULL" if notnull else "IS_NULL",
+                    )
+                )
+                continue
+            pm = _PRED_RE.match(conjunct)
+            if pm:
+                t, c, op, val = pm.groups()
+                if op == "!=":
+                    op = "<>"
+                query.add_where_condition(
+                    Condition(_resolve(alias_map, t), c, op, _parse_literal(val))
+                )
+                continue
+            raise ValueError(f"cannot parse predicate: {conjunct!r}")
+
+    if len(query.table_set) > 1 and len(query.relationship_set) < len(query.table_set) - 1:
+        raise ValueError("FROM lists multiple tables but joins do not connect them")
+    return query

@@ -1,0 +1,71 @@
+"""Sources: load the fixture parquet tables and register views.
+
+Replaces the reference's CSV->HDF5 staging reader (reference:
+data_preparation/prepare_single_tables.py::read_table_csv — SURVEY.md
+§2 C1). Parquet is the at-rest format: columnar, splittable,
+predicate-pushdown- and column-pruning-friendly, so a 100 TB table is
+scanned only for the partitions/columns a query needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: list[str] | None = None,
+    register_views: bool = True,
+) -> dict[str, DataFrame]:
+    """Load parquet tables from an sf directory; optionally register
+    each as a temp view so ``spark.sql`` can address them by name."""
+    # The events fixture stores TIMESTAMP(NANOS) which Spark's reader
+    # rejects by default; read nanos as long, then truncate to
+    # microsecond timestamps — the same truncation DuckDB applies when
+    # it reads ns parquet into its us-precision TIMESTAMP.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catalog: dict[str, DataFrame] = {}
+    for name in tables or TABLE_NAMES:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            )
+        if register_views:
+            df.createOrReplaceTempView(name)
+        catalog[name] = df
+    return catalog
+
+
+def read_csv_table(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    sep: str = ",",
+    header: bool = True,
+) -> DataFrame:
+    """CSV ingestion with a declared schema (reference C1). Explicit
+    schema avoids the inference pass — one scan instead of two on
+    100 TB inputs."""
+    reader = spark.read.option("sep", sep).option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
