@@ -167,6 +167,367 @@ _SQL_QUERIES: dict[str, str] = {
 }
 
 
+# --- extension surface (SURVEY.md §7.6): LLM-data-pipeline operators.
+# Spark side runs the operator implementations; oracle is equivalent
+# DuckDB SQL where expressible, else None => driver rows-only check.
+
+_STOPLIST_SQL = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this']"
+
+
+def _x_doc_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).sql(
+        """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_chars
+        FROM documents GROUP BY lang
+        """
+    )
+
+
+def _x_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.functions.text import token_count
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    return docs.groupBy("lang").agg(
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def _x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.functions.text import fingerprint_md5
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    return docs.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+
+
+def _x_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.operators.dedup import exact_duplicate_groups
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    return exact_duplicate_groups(docs, "text", "doc_id").select(
+        "fp", "n_docs"
+    ).orderBy(F.asc("fp"))
+
+
+def _x_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepdb_public_spark.operators.dedup import jaccard_pairs_exact
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    return jaccard_pairs_exact(
+        docs, "text", "doc_id", threshold=0.5, use_char_ngrams=True, ngram=5
+    ).selectExpr("id_a", "id_b", "round(jaccard, 6) AS jaccard")
+
+
+def _x_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepdb_public_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold=0.5, n_hashes=32, n_bands=8,
+        use_char_ngrams=True, ngram=5,
+    ).selectExpr("id_a", "id_b", "round(jaccard, 6) AS jaccard")
+
+
+def _x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepdb_public_spark.operators.dedup import simhash_pairs
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=6)
+
+
+def _x_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepdb_public_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _engine(spark, sf_dir).catalog["embeddings"]
+    return embedding_neardup_pairs(
+        emb, "embedding", "vec_id", threshold=0.9, brute_force=True
+    ).selectExpr("id_a", "id_b", "round(cos, 6) AS cos")
+
+
+def _x_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.operators.similarity import brute_force_topk
+
+    emb = _engine(spark, sf_dir).catalog["embeddings"]
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    scored = brute_force_topk(emb, "embedding", "vec_id", list(qvec), k=emb.count())
+    return (
+        scored.selectExpr("id", "round(cos, 6) AS cos")
+        .orderBy(F.desc("cos"), F.asc("id"))
+        .limit(10)
+    )
+
+
+def _x_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepdb_public_spark.operators.textstats import quality_score
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    return quality_score(docs, "text", "doc_id").selectExpr(
+        "doc_id", "round(quality, 6) AS quality"
+    )
+
+
+def _x_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepdb_public_spark.operators.textstats import corpus_language_report
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    return corpus_language_report(docs, "text", "lang")
+
+
+def _x_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepdb_public_spark.streaming.windows import tumbling_counts
+
+    ev = _engine(spark, sf_dir).catalog["events"]
+    return tumbling_counts(ev, "1 day")
+
+
+def _x_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepdb_public_spark.streaming.windows import sliding_counts
+
+    ev = _engine(spark, sf_dir).catalog["events"]
+    return sliding_counts(ev, "2 days", "1 day")
+
+
+def _x_session_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepdb_public_spark.streaming.windows import sessionize_sql
+
+    ev = _engine(spark, sf_dir).catalog["events"]
+    sess = sessionize_sql(ev, gap_minutes=30)
+    sess.createOrReplaceTempView("_sessions")
+    return spark.sql(
+        """
+        SELECT user_id, COUNT(*) AS n_sessions,
+               CAST(SUM(n_events) AS BIGINT) AS total_events,
+               CAST(MAX(n_events) AS BIGINT) AS max_session
+        FROM _sessions GROUP BY user_id
+        """
+    )
+
+
+def _x_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepdb_public_spark.streaming.windows import session_counts
+
+    ev = _engine(spark, sf_dir).catalog["events"]
+    return session_counts(ev, "30 minutes")
+
+
+def _x_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).sql(
+        """
+        SELECT event_type,
+               CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               COUNT(*) AS cnt
+        FROM events GROUP BY event_type
+        """
+    )
+
+
+def _x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.operators.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=64)
+    feats = extract_features(media)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("n_bytes").alias("avg_bytes"),
+        F.avg(F.size("feature")).alias("avg_dim"),
+    )
+
+
+_CHAR_NGRAM_DUCK = (
+    "list_distinct([substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), i, 5) "
+    "for i in range(1, greatest(2, length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) - 3))])"
+)
+
+_EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "x01_doc_lang_stats": (
+        _x_doc_lang_stats,
+        """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_chars
+        FROM documents GROUP BY lang
+        """,
+    ),
+    "x02_token_counts": (
+        _x_token_counts,
+        """
+        SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY lang
+        """,
+    ),
+    "x03_fingerprint": (
+        _x_fingerprint,
+        """
+        SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+        """,
+    ),
+    "x04_exact_dup_groups": (
+        _x_exact_dup_groups,
+        """
+        SELECT fp, n_docs FROM (
+          SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+                 COUNT(*) AS n_docs
+          FROM documents GROUP BY 1
+        ) t WHERE n_docs > 1 ORDER BY fp
+        """,
+    ),
+    "x05_jaccard_pairs": (
+        _x_jaccard_pairs,
+        f"""
+        WITH ws AS (SELECT doc_id, {_CHAR_NGRAM_DUCK} AS w FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                     / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))), 6) AS jaccard
+        FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+              / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.5
+        """,
+    ),
+    # MinHash-LSH / SimHash are approximate candidate generators —
+    # rows-only here; tests/test_dedup.py checks recall vs the exact
+    # jaccard pairs.
+    "x06_minhash_pairs": (_x_minhash_pairs, None),
+    "x07_simhash_pairs": (_x_simhash_pairs, None),
+    "x08_embed_neardup": (
+        _x_embed_neardup,
+        """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE))
+                     / (SQRT(SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(a.embedding[g.i] AS DOUBLE)))
+                        * SQRT(SUM(CAST(b.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)))), 6) AS cos
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        CROSS JOIN generate_series(1, 64) AS g(i)
+        GROUP BY a.vec_id, b.vec_id
+        HAVING SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE))
+               / (SQRT(SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(a.embedding[g.i] AS DOUBLE)))
+                  * SQRT(SUM(CAST(b.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)))) >= 0.9
+        """,
+    ),
+    "x09_cosine_topk": (
+        _x_cosine_topk,
+        """
+        WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+        SELECT v.vec_id AS id,
+               ROUND(SUM(CAST(v.embedding[g.i] AS DOUBLE) * CAST(q.e[g.i] AS DOUBLE))
+                     / (SQRT(SUM(CAST(v.embedding[g.i] AS DOUBLE) * CAST(v.embedding[g.i] AS DOUBLE)))
+                        * SQRT(SUM(CAST(q.e[g.i] AS DOUBLE) * CAST(q.e[g.i] AS DOUBLE)))), 6) AS cos
+        FROM embeddings v, q CROSS JOIN generate_series(1, 64) AS g(i)
+        GROUP BY v.vec_id
+        ORDER BY cos DESC, id LIMIT 10
+        """,
+    ),
+    "x10_quality": (
+        _x_quality,
+        f"""
+        SELECT doc_id,
+               ROUND(
+                 least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+                 + greatest(0.0, 1.0 - (CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                                        / greatest(length(text), 1)) * 5) * 0.3
+                 + least((CAST(len(list_filter(string_split(lower(text), ' '),
+                                              t -> list_contains({_STOPLIST_SQL}, t))) AS DOUBLE)
+                          / greatest(len(string_split(text, ' ')), 1)) * 3, 1.0) * 0.2,
+               6) AS quality
+        FROM documents
+        """,
+    ),
+    "x11_langid_confusion": (_x_langid_confusion, None),
+    "x12_tumbling": (
+        _x_tumbling,
+        """
+        SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS win_start,
+               event_type, COUNT(*) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+        """,
+    ),
+    "x13_sliding": (
+        _x_sliding,
+        """
+        SELECT CAST(w AS VARCHAR) AS win_start, COUNT(*) AS cnt FROM (
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w FROM events
+          UNION ALL
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) - INTERVAL 1 DAY AS w FROM events
+        ) t GROUP BY w
+        """,
+    ),
+    "x14_session_sql": (
+        _x_session_sql,
+        """
+        SELECT user_id, COUNT(*) AS n_sessions,
+               CAST(SUM(n_events) AS BIGINT) AS total_events,
+               CAST(MAX(n_events) AS BIGINT) AS max_session
+        FROM (
+          SELECT user_id, session_id, COUNT(*) AS n_events
+          FROM (
+            SELECT user_id,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               IS NULL THEN 1
+                          WHEN epoch_us(ts)
+                               - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                               >= 1800000000 THEN 1
+                          ELSE 0 END AS is_new
+              FROM events
+            ) g
+          ) s GROUP BY user_id, session_id
+        ) x GROUP BY user_id
+        """,
+    ),
+    "x15_session_window": (
+        _x_session_window,
+        """
+        SELECT user_id, MIN(epoch_us(ts)) AS sess_start_us,
+               COUNT(*) AS n_events
+        FROM (
+          SELECT user_id, ts,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             IS NULL THEN 1
+                        WHEN epoch_us(ts)
+                             - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                             >= 1800000000 THEN 1
+                        ELSE 0 END AS is_new
+            FROM events
+          ) g
+        ) s GROUP BY user_id, session_id
+        """,
+    ),
+    "x16_json_extract": (
+        _x_json,
+        """
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               COUNT(*) AS cnt
+        FROM events GROUP BY event_type
+        """,
+    ),
+    "x17_media_features": (_x_media_features, None),
+}
+
+
 def _ir_runner(sql: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _engine(spark, sf_dir).query(sql)
@@ -192,6 +553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _ir_runner(sql)
     for name, sql in _SQL_QUERIES.items():
         out[name] = _sql_runner(sql)
+    for name, (runner, _oracle) in _EXT_QUERIES.items():
+        out[name] = runner
     return out
 
 
@@ -200,4 +563,7 @@ def oracle_sql() -> dict[str, str]:
     # IR-path queries: the engine-grammar text is already ANSI SQL that
     # DuckDB runs directly (aliases resolve the same way).
     out.update(_IR_QUERIES)
+    for name, (_runner, oracle) in _EXT_QUERIES.items():
+        if oracle is not None:
+            out[name] = oracle
     return out

@@ -1,0 +1,115 @@
+"""Hash-family column functions: MinHash signatures, SimHash, LSH band
+keys (extension surface, SURVEY.md §7.6).
+
+Everything is built from `xxhash64` + higher-order array functions, so
+signature computation is embarrassingly parallel JVM work — no Python,
+no shuffle. The shuffle happens only once, at the band-bucket join in
+operators/dedup.py, which is the scale-correct place for it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
+    """array<string> shingles -> array<bigint> of length n_hashes.
+
+    Hash family i is xxhash64 seeded by prefixing the permutation
+    index: h_i(s) = xxhash64(concat(i, '\\x1f', s)); signature element
+    i = min over shingles. Empty shingle sets yield nulls (callers
+    should filter empty docs first).
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.xxhash64(F.concat(i.cast("string"), F.lit("\x1f"), s)),
+            )
+        ),
+    )
+
+
+def band_keys(signature: Column, n_bands: int, rows_per_band: int) -> Column:
+    """Split a signature into bands and hash each band to one bigint
+    key -> array<struct<band:int, key:bigint>>. Two documents agreeing
+    on ANY band land in the same LSH bucket."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.xxhash64(
+                b.cast("string"),
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                ),
+            ).alias("key"),
+        ),
+    )
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash over a token array -> bigint.
+
+    For each bit j: sum over tokens of (+1 if bit j of xxhash64(token)
+    else -1); bit j of the output is 1 iff the sum is positive. Near-
+    duplicate documents differ in few bits (small Hamming distance).
+    Bits fold most-significant-first via acc*2+bit in two 32-bit
+    halves joined with shiftleft|or — a plain 64-bit fold would trip
+    ANSI-mode overflow on the sign bit.
+    """
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    bits = F.transform(
+        F.sequence(F.lit(63), F.lit(0), F.lit(-1)),
+        lambda j: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc + F.bit_get(h, j).cast("long") * 2 - 1,
+            )
+            > 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+
+    def fold(part):
+        return F.aggregate(part, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b)
+
+    hi, lo = fold(F.slice(bits, 1, 32)), fold(F.slice(bits, 33, 32))
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Popcount of XOR via bit_count (Spark >= 3.3)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_block_keys(sig: Column, n_blocks: int = 4) -> Column:
+    """Split the 64-bit simhash into n_blocks contiguous bit blocks ->
+    array<struct<block:int, key:bigint>>. Pigeonhole: two signatures
+    within Hamming distance (n_blocks - 1) agree on at least one
+    block, so block-equality buckets are a complete candidate filter
+    for distance <= n_blocks - 1."""
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    # n_blocks is a plain int -> unroll on the driver (shift amounts
+    # must be Python ints for shiftrightunsigned)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("block"),
+                F.shiftrightunsigned(sig, b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for b in range(n_blocks)
+        ]
+    )

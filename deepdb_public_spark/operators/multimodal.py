@@ -1,0 +1,125 @@
+"""Multimodal (image/audio/video) column plumbing (extension surface).
+
+Media are opaque ``binary`` columns + typed metadata structs. The
+Spark-side plumbing — schema, partition-friendly batch iteration,
+Arrow-batched Pandas transforms via mapInPandas — is real and tested;
+the codec step itself is STUBBED (no PIL/ffmpeg in this container):
+``decode_fn=None`` uses a deterministic fake decoder so the pipeline
+shape (bytes -> features) runs end-to-end; pass a real decoder on a
+cluster with the codec libraries installed.
+
+At 100 TB: mapInPandas streams Arrow batches executor-side, so memory
+is bounded by batch size, not partition size; binary payloads never
+visit the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("meta_width", LongType(), True),
+        StructField("meta_height", LongType(), True),
+        StructField("meta_duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
+    """Deterministic stand-in for a codec: hash-seeded pseudo-features.
+    Replace with PIL/torchaudio/ffmpeg frame sampling in production —
+    raise until then so misuse is loud."""
+    if payload is None:
+        raise NotImplementedError("real media decode requires codec libs")
+    seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little") % (2**32)
+    return np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
+
+
+def extract_features(
+    media: DataFrame,
+    decode_fn: Callable[[bytes], np.ndarray] | None = None,
+    batch_size_hint: int = 1024,
+) -> DataFrame:
+    """bytes -> feature vectors with mapInPandas (Arrow-batched; the
+    only sane shape for per-row Python over binary columns)."""
+    fn = decode_fn or fake_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                None if p is None else fn(bytes(p)).tolist()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [None if p is None else len(p) for p in pdf["payload"]],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table matching MEDIA_SCHEMA (test
+    fixture; payload = seeded random bytes)."""
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    rows = [
+        (
+            i,
+            kinds[i % 3],
+            bytes(rng.integers(0, 256, size=32, dtype=np.uint8).tobytes()),
+            int(rng.integers(16, 512)),
+            int(rng.integers(16, 512)),
+            int(rng.integers(100, 10_000)),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per (media_id,
+    frame_ts) — the explode is pure Spark (sequence over duration);
+    only the per-frame decode (stubbed) needs Python."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.coalesce(F.col("meta_duration_ms"), F.lit(0)), F.lit(every_ms)
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )

@@ -1,0 +1,62 @@
+"""Text-analysis operators over a documents corpus (extension
+surface): language ID, quality scoring, token stats, fingerprints.
+
+Thin DataFrame-level compositions of functions/text.py — each is one
+narrow projection + (optionally) one aggregation, so the 100 TB cost
+is a single columnar scan; nothing here shuffles except the final
+small group-bys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    fingerprint_md5,
+    language_id,
+    quality_features,
+    rolling_hash64,
+    token_count,
+)
+
+
+def doc_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document feature row: tokens, quality signals, language
+    guess, fingerprints. The standard pre-training corpus profile."""
+    feats = quality_features(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        feats["n_chars"].alias("n_chars"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["mean_word_len"].alias("mean_word_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        language_id(F.col(text_col)).alias("lang_guess"),
+        fingerprint_md5(F.col(text_col)).alias("fp_md5"),
+        rolling_hash64(F.col(text_col)).alias("fp_roll64"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Scalar quality score in [0,1] combining length, punctuation and
+    stopword signals (monotone heuristic; weights are illustrative —
+    the operator shape, a pure projection, is the point)."""
+    feats = quality_features(F.col(text_col))
+    len_score = F.least(feats["n_tokens"].cast("double") / F.lit(100.0), F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - feats["punct_ratio"] * 5)
+    stop_score = F.least(feats["stopword_ratio"] * 3, F.lit(1.0))
+    return df.select(
+        F.col(id_col),
+        ((len_score * 0.5 + punct_penalty * 0.3 + stop_score * 0.2)).alias("quality"),
+    )
+
+
+def corpus_language_report(df: DataFrame, text_col: str, lang_col: str) -> DataFrame:
+    """Language-ID evaluation vs a labeled column: per (label, guess)
+    confusion counts."""
+    return (
+        df.select(F.col(lang_col).alias("label"), language_id(F.col(text_col)).alias("guess"))
+        .groupBy("label", "guess")
+        .agg(F.count("*").alias("n"))
+    )

@@ -44,9 +44,9 @@ def load_tables(
     for name in tables or TABLE_NAMES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-            )
+            # integer `div`, NOT `/`: double division loses ulps at
+            # 1.7e18 ns and shifts some timestamps by 1 us
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         if register_views:
             df.createOrReplaceTempView(name)
         catalog[name] = df

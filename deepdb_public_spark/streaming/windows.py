@@ -1,0 +1,132 @@
+"""Event-stream operators (extension surface; the reference has no
+streaming at all — SURVEY.md §2 E).
+
+Each windowed aggregation is defined ONCE as a transformation and is
+valid on both a batch DataFrame and a Structured Streaming DataFrame —
+the idiomatic Spark pattern (same logical plan; the streaming runner
+adds state + watermark). Batch form is what the DuckDB oracle checks;
+``stream_events`` + ``run_streaming_batch`` prove the same pipeline
+executes under the streaming engine with watermarks.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(events: DataFrame, window_len: str = "1 day") -> DataFrame:
+    """Per-event-type tumbling-window counts + value sums."""
+    return (
+        events.groupBy(F.window("ts", window_len).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("win_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, window_len: str = "2 days", slide: str = "1 day"
+) -> DataFrame:
+    """Sliding-window event counts (each event lands in
+    window_len/slide overlapping windows)."""
+    return (
+        events.groupBy(F.window("ts", window_len, slide).alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").cast("string").alias("win_start"), "cnt")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (gap-based). Batch equivalent of
+    ``session_window``; on a stream the same expression is stateful
+    with watermark-driven eviction."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("sess_start_us"),
+        "n_events",
+    )
+
+
+def sessionize_sql(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization via lag + running sum — the portable-SQL twin of
+    ``session_window`` (this exact logic is the DuckDB oracle for it):
+    a new session starts when the per-user gap exceeds ``gap_minutes``.
+    Returns per-user session counts and sizes. Gap math uses integer
+    epoch micros (unix_micros here, epoch_us in the DuckDB oracle) so
+    both engines compare exactly."""
+    events.createOrReplaceTempView("_sess_events")
+    return events.sparkSession.sql(
+        f"""
+        SELECT user_id, session_id, COUNT(*) AS n_events
+        FROM (
+          SELECT user_id,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             IS NULL THEN 1
+                        WHEN unix_micros(ts)
+                             - unix_micros(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                             >= {gap_minutes * 60} * 1000000 THEN 1
+                        ELSE 0 END AS is_new
+            FROM _sess_events
+          ) g
+        ) s
+        GROUP BY user_id, session_id
+        """
+    )
+
+
+def stream_events(
+    spark: SparkSession, events_parquet: str, watermark: str = "1 day"
+) -> DataFrame:
+    """Read the events parquet as a bounded stream (file source) with
+    an event-time watermark — the late-data policy a production topic
+    (Kafka etc.) would use; the file source keeps the container
+    dependency-free. Handles the fixture's TIMESTAMP(NANOS) the same
+    way the batch catalog does (nanosAsLong + us truncation)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(events_parquet).schema
+    src = events_parquet
+    if os.path.isfile(src):
+        # the file stream source requires a directory; expose a single
+        # parquet file through a symlink in a temp dir
+        d = tempfile.mkdtemp(prefix="stream_events_")
+        os.symlink(os.path.abspath(src), os.path.join(d, os.path.basename(src)))
+        src = d
+    stream = spark.readStream.schema(raw_schema).parquet(src)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withWatermark("ts", watermark)
+
+
+def run_streaming_batch(stream_df: DataFrame, transform, query_name: str) -> DataFrame:
+    """Execute a windowed transform on a stream with trigger
+    availableNow (process-everything-then-stop), landing in a memory
+    sink; returns the sink contents as a DataFrame. Proves the
+    transform is streaming-legal (stateful agg + watermark)."""
+    q = (
+        transform(stream_df)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return stream_df.sparkSession.table(query_name)
