@@ -347,6 +347,150 @@ def _x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- data-preparation operators (reference C2/C4/C5) — the training
+# -sample semantics that make RSPN answers correct, oracle-checked ---
+
+
+def _p_encode_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepdb_public_spark.operators.prep import encode_table
+
+    cust = _engine(spark, sf_dir).catalog["customer"].select("c_custkey", "c_mktsegment")
+    encoded, _meta = encode_table(cust, "customer")
+    return encoded.selectExpr("c_custkey", "CAST(c_mktsegment AS BIGINT) AS seg_code")
+
+
+def _p_fanout_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.operators.prep import fanout_multiplier
+
+    eng = _engine(spark, sf_dir)
+    rel = eng.schema.relationships["lineitem.l_orderkey = orders.o_orderkey"]
+    withmul = fanout_multiplier(eng.catalog["orders"], eng.catalog["lineitem"], rel)
+    return withmul.groupBy(
+        F.col(rel.multiplier_attribute_name).alias("fanout"),
+        F.col(rel.null_indicator_name).alias("nn"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+def _p_outer_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepdb_public_spark.operators.prep import generate_join_sample
+
+    eng = _engine(spark, sf_dir)
+    sample = generate_join_sample(eng.catalog, eng.schema, {"orders", "lineitem"})
+    sample.createOrReplaceTempView("_p03_sample")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(nn_lineitem_l_orderkey) AS BIGINT) AS n_inner,
+               CAST(SUM(CASE WHEN mul_lineitem_l_orderkey = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_childless,
+               CAST(SUM(mul_lineitem_l_orderkey) AS BIGINT) AS sum_mul
+        FROM _p03_sample
+        """
+    )
+
+
+def _p_outer_sample_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepdb_public_spark.operators.prep import generate_join_sample
+
+    eng = _engine(spark, sf_dir)
+    sample = generate_join_sample(
+        eng.catalog, eng.schema, {"customer", "orders", "lineitem"}
+    )
+    sample.createOrReplaceTempView("_p04_sample")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lineitem,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_order
+        FROM _p04_sample
+        """
+    )
+
+
+def _m_spn_qerrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model plane end-to-end (reference: the --evaluate_cardinalities
+    / --evaluate_aqp_queries lifecycles): train RSPNs on lineitem and
+    orders JOIN lineitem, answer a fixed query set WITHOUT touching
+    the data, report estimate vs exact q-error per query. Rows-only
+    (estimates are approximate by design); tests/test_spn.py enforces
+    the q-error budget."""
+    eng = _engine(spark, sf_dir)
+    if eng.ensemble is None:
+        from deepdb_public_spark.spn.ensemble import SPNEnsemble
+        from deepdb_public_spark.spn.trainer import train_spn_model
+
+        ens = SPNEnsemble(eng.schema)
+        ens.add_model(train_spn_model(eng.catalog, eng.schema, {"lineitem"}, 60_000))
+        ens.add_model(
+            train_spn_model(eng.catalog, eng.schema, {"orders", "lineitem"}, 80_000)
+        )
+        eng.ensemble = ens
+    card_queries = [
+        "SELECT COUNT(*) AS cnt FROM lineitem WHERE lineitem.l_discount BETWEEN 0.02 AND 0.06",
+        "SELECT COUNT(*) AS cnt FROM lineitem WHERE lineitem.l_returnflag = 'A' AND lineitem.l_quantity >= 30",
+        "SELECT COUNT(*) AS cnt FROM orders, lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND orders.o_orderstatus = 'F'",
+        "SELECT COUNT(*) AS cnt FROM orders WHERE orders.o_totalprice > 100000",
+        "SELECT COUNT(*) AS cnt FROM orders, lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND orders.o_orderdate >= DATE '1999-01-01' AND lineitem.l_discount <= 0.03",
+    ]
+    rows = []
+    for sql in card_queries:
+        q = eng.parse(sql)
+        est = float(eng.ensemble.cardinality(q))
+        true = int(eng.query(q).collect()[0][0])
+        qerr = max(est / max(true, 1), true / max(est, 1e-9))
+        rows.append((sql, est, true, float(qerr)))
+    return spark.createDataFrame(rows, "query string, est double, true_cnt long, qerr double")
+
+
+_PREP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "m01_spn_qerrors": (_m_spn_qerrors, None),
+    "p01_encode_dict": (
+        _p_encode_dict,
+        """
+        SELECT c_custkey,
+               CAST(DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1 AS BIGINT) AS seg_code
+        FROM customer
+        """,
+    ),
+    "p02_fanout_hist": (
+        _p_fanout_hist,
+        """
+        SELECT COALESCE(c.cnt, 0) AS fanout,
+               CASE WHEN COALESCE(c.cnt, 0) > 0 THEN 1 ELSE 0 END AS nn,
+               COUNT(*) AS n_orders
+        FROM orders o
+        LEFT JOIN (SELECT l_orderkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY 1) c
+          ON o.o_orderkey = c.k
+        GROUP BY 1, 2
+        """,
+    ),
+    "p03_outer_sample_stats": (
+        _p_outer_sample_stats,
+        """
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN l.l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_inner,
+               CAST(SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_childless,
+               CAST(SUM(m.cnt) AS BIGINT) AS sum_mul
+        FROM orders o
+        FULL OUTER JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        LEFT JOIN (SELECT l_orderkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY 1) m
+          ON o.o_orderkey = m.k
+        """,
+    ),
+    "p04_outer_sample_3way": (
+        _p_outer_sample_3way,
+        """
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lineitem,
+               CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_order
+        FROM orders o
+        FULL OUTER JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        FULL OUTER JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+    ),
+}
+
 _CHAR_NGRAM_DUCK = (
     "list_distinct([substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), i, 5) "
     "for i in range(1, greatest(2, length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) - 3))])"
@@ -555,6 +699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _sql_runner(sql)
     for name, (runner, _oracle) in _EXT_QUERIES.items():
         out[name] = runner
+    for name, (runner, _oracle) in _PREP_QUERIES.items():
+        out[name] = runner
     return out
 
 
@@ -564,6 +710,9 @@ def oracle_sql() -> dict[str, str]:
     # DuckDB runs directly (aliases resolve the same way).
     out.update(_IR_QUERIES)
     for name, (_runner, oracle) in _EXT_QUERIES.items():
+        if oracle is not None:
+            out[name] = oracle
+    for name, (_runner, oracle) in _PREP_QUERIES.items():
         if oracle is not None:
             out[name] = oracle
     return out

@@ -1,0 +1,215 @@
+"""Data-preparation operators (reference SURVEY.md §2 table C).
+
+Spark-native replacements for the reference's pandas/HDF5 pipeline
+(reference: data_preparation/prepare_single_tables.py,
+data_preparation/join_data_preparation.py::JoinDataPreparator). This
+is where the rebuild wins at 100 TB: the reference materializes outer
+-join samples single-node in pandas; here every step is a handful of
+narrow Spark ops (groupBy counts, broadcast-able dimension joins, one
+full-outer chain) that shuffle only on join keys.
+
+Semantics preserved exactly (they are the correctness core of RSPN
+answers, SURVEY.md §1.2):
+- categorical dictionary encoding with value<->code maps, codes
+  assigned by sorted value order (deterministic, SQL-reproducible);
+  NULL gets a reserved code = number of distinct values
+- per-relationship fanout "multiplier" columns mul_<child>_<fk> (how
+  many child rows match this parent row) and null indicators
+  nn_<child>_<fk> (0 on NULL-augmented rows)
+- join samples are FULL OUTER joins along schema-graph edges, so
+  NULL-augmented tuples survive and sub-scope queries stay answerable
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+from ..plans.schema import Relationship, SchemaGraph
+
+
+@dataclass
+class ColumnMeta:
+    name: str
+    kind: str  # "numeric" | "categorical"
+    n_distinct: int
+    null_code: int | None = None
+    # value -> code for categoricals (driver-side; domains are small —
+    # at 100 TB keep this as a parquet mapping table instead)
+    value_to_code: dict | None = None
+    # "native" | "timestamp": timestamps are stored as epoch micros in
+    # the model plane; condition literals need the same conversion
+    origin: str = "native"
+
+
+@dataclass
+class TableMeta:
+    table_name: str
+    row_count: int
+    columns: dict[str, ColumnMeta] = field(default_factory=dict)
+
+
+def encode_table(
+    df: DataFrame, table_name: str, max_dict_size: int = 1_000_000
+) -> tuple[DataFrame, TableMeta]:
+    """Dictionary-encode string columns to dense integer codes
+    (reference C2: prepare_single_tables.py::prepare_single_table).
+
+    Codes are dense_rank-by-value minus one over the DISTINCT values
+    (tiny relation — the window never sees data-scale rows), joined
+    back broadcast. Numeric columns pass through. Timestamps become
+    epoch micros (the model plane is numeric-only, SURVEY §1.2).
+    """
+    meta = TableMeta(table_name, df.count())
+    out = df
+    for f_ in df.schema.fields:
+        col = f_.name
+        if isinstance(f_.dataType, NumericType):
+            meta.columns[col] = ColumnMeta(
+                col, "numeric", out.select(col).distinct().count()
+            )
+            continue
+        if f_.dataType.typeName() in ("timestamp", "timestamp_ntz", "date"):
+            out = out.withColumn(col, F.unix_micros(F.col(col).cast("timestamp")))
+            meta.columns[col] = ColumnMeta(
+                col,
+                "numeric",
+                out.select(col).distinct().count(),
+                origin="timestamp",
+            )
+            continue
+        if f_.dataType.typeName() != "string":
+            # arrays/binary etc. are outside the model plane
+            continue
+        distinct = df.select(col).distinct()
+        n = distinct.count()
+        if n > max_dict_size:
+            raise ValueError(f"{table_name}.{col}: domain {n} too large to encode")
+        from pyspark.sql.window import Window
+
+        mapping = distinct.withColumn(
+            "__code", F.dense_rank().over(Window.orderBy(F.col(col))) - 1
+        )
+        out = (
+            out.join(F.broadcast(mapping), on=col, how="left")
+            .drop(col)
+            .withColumnRenamed("__code", col)
+        )
+        meta.columns[col] = ColumnMeta(
+            col,
+            "categorical",
+            n,
+            null_code=n,
+            value_to_code={r[col]: r["__code"] for r in mapping.collect()},
+        )
+    return out, meta
+
+
+def fanout_multiplier(
+    parent: DataFrame, child: DataFrame, rel: Relationship
+) -> DataFrame:
+    """Attach mul_/nn_ fanout columns to the PARENT (the `end` side of
+    the FK edge): mul = number of child rows referencing this row
+    (0 if none), nn = 1 iff any child exists (reference C4,
+    join_data_preparation.py multiplier columns).
+
+    Shuffle profile: one groupBy on the FK (map-side combined), one
+    join on the parent PK; the counts relation has one row per
+    distinct FK value and is broadcast-able for dimension parents.
+    """
+    counts = child.groupBy(F.col(rel.start_attr).alias(rel.end_attr)).agg(
+        F.count(F.lit(1)).alias(rel.multiplier_attribute_name)
+    )
+    return (
+        parent.join(counts, on=rel.end_attr, how="left")
+        .withColumn(
+            rel.multiplier_attribute_name,
+            F.coalesce(F.col(rel.multiplier_attribute_name), F.lit(0)),
+        )
+        .withColumn(
+            rel.null_indicator_name,
+            (F.col(rel.multiplier_attribute_name) > 0).cast("int"),
+        )
+    )
+
+
+def generate_join_sample(
+    catalog: dict[str, DataFrame],
+    schema: SchemaGraph,
+    table_set: set[str],
+    relationship_set: set[str] | None = None,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Materialize the full-outer-join relation of a table set along
+    its schema-graph edges, with fanout multiplier/indicator columns
+    (reference C5: JoinDataPreparator.generate_join_sample).
+
+    The returned relation has DeepDB's training-sample semantics:
+    every base-table row appears (NULL-augmented if unmatched), every
+    edge contributes mul_/nn_ columns. ``sample_fraction`` applies a
+    seeded row sample AFTER the join chain (reference caps with
+    max_intermediate_size; a post-join sample keeps NULL-augmented
+    row proportions unbiased).
+
+    Scale notes: FK joins shuffle on their keys once each; AQE handles
+    skew. For repeated ensemble generation over the same big fact
+    table, bucket the staging parquet by the join key so these joins
+    are shuffle-free.
+    """
+    if relationship_set is None:
+        relationship_set = {
+            r.identifier
+            for r in schema.relationships.values()
+            if r.start in table_set and r.end in table_set
+        }
+    rels = [schema.relationships[i] for i in sorted(relationship_set)]
+    if not rels:
+        df = catalog[next(iter(table_set))]
+        return df.sample(sample_fraction, seed=seed) if sample_fraction else df
+
+    # Pre-compute multiplier columns on each edge's parent table
+    enriched = {t: catalog[t] for t in table_set}
+    for rel in rels:
+        enriched[rel.end] = fanout_multiplier(
+            enriched[rel.end], catalog[rel.start], rel
+        )
+
+    df = enriched[rels[0].end]
+    joined = {rels[0].end}
+    pending = list(rels)
+    while pending:
+        progressed = False
+        for rel in list(pending):
+            if rel.start in joined and rel.end in joined:
+                pending.remove(rel)
+                progressed = True
+            elif rel.start in joined or rel.end in joined:
+                other = rel.end if rel.start in joined else rel.start
+                df = df.join(
+                    enriched[other],
+                    F.col(rel.start_attr) == F.col(rel.end_attr),
+                    "full_outer",
+                )
+                joined.add(other)
+                pending.remove(rel)
+                progressed = True
+        if not progressed:
+            raise ValueError(f"join graph is disconnected: {pending}")
+
+    # Null-augmented rows have NULL multiplier/indicator columns from
+    # the outer join: normalize to mul=0 / nn=0.
+    for rel in rels:
+        df = df.withColumn(
+            rel.multiplier_attribute_name,
+            F.coalesce(F.col(rel.multiplier_attribute_name), F.lit(0)),
+        ).withColumn(
+            rel.null_indicator_name,
+            F.coalesce(F.col(rel.null_indicator_name), F.lit(0)),
+        )
+    if sample_fraction is not None:
+        df = df.sample(sample_fraction, seed=seed)
+    return df

@@ -1,0 +1,100 @@
+"""SPN leaves: per-column histograms over distinct values (reference:
+aqp_spn/aqp_leaves.py::IdentityNumericLeaf / Categorical, SURVEY.md §2
+B1-B3, D4).
+
+Both leaf kinds store (sorted unique values, probability masses,
+null probability) as numpy arrays — the exact structure the reference
+uses, which makes likelihood AND expectation of arbitrary per-value
+transforms (identity, square, 1/max(x,1)) closed-form sums. Training
+aggregates come from Spark `groupBy(col).count()`; a leaf is a few KB
+regardless of data scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .ranges import NominalRange, NullOnlyRange, NumericRange, Range
+
+
+class Leaf:
+    """Univariate histogram leaf. ``scope`` is a single column index."""
+
+    kind = "leaf"
+
+    def __init__(
+        self,
+        scope: int,
+        values: np.ndarray,
+        probs: np.ndarray,
+        null_prob: float = 0.0,
+    ) -> None:
+        self.scope = [scope]
+        self.values = np.asarray(values, dtype=np.float64)
+        self.probs = np.asarray(probs, dtype=np.float64)
+        self.null_prob = float(null_prob)
+
+    # -- training ------------------------------------------------------
+    @classmethod
+    def fit(cls, scope: int, column: np.ndarray) -> "Leaf":
+        """Fit from a raw column (NaN = NULL)."""
+        col = np.asarray(column, dtype=np.float64)
+        nulls = np.isnan(col)
+        null_prob = float(nulls.mean()) if len(col) else 0.0
+        vals, counts = np.unique(col[~nulls], return_counts=True)
+        probs = counts / max(len(col), 1)
+        return cls(scope, vals, probs, null_prob)
+
+    # -- inference -----------------------------------------------------
+    def _mask(self, rng: Range | None) -> tuple[np.ndarray, float]:
+        """(mask over self.values, null mass included)."""
+        if rng is None:
+            return np.ones_like(self.values, dtype=bool), self.null_prob
+        if isinstance(rng, NullOnlyRange):
+            return np.zeros_like(self.values, dtype=bool), self.null_prob
+        if isinstance(rng, NominalRange):
+            mask = np.isin(self.values, np.asarray(rng.values, dtype=np.float64))
+            return mask, self.null_prob if rng.include_null else 0.0
+        mask = np.zeros_like(self.values, dtype=bool)
+        for lo, hi, lo_incl, hi_incl in rng.intervals:
+            m = np.ones_like(self.values, dtype=bool)
+            if lo is not None and lo != -np.inf:
+                m &= self.values >= lo if lo_incl else self.values > lo
+            if hi is not None and hi != np.inf:
+                m &= self.values <= hi if hi_incl else self.values < hi
+            mask |= m
+        return mask, self.null_prob if rng.include_null else 0.0
+
+    def prob(self, rng: Range | None) -> float:
+        """P(col in range) — unconstrained returns 1 (incl. null mass)."""
+        if rng is None:
+            return 1.0
+        mask, null_mass = self._mask(rng)
+        return float(self.probs[mask].sum() + null_mass)
+
+    def expect(self, fn, rng: Range | None) -> float:
+        """E[fn(col) * 1(col in range)]; NULLs contribute 0 (the
+        reference's convention: features over NULL-augmented tuples
+        vanish — aqp_leaves.py identity_expectation)."""
+        mask, _ = self._mask(rng)
+        if not mask.any():
+            return 0.0
+        return float((fn(self.values[mask]) * self.probs[mask]).sum())
+
+    # -- incremental update (reference D5: AQPSPN.add_dataset) ---------
+    def absorb(self, column: np.ndarray, prior_n: int) -> None:
+        """Merge new rows into the histogram without retraining."""
+        col = np.asarray(column, dtype=np.float64)
+        n_new = len(col)
+        if n_new == 0:
+            return
+        total = prior_n + n_new
+        nulls = np.isnan(col)
+        vals, counts = np.unique(col[~nulls], return_counts=True)
+        merged = {float(v): p * prior_n for v, p in zip(self.values, self.probs)}
+        for v, c in zip(vals, counts):
+            merged[float(v)] = merged.get(float(v), 0.0) + c
+        items = sorted(merged.items())
+        self.values = np.array([v for v, _ in items])
+        self.probs = np.array([c / total for _, c in items])
+        self.null_prob = (self.null_prob * prior_n + nulls.sum()) / total

@@ -1,0 +1,301 @@
+"""RSPN model wrapper: a trained SPN + the metadata needed to answer
+queries over its table set (reference: aqp_spn/aqp_spn.py::AQPSPN +
+combine_spn.py::CombineSPN — SURVEY.md §2 B6-B12).
+
+The factorization implemented here is DeepDB's outer-join-sample
+algebra: the SPN is learned over the FULL OUTER join of ``table_set``
+with per-edge fanout multiplier (mul_) and null-indicator (nn_)
+columns, so for a query over any connected subset Q of the tables:
+
+    COUNT(Q, conds) = N_fo * E[ 1(conds) * prod_e corr_e ]
+
+with, for each SPN edge e = (child -> parent):
+  - e joined in Q:                    corr_e = 1(nn_e = 1)
+  - Q on the child side of e:         corr_e = 1(nn_e = 1)
+  - Q on the parent side of e:        corr_e = 1 / max(mul_e, 1)
+
+(child-side: drop NULL-augmented parent-only rows; parent-side: each
+parent row is replicated mul_e times, childless rows appear once.)
+SUM adds an identity feature on the aggregate column; AVG is the
+ratio. This mirrors IndicatorExpectation/Expectation with inverse
+multipliers (reference: ensemble_compilation/probabilistic_query.py).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..operators.prep import TableMeta
+from ..plans.query import (
+    AggregationOperationType,
+    AggregationType,
+    Condition,
+    Query,
+)
+from ..plans.schema import Relationship
+from .nodes import Node, Sum, distinct_values, evaluate, iter_leaves
+from .ranges import ConditionSet, NominalRange, NullOnlyRange, NumericRange, Range
+
+
+def _inv_max1(x: np.ndarray) -> np.ndarray:
+    return 1.0 / np.maximum(x, 1.0)
+
+
+def _identity(x: np.ndarray) -> np.ndarray:
+    return x
+
+
+@dataclass
+class SPNModel:
+    table_set: set[str]
+    relationships: list[Relationship]
+    full_join_size: float
+    column_names: list[str]  # scope order == matrix column order
+    meta: TableMeta  # columns of the joined/encoded relation
+    column_table: dict[str, str]  # column -> owning base table
+    root: Node = None
+    sample_size: int = 0
+
+    # -- condition translation ----------------------------------------
+    def _col_index(self, col: str) -> int:
+        return self.column_names.index(col)
+
+    def _literal(self, col: str, value):
+        cm = self.meta.columns[col]
+        if cm.kind == "categorical":
+            if cm.value_to_code is None or value not in cm.value_to_code:
+                return None  # unseen value -> empty range
+            return float(cm.value_to_code[value])
+        if cm.origin == "timestamp" and isinstance(value, str):
+            s = value.strip()
+            fmt = "%Y-%m-%d %H:%M:%S" if " " in s else "%Y-%m-%d"
+            dt = _dt.datetime.strptime(s, fmt).replace(tzinfo=_dt.timezone.utc)
+            return dt.timestamp() * 1_000_000
+        return float(value)
+
+    def _condition_to_range(self, cond: Condition) -> Range:
+        col = cond.column
+        cm = self.meta.columns[col]
+        if cond.op == "IS_NULL":
+            return NullOnlyRange()
+        if cond.op == "IS_NOT_NULL":
+            if cm.kind == "categorical":
+                return NominalRange(list(range(cm.n_distinct)))
+            return NumericRange([(-np.inf, np.inf, True, True)])
+        if cond.op == "IN":
+            codes = [self._literal(col, v) for v in cond.value]
+            return NominalRange([c for c in codes if c is not None])
+        if cond.op == "BETWEEN":
+            lo, hi = (self._literal(col, v) for v in cond.value)
+            return NumericRange([(lo, hi, True, True)])
+        v = self._literal(col, cond.value)
+        if v is None:
+            return NominalRange([])
+        if cond.op == "=":
+            if cm.kind == "categorical":
+                return NominalRange([int(v)])
+            return NumericRange([(v, v, True, True)])
+        if cond.op == "<>":
+            if cm.kind == "categorical":
+                return NominalRange(
+                    [c for c in range(cm.n_distinct) if c != int(v)]
+                )
+            return NumericRange(
+                [(-np.inf, v, True, False), (v, np.inf, False, True)]
+            )
+        if cond.op == "<":
+            return NumericRange([(-np.inf, v, True, False)])
+        if cond.op == "<=":
+            return NumericRange([(-np.inf, v, True, True)])
+        if cond.op == ">":
+            return NumericRange([(v, np.inf, False, True)])
+        if cond.op == ">=":
+            return NumericRange([(v, np.inf, True, True)])
+        raise ValueError(f"unsupported condition op {cond.op}")
+
+    def conditions_to_ranges(self, query: Query) -> dict[int, Range]:
+        out: dict[int, Range] = {}
+        for cond in query.conditions:
+            if cond.table not in self.table_set:
+                raise ValueError(f"{cond.table} outside model scope")
+            out[self._col_index(cond.column)] = self._condition_to_range(cond)
+        return out
+
+    # -- fanout-correction planning -----------------------------------
+    def _child_component(self, edge: Relationship) -> set[str]:
+        """Tables on the child (start) side once ``edge`` is removed
+        from the model's relationship tree."""
+        adj: dict[str, set[str]] = {t: set() for t in self.table_set}
+        for r in self.relationships:
+            if r.identifier == edge.identifier:
+                continue
+            adj[r.start].add(r.end)
+            adj[r.end].add(r.start)
+        comp, stack = set(), [edge.start]
+        while stack:
+            u = stack.pop()
+            if u in comp:
+                continue
+            comp.add(u)
+            stack.extend(adj[u] - comp)
+        return comp
+
+    def correction_factors(
+        self, query: Query
+    ) -> tuple[dict[int, Range], dict[int, object]]:
+        """(extra nn ranges, inverse-multiplier features) per the
+        factorization in the module docstring."""
+        ranges: dict[int, Range] = {}
+        features: dict[int, object] = {}
+        qt = query.table_set
+        for rel in self.relationships:
+            nn_idx = self._col_index(rel.null_indicator_name)
+            mul_idx = self._col_index(rel.multiplier_attribute_name)
+            if rel.identifier in query.relationship_set:
+                ranges[nn_idx] = NumericRange([(1, np.inf, True, True)])
+            else:
+                child_side = self._child_component(rel)
+                if qt & child_side:
+                    ranges[nn_idx] = NumericRange([(1, np.inf, True, True)])
+                else:
+                    features[mul_idx] = _inv_max1
+        return ranges, features
+
+    # -- answering -----------------------------------------------------
+    def probability(self, cond: dict[int, Range]) -> float:
+        return evaluate(self.root, cond)
+
+    def cardinality(self, query: Query) -> float:
+        cond = self.conditions_to_ranges(query)
+        extra, features = self.correction_factors(query)
+        cond.update(extra)
+        return self.full_join_size * evaluate(self.root, cond, features)
+
+    def _agg_value(self, query: Query, op_aggs, cond, features) -> float:
+        """One AGGREGATION step: COUNT/SUM/AVG with operand features."""
+        agg_type, operands = op_aggs
+        feats = dict(features)
+        if agg_type is AggregationType.COUNT:
+            return self.full_join_size * evaluate(self.root, cond, feats)
+        for _t, c in operands:
+            feats[self._col_index(c)] = _identity
+        val = self.full_join_size * evaluate(self.root, cond, feats)
+        if agg_type is AggregationType.SUM:
+            return val
+        denom = self.full_join_size * evaluate(self.root, cond, features)
+        return val / denom if denom > 0 else float("nan")
+
+    def aqp(self, query: Query) -> list[dict]:
+        """Approximate aggregate answer; one dict per output row
+        (reference: spn_ensemble.py::evaluate_query, B12)."""
+        base_cond = self.conditions_to_ranges(query)
+        extra, features = self.correction_factors(query)
+        base_cond.update(extra)
+
+        def eval_aggs(cond) -> dict:
+            row: dict = {}
+            acc = None
+            alias = None
+            for i, op in enumerate(query.aggregations):
+                val = self._agg_value(
+                    query, (op.agg_type, op.operands), cond, features
+                )
+                if op.op_type is AggregationOperationType.AGGREGATION:
+                    if acc is not None:
+                        row[alias or f"agg_{len(row)}"] = acc
+                    acc, alias = val, op.alias
+                elif op.op_type is AggregationOperationType.PLUS:
+                    acc += val
+                else:
+                    acc -= val
+            if acc is not None:
+                row[alias or f"agg_{len(row)}"] = acc
+            return row
+
+        if not query.group_bys:
+            return [eval_aggs(base_cond)]
+
+        # group-by: enumerate model-side distinct combos (reference B9)
+        out: list[dict] = []
+        gb_cols = [c for _t, c in query.group_bys]
+        gb_idx = [self._col_index(c) for c in gb_cols]
+        domains = [distinct_values(self.root, i) for i in gb_idx]
+
+        def decode(col: str, code: float):
+            cm = self.meta.columns[col]
+            if cm.kind == "categorical" and cm.value_to_code is not None:
+                inv = {v: k for k, v in cm.value_to_code.items()}
+                return inv.get(int(code), code)
+            return code
+
+        def rec(k: int, cond: dict, keyvals: list):
+            if k == len(gb_idx):
+                count_est = self.full_join_size * evaluate(self.root, cond, features)
+                if count_est < 0.5:
+                    return
+                row = {c: decode(c, v) for c, v in zip(gb_cols, keyvals)}
+                row.update(eval_aggs(cond))
+                out.append(row)
+                return
+            cm = self.meta.columns[gb_cols[k]]
+            for v in domains[k]:
+                if cm.kind == "categorical":
+                    rng: Range = NominalRange([int(v)])
+                else:
+                    rng = NumericRange([(v, v, True, True)])
+                c2 = dict(cond)
+                c2[gb_idx[k]] = rng
+                rec(k + 1, c2, keyvals + [v])
+
+        rec(0, base_cond, [])
+        return out
+
+    # -- incremental updates (reference D5: AQPSPN.add_dataset) --------
+    def add_dataset(self, rows: np.ndarray) -> None:
+        """Absorb new rows (matrix in scope order) without retraining:
+        leaves merge histograms, sum nodes re-weight by routing rows to
+        the nearest stored cluster center."""
+        from .learn import scale_minmax
+
+        def absorb(node: Node, data: np.ndarray, scope: list[int]) -> None:
+            n_new = len(data)
+            if n_new == 0:
+                return
+            prior = getattr(node, "n_rows", self.sample_size)
+            if hasattr(node, "values"):  # Leaf
+                j = scope.index(node.scope[0])
+                node.absorb(data[:, j], prior)
+                node.n_rows = prior + n_new
+                return
+            if isinstance(node, Sum):
+                x, _, _ = scale_minmax(
+                    data[:, [scope.index(s) for s in node.scope]],
+                    node.scale_lo,
+                    node.scale_hi,
+                )
+                d = ((x[:, None, :] - node.cluster_centers[None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                labels = d.argmin(axis=1)
+                total = prior + n_new
+                for c, ch in enumerate(node.children):
+                    mask = labels == c
+                    ch_prior = getattr(ch, "n_rows", 0)
+                    node.weights[c] = (
+                        node.weights[c] * prior + mask.sum()
+                    ) / total
+                    absorb(ch, data[mask], scope)
+                    ch.n_rows = ch_prior + int(mask.sum())
+                node.n_rows = total
+                return
+            for ch in node.children:  # Product
+                absorb(ch, data, scope)
+            node.n_rows = prior + n_new
+
+        absorb(self.root, rows, list(range(len(self.column_names))))
+        frac = len(rows) / max(self.sample_size, 1)
+        self.sample_size += len(rows)
+        self.full_join_size *= 1 + frac
