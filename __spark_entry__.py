@@ -221,7 +221,7 @@ def _x_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _engine(spark, sf_dir).catalog["documents"]
     return jaccard_pairs_exact(
-        docs, "text", "doc_id", threshold=0.5, use_char_ngrams=True, ngram=5
+        docs, "text", "doc_id", threshold=0.8, use_char_ngrams=True, ngram=5
     ).selectExpr("id_a", "id_b", "round(jaccard, 6) AS jaccard")
 
 
@@ -230,7 +230,7 @@ def _x_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _engine(spark, sf_dir).catalog["documents"]
     return minhash_lsh_pairs(
-        docs, "text", "doc_id", threshold=0.5, n_hashes=32, n_bands=8,
+        docs, "text", "doc_id", threshold=0.8, n_hashes=64, n_bands=8,
         use_char_ngrams=True, ngram=5,
     ).selectExpr("id_a", "id_b", "round(jaccard, 6) AS jaccard")
 
@@ -239,15 +239,20 @@ def _x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepdb_public_spark.operators.dedup import simhash_pairs
 
     docs = _engine(spark, sf_dir).catalog["documents"]
-    return simhash_pairs(docs, "text", "doc_id", max_hamming=6)
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=3)
 
 
 def _x_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from deepdb_public_spark.operators.dedup import embedding_neardup_pairs
 
-    emb = _engine(spark, sf_dir).catalog["embeddings"]
+    # brute force is the oracle-checkable baseline — bound it to a
+    # deterministic 1k-row slice (the LSH-bucketed variant is the
+    # scale path, recall-tested in tests/test_extensions.py)
+    emb = _engine(spark, sf_dir).catalog["embeddings"].filter(F.col("vec_id") < 1000)
     return embedding_neardup_pairs(
-        emb, "embedding", "vec_id", threshold=0.9, brute_force=True
+        emb, "embedding", "vec_id", threshold=0.8, brute_force=True
     ).selectExpr("id_a", "id_b", "round(cos, 6) AS cos")
 
 
@@ -539,7 +544,7 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
                      / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))), 6) AS jaccard
         FROM ws a JOIN ws b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
-              / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.5
+              / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
         """,
     ),
     # MinHash-LSH / SimHash are approximate candidate generators —
@@ -554,13 +559,13 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
                ROUND(SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE))
                      / (SQRT(SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(a.embedding[g.i] AS DOUBLE)))
                         * SQRT(SUM(CAST(b.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)))), 6) AS cos
-        FROM embeddings a
-        JOIN embeddings b ON a.vec_id < b.vec_id
+        FROM (SELECT * FROM embeddings WHERE vec_id < 1000) a
+        JOIN (SELECT * FROM embeddings WHERE vec_id < 1000) b ON a.vec_id < b.vec_id
         CROSS JOIN generate_series(1, 64) AS g(i)
         GROUP BY a.vec_id, b.vec_id
         HAVING SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE))
                / (SQRT(SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(a.embedding[g.i] AS DOUBLE)))
-                  * SQRT(SUM(CAST(b.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)))) >= 0.9
+                  * SQRT(SUM(CAST(b.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)))) >= 0.8
         """,
     ),
     "x09_cosine_topk": (

@@ -16,18 +16,16 @@ from pyspark.sql import functions as F
 def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
     """array<string> shingles -> array<bigint> of length n_hashes.
 
-    Hash family i is xxhash64 seeded by prefixing the permutation
-    index: h_i(s) = xxhash64(concat(i, '\\x1f', s)); signature element
-    i = min over shingles. Empty shingle sets yield nulls (callers
-    should filter empty docs first).
+    Hash family i is multi-argument xxhash64 with the permutation
+    index as the first operand: h_i(s) = xxhash64(i, s) — works for
+    string or already-hashed bigint shingles with no string building.
+    Signature element i = min over shingles. Empty shingle sets yield
+    nulls (callers should filter empty docs first).
     """
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_hashes - 1)),
         lambda i: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: F.xxhash64(F.concat(i.cast("string"), F.lit("\x1f"), s)),
-            )
+            F.transform(shingles, lambda s: F.xxhash64(i, s))
         ),
     )
 

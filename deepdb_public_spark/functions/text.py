@@ -31,12 +31,28 @@ def bpe_ish_tokens(text: Column) -> Column:
 
 
 def char_ngrams(text: Column, n: int = 5) -> Column:
-    """Character n-gram shingles -> array<string> (distinct).
-    Built with sequence+transform so it stays in codegen; used as the
-    shingle set for MinHash / Jaccard dedup."""
+    """Character n-gram shingles -> array<string> (distinct); the
+    shingle set for MinHash / Jaccard dedup.
+
+    The normalized text is bound as a lambda variable (transform over
+    a 1-element array) before the per-index transform: higher-order
+    lambdas re-evaluate captured expressions PER ELEMENT, so inlining
+    the lower+regexp normalization would run the regex once per ngram
+    (~500x per document) instead of once per row."""
     norm = F.lower(F.regexp_replace(text, r"\s+", " "))
-    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(norm) - F.lit(n - 1)))
-    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(n))))
+    return F.flatten(
+        F.transform(
+            F.array(norm),
+            lambda nm: F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.lit(1), F.length(nm) - F.lit(n - 1))
+                    ),
+                    lambda i: nm.substr(i, F.lit(n)),
+                )
+            ),
+        )
+    )
 
 
 def quality_features(text: Column) -> dict[str, Column]:

@@ -32,7 +32,7 @@ from ..functions.hashing import (
     simhash_block_keys,
 )
 from ..functions.text import char_ngrams, fingerprint_md5, word_tokens
-from ..functions.vectors import cosine, hyperplane_sign_bits
+from ..functions.vectors import hyperplane_sign_bits
 
 
 def exact_duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -59,23 +59,64 @@ def jaccard_pairs_exact(
     use_char_ngrams: bool = False,
     ngram: int = 5,
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard >= threshold. BASELINE path: O(N²)
-    cross join — correct on anything, affordable only on small N or on
-    LSH candidate sets. Columns: id_a < id_b, jaccard."""
+    """EXACT n-gram Jaccard pairs >= threshold via prefix filtering
+    (PPJoin-style). Columns: id_a < id_b, jaccard.
+
+    Scale story: a naive cross join is O(N²) array intersections and
+    dies at corpus scale. Prefix filtering is exact with no cross
+    join: two sets with Jaccard >= t MUST share a shingle within the
+    first (|s| - ceil(t*|s|) + 1) shingles when every document orders
+    its shingles by ascending global frequency — so candidates come
+    from an inverted-index self-join on those rare prefix shingles
+    only, then get verified with one exact intersection each. Shuffles:
+    explode+groupBy (frequencies), one window per doc (rank), one
+    equi-join on prefix shingles, one verify join.
+    """
+    from pyspark.sql.window import Window
+
     shingle = (
         char_ngrams(F.col(text_col), ngram)
         if use_char_ngrams
         else F.array_distinct(word_tokens(F.col(text_col)))
     )
-    s = df.select(F.col(id_col).alias("id"), shingle.alias("sh"))
-    a, b = s.alias("a"), s.alias("b")
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            _jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
+    # shingles are carried as 64-bit hashes: set cardinalities (and so
+    # Jaccard) are preserved (collision odds ~2^-64 per pair) while
+    # intersections run on longs instead of strings — the verify step
+    # is the hot loop and gets ~5x cheaper.
+    # persist: without a materialization barrier Catalyst collapses the
+    # projection into downstream joins and recomputes shingle arrays
+    # per use instead of once per row
+    hashed = F.array_distinct(F.transform(shingle, lambda t: F.xxhash64(t)))
+    s = df.select(F.col(id_col).alias("id"), hashed.alias("sh")).persist()
+    tok = s.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("id").orderBy(F.asc("f"), F.asc("t"))
+    prefix = (
+        tok.join(freq, "t")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("id", "sz", "t")
+    )
+    # length filter: |a| >= t*|b| is necessary for Jaccard >= t —
+    # prunes candidates before the expensive verification
+    cand = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), "t")
+        .filter(
+            (F.col("x.id") < F.col("y.id"))
+            & (F.col("x.sz") >= F.lit(threshold) * F.col("y.sz"))
+            & (F.col("y.sz") >= F.lit(threshold) * F.col("x.sz"))
         )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    sh = s
+    return (
+        cand.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select("id_a", "id_b", _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -104,10 +145,14 @@ def minhash_lsh_pairs(
         if use_char_ngrams
         else F.array_distinct(word_tokens(F.col(text_col)))
     )
+    # carry shingles as 64-bit hashes (Jaccard-preserving, cheaper to
+    # re-hash per MinHash permutation and to intersect at verify time)
+    hashed = F.array_distinct(F.transform(shingle, lambda t: F.xxhash64(t)))
     sigs = (
-        df.select(F.col(id_col).alias("id"), shingle.alias("sh"))
+        df.select(F.col(id_col).alias("id"), hashed.alias("sh"))
         .filter(F.size("sh") > 0)
         .withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+        .persist()  # reused by banding AND verification joins
     )
     banded = sigs.select(
         "id", F.explode(band_keys(F.col("sig"), n_bands, rows_per_band)).alias("bk")
@@ -140,7 +185,7 @@ def simhash_pairs(
     sigs = df.select(
         F.col(id_col).alias("id"),
         simhash64(word_tokens(F.col(text_col))).alias("sig"),
-    )
+    ).persist()  # signature is 64 aggregates/row — never recompute in the self-join
     blocked = sigs.select(
         "id", "sig", F.explode(simhash_block_keys(F.col("sig"), 4)).alias("bk")
     ).select("id", "sig", F.col("bk.block").alias("block"), F.col("bk.key").alias("key"))
@@ -173,7 +218,16 @@ def embedding_neardup_pairs(
     pairs generated within buckets only, cosine verified exactly.
     ``brute_force=True`` switches to the all-pairs baseline (for
     recall measurement / tiny inputs)."""
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    from ..functions.vectors import dot as _dot
+    from ..functions.vectors import l2_norm
+
+    # precompute the norm once per row; the pair loop then does ONE
+    # array aggregate (the dot product) instead of three
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    ).persist()
     if brute_force:
         pairs = base.alias("a").join(base.alias("b"), F.col("a.id") < F.col("b.id"))
     else:
@@ -182,7 +236,7 @@ def embedding_neardup_pairs(
         planes = rng.standard_normal((n_planes, dim)).tolist()
         bucketed = base.withColumn(
             "bucket", hyperplane_sign_bits(F.col("v"), planes)
-        )
+        ).persist()
         pairs = (
             bucketed.alias("a")
             .join(bucketed.alias("b"), ["bucket"])
@@ -192,7 +246,9 @@ def embedding_neardup_pairs(
         pairs.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+            (_dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))).alias(
+                "cos"
+            ),
         )
         .distinct()
         .filter(F.col("cos") >= threshold)

@@ -105,7 +105,9 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         )
         for i in range(n)
     ]
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # few rows -> few partitions: otherwise every core spawns an Arrow
+    # python worker for a 2-row slice and startup dominates
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -63,36 +63,44 @@ def encode_table(
     back broadcast. Numeric columns pass through. Timestamps become
     epoch micros (the model plane is numeric-only, SURVEY §1.2).
     """
-    meta = TableMeta(table_name, df.count())
-    out = df
+    # one pass for row count + all numeric distinct counts (vs a
+    # Spark job per column — matters when staging at scale)
+    numeric_cols, ts_cols, string_cols = [], [], []
     for f_ in df.schema.fields:
-        col = f_.name
         if isinstance(f_.dataType, NumericType):
-            meta.columns[col] = ColumnMeta(
-                col, "numeric", out.select(col).distinct().count()
-            )
-            continue
-        if f_.dataType.typeName() in ("timestamp", "timestamp_ntz", "date"):
-            out = out.withColumn(col, F.unix_micros(F.col(col).cast("timestamp")))
-            meta.columns[col] = ColumnMeta(
-                col,
-                "numeric",
-                out.select(col).distinct().count(),
-                origin="timestamp",
-            )
-            continue
-        if f_.dataType.typeName() != "string":
-            # arrays/binary etc. are outside the model plane
-            continue
-        distinct = df.select(col).distinct()
-        n = distinct.count()
-        if n > max_dict_size:
-            raise ValueError(f"{table_name}.{col}: domain {n} too large to encode")
-        from pyspark.sql.window import Window
+            numeric_cols.append(f_.name)
+        elif f_.dataType.typeName() in ("timestamp", "timestamp_ntz", "date"):
+            ts_cols.append(f_.name)
+        elif f_.dataType.typeName() == "string":
+            string_cols.append(f_.name)
+        # arrays/binary etc. are outside the model plane
+    out = df
+    for col in ts_cols:
+        out = out.withColumn(col, F.unix_micros(F.col(col).cast("timestamp")))
+    stats = out.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.approx_count_distinct(c).alias(f"__d_{c}")
+            for c in numeric_cols + ts_cols
+        ],
+    ).collect()[0]
+    meta = TableMeta(table_name, stats["__n"])
+    for col in numeric_cols:
+        meta.columns[col] = ColumnMeta(col, "numeric", stats[f"__d_{col}"])
+    for col in ts_cols:
+        meta.columns[col] = ColumnMeta(
+            col, "numeric", stats[f"__d_{col}"], origin="timestamp"
+        )
+    from pyspark.sql.window import Window
 
+    for col in string_cols:
+        distinct = df.select(col).distinct()
         mapping = distinct.withColumn(
             "__code", F.dense_rank().over(Window.orderBy(F.col(col))) - 1
         )
+        rows = mapping.limit(max_dict_size + 1).collect()
+        if len(rows) > max_dict_size:
+            raise ValueError(f"{table_name}.{col}: domain too large to encode")
         out = (
             out.join(F.broadcast(mapping), on=col, how="left")
             .drop(col)
@@ -101,9 +109,9 @@ def encode_table(
         meta.columns[col] = ColumnMeta(
             col,
             "categorical",
-            n,
-            null_code=n,
-            value_to_code={r[col]: r["__code"] for r in mapping.collect()},
+            len(rows),
+            null_code=len(rows),
+            value_to_code={r[col]: r["__code"] for r in rows},
         )
     return out, meta
 

@@ -18,7 +18,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, dot, hyperplane_sign_bits
+from ..functions.vectors import cosine, hyperplane_sign_bits
 
 
 def _query_vec_col(query_vec: list[float]):

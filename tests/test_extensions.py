@@ -43,7 +43,7 @@ def test_minhash_recall_vs_exact(spark, tabs):
     )
     lsh = _pair_set(
         minhash_lsh_pairs(
-            docs, "text", "doc_id", 0.5, n_hashes=32, n_bands=8, use_char_ngrams=True
+            docs, "text", "doc_id", 0.5, n_hashes=64, n_bands=8, use_char_ngrams=True
         )
     )
     assert exact, "fixture should contain near-duplicate pairs"
