@@ -68,3 +68,25 @@ class Engine:
             raise RuntimeError("no ensemble trained/loaded — see spn.train")
         ir = self.parse(q) if isinstance(q, str) else q
         return self.ensemble.answer(ir)
+
+    def enable_estimate_hints(self) -> None:
+        """Feed RSPN cardinality estimates to the exact plane as join
+        hints (DeepDB's optimizer-integration story, SURVEY.md §4.3):
+        a filtered fact table predicted small gets broadcast instead
+        of shuffled."""
+        if self.ensemble is None:
+            raise RuntimeError("train or load an ensemble first")
+
+        def estimator(table: str, query: Query):
+            from .plans.query import Query as Q
+
+            sub = Q(
+                table_set={table},
+                conditions=[c for c in query.conditions if c.table == table],
+            )
+            try:
+                return self.ensemble.cardinality(sub)
+            except (ValueError, KeyError):
+                return None
+
+        self.compiler.cardinality_estimator = estimator

@@ -84,22 +84,43 @@ def build_agg_columns(aggregations: list[AggOperation]) -> list[Column]:
 
 
 class ExactCompiler:
-    """Compile Query IR to a DataFrame over a table catalog."""
+    """Compile Query IR to a DataFrame over a table catalog.
+
+    ``cardinality_estimator`` is the DeepDB optimizer-integration hook
+    (SURVEY.md §4.3): PySpark exposes no supported way to inject
+    learned cardinalities into Catalyst's cost model, so the idiomatic
+    equivalent is join-strategy hints — when the model plane predicts
+    a FILTERED table (even a fact table) fits under the broadcast
+    threshold, hint broadcast and skip the shuffle entirely.
+    """
+
+    BROADCAST_ROW_THRESHOLD = 500_000
 
     def __init__(self, schema: SchemaGraph, catalog: dict[str, DataFrame]) -> None:
         self.schema = schema
         self.catalog = catalog
+        # callable(table_name, query) -> estimated filtered row count,
+        # or None when the model plane cannot answer
+        self.cardinality_estimator = None
 
     def _scan(self, table: str, query: Query, joined_tables: int) -> DataFrame:
         """Scan one table with its filters applied pre-join (explicit
         pushdown; Catalyst would also push these through the join) and
-        a broadcast hint when the schema declares it small."""
+        a broadcast hint when the schema declares it small — or when
+        the learned estimator predicts the filtered scan is small."""
         df = self.catalog[table]
-        for cond in query.conditions_for(table):
+        conds = query.conditions_for(table)
+        for cond in conds:
             df = df.filter(condition_to_column(cond))
+        if joined_tables == 0:
+            return df
         meta = self.schema.tables.get(table)
-        if joined_tables > 0 and meta is not None and meta.is_dimension:
-            df = F.broadcast(df)
+        if meta is not None and meta.is_dimension:
+            return F.broadcast(df)
+        if conds and self.cardinality_estimator is not None:
+            est = self.cardinality_estimator(table, query)
+            if est is not None and est < self.BROADCAST_ROW_THRESHOLD:
+                return F.broadcast(df)
         return df
 
     def compile(self, query: Query) -> DataFrame:

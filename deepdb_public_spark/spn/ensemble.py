@@ -50,6 +50,9 @@ class SPNEnsemble:
     def aqp(self, query: Query) -> list[dict]:
         return self.select_model(query).aqp(query)
 
+    def confidence_interval(self, query: Query, confidence: float = 0.95):
+        return self.select_model(query).confidence_interval(query, confidence)
+
     def answer(self, query: Query):
         if query.query_type is QueryType.CARDINALITY:
             return self.cardinality(query)
@@ -87,6 +90,73 @@ def create_single_table_ensemble(
         ens.add_model(
             train_spn_model(catalog, schema, {t}, sample_budget, params, seed)
         )
+    return ens
+
+
+def create_rdc_ensemble(
+    catalog: dict[str, DataFrame],
+    schema: SchemaGraph,
+    tables: list[str],
+    max_join_models: int = 2,
+    rdc_sample: int = 5_000,
+    rdc_threshold: float = 0.3,
+    sample_budget: int = 100_000,
+    params: LearnParams | None = None,
+    seed: int = 42,
+) -> SPNEnsemble:
+    """Correlation-driven ensemble selection (reference:
+    ensemble_creation/rdc_based.py::candidate_evaluation, D8).
+
+    For every FK edge among ``tables``, draw a small inner-join sample
+    and measure the maximum RDC between column pairs that CROSS the
+    edge. Edges whose tables are genuinely correlated get a join model
+    (budget: ``max_join_models``, strongest correlations first —
+    learning the joint distribution pays off exactly when independence
+    would mis-estimate); every table additionally gets a single-table
+    model so all scopes stay answerable. The RDC probe itself runs on
+    driver-side samples (the reference subsamples identically)."""
+    import numpy as np
+
+    from ..operators.prep import encode_table
+    from .rdc import rdc_matrix
+
+    edges = [
+        r
+        for r in schema.relationships.values()
+        if r.start in tables and r.end in tables
+    ]
+    scored = []
+    for rel in edges:
+        joined = catalog[rel.start].join(
+            catalog[rel.end],
+            catalog[rel.start][rel.start_attr] == catalog[rel.end][rel.end_attr],
+        )
+        frac = min(1.0, rdc_sample / max(joined.count(), 1))
+        enc, meta = encode_table(joined.sample(frac, seed=seed), f"probe_{rel.start}")
+        cols = [c for c in enc.columns if c in meta.columns]
+        pdf = enc.select(*cols).toPandas()
+        data = pdf.to_numpy(dtype=np.float64, na_value=np.nan)
+        mat = rdc_matrix(data, seed=seed, max_rows=rdc_sample)
+        start_cols = [
+            i for i, c in enumerate(cols) if c in catalog[rel.start].columns
+        ]
+        end_cols = [i for i, c in enumerate(cols) if c in catalog[rel.end].columns]
+        cross = max(
+            (mat[i, j] for i in start_cols for j in end_cols), default=0.0
+        )
+        scored.append((cross, rel))
+
+    ens = SPNEnsemble(schema)
+    scored.sort(key=lambda t: -t[0])
+    for cross, rel in scored[:max_join_models]:
+        if cross >= rdc_threshold:
+            ens.add_model(
+                train_spn_model(
+                    catalog, schema, {rel.start, rel.end}, sample_budget, params, seed
+                )
+            )
+    for t in tables:
+        ens.add_model(train_spn_model(catalog, schema, {t}, sample_budget, params, seed))
     return ens
 
 

@@ -253,6 +253,59 @@ class SPNModel:
         rec(0, base_cond, [])
         return out
 
+    # -- confidence intervals (reference B10, simplified) --------------
+    def confidence_interval(
+        self, query: Query, confidence: float = 0.95
+    ) -> list[dict]:
+        """CLT-style confidence intervals for COUNT/SUM/AVG
+        (reference: aqp_spn.py variance methods + spn_ensemble.py CI
+        assembly). Simplification vs the reference: variance is taken
+        at the whole-factor level from the training-sample size n —
+        per-tuple indicator variance p(1-p)/n for COUNT, and
+        (E[x^2 1] - E[x 1]^2)/n for SUM — rather than propagated per
+        Sum-node weight; same asymptotics, fewer moving parts. AVG
+        uses the delta method on the SUM/COUNT ratio."""
+        z = {0.9: 1.645, 0.95: 1.96, 0.99: 2.576}.get(round(confidence, 2), 1.96)
+        cond = self.conditions_to_ranges(query)
+        extra, features = self.correction_factors(query)
+        cond.update(extra)
+        n = max(self.sample_size, 1)
+        N = self.full_join_size
+        p = evaluate(self.root, cond, features)
+        out = []
+        for op in query.aggregations:
+            if op.op_type is not AggregationOperationType.AGGREGATION:
+                continue
+            if op.agg_type is AggregationType.COUNT:
+                est = N * p
+                half = z * N * float(np.sqrt(max(p * (1 - p), 0.0) / n))
+                out.append(
+                    {"agg": op.alias or "count", "est": est,
+                     "lo": max(est - half, 0.0), "hi": est + half}
+                )
+                continue
+            feats1 = dict(features)
+            feats2 = dict(features)
+            for _t, c in op.operands:
+                i = self._col_index(c)
+                feats1[i] = _identity
+                feats2[i] = lambda x: x * x
+            ex = evaluate(self.root, cond, feats1)  # E[x 1]
+            ex2 = evaluate(self.root, cond, feats2)  # E[x^2 1]
+            var = max(ex2 - ex * ex, 0.0)
+            if op.agg_type is AggregationType.SUM:
+                est = N * ex
+                half = z * N * float(np.sqrt(var / n))
+            else:  # AVG = E[x1]/E[1]: delta-method std
+                est = ex / p if p > 0 else float("nan")
+                g = var / max(p, 1e-12) ** 2 + (ex * ex) * (1 - p) / max(p, 1e-12) ** 3
+                half = z * float(np.sqrt(max(g, 0.0) / n))
+            out.append(
+                {"agg": op.alias or op.agg_type.name.lower(), "est": est,
+                 "lo": est - half, "hi": est + half}
+            )
+        return out
+
     # -- incremental updates (reference D5: AQPSPN.add_dataset) --------
     def add_dataset(self, rows: np.ndarray) -> None:
         """Absorb new rows (matrix in scope order) without retraining:
