@@ -1,0 +1,60 @@
+"""Sinks. The reference only emits CSV result files and pickled
+models (SURVEY.md §2 E: "we standardize on parquet"); this module is
+the engine's standard at-rest output surface.
+
+Scale notes baked into each writer:
+- partitioned parquet: partition columns must be low-cardinality
+  (thousands of directories, not millions); high-cardinality keys
+  belong in bucketing, which makes later joins on that key
+  shuffle-free.
+- a `repartition` before write controls output file count — without
+  it a 32-task stage writes 32 files per partition directory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    target_files: int | None = None,
+) -> None:
+    if target_files is not None:
+        df = (
+            df.repartition(target_files, *partition_by)
+            if partition_by
+            else df.repartition(target_files)
+        )
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: co-locates rows by join key so repeated
+    joins/aggregations on ``bucket_col`` skip the shuffle — the right
+    staging layout for repeated SPN ensemble generation over the same
+    fact table."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table_name)
+
+
+def write_csv(
+    df: DataFrame, path: str, header: bool = True, mode: str = "overwrite"
+) -> None:
+    """CSV result export (the reference's evaluation output format)."""
+    df.write.mode(mode).option("header", header).csv(path)

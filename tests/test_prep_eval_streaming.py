@@ -1,0 +1,121 @@
+"""C3 functional dependencies, sinks round-trip, evaluation harness,
+stateful streaming, multi-table model sub-scopes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deepdb_public_spark.engine import Engine
+from deepdb_public_spark.evaluation import evaluate_aqp, evaluate_cardinalities
+from deepdb_public_spark.operators.prep import functional_dependencies
+from deepdb_public_spark.sources.writers import write_csv, write_parquet
+from deepdb_public_spark.spn.ensemble import SPNEnsemble
+from deepdb_public_spark.spn.trainer import train_spn_model
+from deepdb_public_spark.streaming.stateful import run_stateful_stream, running_user_stats
+from deepdb_public_spark.streaming.windows import stream_events
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark, SF_CORRECT)
+
+
+def test_functional_dependencies(spark):
+    df = spark.createDataFrame(
+        [(i, i % 5, (i % 5) * 10, i * 7 % 3) for i in range(200)],
+        "id long, a long, b long, c long",
+    )
+    fds = functional_dependencies(df, ["a", "b", "c"])
+    assert ("a", "b") in fds and ("b", "a") in fds  # bijective pair
+    assert ("a", "c") not in fds and ("c", "b") not in fds
+
+
+def test_sink_roundtrip(tmp_path, engine, spark):
+    out = str(tmp_path / "li")
+    df = engine.catalog["lineitem"].filter(F.col("l_discount") > 0.05)
+    write_parquet(df, out, partition_by=["l_returnflag"], target_files=2)
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    # partition pruning reaches the scan
+    plan = back.filter(F.col("l_returnflag") == "A")._jdf.queryExecution().executedPlan().toString()
+    assert back.filter(F.col("l_returnflag") == "A").count() == df.filter(
+        F.col("l_returnflag") == "A"
+    ).count()
+    write_csv(engine.sql("SELECT 1 AS one"), str(tmp_path / "res_csv"))
+    assert spark.read.option("header", True).csv(str(tmp_path / "res_csv")).count() == 1
+
+
+@pytest.fixture(scope="module")
+def col3_model(engine):
+    return train_spn_model(
+        engine.catalog, engine.schema, {"customer", "orders", "lineitem"}, 80_000
+    )
+
+
+def test_three_table_model_subscopes(engine, col3_model):
+    """One 3-table RSPN answers every connected sub-scope via fanout
+    corrections (the heart of the outer-join-sample algebra)."""
+    ens = SPNEnsemble(engine.schema)
+    ens.add_model(col3_model)
+    cases = [
+        "SELECT COUNT(*) AS cnt FROM customer WHERE customer.c_mktsegment = 'BUILDING'",
+        "SELECT COUNT(*) AS cnt FROM orders WHERE orders.o_orderstatus = 'F'",
+        "SELECT COUNT(*) AS cnt FROM lineitem WHERE lineitem.l_quantity < 25",
+        "SELECT COUNT(*) AS cnt FROM customer, orders WHERE customer.c_custkey = orders.o_custkey AND customer.c_mktsegment = 'BUILDING'",
+        "SELECT COUNT(*) AS cnt FROM customer, orders, lineitem "
+        "WHERE customer.c_custkey = orders.o_custkey AND orders.o_orderkey = lineitem.l_orderkey "
+        "AND customer.c_mktsegment = 'BUILDING' AND lineitem.l_discount <= 0.05",
+    ]
+    for sql in cases:
+        q = engine.parse(sql)
+        est = ens.cardinality(q)
+        true = engine.query(q).collect()[0][0]
+        assert max(est / max(true, 1), true / max(est, 1e-9)) <= 1.35, (
+            f"{sql}: est {est} vs {true}"
+        )
+
+
+def test_evaluation_harnesses(tmp_path, engine, col3_model):
+    ens = SPNEnsemble(engine.schema)
+    ens.add_model(col3_model)
+    engine.ensemble = ens
+    card = evaluate_cardinalities(
+        engine,
+        [
+            "SELECT COUNT(*) AS cnt FROM lineitem WHERE lineitem.l_quantity < 25",
+            "SELECT COUNT(*) AS cnt FROM orders, lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND orders.o_orderstatus = 'F'",
+        ],
+        output_csv=str(tmp_path / "card.csv"),
+    )
+    assert card["n"] == 2 and card["median_q_error"] < 1.5
+    assert (tmp_path / "card.csv").read_text().startswith("query,")
+    aqp = evaluate_aqp(
+        engine,
+        [
+            "SELECT lineitem.l_returnflag, COUNT(*) AS cnt, AVG(lineitem.l_quantity) AS aq "
+            "FROM lineitem GROUP BY lineitem.l_returnflag"
+        ],
+    )
+    assert aqp["mean_relative_error"] < 0.1
+
+
+def test_stateful_streaming_matches_batch(spark):
+    stream = stream_events(spark, f"{SF_CORRECT}/events.parquet", watermark="2 days")
+    out = run_stateful_stream(stream, "t_user_stats").toPandas()
+    # memory sink in update mode may hold one row per micro-batch per
+    # user; availableNow on a static dir = one batch -> one row each
+    batch = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    got = out.set_index("user_id").sort_index()
+    batch = batch.sort_index()
+    assert len(got) == len(batch)
+    assert (got["n_events"].to_numpy() == batch["n"].to_numpy()).all()
+    assert np.allclose(got["total_value"].to_numpy(), batch["s"].to_numpy(), rtol=1e-9)
