@@ -164,6 +164,36 @@ _SQL_QUERIES: dict[str, str] = {
         FROM orders FULL OUTER JOIN lineitem ON o_orderkey = l_orderkey
         WHERE l_orderkey IS NULL
     """,
+    # beyond reference: INTERSECT / EXCEPT set ops
+    "q19_intersect": """
+        SELECT c_nationkey AS nk FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nk FROM supplier
+    """,
+    "q20_except": """
+        SELECT c_nationkey AS nk FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nk FROM supplier
+    """,
+    # beyond reference: CUBE grouping sets
+    "q21_cube": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    # beyond reference: scalar string functions + CASE
+    "q22_string_case": """
+        SELECT UPPER(SUBSTR(n_name, 1, 3)) AS pre,
+               CASE WHEN n_regionkey < 2 THEN 'low' ELSE 'high' END AS bucket,
+               COUNT(*) AS cnt
+        FROM nation GROUP BY 1, 2
+    """,
+    # beyond reference: date part extraction
+    "q23_date_extract": """
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    """,
 }
 
 

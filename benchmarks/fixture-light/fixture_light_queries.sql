@@ -1,0 +1,40 @@
+SELECT COUNT(*) FROM part, lineitem WHERE lineitem.l_partkey = part.p_partkey AND part.p_size >= 20
+SELECT COUNT(*) FROM orders WHERE orders.o_orderstatus = 'P'
+SELECT COUNT(*) FROM part, lineitem WHERE lineitem.l_partkey = part.p_partkey AND part.p_size < 18 AND part.p_size >= 7 AND part.p_type = 'STANDARD'
+SELECT COUNT(*) FROM customer, orders, lineitem WHERE customer.c_custkey = orders.o_custkey AND orders.o_orderkey = lineitem.l_orderkey AND lineitem.l_returnflag = 'A'
+SELECT COUNT(*) FROM part, lineitem WHERE lineitem.l_partkey = part.p_partkey AND lineitem.l_returnflag = 'N' AND lineitem.l_tax <= 0.07 AND part.p_type = 'PROMO'
+SELECT COUNT(*) FROM part, lineitem, orders WHERE lineitem.l_partkey = part.p_partkey AND orders.o_orderkey = lineitem.l_orderkey AND lineitem.l_quantity >= 26
+SELECT COUNT(*) FROM orders, lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND orders.o_orderdate >= DATE '1997-02-01'
+SELECT COUNT(*) FROM lineitem WHERE lineitem.l_quantity > 27 AND lineitem.l_shipdate >= DATE '1997-01-01'
+SELECT COUNT(*) FROM part, lineitem WHERE lineitem.l_partkey = part.p_partkey AND lineitem.l_discount BETWEEN 0.00 AND 0.09 AND lineitem.l_returnflag = 'A'
+SELECT COUNT(*) FROM orders, lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND lineitem.l_discount BETWEEN 0.04 AND 0.06 AND orders.o_orderdate >= DATE '1997-02-01' AND orders.o_totalprice < 388000
+SELECT COUNT(*) FROM part, lineitem, orders WHERE lineitem.l_partkey = part.p_partkey AND orders.o_orderkey = lineitem.l_orderkey AND part.p_type = 'PROMO'
+SELECT COUNT(*) FROM orders, lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND lineitem.l_discount BETWEEN 0.01 AND 0.07
+SELECT COUNT(*) FROM part, lineitem WHERE lineitem.l_partkey = part.p_partkey AND lineitem.l_returnflag = 'R' AND lineitem.l_tax <= 0.02 AND part.p_type = 'STANDARD'
+SELECT COUNT(*) FROM part, lineitem WHERE lineitem.l_partkey = part.p_partkey AND part.p_type = 'PROMO'
+SELECT COUNT(*) FROM customer, orders WHERE customer.c_custkey = orders.o_custkey AND customer.c_acctbal > 5608 AND orders.o_orderdate >= DATE '2000-09-01'
+SELECT COUNT(*) FROM orders, lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND orders.o_orderdate >= DATE '1995-06-01'
+SELECT COUNT(*) FROM customer, orders WHERE customer.c_custkey = orders.o_custkey AND customer.c_mktsegment = 'BUILDING' AND orders.o_orderpriority IN ('1-URGENT', '2-HIGH')
+SELECT COUNT(*) FROM part, lineitem WHERE lineitem.l_partkey = part.p_partkey AND lineitem.l_discount BETWEEN 0.03 AND 0.08 AND part.p_type = 'LARGE'
+SELECT COUNT(*) FROM orders WHERE orders.o_orderpriority IN ('1-URGENT', '2-HIGH') AND orders.o_totalprice < 337000
+SELECT COUNT(*) FROM part, lineitem WHERE lineitem.l_partkey = part.p_partkey AND lineitem.l_discount BETWEEN 0.04 AND 0.08 AND lineitem.l_quantity <= 13 AND lineitem.l_returnflag = 'N'
+SELECT COUNT(*) FROM lineitem WHERE lineitem.l_quantity <= 45
+SELECT COUNT(*) FROM orders WHERE orders.o_orderdate >= DATE '1998-08-01' AND orders.o_orderdate >= DATE '1999-02-01' AND orders.o_orderpriority IN ('1-URGENT', '2-HIGH')
+SELECT COUNT(*) FROM customer, orders, lineitem WHERE customer.c_custkey = orders.o_custkey AND orders.o_orderkey = lineitem.l_orderkey AND lineitem.l_shipdate >= DATE '2000-02-01'
+SELECT COUNT(*) FROM part, lineitem WHERE lineitem.l_partkey = part.p_partkey AND lineitem.l_shipdate >= DATE '1997-06-01' AND part.p_size >= 32 AND part.p_type = 'PROMO'
+SELECT COUNT(*) FROM lineitem WHERE lineitem.l_discount BETWEEN 0.04 AND 0.05 AND lineitem.l_returnflag = 'R'
+SELECT COUNT(*) FROM customer, orders, lineitem WHERE customer.c_custkey = orders.o_custkey AND orders.o_orderkey = lineitem.l_orderkey AND lineitem.l_returnflag = 'A' AND orders.o_orderstatus = 'P' AND orders.o_totalprice < 241000
+SELECT COUNT(*) FROM customer, orders, lineitem WHERE customer.c_custkey = orders.o_custkey AND orders.o_orderkey = lineitem.l_orderkey AND lineitem.l_discount BETWEEN 0.00 AND 0.05 AND orders.o_orderdate >= DATE '1997-04-01'
+SELECT COUNT(*) FROM lineitem WHERE lineitem.l_shipdate >= DATE '1995-02-01'
+SELECT COUNT(*) FROM part, lineitem WHERE lineitem.l_partkey = part.p_partkey AND lineitem.l_shipdate >= DATE '1995-09-01' AND lineitem.l_shipdate >= DATE '1996-03-01'
+SELECT COUNT(*) FROM part, lineitem WHERE lineitem.l_partkey = part.p_partkey AND lineitem.l_quantity >= 18 AND lineitem.l_returnflag = 'A'
+SELECT COUNT(*) FROM customer, orders, lineitem WHERE customer.c_custkey = orders.o_custkey AND orders.o_orderkey = lineitem.l_orderkey AND lineitem.l_discount BETWEEN 0.04 AND 0.08 AND lineitem.l_shipdate >= DATE '2000-06-01' AND orders.o_totalprice > 254000
+SELECT COUNT(*) FROM lineitem WHERE lineitem.l_discount BETWEEN 0.00 AND 0.07
+SELECT COUNT(*) FROM lineitem WHERE lineitem.l_quantity < 45 AND lineitem.l_quantity <= 9 AND lineitem.l_shipdate >= DATE '1996-04-01'
+SELECT COUNT(*) FROM lineitem WHERE lineitem.l_quantity <= 22 AND lineitem.l_tax <= 0.04
+SELECT COUNT(*) FROM customer, orders, lineitem WHERE customer.c_custkey = orders.o_custkey AND orders.o_orderkey = lineitem.l_orderkey AND lineitem.l_tax <= 0.08
+SELECT COUNT(*) FROM orders WHERE orders.o_orderdate >= DATE '1996-02-01' AND orders.o_orderstatus = 'P'
+SELECT COUNT(*) FROM customer, orders WHERE customer.c_custkey = orders.o_custkey AND orders.o_orderdate >= DATE '1995-02-01' AND orders.o_totalprice > 289000
+SELECT COUNT(*) FROM lineitem WHERE lineitem.l_discount BETWEEN 0.01 AND 0.06 AND lineitem.l_returnflag = 'A'
+SELECT COUNT(*) FROM customer, orders, lineitem WHERE customer.c_custkey = orders.o_custkey AND orders.o_orderkey = lineitem.l_orderkey AND orders.o_orderstatus = 'O'
+SELECT COUNT(*) FROM customer, orders WHERE customer.c_custkey = orders.o_custkey AND customer.c_mktsegment = 'HOUSEHOLD'

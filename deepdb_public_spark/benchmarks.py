@@ -1,0 +1,27 @@
+"""Benchmark corpus loader (reference: benchmarks/job-light — the 70
+JOB-light queries + true-cardinality CSV that are the reference's
+correctness yardstick, SURVEY.md §5.1).
+
+`benchmarks/fixture-light/` plays that role for the fixture schema:
+40 reference-grammar COUNT(*) queries over 1–3-way FK joins with
+golden counts at sf0.01.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+
+BENCH_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchmarks")
+
+
+def load_fixture_light() -> list[tuple[str, int]]:
+    """[(sql, true_cardinality_at_sf0.01), ...]"""
+    path = os.path.join(
+        BENCH_DIR, "fixture-light", "fixture_light_true_cardinalities_sf0.01.csv"
+    )
+    out = []
+    with open(path, newline="") as f:
+        for row in csv.DictReader(f):
+            out.append((row["query"], int(row["cardinality_true"])))
+    return out
