@@ -51,7 +51,17 @@ class Engine:
         self.compiler = ExactCompiler(self.schema, self.catalog)
         self.ensemble = None  # set by spn.train / spn.ensemble loaders
 
+    def refresh_views(self) -> None:
+        """Re-register this engine's tables as temp views. Views are
+        SESSION-global while engines are per-(session, sf_dir): when
+        two engines share one SparkSession the last registration wins,
+        so text queries must re-pin their views first (cheap catalog
+        metadata ops, no data touched)."""
+        for name, df in self.catalog.items():
+            df.createOrReplaceTempView(name)
+
     def sql(self, q: str) -> DataFrame:
+        self.refresh_views()
         return self.spark.sql(q)
 
     def parse(self, q: str) -> Query:

@@ -126,9 +126,11 @@ def _parse_select_list(
         if m_alias:
             alias = m_alias.group(1)
             item = item[: m_alias.start()].strip()
-        if "." in item and _AGG_RE.match(item) is None:
-            # bare group-by output column t.c — carried by group_bys
-            continue
+        if _AGG_RE.match(item) is None:
+            if re.fullmatch(r"\w+\.\w+", item):
+                # bare group-by output column t.c — carried by group_bys
+                continue
+            raise ValueError(f"cannot parse select item: {item!r}")
         # split aggregate arithmetic: SUM(a) - SUM(b) + SUM(c)
         chunks = re.split(r"\s*([+-])\s*(?=(?:SUM|AVG|COUNT)\s*\()", item, flags=re.IGNORECASE)
         op_type = AggregationOperationType.AGGREGATION
@@ -199,7 +201,14 @@ def parse_query(sql: str, schema: SchemaGraph) -> Query:
     _parse_select_list(m.group("select"), alias_map, default_table, query)
 
     if m.group("where"):
-        for conjunct in _split_conjuncts(m.group("where")):
+        where = m.group("where")
+        # the grammar is conjunctive-only (reference A8): no OR, and
+        # NOT only inside IS NOT NULL
+        if re.search(r"\bOR\b", where, re.IGNORECASE):
+            raise ValueError("disjunctions (OR) are outside the grammar")
+        if re.search(r"\bNOT\b(?!\s+NULL)", where, re.IGNORECASE):
+            raise ValueError("NOT is only supported as IS NOT NULL")
+        for conjunct in _split_conjuncts(where):
             jm = _JOIN_RE.match(conjunct)
             if jm:
                 t1, a1, t2, a2 = jm.groups()

@@ -1,0 +1,90 @@
+"""Parser unit tests (reference grammar, SURVEY.md §2 table A):
+accepted shapes incl. JOB-light-style aliases, and loud rejection of
+everything outside the fragment."""
+
+from __future__ import annotations
+
+import pytest
+
+from deepdb_public_spark.plans.parser import parse_query
+from deepdb_public_spark.plans.query import (
+    AggregationOperationType,
+    AggregationType,
+    QueryType,
+)
+from deepdb_public_spark.plans.schema import tpch_like_schema
+
+S = tpch_like_schema()
+
+
+def test_aliases_job_light_style():
+    q = parse_query(
+        "SELECT COUNT(*) FROM orders o, lineitem l "
+        "WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'",
+        S,
+    )
+    assert q.table_set == {"orders", "lineitem"}
+    assert q.relationship_set == {"lineitem.l_orderkey = orders.o_orderkey"}
+    assert q.query_type is QueryType.CARDINALITY
+    [c] = q.conditions
+    assert (c.table, c.column, c.op, c.value) == ("orders", "o_orderstatus", "=", "F")
+
+
+def test_agg_arithmetic_and_products():
+    q = parse_query(
+        "SELECT SUM(lineitem.l_extendedprice * lineitem.l_discount) - SUM(lineitem.l_tax) AS d "
+        "FROM lineitem",
+        S,
+    )
+    assert q.query_type is QueryType.AQP
+    assert [a.op_type for a in q.aggregations] == [
+        AggregationOperationType.AGGREGATION,
+        AggregationOperationType.MINUS,
+    ]
+    assert q.aggregations[0].operands == [
+        ("lineitem", "l_extendedprice"),
+        ("lineitem", "l_discount"),
+    ]
+    assert q.aggregations[1].alias == "d"
+
+
+def test_group_by_and_literals():
+    q = parse_query(
+        "SELECT lineitem.l_returnflag, AVG(lineitem.l_quantity) AS aq FROM lineitem "
+        "WHERE lineitem.l_shipdate >= DATE '1997-01-01' "
+        "AND lineitem.l_discount BETWEEN 0.01 AND 0.05 "
+        "AND lineitem.l_returnflag IN ('A', 'N') "
+        "GROUP BY lineitem.l_returnflag",
+        S,
+    )
+    assert q.group_bys == [("lineitem", "l_returnflag")]
+    ops = {c.op: c for c in q.conditions}
+    assert ops[">="].value == "1997-01-01"
+    assert ops["BETWEEN"].value == (0.01, 0.05)
+    assert ops["IN"].value == ["A", "N"]
+    assert q.aggregations[0].agg_type is AggregationType.AVG
+
+
+def test_null_and_neq():
+    q = parse_query(
+        "SELECT COUNT(*) FROM orders WHERE orders.o_orderstatus != 'F' "
+        "AND orders.o_totalprice IS NOT NULL",
+        S,
+    )
+    assert {c.op for c in q.conditions} == {"<>", "IS_NOT_NULL"}
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "SELECT COUNT(*) FROM lineitem WHERE lineitem.l_tax = 0 OR lineitem.l_discount = 0",
+        "SELECT COUNT(*) FROM lineitem, region",  # disconnected
+        "SELECT COUNT(*) FROM nosuch",
+        "SELECT MAX(lineitem.l_tax) FROM lineitem",  # MAX outside grammar
+        "DELETE FROM lineitem",
+        "SELECT COUNT(*) FROM customer, lineitem WHERE customer.c_custkey = lineitem.l_orderkey",  # not a declared FK
+    ],
+)
+def test_rejections(bad):
+    with pytest.raises(ValueError):
+        parse_query(bad, S)
