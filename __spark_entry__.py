@@ -704,7 +704,40 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
         """,
     ),
     "x17_media_features": (_x_media_features, None),
+    "x18_asof_join": (
+        lambda spark, sf_dir: _x_asof_join(spark, sf_dir),
+        """
+        SELECT p.event_id,
+               epoch_us(c.ts) AS click_ts_us,
+               c.value AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+    ),
 }
+
+
+def _x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    click at-or-before it. Oracle is DuckDB's native ASOF JOIN."""
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.operators.joins import asof_join
+
+    ev = _engine(spark, sf_dir).catalog["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, clicks, "user_id", right_value_cols=["value"])
+    return out.select(
+        "event_id",
+        F.unix_micros(F.col("ts_right")).alias("click_ts_us"),
+        F.col("value_right").alias("click_value"),
+    )
 
 
 def _ir_runner(sql: str) -> Callable[[SparkSession, str], DataFrame]:
