@@ -478,8 +478,69 @@ def _m_spn_qerrors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "query string, est double, true_cnt long, qerr double")
 
 
+def _m_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental insert support (reference D5: AQPSPN.add_dataset):
+    train on lineitem, absorb a 30% delta WITHOUT retraining, compare
+    model estimates against the grown table. Rows-only."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.spn.trainer import train_spn_model
+
+    eng = _engine(spark, sf_dir)
+    model = train_spn_model(eng.catalog, eng.schema, {"lineitem"}, 60_000)
+    base = eng.catalog["lineitem"]
+    # hash-filter, not sample(): seeded sample proved non-reproducible
+    # across repeated actions; the delta must be the same rows in both
+    # the absorb step and the ground-truth union
+    delta = base.filter(
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(10)) < 3
+    )
+    pdf = delta.select(*[c for c in model.column_names if c in base.columns]).toPandas()
+    for col, cm in model.meta.columns.items():
+        if col not in pdf.columns:
+            continue
+        if cm.kind == "categorical":
+            pdf[col] = pdf[col].map(cm.value_to_code)
+        elif cm.origin == "timestamp":
+            pdf[col] = pdf[col].astype("int64") // 1000
+    rows = pdf[model.column_names].to_numpy(dtype=float)
+    model.add_dataset(rows)
+    grown = base.unionByName(delta)
+    out = []
+    for pred, sql_pred in [
+        ("l_quantity < 25", "lineitem.l_quantity < 25"),
+        ("l_returnflag = 'A'", "lineitem.l_returnflag = 'A'"),
+    ]:
+        q = eng.parse(f"SELECT COUNT(*) AS cnt FROM lineitem WHERE {sql_pred}")
+        est = float(model.cardinality(q))
+        true = grown.filter(pred).count()
+        out.append((pred, est, true, max(est / true, true / est)))
+    return spark.createDataFrame(
+        out, "predicate string, est double, true_cnt long, qerr double"
+    )
+
+
+def _x_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch surface (Spark-native analogue of the checklist's
+    approx_count_distinct row): HLL estimate next to the exact count
+    so the result is self-validating. Rows-only (sketches are
+    approximate by definition)."""
+    return _engine(spark, sf_dir).sql(
+        """
+        SELECT approx_count_distinct(l_partkey) AS approx_parts,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               approx_count_distinct(l_orderkey) AS approx_orders,
+               COUNT(DISTINCT l_orderkey) AS exact_orders
+        FROM lineitem
+        """
+    )
+
+
 _PREP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "m01_spn_qerrors": (_m_spn_qerrors, None),
+    "m02_incremental_insert": (_m_incremental, None),
+    "x19_sketch_distinct": (_x_sketch, None),
     "p01_encode_dict": (
         _p_encode_dict,
         """
