@@ -38,6 +38,33 @@ def default_session(app_name: str = "deepdb_public_spark", cpus: str = "*") -> S
     )
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Closures that reference module-level functions (Pandas UDFs,
+    mapInPandas) are cloudpickled BY REFERENCE, so workers must be
+    able to import deepdb_public_spark — true on a cluster via
+    spark-submit --py-files; in local/dev sessions we zip the package
+    once and addPyFile it (workers do NOT inherit driver sys.path
+    mutations)."""
+    key = "deepdb_public_spark._shipped"
+    if spark.conf.get(f"spark.{key}", None) == "1":
+        return
+    import os
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(tempfile.mkdtemp(prefix="deepdb_pkg_"), "deepdb_public_spark")
+    try:
+        zip_path = shutil.make_archive(base, "zip", os.path.dirname(pkg_dir),
+                                       os.path.basename(pkg_dir))
+        spark.sparkContext.addPyFile(zip_path)
+        spark.conf.set(f"spark.{key}", "1")
+    except Exception:
+        pass  # best effort; cluster deployments ship via --py-files
+
+
 class Engine:
     def __init__(
         self,
@@ -46,6 +73,7 @@ class Engine:
         schema: SchemaGraph | None = None,
     ) -> None:
         self.spark = spark
+        _ship_package(spark)
         self.schema = schema or tpch_like_schema()
         self.catalog = load_tables(spark, sf_dir)
         self.compiler = ExactCompiler(self.schema, self.catalog)

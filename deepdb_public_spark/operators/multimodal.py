@@ -69,7 +69,16 @@ def extract_features(
 ) -> DataFrame:
     """bytes -> feature vectors with mapInPandas (Arrow-batched; the
     only sane shape for per-row Python over binary columns)."""
-    fn = decode_fn or fake_decode
+    if decode_fn is None:
+        # closure-local default: a module-level function would pickle
+        # by reference and require the package on the worker's path
+        def decode_fn(payload: bytes, dim: int = 8) -> np.ndarray:
+            if payload is None:
+                raise NotImplementedError("real media decode requires codec libs")
+            seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little") % (2**32)
+            return np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
+
+    fn = decode_fn
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
