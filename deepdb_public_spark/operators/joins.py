@@ -32,8 +32,15 @@ def skew_tolerant_join(
     left-side frequency exceeds ``hot_key_threshold`` join via
     broadcast of the (filtered) right side; the cold remainder uses
     the regular shuffle join; results union. Semantics identical to
-    ``left.join(right, key, how)`` for inner joins.
+    ``left.join(right, key, how)`` for ``how`` in {'inner', 'left'}
+    — other join types cannot be split per-left-key without
+    duplicating or losing unmatched right rows, so they raise.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "skew_tolerant_join preserves semantics only for how in "
+            f"{{'inner','left'}}, got {how!r}"
+        )
     freq = (
         left.sample(sample_fraction, seed=seed)
         .groupBy(key)
@@ -43,9 +50,13 @@ def skew_tolerant_join(
     hot_keys = [r[key] for r in freq.collect()]
     if not hot_keys:
         return left.join(right, key, how)
-    hot_left = left.filter(F.col(key).isin(hot_keys))
-    cold_left = left.filter(~F.col(key).isin(hot_keys))
-    hot = hot_left.join(F.broadcast(right.filter(F.col(key).isin(hot_keys))), key, how)
+    is_hot = F.col(key).isin(hot_keys)
+    hot_left = left.filter(is_hot)  # NULL keys are never hot
+    # left join: NULL-key left rows must survive on the cold path
+    # (~isin evaluates to NULL for NULL keys and would drop them)
+    cold_pred = ~is_hot if how == "inner" else F.col(key).isNull() | ~is_hot
+    cold_left = left.filter(cold_pred)
+    hot = hot_left.join(F.broadcast(right.filter(is_hot)), key, how)
     cold = cold_left.join(right, key, how)
     return hot.unionByName(cold)
 

@@ -53,6 +53,8 @@ def condition_to_column(cond: Condition) -> Column:
 
 def _agg_column(op: AggOperation) -> Column:
     if op.agg_type is AggregationType.COUNT:
+        if op.operands:  # COUNT(col): NULLs don't count (SQL semantics)
+            return F.count(F.col(op.operands[0][1]))
         return F.count(F.lit(1))
     expr = F.col(op.operands[0][1])
     for _, c in op.operands[1:]:
@@ -128,7 +130,11 @@ class ExactCompiler:
         # Join along the schema-graph path: start anywhere, repeatedly
         # attach an edge with exactly one side already joined.
         start = rels[0].start if rels else next(iter(sorted(query.table_set)))
-        df = self._scan(start, query, 0)
+        # keep each table's scan DataFrame: join conditions reference
+        # columns through their owning scan (lineage-bound), so shared
+        # column names across tables can't make the condition ambiguous
+        scans: dict[str, DataFrame] = {start: self._scan(start, query, 0)}
+        df = scans[start]
         joined = {start}
         pending = list(rels)
         while pending:
@@ -139,9 +145,12 @@ class ExactCompiler:
                     progressed = True
                 elif rel.start in joined or rel.end in joined:
                     other = rel.end if rel.start in joined else rel.start
-                    right = self._scan(other, query, len(joined))
+                    scans[other] = self._scan(other, query, len(joined))
                     df = df.join(
-                        right, F.col(rel.start_attr) == F.col(rel.end_attr), "inner"
+                        scans[other],
+                        scans[rel.start][rel.start_attr]
+                        == scans[rel.end][rel.end_attr],
+                        "inner",
                     )
                     joined.add(other)
                     pending.remove(rel)

@@ -155,11 +155,13 @@ def _parse_select_list(
             )
             query.query_type = QueryType.AQP
             op_type = AggregationOperationType.AGGREGATION
-    # pure COUNT(*) single aggregate => cardinality query (reference A15)
+    # pure COUNT(*) single aggregate => cardinality query (reference
+    # A15). COUNT(col) has NULL-skipping semantics and stays AQP.
     aggs = query.aggregations
     if (
         len(aggs) == 1
         and aggs[0].agg_type is AggregationType.COUNT
+        and not aggs[0].operands
         and not query.group_bys
     ):
         query.query_type = QueryType.CARDINALITY

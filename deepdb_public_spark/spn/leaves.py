@@ -82,19 +82,21 @@ class Leaf:
         return float((fn(self.values[mask]) * self.probs[mask]).sum())
 
     # -- incremental update (reference D5: AQPSPN.add_dataset) ---------
-    def absorb(self, column: np.ndarray, prior_n: int) -> None:
-        """Merge new rows into the histogram without retraining."""
+    def absorb(self, column: np.ndarray, prior_n: float, weight: float = 1.0) -> None:
+        """Merge new rows into the histogram without retraining; each
+        new row counts as ``weight`` (fractional when the delta is a
+        sample drawn at a different rate than the training sample)."""
         col = np.asarray(column, dtype=np.float64)
-        n_new = len(col)
-        if n_new == 0:
+        if len(col) == 0:
             return
+        n_new = len(col) * weight
         total = prior_n + n_new
         nulls = np.isnan(col)
         vals, counts = np.unique(col[~nulls], return_counts=True)
         merged = {float(v): p * prior_n for v, p in zip(self.values, self.probs)}
         for v, c in zip(vals, counts):
-            merged[float(v)] = merged.get(float(v), 0.0) + c
+            merged[float(v)] = merged.get(float(v), 0.0) + c * weight
         items = sorted(merged.items())
         self.values = np.array([v for v, _ in items])
         self.probs = np.array([c / total for _, c in items])
-        self.null_prob = (self.null_prob * prior_n + nulls.sum()) / total
+        self.null_prob = (self.null_prob * prior_n + nulls.sum() * weight) / total

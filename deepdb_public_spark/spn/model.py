@@ -37,7 +37,15 @@ from ..plans.query import (
 )
 from ..plans.schema import Relationship
 from .nodes import Node, Sum, distinct_values, evaluate, iter_leaves
-from .ranges import ConditionSet, NominalRange, NullOnlyRange, NumericRange, Range
+from .ranges import (
+    ConditionSet,
+    NominalRange,
+    NullOnlyRange,
+    NumericRange,
+    Range,
+    intersect_ranges,
+    is_empty_range,
+)
 
 
 def _inv_max1(x: np.ndarray) -> np.ndarray:
@@ -121,7 +129,10 @@ class SPNModel:
         for cond in query.conditions:
             if cond.table not in self.table_set:
                 raise ValueError(f"{cond.table} outside model scope")
-            out[self._col_index(cond.column)] = self._condition_to_range(cond)
+            i = self._col_index(cond.column)
+            rng = self._condition_to_range(cond)
+            # two conjuncts on one column intersect (x>=10 AND x<20)
+            out[i] = intersect_ranges(out[i], rng) if i in out else rng
         return out
 
     # -- fanout-correction planning -----------------------------------
@@ -179,6 +190,13 @@ class SPNModel:
         agg_type, operands = op_aggs
         feats = dict(features)
         if agg_type is AggregationType.COUNT:
+            if operands:
+                # COUNT(col): SQL semantics skip NULLs in col
+                cond = dict(cond)
+                for t, c in operands:
+                    i = self._col_index(c)
+                    nn = self._condition_to_range(Condition(t, c, "IS_NOT_NULL"))
+                    cond[i] = intersect_ranges(cond[i], nn) if i in cond else nn
             return self.full_join_size * evaluate(self.root, cond, feats)
         for _t, c in operands:
             feats[self._col_index(c)] = _identity
@@ -246,6 +264,12 @@ class SPNModel:
                     rng: Range = NominalRange([int(v)])
                 else:
                     rng = NumericRange([(v, v, True, True)])
+                # honor a user WHERE range on the grouped column: the
+                # singleton group value intersects it, never replaces it
+                if gb_idx[k] in cond:
+                    rng = intersect_ranges(cond[gb_idx[k]], rng)
+                    if is_empty_range(rng):
+                        continue
                 c2 = dict(cond)
                 c2[gb_idx[k]] = rng
                 rec(k + 1, c2, keyvals + [v])
@@ -307,20 +331,36 @@ class SPNModel:
         return out
 
     # -- incremental updates (reference D5: AQPSPN.add_dataset) --------
-    def add_dataset(self, rows: np.ndarray) -> None:
+    def add_dataset(self, rows: np.ndarray, n_total: int | None = None) -> None:
         """Absorb new rows (matrix in scope order) without retraining:
         leaves merge histograms, sum nodes re-weight by routing rows to
-        the nearest stored cluster center."""
+        the nearest stored cluster center.
+
+        ``rows`` may be a SAMPLE of the delta; ``n_total`` is the true
+        delta row count (defaults to ``len(rows)``, i.e. the full
+        delta). Each absorbed row is weighted so the delta's effective
+        sample mass matches its true share of the grown relation:
+        m_eff / sample_size == n_total / full_join_size. Without this,
+        a model trained on a fraction f of the table would over-weight
+        a full delta by ~1/f (the round-1 bug)."""
         from .learn import scale_minmax
 
+        n_sample = len(rows)
+        if n_sample == 0:
+            return
+        n_total = n_sample if n_total is None else n_total
+        weight = (self.sample_size * n_total) / (
+            max(self.full_join_size, 1.0) * n_sample
+        )
+
         def absorb(node: Node, data: np.ndarray, scope: list[int]) -> None:
-            n_new = len(data)
+            n_new = len(data) * weight
             if n_new == 0:
                 return
             prior = getattr(node, "n_rows", self.sample_size)
             if hasattr(node, "values"):  # Leaf
                 j = scope.index(node.scope[0])
-                node.absorb(data[:, j], prior)
+                node.absorb(data[:, j], prior, weight=weight)
                 node.n_rows = prior + n_new
                 return
             if isinstance(node, Sum):
@@ -338,10 +378,10 @@ class SPNModel:
                     mask = labels == c
                     ch_prior = getattr(ch, "n_rows", 0)
                     node.weights[c] = (
-                        node.weights[c] * prior + mask.sum()
+                        node.weights[c] * prior + mask.sum() * weight
                     ) / total
                     absorb(ch, data[mask], scope)
-                    ch.n_rows = ch_prior + int(mask.sum())
+                    ch.n_rows = ch_prior + mask.sum() * weight
                 node.n_rows = total
                 return
             for ch in node.children:  # Product
@@ -349,6 +389,5 @@ class SPNModel:
             node.n_rows = prior + n_new
 
         absorb(self.root, rows, list(range(len(self.column_names))))
-        frac = len(rows) / max(self.sample_size, 1)
-        self.sample_size += len(rows)
-        self.full_join_size *= 1 + frac
+        self.sample_size += n_sample * weight
+        self.full_join_size += n_total

@@ -39,6 +39,78 @@ class NullOnlyRange:
 Range = NominalRange | NumericRange | NullOnlyRange
 
 
+def is_empty_range(rng: Range) -> bool:
+    """True when the range admits no value (and no NULL)."""
+    if isinstance(rng, NullOnlyRange):
+        return False
+    if isinstance(rng, NominalRange):
+        return not rng.values and not rng.include_null
+    return not rng.intervals and not rng.include_null
+
+
+def _interval_intersect(a, b):
+    lo1, hi1, l1, h1 = a
+    lo2, hi2, l2, h2 = b
+    if lo1 > lo2:
+        lo, li = lo1, l1
+    elif lo2 > lo1:
+        lo, li = lo2, l2
+    else:
+        lo, li = lo1, l1 and l2
+    if hi1 < hi2:
+        hi, hi_incl = hi1, h1
+    elif hi2 < hi1:
+        hi, hi_incl = hi2, h2
+    else:
+        hi, hi_incl = hi1, h1 and h2
+    if lo > hi or (lo == hi and not (li and hi_incl)):
+        return None
+    return (lo, hi, li, hi_incl)
+
+
+def _value_in_intervals(v: float, intervals) -> bool:
+    for lo, hi, li, hi_incl in intervals:
+        above = v > lo or (v == lo and li)
+        below = v < hi or (v == hi and hi_incl)
+        if above and below:
+            return True
+    return False
+
+
+def intersect_ranges(a: Range, b: Range) -> Range:
+    """Conjunction of two ranges on the same column. Two conjuncts on
+    one column (``x >= 10 AND x < 20``) must answer the intersection,
+    not last-wins (reference: per-column condition merging in
+    aqp_spn.py::_parse_conditions)."""
+    both_null = getattr(a, "include_null", False) and getattr(
+        b, "include_null", False
+    )
+    if isinstance(a, NullOnlyRange) or isinstance(b, NullOnlyRange):
+        other = b if isinstance(a, NullOnlyRange) else a
+        if isinstance(other, NullOnlyRange) or other.include_null:
+            return NullOnlyRange()
+        return NominalRange([], include_null=False)
+    if isinstance(a, NominalRange) and isinstance(b, NominalRange):
+        sb = set(b.values)
+        return NominalRange(
+            [v for v in a.values if v in sb], include_null=both_null
+        )
+    if isinstance(a, NominalRange) or isinstance(b, NominalRange):
+        nom = a if isinstance(a, NominalRange) else b
+        num = b if isinstance(a, NominalRange) else a
+        return NominalRange(
+            [v for v in nom.values if _value_in_intervals(v, num.intervals)],
+            include_null=both_null,
+        )
+    out = []
+    for ia in a.intervals:
+        for ib in b.intervals:
+            r = _interval_intersect(ia, ib)
+            if r is not None:
+                out.append(r)
+    return NumericRange(out, include_null=both_null)
+
+
 @dataclass
 class ConditionSet:
     """col name -> Range (conjunctive, as in the reference grammar)."""
