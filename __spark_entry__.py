@@ -451,16 +451,9 @@ def _m_spn_qerrors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (estimates are approximate by design); tests/test_spn.py enforces
     the q-error budget."""
     eng = _engine(spark, sf_dir)
-    if eng.ensemble is None:
-        from deepdb_public_spark.spn.ensemble import SPNEnsemble
-        from deepdb_public_spark.spn.trainer import train_spn_model
-
-        ens = SPNEnsemble(eng.schema)
-        ens.add_model(train_spn_model(eng.catalog, eng.schema, {"lineitem"}, 60_000))
-        ens.add_model(
-            train_spn_model(eng.catalog, eng.schema, {"orders", "lineitem"}, 80_000)
-        )
-        eng.ensemble = ens
+    _ensure_models(
+        eng, [({"lineitem"}, 60_000), ({"orders", "lineitem"}, 80_000)]
+    )
     card_queries = [
         "SELECT COUNT(*) AS cnt FROM lineitem WHERE lineitem.l_discount BETWEEN 0.02 AND 0.06",
         "SELECT COUNT(*) AS cnt FROM lineitem WHERE lineitem.l_returnflag = 'A' AND lineitem.l_quantity >= 30",
@@ -476,6 +469,59 @@ def _m_spn_qerrors(spark: SparkSession, sf_dir: str) -> DataFrame:
         qerr = max(est / max(true, 1), true / max(est, 1e-9))
         rows.append((sql, est, true, float(qerr)))
     return spark.createDataFrame(rows, "query string, est double, true_cnt long, qerr double")
+
+
+def _ensure_models(eng, table_sets_budgets) -> None:
+    """Idempotently make sure the engine's ensemble has a model per
+    table set (driver entries share one engine; training is the
+    expensive part, so models are reused across m* entries)."""
+    from deepdb_public_spark.spn.ensemble import SPNEnsemble
+    from deepdb_public_spark.spn.trainer import train_spn_model
+
+    if eng.ensemble is None:
+        eng.ensemble = SPNEnsemble(eng.schema)
+    have = [m.table_set for m in eng.ensemble.models]
+    for ts, budget in table_sets_budgets:
+        if set(ts) not in have:
+            eng.ensemble.add_model(
+                train_spn_model(eng.catalog, eng.schema, set(ts), budget)
+            )
+
+
+def _m_multi_spn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-SPN factorization (reference B11: spn_ensemble.py::
+    _greedily_select_first_cardinality_spn + evaluate_factors):
+    customer JOIN orders JOIN lineitem cardinalities answered from a
+    {orders,lineitem} model x a {customer} model — no single model
+    covers the 3-table set. Rows-only (estimates are approximate);
+    tests/test_multi_spn.py enforces the q-error budget."""
+    eng = _engine(spark, sf_dir)
+    _ensure_models(
+        eng, [({"orders", "lineitem"}, 80_000), ({"customer"}, 60_000)]
+    )
+    card_queries = [
+        "SELECT COUNT(*) AS cnt FROM customer, orders, lineitem "
+        "WHERE customer.c_custkey = orders.o_custkey "
+        "AND orders.o_orderkey = lineitem.l_orderkey "
+        "AND customer.c_mktsegment = 'BUILDING' AND lineitem.l_quantity < 25",
+        "SELECT COUNT(*) AS cnt FROM customer, orders, lineitem "
+        "WHERE customer.c_custkey = orders.o_custkey "
+        "AND orders.o_orderkey = lineitem.l_orderkey "
+        "AND customer.c_acctbal > 5000",
+        "SELECT COUNT(*) AS cnt FROM customer, orders "
+        "WHERE customer.c_custkey = orders.o_custkey "
+        "AND customer.c_mktsegment IN ('BUILDING', 'MACHINERY')",
+    ]
+    rows = []
+    for sql in card_queries:
+        q = eng.parse(sql)
+        est = float(eng.ensemble.cardinality(q))
+        true = int(eng.query(q).collect()[0][0])
+        qerr = max(est / max(true, 1), true / max(est, 1e-9))
+        rows.append((sql, est, true, float(qerr)))
+    return spark.createDataFrame(
+        rows, "query string, est double, true_cnt long, qerr double"
+    )
 
 
 def _m_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,6 +586,7 @@ def _x_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PREP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "m01_spn_qerrors": (_m_spn_qerrors, None),
     "m02_incremental_insert": (_m_incremental, None),
+    "m03_multi_spn": (_m_multi_spn, None),
     "x19_sketch_distinct": (_x_sketch, None),
     "p01_encode_dict": (
         _p_encode_dict,

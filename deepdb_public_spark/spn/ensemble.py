@@ -2,12 +2,18 @@
 (reference: ensemble_compilation/spn_ensemble.py::SPNEnsemble,
 read_ensemble — SURVEY.md §2 B11-B13, D6-D9).
 
-Routing (reference: _greedily_select_first_cardinality_spn,
-simplified): prefer the model whose table set exactly matches the
-query; else the smallest model whose table set covers it (fewer extra
-tables => fewer fanout corrections => tighter estimates). Expectation
-results are memoized per (model, conditions, features) — the
-reference's factor cache (B13).
+Routing (reference: _greedily_select_first_cardinality_spn): prefer
+the model whose table set exactly matches the query; else the
+smallest model whose table set covers it (fewer extra tables => fewer
+fanout corrections => tighter estimates); else FACTORIZE — answer the
+query as a product of factors across models (B11, reference:
+evaluate_factors): a first model covers the largest connected,
+condition-bearing piece of the query's join graph, then each frontier
+FK edge multiplies in a conditional factor from another model —
+fanout-weighted (via the frontier edge's multiplier column) when
+expanding to a parent table, a cardinality ratio (nominator with the
+new tables' conditions / denominator without, the reference's
+``inverse`` factors) when expanding to a child.
 """
 
 from __future__ import annotations
@@ -43,9 +49,155 @@ class SPNEnsemble:
             )
         return min(covering, key=lambda m: len(m.table_set))
 
+    # -- multi-SPN factorization (B11) ---------------------------------
+    def _factorized_cardinality(self, query: Query) -> float:
+        """Cardinality of a query whose table set no single model
+        covers, as a product of per-model factors (reference:
+        spn_ensemble.py::_cardinality_greedy + evaluate_factors).
+        Assumes FK integrity (non-null FKs), as the reference does."""
+        schema_rels = self.schema.relationships
+        q_tables = set(query.table_set)
+        q_rels = [schema_rels[r] for r in sorted(query.relationship_set)]
+        cond_tables = {c.table for c in query.conditions}
+        adj: dict[str, list] = {t: [] for t in q_tables}
+        for r in q_rels:
+            adj[r.start].append((r, r.end))
+            adj[r.end].append((r, r.start))
+
+        def component(avail: set[str], seed: str) -> set[str]:
+            """Connected subset of ``avail`` (w.r.t. query edges)
+            containing ``seed``."""
+            comp, stack = {seed}, [seed]
+            while stack:
+                u = stack.pop()
+                for _r, v in adj[u]:
+                    if v in avail and v not in comp:
+                        comp.add(v)
+                        stack.append(v)
+            return comp
+
+        def sub_query(tables: set[str], with_conds: bool = True) -> Query:
+            sub = Query(table_set=set(tables))
+            sub.relationship_set = {
+                r.identifier
+                for r in q_rels
+                if r.start in tables and r.end in tables
+            }
+            if with_conds:
+                sub.conditions = [
+                    c for c in query.conditions if c.table in tables
+                ]
+            return sub
+
+        # first model: largest connected piece, condition tables first
+        best = None
+        for m in self.models:
+            avail = m.table_set & q_tables
+            seen: set[str] = set()
+            for s in sorted(avail):
+                if s in seen:
+                    continue
+                comp = component(avail, s)
+                seen |= comp
+                key = (len(comp & cond_tables), len(comp), -len(m.table_set))
+                if best is None or key > best[0]:
+                    best = (key, m, comp)
+        if best is None:
+            raise ValueError(f"no model covers any of {sorted(q_tables)}")
+        _, first, covered = best
+        covered = set(covered)
+        est = first.cardinality(sub_query(covered))
+        # which (model, piece) covered each table — needed to fanout-
+        # weight the covered side when expanding toward a child table
+        piece_of = {t: (first, frozenset(covered)) for t in covered}
+
+        # expand one frontier edge at a time
+        while covered < q_tables:
+            edge = next(
+                (
+                    r
+                    for r in q_rels
+                    if (r.start in covered) != (r.end in covered)
+                ),
+                None,
+            )
+            if edge is None:
+                raise ValueError(
+                    "query join graph is disconnected across models"
+                )
+            new_t = edge.end if edge.start in covered else edge.start
+            parent_new = new_t == edge.end
+            uncovered = q_tables - covered
+            cands = []
+            for mi, m in enumerate(self.models):
+                if new_t not in m.table_set:
+                    continue
+                D = component(uncovered & m.table_set, new_t)
+                usable = (
+                    edge.multiplier_attribute_name in m.column_names
+                    if parent_new
+                    else edge.end in m.table_set
+                )
+                cands.append(
+                    (usable, len(D & cond_tables), len(D), -len(m.table_set), mi, D)
+                )
+            if not cands:
+                raise ValueError(f"no model covers table {new_t!r}")
+            cands.sort(key=lambda t: t[:5], reverse=True)
+            usable, _nc, _nd, _sz, mi, D = cands[0]
+            m = self.models[mi]
+            if parent_new:
+                if usable:
+                    # fanout-weighted P(conds over D | parent referenced)
+                    factor = m.fanout_conditional_factor(
+                        sub_query(D), edge, sub_query({new_t}, with_conds=False)
+                    )
+                else:  # no multiplier column: unweighted fraction
+                    nom = m.cardinality(sub_query(D))
+                    den = m.cardinality(sub_query(D, with_conds=False))
+                    factor = nom / den if den > 0 else 0.0
+            else:
+                if usable:
+                    # qualifying child-side tuples per qualifying parent
+                    nom = m.cardinality(sub_query(D | {edge.end}))
+                    den = m.cardinality(sub_query({edge.end}))
+                    factor = nom / den if den > 0 else 0.0
+                else:
+                    mp, piece = piece_of.get(edge.end, (None, None))
+                    has_mul = (
+                        mp is not None
+                        and edge.multiplier_attribute_name in mp.column_names
+                    )
+                    nom = m.cardinality(sub_query(D))
+                    # per CHILD ROW (not per D-tuple): divides out only
+                    # the new_t count so D's further fanout survives
+                    den_nc = m.cardinality(sub_query({new_t}, with_conds=False))
+                    if has_mul and den_nc > 0:
+                        # (avg child fanout per qualifying covered
+                        # tuple — captures fanout <-> predicate
+                        # correlation) x (qualifying D-join tuples per
+                        # child row)
+                        pq = sub_query(set(piece))
+                        fan_nom = mp._weighted_expectation(pq, edge, True)
+                        fan_den = mp.cardinality(pq) / mp.full_join_size
+                        fan = fan_nom / fan_den if fan_den > 0 else 0.0
+                        factor = fan * (nom / den_nc)
+                    else:  # assume children uniform over parents
+                        den = self.cardinality(Query(table_set={edge.end}))
+                        factor = nom / den if den > 0 else 0.0
+            est *= factor
+            covered |= D
+            for t in D:
+                piece_of[t] = (m, frozenset(D))
+        return est
+
     # -- answering -----------------------------------------------------
     def cardinality(self, query: Query) -> float:
-        return self.select_model(query).cardinality(query)
+        try:
+            model = self.select_model(query)
+        except ValueError:
+            return self._factorized_cardinality(query)
+        return model.cardinality(query)
 
     def aqp(self, query: Query) -> list[dict]:
         return self.select_model(query).aqp(query)

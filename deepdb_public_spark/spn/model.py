@@ -66,6 +66,10 @@ class SPNModel:
     column_table: dict[str, str]  # column -> owning base table
     root: Node = None
     sample_size: int = 0
+    # FK edges whose parent is in table_set but whose child is not;
+    # their mul_/nn_ columns are in scope and let the ensemble expand
+    # a factorized estimate across this model (B11)
+    boundary_rels: list[Relationship] = field(default_factory=list)
 
     # -- condition translation ----------------------------------------
     def _col_index(self, col: str) -> int:
@@ -174,6 +178,50 @@ class SPNModel:
                 else:
                     features[mul_idx] = _inv_max1
         return ranges, features
+
+    # -- multi-SPN factor support (B11) --------------------------------
+    def _weighted_expectation(
+        self, sub_query: Query, rel: Relationship, with_conditions: bool
+    ) -> float:
+        """E[ mul_rel * 1(conds of sub_query) * corr ] in the measure
+        of ``sub_query``'s table set — the building block of cross-
+        model factors (reference: ensemble_compilation/
+        probabilistic_query.py::IndicatorExpectation with nominator
+        multipliers). ``rel`` is the frontier edge whose parent this
+        model covers; each parent row is weighted by its child fanout
+        so the factor is conditioned on "referenced by a random
+        qualifying child"."""
+        cond = self.conditions_to_ranges(sub_query) if with_conditions else {}
+        extra, features = self.correction_factors(sub_query)
+        for i, r in extra.items():
+            cond[i] = intersect_ranges(cond[i], r) if i in cond else r
+        feats = dict(features)
+        mul_idx = self._col_index(rel.multiplier_attribute_name)
+        if any(r.identifier == rel.identifier for r in self.relationships):
+            # internal edge: the model's full-join measure already
+            # replicates each parent row mul_rel times — drop the
+            # inverse-multiplier correction and require a child to
+            # exist instead of multiplying by mul explicitly
+            nn_idx = self._col_index(rel.null_indicator_name)
+            feats.pop(mul_idx, None)
+            nnr: Range = NumericRange([(1, np.inf, True, True)])
+            cond[nn_idx] = (
+                intersect_ranges(cond[nn_idx], nnr) if nn_idx in cond else nnr
+            )
+        else:
+            feats[mul_idx] = _identity
+        return evaluate(self.root, cond, feats)
+
+    def fanout_conditional_factor(
+        self, nom_query: Query, rel: Relationship, denom_query: Query
+    ) -> float:
+        """P(conds over nom_query's tables | parent referenced by a
+        random child over ``rel``), fanout-weighted: the multiplier of
+        a factorized estimate when expanding from the child side of
+        ``rel`` into this model's scope."""
+        nom = self._weighted_expectation(nom_query, rel, True)
+        den = self._weighted_expectation(denom_query, rel, False)
+        return nom / den if den > 0 else 0.0
 
     # -- answering -----------------------------------------------------
     def probability(self, cond: dict[int, Range]) -> float:

@@ -37,8 +37,18 @@ def train_spn_model(
     params: LearnParams | None = None,
     seed: int = 42,
     exclude_columns: set[str] | None = None,
+    include_boundary_fanouts: bool = True,
 ) -> SPNModel:
-    """Train one RSPN over the full-outer join of ``table_set``."""
+    """Train one RSPN over the full-outer join of ``table_set``.
+
+    ``include_boundary_fanouts`` additionally materializes mul_/nn_
+    fanout columns for FK edges whose PARENT is inside the table set
+    but whose child is outside (reference: prepare_single_tables.py
+    attaches incoming-relationship multipliers to every table). These
+    columns are what lets the ensemble factorize a query across
+    models (B11): a model covering only the parent side of an edge can
+    still weight parents by their child fanout. One groupBy+join per
+    boundary edge — cheap relative to the outer-join chain."""
     rel_ids = sorted(
         r.identifier
         for r in schema.relationships.values()
@@ -46,6 +56,21 @@ def train_spn_model(
     )
     rels = [schema.relationships[i] for i in rel_ids]
     joined = generate_join_sample(catalog, schema, table_set, set(rel_ids))
+
+    boundary_rels = []
+    if include_boundary_fanouts:
+        from ..operators.prep import fanout_multiplier
+
+        boundary_rels = sorted(
+            (
+                r
+                for r in schema.relationships.values()
+                if r.end in table_set and r.start not in table_set
+            ),
+            key=lambda r: r.identifier,
+        )
+        for rel in boundary_rels:
+            joined = fanout_multiplier(joined, catalog[rel.start], rel)
 
     # drop PK/FK id columns from the model scope: they are join
     # plumbing, not predicate targets (the reference declares them
@@ -88,5 +113,6 @@ def train_spn_model(
         column_table=column_table,
         root=root,
         sample_size=len(data),
+        boundary_rels=boundary_rels,
     )
     return model

@@ -27,6 +27,9 @@ def test_exact_plane_matches_golden_counts(engine):
 
 
 def test_model_plane_qerror_on_corpus(engine):
+    # D6 singles + D7 relationship models ONLY: the 3-table corpus
+    # queries must be answered via multi-SPN factorization (B11) —
+    # no dedicated join model exists for them
     ens = SPNEnsemble(engine.schema)
     for ts in [
         {"lineitem"},
@@ -36,8 +39,6 @@ def test_model_plane_qerror_on_corpus(engine):
         {"orders", "lineitem"},
         {"customer", "orders"},
         {"part", "lineitem"},
-        {"customer", "orders", "lineitem"},
-        {"part", "lineitem", "orders"},
     ]:
         ens.add_model(train_spn_model(engine.catalog, engine.schema, ts, 60_000))
     engine.ensemble = ens
