@@ -525,16 +525,24 @@ def _m_multi_spn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _m_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental insert support (reference D5: AQPSPN.add_dataset):
-    train on lineitem, absorb a 30% delta WITHOUT retraining, compare
-    model estimates against the grown table. Rows-only."""
-    import numpy as np
+    """Incremental insert support (reference D5: AQPSPN.add_dataset),
+    distributed: REUSE the engine's cached {lineitem} model (no
+    retrain), absorb a 30% delta via spn.incremental.absorb_delta —
+    Spark-side encoding + a bounded sample weighted by the true delta
+    count, never a data-scale collect — and compare model estimates
+    against the grown table. Rows-only."""
+    import copy
+
     from pyspark.sql import functions as F
 
-    from deepdb_public_spark.spn.trainer import train_spn_model
+    from deepdb_public_spark.spn.incremental import absorb_delta
 
     eng = _engine(spark, sf_dir)
-    model = train_spn_model(eng.catalog, eng.schema, {"lineitem"}, 60_000)
+    _ensure_models(eng, [({"lineitem"}, 60_000)])
+    # deep-copy: the ensemble's model must not see the synthetic delta
+    model = copy.deepcopy(
+        next(m for m in eng.ensemble.models if m.table_set == {"lineitem"})
+    )
     base = eng.catalog["lineitem"]
     # hash-filter, not sample(): seeded sample proved non-reproducible
     # across repeated actions; the delta must be the same rows in both
@@ -542,16 +550,7 @@ def _m_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = base.filter(
         F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(10)) < 3
     )
-    pdf = delta.select(*[c for c in model.column_names if c in base.columns]).toPandas()
-    for col, cm in model.meta.columns.items():
-        if col not in pdf.columns:
-            continue
-        if cm.kind == "categorical":
-            pdf[col] = pdf[col].map(cm.value_to_code)
-        elif cm.origin == "timestamp":
-            pdf[col] = pdf[col].astype("int64") // 1000
-    rows = pdf[model.column_names].to_numpy(dtype=float)
-    model.add_dataset(rows)
+    absorb_delta(model, delta, sample_budget=60_000)
     grown = base.unionByName(delta)
     out = []
     for pred, sql_pred in [

@@ -116,6 +116,36 @@ def encode_table(
     return out, meta
 
 
+def encode_with_meta(df: DataFrame, meta: TableMeta) -> DataFrame:
+    """Encode a NEW batch of rows with an EXISTING table's dictionary
+    (incremental inserts, reference D5): categoricals map through the
+    stored value->code maps via a broadcast mapping join (never a
+    driver-side per-row map), timestamps become epoch micros. Unseen
+    categorical values encode as NULL — they have no code; callers
+    that must accept them should re-encode with an extended
+    dictionary."""
+    out = df
+    spark = df.sparkSession
+    for name, cm in meta.columns.items():
+        if name not in df.columns:
+            continue
+        if cm.origin == "timestamp":
+            out = out.withColumn(
+                name, F.unix_micros(F.col(name).cast("timestamp"))
+            )
+        elif cm.kind == "categorical" and cm.value_to_code is not None:
+            mapping = spark.createDataFrame(
+                [(v, int(c)) for v, c in cm.value_to_code.items()],
+                f"`{name}` string, __code bigint",
+            )
+            out = (
+                out.join(F.broadcast(mapping), on=name, how="left")
+                .drop(name)
+                .withColumnRenamed("__code", name)
+            )
+    return out
+
+
 def functional_dependencies(
     df: DataFrame, candidate_cols: list[str] | None = None
 ) -> list[tuple[str, str]]:

@@ -1,0 +1,108 @@
+"""Distributed incremental inserts (reference D5: aqp_spn/
+aqp_spn.py::AQPSPN.add_dataset), Spark-side.
+
+The round-1 driver entry collected the ENTIRE delta to the driver
+(``delta.toPandas()``) — a driver OOM at 100 TB. Here the data-scale
+work stays in Spark:
+
+- Sum-free models (pure product-of-leaves): EXACT per-column
+  histogram deltas via one melt + groupBy(column, value) pass —
+  a single shuffle bounded by the distinct-value counts, zero row
+  collect — merged into the leaves driver-side.
+- Models with Sum nodes: routing new rows to mixture components
+  needs row vectors, so a BOUNDED sample (<= ``sample_budget`` rows)
+  is drawn from the delta and absorbed together with the TRUE delta
+  count; ``SPNModel.add_dataset`` weights the sampled mass so the
+  delta's effective share matches n_delta / full_join_size.
+
+The delta is expressed in the model's relation (for single-table
+models: table rows), exactly the reference's add_dataset contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.prep import encode_with_meta
+from .leaves import Leaf
+from .model import SPNModel
+from .nodes import Sum, iter_leaves
+
+
+def _iter_nodes(node):
+    yield node
+    for ch in getattr(node, "children", []):
+        yield from _iter_nodes(ch)
+
+
+def absorb_delta(
+    model: SPNModel,
+    delta_df: DataFrame,
+    sample_budget: int = 100_000,
+    seed: int = 42,
+) -> int:
+    """Absorb a Spark delta into ``model`` without retraining and
+    without any data-scale collect. Returns the delta row count."""
+    n_total = delta_df.count()
+    if n_total == 0:
+        return 0
+    enc = encode_with_meta(delta_df, model.meta)
+    # boundary fanout columns (B11) describe children REFERENCING the
+    # inserted rows — at insert time new parents have none, so mul=0 /
+    # nn=0 (children arriving later update their own models; the
+    # parent-side fanout histogram refreshes on the next retrain)
+    for rel in model.boundary_rels:
+        for c, default in (
+            (rel.multiplier_attribute_name, 0.0),
+            (rel.null_indicator_name, 0.0),
+        ):
+            if c not in enc.columns:
+                enc = enc.withColumn(c, F.lit(default))
+    missing = [c for c in model.column_names if c not in enc.columns]
+    if missing:
+        raise ValueError(f"delta lacks model columns {missing}")
+    enc = enc.select(
+        *[F.col(c).cast("double").alias(c) for c in model.column_names]
+    )
+
+    if any(isinstance(n, Sum) for n in _iter_nodes(model.root)):
+        frac = min(1.0, sample_budget / n_total)
+        sampled = enc.sample(fraction=frac, seed=seed) if frac < 1.0 else enc
+        pdf = sampled.toPandas()
+        rows = pdf.to_numpy(dtype=np.float64, na_value=np.nan)
+        model.add_dataset(rows, n_total=n_total)
+        return n_total
+
+    # exact path: melt all model columns into (__col, __val) and count
+    # — one shuffle for every histogram delta at once
+    cols = model.column_names
+    stack = (
+        f"stack({len(cols)}, "
+        + ", ".join(f"'{c}', `{c}`" for c in cols)
+        + ") AS (__col, __val)"
+    )
+    hist = enc.selectExpr(stack).groupBy("__col", "__val").count().collect()
+    per_col: dict[str, list] = {}
+    for r in hist:
+        per_col.setdefault(r["__col"], []).append((r["__val"], r["count"]))
+
+    scale = model.sample_size / max(model.full_join_size, 1.0)
+    for leaf in iter_leaves(model.root):
+        name = model.column_names[leaf.scope[0]]
+        entries = per_col.get(name, [])
+        vals = np.array([v for v, _c in entries if v is not None])
+        cnts = np.array([c for v, c in entries if v is not None])
+        nulls = sum(c for v, c in entries if v is None)
+        prior = getattr(leaf, "n_rows", model.sample_size)
+        leaf.absorb_counts(vals, cnts, nulls, prior, scale)
+        leaf.n_rows = prior + n_total * scale
+    for node in _iter_nodes(model.root):
+        if not isinstance(node, Leaf):
+            node.n_rows = (
+                getattr(node, "n_rows", model.sample_size) + n_total * scale
+            )
+    model.sample_size += n_total * scale
+    model.full_join_size += n_total
+    return n_total

@@ -82,6 +82,29 @@ class Leaf:
         return float((fn(self.values[mask]) * self.probs[mask]).sum())
 
     # -- incremental update (reference D5: AQPSPN.add_dataset) ---------
+    def absorb_counts(
+        self,
+        values: np.ndarray,
+        counts: np.ndarray,
+        null_count: float,
+        prior_n: float,
+        scale: float = 1.0,
+    ) -> None:
+        """Merge an exact histogram delta (value/count pairs from a
+        Spark ``groupBy(col).count()``); each delta row counts as
+        ``scale`` relative to the stored sample mass."""
+        n_new = (counts.sum() if len(counts) else 0.0) * scale + null_count * scale
+        if n_new == 0:
+            return
+        total = prior_n + n_new
+        merged = {float(v): p * prior_n for v, p in zip(self.values, self.probs)}
+        for v, c in zip(values, counts):
+            merged[float(v)] = merged.get(float(v), 0.0) + c * scale
+        items = sorted(merged.items())
+        self.values = np.array([v for v, _ in items])
+        self.probs = np.array([c / total for _, c in items])
+        self.null_prob = (self.null_prob * prior_n + null_count * scale) / total
+
     def absorb(self, column: np.ndarray, prior_n: float, weight: float = 1.0) -> None:
         """Merge new rows into the histogram without retraining; each
         new row counts as ``weight`` (fractional when the delta is a

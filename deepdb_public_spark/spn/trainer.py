@@ -84,16 +84,21 @@ def train_spn_model(
             if r.start == t:
                 exclude.add(r.start_attr)
     keep = [c for c in joined.columns if c not in exclude]
-    joined = joined.select(*keep)
+    # persist: the outer-join chain feeds the row count, the encoding
+    # stats/dictionaries AND the training sample — without it the
+    # join re-executes per action (measurable at m01 scale)
+    joined = joined.select(*keep).persist()
+    try:
+        full_join_size = joined.count()
+        encoded, meta = encode_table(joined, "+".join(sorted(table_set)))
+        model_cols = [c for c in encoded.columns if c in meta.columns]
+        encoded = encoded.select(*model_cols)
 
-    full_join_size = joined.count()
-    encoded, meta = encode_table(joined, "+".join(sorted(table_set)))
-    model_cols = [c for c in encoded.columns if c in meta.columns]
-    encoded = encoded.select(*model_cols)
-
-    fraction = min(1.0, sample_budget / max(full_join_size, 1))
-    pdf = encoded.sample(fraction=fraction, seed=seed).toPandas()
-    data = pdf.to_numpy(dtype=np.float64, na_value=np.nan)
+        fraction = min(1.0, sample_budget / max(full_join_size, 1))
+        pdf = encoded.sample(fraction=fraction, seed=seed).toPandas()
+        data = pdf.to_numpy(dtype=np.float64, na_value=np.nan)
+    finally:
+        joined.unpersist()
 
     root = learn_spn(data, list(range(len(model_cols))), params or LearnParams())
     validate(root)

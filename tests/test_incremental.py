@@ -1,0 +1,87 @@
+"""Distributed incremental inserts (D5 at scale): absorb_delta must
+match the grown table without any data-scale collect."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deepdb_public_spark.engine import Engine
+from deepdb_public_spark.operators.prep import encode_table, encode_with_meta
+from deepdb_public_spark.spn.incremental import absorb_delta
+from deepdb_public_spark.spn.learn import LearnParams
+from deepdb_public_spark.spn.nodes import Sum
+from deepdb_public_spark.spn.trainer import train_spn_model
+from tests.conftest import SF_SMOKE
+
+
+def _qerr(est, true):
+    return max(est / max(true, 1), true / max(est, 1e-9))
+
+
+def test_encode_with_meta_matches_encode_table(spark):
+    eng = Engine(spark, SF_SMOKE)
+    cust = eng.catalog["customer"].select("c_custkey", "c_mktsegment")
+    enc, meta = encode_table(cust, "customer")
+    re_enc = encode_with_meta(cust, meta)
+    a = {r["c_custkey"]: r["c_mktsegment"] for r in enc.collect()}
+    b = {r["c_custkey"]: r["c_mktsegment"] for r in re_enc.collect()}
+    assert a == b
+
+
+def test_absorb_delta_exact_path_sum_free(spark):
+    """A product-of-leaves model takes the melt+groupBy exact path:
+    the grown histogram must match the grown table exactly-ish."""
+    eng = Engine(spark, SF_SMOKE)
+    model = train_spn_model(
+        eng.catalog, eng.schema, {"customer"}, 100_000,
+        LearnParams(min_instances_slice=10**9),
+    )
+    assert not any(
+        isinstance(n, Sum)
+        for n in __import__(
+            "deepdb_public_spark.spn.incremental", fromlist=["_iter_nodes"]
+        )._iter_nodes(model.root)
+    )
+    base = eng.catalog["customer"]
+    delta = base.filter(F.pmod(F.xxhash64("c_custkey"), F.lit(4)) < 1)
+    n_delta = delta.count()
+    absorb_delta(model, delta)
+    assert model.full_join_size == base.count() + n_delta
+
+    from deepdb_public_spark.plans.query import Condition, Query
+
+    grown = base.unionByName(delta)
+    q = Query(table_set={"customer"})
+    q.add_where_condition(Condition("customer", "c_mktsegment", "=", "BUILDING"))
+    est = model.cardinality(q)
+    true = grown.filter("c_mktsegment = 'BUILDING'").count()
+    # sample fraction is 1 at this scale and the delta path is exact
+    assert est == pytest.approx(true, rel=0.01)
+
+
+def test_absorb_delta_sampled_path_with_sum_nodes(spark):
+    """A mixture model takes the bounded-sample path; estimates on the
+    grown table stay inside the q-error budget even when the sample
+    is much smaller than the delta."""
+    eng = Engine(spark, SF_SMOKE)
+    model = train_spn_model(eng.catalog, eng.schema, {"lineitem"}, 100_000)
+    base = eng.catalog["lineitem"]
+    delta = base.filter(
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(10)) < 3
+    )
+    # force sampling: budget far below the delta size
+    absorb_delta(model, delta, sample_budget=500)
+    grown = base.unionByName(delta)
+    for pred, sql_pred in [
+        ("l_quantity < 25", ("lineitem", "l_quantity", "<", 25)),
+        ("l_returnflag = 'A'", ("lineitem", "l_returnflag", "=", "A")),
+    ]:
+        from deepdb_public_spark.plans.query import Condition, Query
+
+        q = Query(table_set={"lineitem"})
+        q.add_where_condition(Condition(*sql_pred))
+        est = model.cardinality(q)
+        true = grown.filter(pred).count()
+        assert _qerr(est, true) < 1.3, f"{pred}: est={est} true={true}"
