@@ -105,4 +105,5 @@ def absorb_delta(
             )
     model.sample_size += n_total * scale
     model.full_join_size += n_total
+    model.invalidate_cache()
     return n_total

@@ -36,7 +36,14 @@ from ..plans.query import (
     Query,
 )
 from ..plans.schema import Relationship
-from .nodes import Node, Sum, distinct_values, evaluate, iter_leaves
+from .nodes import (
+    Node,
+    Sum,
+    distinct_values,
+    evaluate,
+    evaluate_groupby,
+    iter_leaves,
+)
 from .ranges import (
     ConditionSet,
     NominalRange,
@@ -45,6 +52,8 @@ from .ranges import (
     Range,
     intersect_ranges,
     is_empty_range,
+    range_key,
+    value_admitted,
 )
 
 
@@ -54,6 +63,14 @@ def _inv_max1(x: np.ndarray) -> np.ndarray:
 
 def _identity(x: np.ndarray) -> np.ndarray:
     return x
+
+
+def _square(x: np.ndarray) -> np.ndarray:
+    return x * x
+
+
+# feature functions the cache can key on (named, stateless)
+_FEATURE_NAMES = {_inv_max1: "inv", _identity: "id", _square: "sq"}
 
 
 @dataclass
@@ -70,6 +87,29 @@ class SPNModel:
     # their mul_/nn_ columns are in scope and let the ensemble expand
     # a factorized estimate across this model (B11)
     boundary_rels: list[Relationship] = field(default_factory=list)
+    # factor cache (B13, reference: IndicatorExpectation.__hash__ +
+    # memoization in spn_ensemble.py): repeated expectation factors —
+    # factorization denominators, workload re-runs — hit the cache
+    # instead of re-walking the tree. Invalidated on incremental
+    # updates.
+    _eval_cache: dict = field(default_factory=dict, repr=False, compare=False)
+
+    def _eval(self, cond: dict[int, Range], features=None) -> float:
+        try:
+            fkey = tuple(
+                sorted((i, _FEATURE_NAMES[f]) for i, f in (features or {}).items())
+            )
+        except KeyError:  # unnamed feature fn: don't cache
+            return evaluate(self.root, cond, features)
+        key = (tuple(sorted((i, range_key(r)) for i, r in cond.items())), fkey)
+        hit = self._eval_cache.get(key)
+        if hit is None:
+            hit = evaluate(self.root, cond, features)
+            self._eval_cache[key] = hit
+        return hit
+
+    def invalidate_cache(self) -> None:
+        self._eval_cache.clear()
 
     # -- condition translation ----------------------------------------
     def _col_index(self, col: str) -> int:
@@ -210,7 +250,7 @@ class SPNModel:
             )
         else:
             feats[mul_idx] = _identity
-        return evaluate(self.root, cond, feats)
+        return self._eval(cond, feats)
 
     def fanout_conditional_factor(
         self, nom_query: Query, rel: Relationship, denom_query: Query
@@ -231,7 +271,7 @@ class SPNModel:
         cond = self.conditions_to_ranges(query)
         extra, features = self.correction_factors(query)
         cond.update(extra)
-        return self.full_join_size * evaluate(self.root, cond, features)
+        return self.full_join_size * self._eval(cond, features)
 
     def _agg_value(self, query: Query, op_aggs, cond, features) -> float:
         """One AGGREGATION step: COUNT/SUM/AVG with operand features."""
@@ -245,13 +285,13 @@ class SPNModel:
                     i = self._col_index(c)
                     nn = self._condition_to_range(Condition(t, c, "IS_NOT_NULL"))
                     cond[i] = intersect_ranges(cond[i], nn) if i in cond else nn
-            return self.full_join_size * evaluate(self.root, cond, feats)
+            return self.full_join_size * self._eval(cond, feats)
         for _t, c in operands:
             feats[self._col_index(c)] = _identity
-        val = self.full_join_size * evaluate(self.root, cond, feats)
+        val = self.full_join_size * self._eval(cond, feats)
         if agg_type is AggregationType.SUM:
             return val
-        denom = self.full_join_size * evaluate(self.root, cond, features)
+        denom = self.full_join_size * self._eval(cond, features)
         return val / denom if denom > 0 else float("nan")
 
     def aqp(self, query: Query) -> list[dict]:
@@ -284,11 +324,67 @@ class SPNModel:
         if not query.group_bys:
             return [eval_aggs(base_cond)]
 
-        # group-by: enumerate model-side distinct combos (reference B9)
-        out: list[dict] = []
+        # group-by (reference B9 + B8): the model-side distinct combos
+        # form a grid; evaluate_groupby computes EVERY combination in
+        # one tree pass per aggregate instead of one walk per combo
         gb_cols = [c for _t, c in query.group_bys]
         gb_idx = [self._col_index(c) for c in gb_cols]
-        domains = [distinct_values(self.root, i) for i in gb_idx]
+
+        # restrict each domain by a user WHERE range on that column
+        # (the grid singleton must intersect it, never replace it),
+        # then drop the range — the axis enumerates admitted values
+        axes: dict[int, np.ndarray] = {}
+        cond_rest = dict(base_cond)
+        for i in gb_idx:
+            dom = distinct_values(self.root, i)
+            rng = cond_rest.pop(i, None)
+            if rng is not None:
+                dom = np.array([v for v in dom if value_admitted(rng, v)])
+            axes[i] = dom
+
+        def grid(feats, cond=None) -> np.ndarray:
+            return self.full_join_size * evaluate_groupby(
+                self.root, cond if cond is not None else cond_rest, feats, axes
+            )
+
+        count_grid = grid(features)
+
+        def agg_grid(op) -> np.ndarray:
+            feats = dict(features)
+            if op.agg_type is AggregationType.COUNT:
+                if not op.operands:
+                    return count_grid
+                cond = dict(cond_rest)
+                for t, c in op.operands:
+                    i = self._col_index(c)
+                    if i in axes:  # group values are never NULL
+                        continue
+                    nn = self._condition_to_range(Condition(t, c, "IS_NOT_NULL"))
+                    cond[i] = intersect_ranges(cond[i], nn) if i in cond else nn
+                return grid(feats, cond)
+            for _t, c in op.operands:
+                feats[self._col_index(c)] = _identity
+            val = grid(feats)
+            if op.agg_type is AggregationType.SUM:
+                return val
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return np.where(count_grid > 0, val / count_grid, np.nan)
+
+        agg_outputs: list[tuple[str, np.ndarray]] = []
+        acc = None
+        alias = None
+        for op in query.aggregations:
+            g = agg_grid(op)
+            if op.op_type is AggregationOperationType.AGGREGATION:
+                if acc is not None:
+                    agg_outputs.append((alias or f"agg_{len(agg_outputs)}", acc))
+                acc, alias = g, op.alias
+            elif op.op_type is AggregationOperationType.PLUS:
+                acc = acc + g
+            else:
+                acc = acc - g
+        if acc is not None:
+            agg_outputs.append((alias or f"agg_{len(agg_outputs)}", acc))
 
         def decode(col: str, code: float):
             cm = self.meta.columns[col]
@@ -297,32 +393,17 @@ class SPNModel:
                 return inv.get(int(code), code)
             return code
 
-        def rec(k: int, cond: dict, keyvals: list):
-            if k == len(gb_idx):
-                count_est = self.full_join_size * evaluate(self.root, cond, features)
-                if count_est < 0.5:
-                    return
-                row = {c: decode(c, v) for c, v in zip(gb_cols, keyvals)}
-                row.update(eval_aggs(cond))
-                out.append(row)
-                return
-            cm = self.meta.columns[gb_cols[k]]
-            for v in domains[k]:
-                if cm.kind == "categorical":
-                    rng: Range = NominalRange([int(v)])
-                else:
-                    rng = NumericRange([(v, v, True, True)])
-                # honor a user WHERE range on the grouped column: the
-                # singleton group value intersects it, never replaces it
-                if gb_idx[k] in cond:
-                    rng = intersect_ranges(cond[gb_idx[k]], rng)
-                    if is_empty_range(rng):
-                        continue
-                c2 = dict(cond)
-                c2[gb_idx[k]] = rng
-                rec(k + 1, c2, keyvals + [v])
-
-        rec(0, base_cond, [])
+        decoders = [
+            [decode(c, v) for v in axes[i]] for c, i in zip(gb_cols, gb_idx)
+        ]
+        out: list[dict] = []
+        for idx in np.argwhere(count_grid >= 0.5):
+            row = {
+                c: decoders[a][j] for a, (c, j) in enumerate(zip(gb_cols, idx))
+            }
+            for name, g in agg_outputs:
+                row[name] = float(g[tuple(idx)])
+            out.append(row)
         return out
 
     # -- confidence intervals (reference B10, simplified) --------------
@@ -343,7 +424,7 @@ class SPNModel:
         cond.update(extra)
         n = max(self.sample_size, 1)
         N = self.full_join_size
-        p = evaluate(self.root, cond, features)
+        p = self._eval(cond, features)
         out = []
         for op in query.aggregations:
             if op.op_type is not AggregationOperationType.AGGREGATION:
@@ -361,9 +442,9 @@ class SPNModel:
             for _t, c in op.operands:
                 i = self._col_index(c)
                 feats1[i] = _identity
-                feats2[i] = lambda x: x * x
-            ex = evaluate(self.root, cond, feats1)  # E[x 1]
-            ex2 = evaluate(self.root, cond, feats2)  # E[x^2 1]
+                feats2[i] = _square
+            ex = self._eval(cond, feats1)  # E[x 1]
+            ex2 = self._eval(cond, feats2)  # E[x^2 1]
             var = max(ex2 - ex * ex, 0.0)
             if op.agg_type is AggregationType.SUM:
                 est = N * ex
@@ -439,3 +520,4 @@ class SPNModel:
         absorb(self.root, rows, list(range(len(self.column_names))))
         self.sample_size += n_sample * weight
         self.full_join_size += n_total
+        self.invalidate_cache()

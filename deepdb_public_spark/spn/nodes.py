@@ -76,6 +76,62 @@ def evaluate(
     )
 
 
+def evaluate_groupby(
+    node: Node,
+    cond: dict[int, Range],
+    features: dict[int, object],
+    gb_axes: dict[int, np.ndarray],
+) -> np.ndarray:
+    """ONE bottom-up pass evaluating every group-by combination at
+    once (reference B8: aqp_spn.py::evaluate_indicator_expectation_
+    batch). ``gb_axes`` maps group-by column -> its domain values;
+    the result is an array over the cross-product grid (axis order =
+    dict order). Leaves off the group-by columns contribute scalars;
+    a leaf ON group-by column j contributes a vector along axis j —
+    numpy broadcasting through Product/Sum nodes replaces the
+    per-combination tree walks (a 10k-group query used to re-walk
+    the tree ~30k times)."""
+    k = len(gb_axes)
+    axis_of = {col: a for a, col in enumerate(gb_axes)}
+    features = features or {}
+
+    def rec(n: Node) -> np.ndarray:
+        if isinstance(n, Leaf):
+            col = n.scope[0]
+            fn = features.get(col)
+            rng = cond.get(col)
+            if col not in axis_of:
+                val = n.expect(fn, rng) if fn is not None else n.prob(rng)
+                return np.full([1] * k, val)
+            vals = gb_axes[col]
+            shape = [1] * k
+            shape[axis_of[col]] = len(vals)
+            if len(n.values) == 0 or len(vals) == 0:
+                return np.zeros(shape)
+            mask, _null = n._mask(rng)
+            pos = np.searchsorted(n.values, vals)
+            pos_c = np.clip(pos, 0, len(n.values) - 1)
+            hit = (pos < len(n.values)) & (n.values[pos_c] == vals)
+            w = n.probs[pos_c] * mask[pos_c]
+            if fn is not None:
+                w = w * fn(n.values[pos_c])
+            return np.where(hit, w, 0.0).reshape(shape)
+        if isinstance(n, Product):
+            out = None
+            for ch in n.children:
+                r = rec(ch)
+                out = r if out is None else out * r
+            return out
+        acc = None  # Sum
+        for w, ch in zip(n.weights, n.children):
+            r = w * rec(ch)
+            acc = r if acc is None else acc + r
+        return acc
+
+    full_shape = tuple(len(v) for v in gb_axes.values())
+    return np.broadcast_to(rec(node), full_shape).copy()
+
+
 def iter_leaves(node: Node):
     if isinstance(node, Leaf):
         yield node

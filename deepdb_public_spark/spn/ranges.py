@@ -39,6 +39,25 @@ class NullOnlyRange:
 Range = NominalRange | NumericRange | NullOnlyRange
 
 
+def range_key(rng: Range) -> tuple:
+    """Canonical hashable form — the factor-cache key component
+    (reference B13: IndicatorExpectation.__hash__)."""
+    if isinstance(rng, NullOnlyRange):
+        return ("null",)
+    if isinstance(rng, NominalRange):
+        return ("nom", tuple(rng.values), rng.include_null)
+    return ("num", tuple(rng.intervals), rng.include_null)
+
+
+def value_admitted(rng: Range, v: float) -> bool:
+    """True when scalar ``v`` lies inside the range."""
+    if isinstance(rng, NullOnlyRange):
+        return False
+    if isinstance(rng, NominalRange):
+        return v in rng.values
+    return _value_in_intervals(v, rng.intervals)
+
+
 def is_empty_range(rng: Range) -> bool:
     """True when the range admits no value (and no NULL)."""
     if isinstance(rng, NullOnlyRange):
