@@ -34,6 +34,86 @@ from ..functions.hashing import (
 from ..functions.text import char_ngrams, fingerprint_md5, word_tokens
 from ..functions.vectors import hyperplane_sign_bits
 
+# DataFrames persisted by dedup operators. A long-lived session that
+# runs many corpora should call release_cached() between them —
+# Spark's CacheManager holds persisted plans until explicitly
+# unpersisted (round-1 leak).
+_CACHED: list = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _CACHED.append(df)
+    return df
+
+
+def release_cached() -> None:
+    """Unpersist every intermediate cached by dedup operators."""
+    while _CACHED:
+        df = _CACHED.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
+def capped_bucket_pairs(
+    members: DataFrame,
+    bucket_cols: list[str],
+    max_bucket_size: int = 256,
+    chain_width: int = 4,
+) -> DataFrame:
+    """Candidate (id_a < id_b) pairs within buckets, BOUNDED per
+    bucket.
+
+    Buckets up to ``max_bucket_size`` emit all within-bucket pairs.
+    A degenerate bucket (boilerplate corpus, empty strings) would
+    alone re-create the O(B²) blowup LSH exists to avoid, so larger
+    buckets are CHAINED instead: each member pairs with its next
+    ``chain_width`` neighbors in id order — O(B·w) pairs that still
+    connect a true duplicate cluster transitively (downstream
+    connected-components sees one cluster). Pairs beyond the chain
+    are intentionally not generated; for near- (not exact-) dups that
+    collide in a degenerate bucket this trades recall for a bounded
+    plan, which is the right call at 100 TB.
+
+    Shuffle profile: one window count per bucket (same key as the
+    bucket join) + the bucket equi-joins; never an uncapped B².
+    """
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy(*bucket_cols)
+    sized = members.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+    small = sized.filter(F.col("__bsz") <= max_bucket_size)
+    pairs_small = (
+        small.alias("x")
+        .join(small.alias("y"), bucket_cols)
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+    )
+    big = sized.filter(F.col("__bsz") > max_bucket_size).withColumn(
+        "__rn", F.row_number().over(wb.orderBy("id"))
+    )
+    fanned = big.select(
+        *bucket_cols,
+        F.col("id").alias("id_a"),
+        F.explode(
+            F.sequence(
+                F.col("__rn") + 1,
+                F.least(F.col("__rn") + chain_width, F.col("__bsz")),
+            )
+        ).alias("__target"),
+    )
+    pairs_big = fanned.join(
+        big.select(
+            *bucket_cols,
+            F.col("id").alias("id_b"),
+            F.col("__rn").alias("__target"),
+        ),
+        bucket_cols + ["__target"],
+    ).select("id_a", "id_b")
+    return pairs_small.unionByName(pairs_big).distinct()
+
 
 def exact_duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Groups of byte-identical (normalized) documents:
@@ -87,7 +167,7 @@ def jaccard_pairs_exact(
     # projection into downstream joins and recomputes shingle arrays
     # per use instead of once per row
     hashed = F.array_distinct(F.transform(shingle, lambda t: F.xxhash64(t)))
-    s = df.select(F.col(id_col).alias("id"), hashed.alias("sh")).persist()
+    s = _persist(df.select(F.col(id_col).alias("id"), hashed.alias("sh")))
     tok = s.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("t"))
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
     w = Window.partitionBy("id").orderBy(F.asc("f"), F.asc("t"))
@@ -130,6 +210,8 @@ def minhash_lsh_pairs(
     n_bands: int = 8,
     use_char_ngrams: bool = False,
     ngram: int = 5,
+    max_bucket_size: int = 256,
+    chain_width: int = 4,
 ) -> DataFrame:
     """Scale path: MinHash signatures -> LSH band buckets -> candidate
     pairs -> exact-Jaccard verification. Returns (id_a, id_b, jaccard)
@@ -138,6 +220,8 @@ def minhash_lsh_pairs(
 
     Shuffle profile: one explode+groupBy on band keys (candidate
     generation) and one join back for verification — never O(N²).
+    Degenerate band buckets are bounded by ``max_bucket_size`` /
+    ``chain_width`` (see capped_bucket_pairs).
     """
     rows_per_band = n_hashes // n_bands
     shingle = (
@@ -152,17 +236,13 @@ def minhash_lsh_pairs(
         df.select(F.col(id_col).alias("id"), hashed.alias("sh"))
         .filter(F.size("sh") > 0)
         .withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
-        .persist()  # reused by banding AND verification joins
     )
+    sigs = _persist(sigs)  # reused by banding AND verification joins
     banded = sigs.select(
         "id", F.explode(band_keys(F.col("sig"), n_bands, rows_per_band)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "key"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
+    cand = capped_bucket_pairs(
+        banded, ["band", "key"], max_bucket_size, chain_width
     )
     sh = sigs.select("id", "sh")
     return (
@@ -178,27 +258,31 @@ def simhash_pairs(
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
+    max_bucket_size: int = 256,
+    chain_width: int = 4,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance <= max_hamming.
     Complete (no false negatives) for max_hamming <= 3 via the 4-block
-    pigeonhole filter; returns (id_a, id_b, hamming)."""
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        simhash64(word_tokens(F.col(text_col))).alias("sig"),
-    ).persist()  # signature is 64 aggregates/row — never recompute in the self-join
-    blocked = sigs.select(
-        "id", "sig", F.explode(simhash_block_keys(F.col("sig"), 4)).alias("bk")
-    ).select("id", "sig", F.col("bk.block").alias("block"), F.col("bk.key").alias("key"))
-    return (
-        blocked.alias("x")
-        .join(blocked.alias("y"), ["block", "key"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            hamming64(F.col("x.sig"), F.col("y.sig")).alias("hamming"),
+    pigeonhole filter — up to the max_bucket_size bound on degenerate
+    blocks (capped_bucket_pairs); returns (id_a, id_b, hamming)."""
+    sigs = _persist(
+        df.select(
+            F.col(id_col).alias("id"),
+            simhash64(word_tokens(F.col(text_col))).alias("sig"),
         )
-        .distinct()
+    )  # signature is 64 aggregates/row — never recompute in the self-join
+    blocked = sigs.select(
+        "id", F.explode(simhash_block_keys(F.col("sig"), 4)).alias("bk")
+    ).select("id", F.col("bk.block").alias("block"), F.col("bk.key").alias("key"))
+    cand = capped_bucket_pairs(blocked, ["block", "key"], max_bucket_size, chain_width)
+    return (
+        cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
     )
 
@@ -211,6 +295,8 @@ def embedding_neardup_pairs(
     n_planes: int = 8,
     seed: int = 42,
     brute_force: bool = False,
+    max_bucket_size: int = 256,
+    chain_width: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= threshold).
 
@@ -223,33 +309,41 @@ def embedding_neardup_pairs(
 
     # precompute the norm once per row; the pair loop then does ONE
     # array aggregate (the dot product) instead of three
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        l2_norm(F.col(vec_col)).alias("nrm"),
-    ).persist()
+    base = _persist(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            l2_norm(F.col(vec_col)).alias("nrm"),
+        )
+    )
     if brute_force:
         pairs = base.alias("a").join(base.alias("b"), F.col("a.id") < F.col("b.id"))
+        pairs = pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (_dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
+        )
     else:
         dim = len(base.select("v").first()["v"])
         rng = np.random.default_rng(seed)
         planes = rng.standard_normal((n_planes, dim)).tolist()
-        bucketed = base.withColumn(
-            "bucket", hyperplane_sign_bits(F.col("v"), planes)
-        ).persist()
+        bucketed = _persist(
+            base.withColumn("bucket", hyperplane_sign_bits(F.col("v"), planes))
+        )
+        cand = capped_bucket_pairs(
+            bucketed.select("id", "bucket"), ["bucket"], max_bucket_size, chain_width
+        )
         pairs = (
-            bucketed.alias("a")
-            .join(bucketed.alias("b"), ["bucket"])
-            .filter(F.col("a.id") < F.col("b.id"))
+            cand.join(
+                base.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                            F.col("nrm").alias("na")), "id_a")
+            .join(
+                base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                            F.col("nrm").alias("nb")), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+            )
         )
-    return (
-        pairs.select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            (_dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))).alias(
-                "cos"
-            ),
-        )
-        .distinct()
-        .filter(F.col("cos") >= threshold)
-    )
+    return pairs.distinct().filter(F.col("cos") >= threshold)

@@ -78,6 +78,12 @@ class IvfIndex:
         )
         return cls(assigned.cache(), centroids, vec_col, id_col)
 
+    def release(self) -> None:
+        """Unpersist the materialized index. The cache's lifetime is
+        the index object's — long-lived sessions call this when the
+        index is retired (Spark's CacheManager never auto-evicts)."""
+        self.assigned.unpersist()
+
     def topk(self, query_vec: list[float], k: int = 10, nprobe: int = 4) -> DataFrame:
         """Probe the nprobe cells whose centroids are most cosine-
         similar to the query; exact rerank inside them. The cell list

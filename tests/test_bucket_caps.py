@@ -1,0 +1,72 @@
+"""Adversarial LSH bucket caps: a degenerate bucket (1k identical
+docs) must produce a LINEAR number of candidate pairs, not B²,
+while keeping the duplicate cluster connected."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deepdb_public_spark.operators.dedup import (
+    capped_bucket_pairs,
+    minhash_lsh_pairs,
+    release_cached,
+    simhash_pairs,
+)
+
+
+def _connected_one_cluster(pairs, n):
+    """Union-find over the pair list: all n ids in one component."""
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    return len({find(i) for i in range(n)}) == 1
+
+
+def test_capped_bucket_pairs_linear_and_connected(spark):
+    n = 1000
+    members = spark.createDataFrame(
+        [(i, "same") for i in range(n)], "id int, bucket string"
+    )
+    out = capped_bucket_pairs(
+        members, ["bucket"], max_bucket_size=256, chain_width=4
+    )
+    rows = [(r["id_a"], r["id_b"]) for r in out.collect()]
+    assert len(rows) <= n * 4  # linear, not 499500
+    assert _connected_one_cluster(rows, n)
+
+
+def test_minhash_identical_docs_linear_candidates(spark):
+    n = 1000
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated everywhere") for i in range(n)],
+        "doc_id int, text string",
+    )
+    out = minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold=0.8, n_hashes=16, n_bands=4
+    )
+    rows = [(r["id_a"], r["id_b"]) for r in out.collect()]
+    # every band bucket is the same degenerate bucket; the chain bound
+    # caps pairs at ~n * chain_width (4) per band (4), minus overlaps
+    assert 0 < len(rows) <= n * 4 * 4
+    assert _connected_one_cluster(rows, n)
+    release_cached()
+
+
+def test_simhash_identical_docs_linear_candidates(spark):
+    n = 600
+    docs = spark.createDataFrame(
+        [(i, "identical words in every document here") for i in range(n)],
+        "doc_id int, text string",
+    )
+    out = simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+    rows = [(r["id_a"], r["id_b"]) for r in out.collect()]
+    assert 0 < len(rows) <= n * 4 * 4
+    assert _connected_one_cluster(rows, n)
+    release_cached()
