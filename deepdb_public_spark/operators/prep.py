@@ -53,14 +53,23 @@ class TableMeta:
 
 
 def encode_table(
-    df: DataFrame, table_name: str, max_dict_size: int = 1_000_000
+    df: DataFrame, table_name: str, max_dict_size: int = 100_000
 ) -> tuple[DataFrame, TableMeta]:
     """Dictionary-encode string columns to dense integer codes
     (reference C2: prepare_single_tables.py::prepare_single_table).
 
-    Codes are dense_rank-by-value minus one over the DISTINCT values
-    (tiny relation — the window never sees data-scale rows), joined
-    back broadcast. Numeric columns pass through. Timestamps become
+    Codes are the 0-based rank of each DISTINCT value in sorted order
+    (equivalent to DENSE_RANK()-1, which is what the oracle computes),
+    assigned DISTRIBUTEDLY via sort + zipWithIndex — no
+    single-partition window and no mandatory driver collect, so a
+    column with hundreds of millions of distinct values still
+    encodes. Columns with <= ``max_dict_size`` distinct values
+    additionally keep a driver-side value->code dict (the model plane
+    needs it to translate condition literals); beyond the threshold
+    ``value_to_code`` stays None and the mapping lives only in the
+    join (model-plane literal translation is unavailable for such
+    columns, same as the reference's practice of excluding them from
+    model scope). Numeric columns pass through. Timestamps become
     epoch micros (the model plane is numeric-only, SURVEY §1.2).
     """
     # one pass for row count + all numeric distinct counts (vs a
@@ -91,27 +100,39 @@ def encode_table(
         meta.columns[col] = ColumnMeta(
             col, "numeric", stats[f"__d_{col}"], origin="timestamp"
         )
-    from pyspark.sql.window import Window
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+    spark = df.sparkSession
     for col in string_cols:
-        distinct = df.select(col).distinct()
-        mapping = distinct.withColumn(
-            "__code", F.dense_rank().over(Window.orderBy(F.col(col))) - 1
+        distinct = df.select(col).filter(F.col(col).isNotNull()).distinct()
+        # distributed dense codes: global sort, then zipWithIndex
+        # assigns contiguous ranks with one extra count job — scales
+        # to arbitrary domains where a rank window would single-thread
+        indexed = distinct.sort(F.col(col)).rdd.map(lambda r: r[0]).zipWithIndex()
+        mapping = spark.createDataFrame(
+            indexed,
+            StructType(
+                [StructField(col, StringType()), StructField("__code", LongType())]
+            ),
         )
-        rows = mapping.limit(max_dict_size + 1).collect()
-        if len(rows) > max_dict_size:
-            raise ValueError(f"{table_name}.{col}: domain too large to encode")
+        n_distinct = distinct.count()
+        value_to_code = None
+        join_side = mapping
+        if n_distinct <= max_dict_size:
+            rows = mapping.collect()
+            value_to_code = {r[col]: r["__code"] for r in rows}
+            join_side = F.broadcast(mapping)
         out = (
-            out.join(F.broadcast(mapping), on=col, how="left")
+            out.join(join_side, on=col, how="left")
             .drop(col)
             .withColumnRenamed("__code", col)
         )
         meta.columns[col] = ColumnMeta(
             col,
             "categorical",
-            len(rows),
-            null_code=len(rows),
-            value_to_code={r[col]: r["__code"] for r in rows},
+            n_distinct,
+            null_code=n_distinct,
+            value_to_code=value_to_code,
         )
     return out, meta
 
