@@ -245,39 +245,36 @@ def create_single_table_ensemble(
     return ens
 
 
-def create_rdc_ensemble(
+def score_fk_edges(
     catalog: dict[str, DataFrame],
     schema: SchemaGraph,
     tables: list[str],
-    max_join_models: int = 2,
     rdc_sample: int = 5_000,
-    rdc_threshold: float = 0.3,
-    sample_budget: int = 100_000,
-    params: LearnParams | None = None,
     seed: int = 42,
-) -> SPNEnsemble:
-    """Correlation-driven ensemble selection (reference:
-    ensemble_creation/rdc_based.py::candidate_evaluation, D8).
-
-    For every FK edge among ``tables``, draw a small inner-join sample
-    and measure the maximum RDC between column pairs that CROSS the
-    edge. Edges whose tables are genuinely correlated get a join model
-    (budget: ``max_join_models``, strongest correlations first —
-    learning the joint distribution pays off exactly when independence
-    would mis-estimate); every table additionally gets a single-table
-    model so all scopes stay answerable. The RDC probe itself runs on
-    driver-side samples (the reference subsamples identically)."""
+) -> dict[str, float]:
+    """Max RDC between NON-KEY column pairs crossing each FK edge
+    among ``tables`` (reference: rdc_based.py RDC probes). Join keys
+    are excluded — the two sides of an equi-join key are identical by
+    construction and would score every edge ~1. The probe runs on a
+    bounded inner-join sample (the reference subsamples
+    identically)."""
     import numpy as np
 
     from ..operators.prep import encode_table
     from .rdc import rdc_matrix
+
+    key_cols: set[str] = set()
+    for r in schema.relationships.values():
+        key_cols |= {r.start_attr, r.end_attr}
+    for t in tables:
+        key_cols |= set(schema.tables[t].primary_key)
 
     edges = [
         r
         for r in schema.relationships.values()
         if r.start in tables and r.end in tables
     ]
-    scored = []
+    out: dict[str, float] = {}
     for rel in edges:
         joined = catalog[rel.start].join(
             catalog[rel.end],
@@ -285,28 +282,109 @@ def create_rdc_ensemble(
         )
         frac = min(1.0, rdc_sample / max(joined.count(), 1))
         enc, meta = encode_table(joined.sample(frac, seed=seed), f"probe_{rel.start}")
-        cols = [c for c in enc.columns if c in meta.columns]
-        pdf = enc.select(*cols).toPandas()
-        data = pdf.to_numpy(dtype=np.float64, na_value=np.nan)
-        mat = rdc_matrix(data, seed=seed, max_rows=rdc_sample)
+        cols = [c for c in enc.columns if c in meta.columns and c not in key_cols]
         start_cols = [
             i for i, c in enumerate(cols) if c in catalog[rel.start].columns
         ]
         end_cols = [i for i, c in enumerate(cols) if c in catalog[rel.end].columns]
-        cross = max(
+        if not start_cols or not end_cols:
+            out[rel.identifier] = 0.0
+            continue
+        pdf = enc.select(*cols).toPandas()
+        data = pdf.to_numpy(dtype=np.float64, na_value=np.nan)
+        mat = rdc_matrix(data, seed=seed, max_rows=rdc_sample)
+        out[rel.identifier] = max(
             (mat[i, j] for i in start_cols for j in end_cols), default=0.0
         )
-        scored.append((cross, rel))
+    return out
+
+
+def create_rdc_ensemble(
+    catalog: dict[str, DataFrame],
+    schema: SchemaGraph,
+    tables: list[str],
+    max_join_models: int = 2,
+    max_no_joins: int = 2,
+    rdc_sample: int = 5_000,
+    rdc_threshold: float = 0.3,
+    budget_factor: float = 2.0,
+    sample_budget: int = 100_000,
+    params: LearnParams | None = None,
+    seed: int = 42,
+) -> SPNEnsemble:
+    """Correlation-driven ensemble selection with join-subtree
+    enumeration (reference: ensemble_creation/rdc_based.py::
+    candidate_evaluation, D8).
+
+    1. Probe every FK edge among ``tables`` for cross-edge RDC
+       (score_fk_edges; non-key columns only).
+    2. Enumerate connected join subtrees up to ``max_no_joins`` edges
+       (reference ensemble_max_no_joins, so up to max_no_joins+1
+       tables). A subtree qualifies only if EVERY edge clears
+       ``rdc_threshold`` — a chain is worth modeling jointly exactly
+       when each link is correlated; its score is the mean edge RDC.
+    3. Greedily pick qualifying subtrees (score desc, larger table
+       sets first) while total join-model table slots stay within
+       ``budget_factor * len(tables)`` (reference
+       ensemble_budget_factor) and at most ``max_join_models`` are
+       chosen; table sets subsumed by an earlier pick are skipped.
+
+    Every table additionally gets a single-table model so all scopes
+    stay answerable (multi-SPN factorization covers the rest)."""
+    edge_score = score_fk_edges(catalog, schema, tables, rdc_sample, seed)
+    rels = {
+        r.identifier: r
+        for r in schema.relationships.values()
+        if r.start in tables and r.end in tables
+    }
+
+    def tables_of(sub: frozenset[str]) -> set[str]:
+        ts: set[str] = set()
+        for rid in sub:
+            ts |= {rels[rid].start, rels[rid].end}
+        return ts
+
+    subtrees: set[frozenset[str]] = {frozenset([rid]) for rid in rels}
+    frontier = list(subtrees)
+    for _ in range(max_no_joins - 1):
+        nxt = []
+        for sub in frontier:
+            ts = tables_of(sub)
+            for rid, r in rels.items():
+                if rid in sub or (r.start not in ts and r.end not in ts):
+                    continue
+                ns = sub | {rid}
+                if ns not in subtrees:
+                    subtrees.add(frozenset(ns))
+                    nxt.append(frozenset(ns))
+        frontier = nxt
+
+    qualifying = []
+    for sub in subtrees:
+        scores = [edge_score[rid] for rid in sub]
+        if min(scores) >= rdc_threshold:
+            ts = tables_of(sub)
+            qualifying.append(
+                (sum(scores) / len(scores), len(ts), tuple(sorted(ts)))
+            )
+    qualifying.sort(key=lambda t: (-t[0], -t[1], t[2]))
+
+    budget = budget_factor * len(tables)
+    chosen: list[set[str]] = []
+    for _score, nt, ts in qualifying:
+        if len(chosen) >= max_join_models:
+            break
+        ts = set(ts)
+        if any(ts <= c for c in chosen) or nt > budget:
+            continue
+        chosen.append(ts)
+        budget -= nt
 
     ens = SPNEnsemble(schema)
-    scored.sort(key=lambda t: -t[0])
-    for cross, rel in scored[:max_join_models]:
-        if cross >= rdc_threshold:
-            ens.add_model(
-                train_spn_model(
-                    catalog, schema, {rel.start, rel.end}, sample_budget, params, seed
-                )
-            )
+    for ts in chosen:
+        ens.add_model(
+            train_spn_model(catalog, schema, ts, sample_budget, params, seed)
+        )
     for t in tables:
         ens.add_model(train_spn_model(catalog, schema, {t}, sample_budget, params, seed))
     return ens

@@ -71,7 +71,12 @@ def _kmeans(
     rng = np.random.default_rng(seed)
     n = len(data)
     x, lo, hi = scale_minmax(data)
-    centers = x[rng.choice(n, size=min(k, n), replace=False)]
+    # init from DISTINCT points: two identical initial centers make
+    # Lloyd's collapse into one cluster, and the caller would then
+    # fall back to an independence product over a correlated slice
+    # (e.g. low-cardinality copies: only 2 distinct rows)
+    ux = np.unique(x, axis=0)
+    centers = ux[rng.choice(len(ux), size=min(k, len(ux)), replace=False)]
     labels = np.zeros(n, dtype=np.int64)
     for _ in range(iters):
         dists = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)

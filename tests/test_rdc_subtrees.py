@@ -1,0 +1,86 @@
+"""D8 join-subtree enumeration: a correlated 3-table chain gets a
+joint model and beats the independence estimate."""
+
+from __future__ import annotations
+
+import pytest
+
+from deepdb_public_spark.plans.query import Condition, Query
+from deepdb_public_spark.plans.schema import SchemaGraph, Table
+from deepdb_public_spark.spn.ensemble import (
+    SPNEnsemble,
+    create_rdc_ensemble,
+    score_fk_edges,
+)
+from deepdb_public_spark.spn.learn import LearnParams
+from deepdb_public_spark.spn.trainer import train_spn_model
+
+
+@pytest.fixture(scope="module")
+def chain(spark):
+    """a(aid, x) <- b(bid, b_aid, y) <- c(cid, c_bid, z) with x, y, z
+    perfectly correlated along the chain (y copies the parent's x,
+    z copies the parent's y)."""
+    a = [(i, float(i % 2)) for i in range(1000)]
+    b = [(2 * i + j, i, float(i % 2)) for i in range(1000) for j in (0, 1)]
+    c = [(2 * bid + j, bid, y) for bid, _aid, y in b for j in (0, 1)]
+    catalog = {
+        "a": spark.createDataFrame(a, "aid int, x double"),
+        "b": spark.createDataFrame(b, "bid int, b_aid int, y double"),
+        "c": spark.createDataFrame(c, "cid int, c_bid int, z double"),
+    }
+    g = SchemaGraph()
+    g.add_table(Table("a", ["aid"]))
+    g.add_table(Table("b", ["bid"]))
+    g.add_table(Table("c", ["cid"]))
+    g.add_relationship("b", "b_aid", "a", "aid")
+    g.add_relationship("c", "c_bid", "b", "bid")
+    return catalog, g
+
+
+def test_edge_probe_excludes_keys_and_finds_correlation(spark, chain):
+    catalog, g = chain
+    scores = score_fk_edges(catalog, g, ["a", "b", "c"], rdc_sample=2000)
+    assert scores["b.b_aid = a.aid"] > 0.6  # y copies x
+    assert scores["c.c_bid = b.bid"] > 0.6  # z copies y
+
+
+def test_correlated_chain_gets_joint_model_and_beats_independence(
+    spark, chain
+):
+    catalog, g = chain
+    params = LearnParams(min_instances_slice=200)
+    ens = create_rdc_ensemble(
+        catalog,
+        g,
+        ["a", "b", "c"],
+        max_join_models=2,
+        max_no_joins=2,
+        rdc_sample=2000,
+        sample_budget=20_000,
+        params=params,
+    )
+    joint = [m for m in ens.models if m.table_set == {"a", "b", "c"}]
+    assert joint, "3-table subtree was not selected"
+
+    q = Query(
+        table_set={"a", "b", "c"},
+        relationship_set={"b.b_aid = a.aid", "c.c_bid = b.bid"},
+        conditions=[
+            Condition("a", "x", "=", 1),
+            Condition("c", "z", "=", 1),
+        ],
+    )
+    true = 2000.0  # 500 a-rows with x=1 -> 1000 b -> 2000 c, all z=1
+    est_joint = ens.cardinality(q)
+
+    singles = SPNEnsemble(g)
+    for t in ("a", "b", "c"):
+        singles.add_model(train_spn_model(catalog, g, {t}, 20_000, params))
+    est_indep = singles.cardinality(q)  # factorized: assumes x ⊥ z
+
+    qerr_joint = max(est_joint / true, true / max(est_joint, 1e-9))
+    qerr_indep = max(est_indep / true, true / max(est_indep, 1e-9))
+    assert qerr_joint < 1.3
+    assert qerr_indep > 1.5  # x=1 implies z=1; independence halves it
+    assert qerr_joint < qerr_indep
