@@ -22,11 +22,89 @@ from ..operators.prep import encode_table, generate_join_sample
 from ..plans.schema import SchemaGraph
 from .learn import LearnParams, learn_spn
 from .model import SPNModel
-from .nodes import validate
+from .nodes import Sum, validate
 
 
 def _column_tables(schema_columns: dict[str, list[str]]) -> dict[str, str]:
     return {c: t for t, cols in schema_columns.items() for c in cols}
+
+
+def _mllib_top_split(
+    encoded: DataFrame,
+    model_cols: list[str],
+    sample_budget: int,
+    params: LearnParams,
+    seed: int,
+):
+    """Top-level Sum split with pyspark.ml KMeans (SURVEY §7.3 / D3
+    scale path): when one SPN's sample budget exceeds driver memory,
+    the FIRST row split runs data-parallel over the full encoded
+    relation; each cluster then fits in a bounded driver sample and
+    the numpy recursion continues underneath. Cluster centers are
+    stored in the same min-max-scaled space scale_minmax uses, so
+    incremental-insert routing (D5) works identically."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    stats = encoded.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in model_cols],
+        *[F.max(c).alias(f"hi_{c}") for c in model_cols],
+        *[F.avg(c).alias(f"mu_{c}") for c in model_cols],
+        F.count(F.lit(1)).alias("__n"),
+    ).collect()[0]
+    lo = np.array([float(stats[f"lo_{c}"] or 0.0) for c in model_cols])
+    hi = np.array([float(stats[f"hi_{c}"] or 0.0) for c in model_cols])
+    mu = [float(stats[f"mu_{c}"] or 0.0) for c in model_cols]
+    span = hi - lo
+
+    # mirror scale_minmax: (x - lo)/span when span > 0 else 0; NULL ->
+    # column mean (then scaled)
+    scaled = []
+    for j, c in enumerate(model_cols):
+        filled = F.coalesce(F.col(c).cast("double"), F.lit(mu[j]))
+        if span[j] > 0:
+            scaled.append((filled - F.lit(float(lo[j]))) / F.lit(float(span[j])))
+        else:
+            scaled.append(F.lit(0.0))
+    feat = encoded.withColumn("__f", array_to_vector(F.array(*scaled)))
+    km = KMeans(k=params.n_clusters, seed=seed, maxIter=20, featuresCol="__f")
+    kmodel = km.fit(feat)
+    assigned = kmodel.transform(feat).withColumnRenamed("prediction", "__c")
+    sizes = {
+        r["__c"]: r["cnt"]
+        for r in assigned.groupBy("__c").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    total = sum(sizes.values())
+    frac = min(1.0, sample_budget / max(total, 1))
+    children, weights, n_sampled = [], [], 0
+    centers = np.array(kmodel.clusterCenters())
+    kept_centers = []
+    for c in sorted(sizes):
+        part = (
+            assigned.filter(F.col("__c") == c)
+            .select(*model_cols)
+            .sample(fraction=frac, seed=seed)
+            .toPandas()
+        )
+        data = part.to_numpy(dtype=np.float64, na_value=np.nan)
+        if len(data) == 0:
+            continue
+        child = learn_spn(
+            data, list(range(len(model_cols))), params, _depth=1,
+            _last_was_rows=True,
+        )
+        children.append(child)
+        weights.append(sizes[c] / total)
+        kept_centers.append(centers[c])
+        n_sampled += len(data)
+    if len(children) == 1:
+        return children[0], n_sampled
+    wsum = sum(weights)
+    root = Sum([w / wsum for w in weights], children, np.array(kept_centers))
+    root.scale_lo, root.scale_hi = lo, hi
+    root.n_rows = n_sampled
+    return root, n_sampled
 
 
 def train_spn_model(
@@ -38,6 +116,7 @@ def train_spn_model(
     seed: int = 42,
     exclude_columns: set[str] | None = None,
     include_boundary_fanouts: bool = True,
+    driver_row_limit: int = 500_000,
 ) -> SPNModel:
     """Train one RSPN over the full-outer join of ``table_set``.
 
@@ -48,7 +127,19 @@ def train_spn_model(
     columns are what lets the ensemble factorize a query across
     models (B11): a model covering only the parent side of an edge can
     still weight parents by their child fanout. One groupBy+join per
-    boundary edge — cheap relative to the outer-join chain."""
+    boundary edge — cheap relative to the outer-join chain.
+
+    When ``sample_budget`` exceeds ``driver_row_limit``, the first
+    row split runs data-parallel in pyspark.ml KMeans and only
+    per-cluster samples reach the driver (_mllib_top_split, D3 scale
+    path).
+
+    C7 sample-rate bookkeeping: if any member table declares
+    ``Table.sample_rate < 1`` (the staged data is itself a row
+    sample), the observed join size is scaled by 1/prod(rates) so
+    COUNT/SUM estimates refer to the FULL data. Multiplier
+    histograms observed on sampled children are still the sampled
+    fanouts — an accepted approximation, as in the reference."""
     rel_ids = sorted(
         r.identifier
         for r in schema.relationships.values()
@@ -88,20 +179,35 @@ def train_spn_model(
     # stats/dictionaries AND the training sample — without it the
     # join re-executes per action (measurable at m01 scale)
     joined = joined.select(*keep).persist()
+    params = params or LearnParams()
     try:
-        full_join_size = joined.count()
+        observed_size = joined.count()
         encoded, meta = encode_table(joined, "+".join(sorted(table_set)))
         model_cols = [c for c in encoded.columns if c in meta.columns]
         encoded = encoded.select(*model_cols)
 
-        fraction = min(1.0, sample_budget / max(full_join_size, 1))
-        pdf = encoded.sample(fraction=fraction, seed=seed).toPandas()
-        data = pdf.to_numpy(dtype=np.float64, na_value=np.nan)
+        if sample_budget > driver_row_limit and observed_size > driver_row_limit:
+            root, n_sample = _mllib_top_split(
+                encoded, model_cols, sample_budget, params, seed
+            )
+        else:
+            fraction = min(1.0, sample_budget / max(observed_size, 1))
+            pdf = encoded.sample(fraction=fraction, seed=seed).toPandas()
+            data = pdf.to_numpy(dtype=np.float64, na_value=np.nan)
+            root = learn_spn(data, list(range(len(model_cols))), params)
+            n_sample = len(data)
     finally:
         joined.unpersist()
 
-    root = learn_spn(data, list(range(len(model_cols))), params or LearnParams())
     validate(root)
+
+    # C7: scale the observed (staged-sample) join size up to the full
+    # data. Independent per-table Bernoulli samples of rates r_t keep
+    # a joined tuple with probability prod(r_t).
+    rate = 1.0
+    for t in table_set:
+        rate *= schema.tables[t].sample_rate
+    full_join_size = observed_size / max(rate, 1e-12)
 
     column_table = {}
     for t in table_set:
@@ -117,7 +223,7 @@ def train_spn_model(
         meta=meta,
         column_table=column_table,
         root=root,
-        sample_size=len(data),
+        sample_size=n_sample,
         boundary_rels=boundary_rels,
     )
     return model
