@@ -51,6 +51,20 @@ _IR_QUERIES: dict[str, str] = {
     "q09_neq": (
         "SELECT COUNT(*) AS cnt FROM orders WHERE orders.o_orderstatus <> 'F'"
     ),
+    # A7 IR path: IS NOT NULL / IS NULL predicates through parser +
+    # Query IR + exact compiler (the fixture has no NULLs in base
+    # columns, so the counts are full/zero — the entry still walks
+    # the NULL-predicate code path on both planes and oracle-compares
+    # exactly; outer-join NULL semantics are covered by q17)
+    "q24_ir_notnull": (
+        "SELECT COUNT(*) AS cnt FROM orders "
+        "WHERE orders.o_orderpriority IS NOT NULL "
+        "AND orders.o_totalprice > 150000"
+    ),
+    "q25_ir_isnull": (
+        "SELECT COUNT(*) AS cnt FROM lineitem "
+        "WHERE lineitem.l_returnflag IS NULL"
+    ),
     # A4 + A6 + A15: 4-way join, range + IN predicates
     "q18_join4_card": (
         "SELECT COUNT(*) AS cnt FROM part, lineitem, orders, customer "
