@@ -410,49 +410,48 @@ class SPNModel:
     def confidence_interval(
         self, query: Query, confidence: float = 0.95
     ) -> list[dict]:
-        """CLT-style confidence intervals for COUNT/SUM/AVG
-        (reference: aqp_spn.py variance methods + spn_ensemble.py CI
-        assembly). Simplification vs the reference: variance is taken
-        at the whole-factor level from the training-sample size n —
-        per-tuple indicator variance p(1-p)/n for COUNT, and
-        (E[x^2 1] - E[x 1]^2)/n for SUM — rather than propagated per
-        Sum-node weight; same asymptotics, fewer moving parts. AVG
-        uses the delta method on the SUM/COUNT ratio."""
+        """Confidence intervals for COUNT/SUM/AVG with PER-NODE
+        variance propagation (reference B10: aqp_spn.py variance
+        methods + spn_ensemble.py CI assembly): each leaf contributes
+        the sampling variance of its fitted estimate over its own
+        training count, products combine independent factors, sum
+        nodes add multinomial weight uncertainty
+        (nodes.evaluate_with_variance). AVG uses the delta method on
+        the SUM/COUNT ratio, treating numerator and denominator as
+        independent (their covariance is dropped, as in the
+        reference)."""
         z = {0.9: 1.645, 0.95: 1.96, 0.99: 2.576}.get(round(confidence, 2), 1.96)
+        from .nodes import evaluate_with_variance
+
         cond = self.conditions_to_ranges(query)
         extra, features = self.correction_factors(query)
         cond.update(extra)
-        n = max(self.sample_size, 1)
         N = self.full_join_size
-        p = self._eval(cond, features)
+        p, var_p = evaluate_with_variance(self.root, cond, features)
         out = []
         for op in query.aggregations:
             if op.op_type is not AggregationOperationType.AGGREGATION:
                 continue
             if op.agg_type is AggregationType.COUNT:
                 est = N * p
-                half = z * N * float(np.sqrt(max(p * (1 - p), 0.0) / n))
+                half = z * N * float(np.sqrt(max(var_p, 0.0)))
                 out.append(
                     {"agg": op.alias or "count", "est": est,
                      "lo": max(est - half, 0.0), "hi": est + half}
                 )
                 continue
             feats1 = dict(features)
-            feats2 = dict(features)
             for _t, c in op.operands:
-                i = self._col_index(c)
-                feats1[i] = _identity
-                feats2[i] = _square
-            ex = self._eval(cond, feats1)  # E[x 1]
-            ex2 = self._eval(cond, feats2)  # E[x^2 1]
-            var = max(ex2 - ex * ex, 0.0)
+                feats1[self._col_index(c)] = _identity
+            ex, var_ex = evaluate_with_variance(self.root, cond, feats1)
             if op.agg_type is AggregationType.SUM:
                 est = N * ex
-                half = z * N * float(np.sqrt(var / n))
-            else:  # AVG = E[x1]/E[1]: delta-method std
+                half = z * N * float(np.sqrt(max(var_ex, 0.0)))
+            else:  # AVG = E[x1]/E[1]: delta method on the ratio
                 est = ex / p if p > 0 else float("nan")
-                g = var / max(p, 1e-12) ** 2 + (ex * ex) * (1 - p) / max(p, 1e-12) ** 3
-                half = z * float(np.sqrt(max(g, 0.0) / n))
+                p2 = max(p, 1e-12)
+                g = var_ex / (p2 * p2) + (ex * ex) * var_p / (p2**4)
+                half = z * float(np.sqrt(max(g, 0.0)))
             out.append(
                 {"agg": op.alias or op.agg_type.name.lower(), "est": est,
                  "lo": est - half, "hi": est + half}

@@ -132,6 +132,55 @@ def evaluate_groupby(
     return np.broadcast_to(rec(node), full_shape).copy()
 
 
+def evaluate_with_variance(
+    node: Node,
+    cond: dict[int, Range],
+    features: dict[int, object] | None = None,
+) -> tuple[float, float]:
+    """(estimate, sampling variance) of E[prod fn_j(x) * 1(conds)],
+    with the variance PROPAGATED per node (reference B10: aqp_spn.py
+    variance methods) instead of the round-1 whole-factor CLT:
+
+    - Leaf: moment-based variance of the fitted estimate over the
+      leaf's own training count — p(1-p)/n for indicators,
+      (E[f^2 1] - E[f 1]^2)/n for expectations.
+    - Product: independent factors, Var(XY) = VxVy + VxEy^2 + VyEx^2.
+    - Sum: mixture of child estimates plus multinomial weight
+      uncertainty, Var = sum(w_c^2 Vc + Ec^2 w_c(1-w_c)/n)
+      (weight covariances dropped, as in the reference).
+    """
+    features = features or {}
+
+    def rec(n: Node) -> tuple[float, float]:
+        if isinstance(n, Leaf):
+            cnt = max(float(getattr(n, "n_rows", 1)), 1.0)
+            col = n.scope[0]
+            rng = cond.get(col)
+            fn = features.get(col)
+            if fn is None:
+                p = n.prob(rng)
+                return p, p * (1.0 - p) / cnt
+            e1 = n.expect(fn, rng)
+            e2 = n.expect(lambda x: fn(x) ** 2, rng)
+            return e1, max(e2 - e1 * e1, 0.0) / cnt
+        if isinstance(n, Product):
+            e, v = 1.0, 0.0
+            for ch in n.children:
+                ce, cv = rec(ch)
+                v = v * cv + v * ce * ce + cv * e * e
+                e = e * ce
+            return e, v
+        cnt = max(float(getattr(n, "n_rows", 1)), 1.0)  # Sum
+        e, v = 0.0, 0.0
+        for w, ch in zip(n.weights, n.children):
+            ce, cv = rec(ch)
+            e += w * ce
+            v += w * w * cv + ce * ce * w * (1.0 - w) / cnt
+        return e, v
+
+    return rec(node)
+
+
 def iter_leaves(node: Node):
     if isinstance(node, Leaf):
         yield node
