@@ -315,6 +315,52 @@ def _x_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dup_pairs_from_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star pairs (group representative, member) from the exact
+    duplicate groups — enough edges to connect each cluster."""
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.operators.dedup import exact_duplicate_groups
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    groups = exact_duplicate_groups(docs, "text", "doc_id")
+    return groups.select(
+        F.col("doc_ids")[0].alias("id_a"),
+        F.explode(F.slice(F.col("doc_ids"), 2, 1_000_000)).alias("id_b"),
+    )
+
+
+def _x_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact near-dup (Jaccard >= 0.8)
+    pairs: every involved doc labeled with the MIN doc_id of its
+    component — oracle-checked against a DuckDB recursive-CTE
+    transitive closure."""
+    from deepdb_public_spark.operators.dedup import (
+        duplicate_clusters,
+        jaccard_pairs_exact,
+    )
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    pairs = jaccard_pairs_exact(
+        docs, "text", "doc_id", threshold=0.8, use_char_ngrams=True, ngram=5
+    ).select("id_a", "id_b")
+    return duplicate_clusters(pairs).orderBy("id")
+
+
+def _x_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup: keep one representative per duplicate
+    cluster; the surviving row count equals COUNT(DISTINCT
+    fingerprint)."""
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.operators.dedup import deduplicate_corpus
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    pairs = _dup_pairs_from_groups(spark, sf_dir)
+    kept = deduplicate_corpus(docs, "doc_id", pairs)
+    return kept.agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 def _x_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepdb_public_spark.operators.textstats import quality_score
 
@@ -580,6 +626,79 @@ def _m_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _m_aqp_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-plane grouped AQP (reference B9/B12 + batch B8): grouped
+    COUNT/SUM/AVG answered from the RSPN without touching data, next
+    to the exact answers with relative errors. Rows-only
+    (tests/test_spn.py enforces the error budgets)."""
+    eng = _engine(spark, sf_dir)
+    _ensure_models(eng, [({"lineitem"}, 60_000)])
+    sql = (
+        "SELECT lineitem.l_returnflag, COUNT(*) AS cnt, "
+        "SUM(lineitem.l_quantity) AS sq, AVG(lineitem.l_extendedprice) AS ap "
+        "FROM lineitem WHERE lineitem.l_discount <= 0.06 "
+        "GROUP BY lineitem.l_returnflag"
+    )
+    q = eng.parse(sql)
+    est_rows = {r["l_returnflag"]: r for r in eng.ensemble.aqp(q)}
+    exact = {
+        r["l_returnflag"]: r
+        for r in eng.query(q).collect()
+    }
+    out = []
+    for key in sorted(exact):
+        e, t = est_rows.get(key), exact[key]
+        out.append(
+            (
+                key,
+                float(e["cnt"]) if e else None,
+                int(t["cnt"]),
+                abs(e["cnt"] - t["cnt"]) / max(t["cnt"], 1) if e else None,
+                abs(e["sq"] - t["sq"]) / max(abs(t["sq"]), 1e-9) if e else None,
+                abs(e["ap"] - t["ap"]) / max(abs(t["ap"]), 1e-9) if e else None,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "grp string, est_cnt double, true_cnt long, "
+        "rel_err_cnt double, rel_err_sum double, rel_err_avg double",
+    )
+
+
+def _m_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confidence intervals (reference B10, per-node variance
+    propagation): est/lo/hi next to the true value and a hit flag —
+    self-validating. Rows-only."""
+    eng = _engine(spark, sf_dir)
+    _ensure_models(eng, [({"lineitem"}, 60_000)])
+    model = next(m for m in eng.ensemble.models if m.table_set == {"lineitem"})
+    cases = [
+        ("SELECT COUNT(*) AS c FROM lineitem WHERE lineitem.l_quantity < 25", "c"),
+        (
+            "SELECT SUM(lineitem.l_extendedprice) AS s FROM lineitem "
+            "WHERE lineitem.l_discount <= 0.05",
+            "s",
+        ),
+        (
+            "SELECT AVG(lineitem.l_quantity) AS a FROM lineitem "
+            "WHERE lineitem.l_returnflag = 'A'",
+            "a",
+        ),
+    ]
+    out = []
+    for sql, alias in cases:
+        q = eng.parse(sql)
+        (ci,) = model.confidence_interval(q, confidence=0.99)
+        true = float(eng.query(q).collect()[0][0])
+        out.append(
+            (sql, float(ci["est"]), float(ci["lo"]), float(ci["hi"]), true,
+             bool(ci["lo"] <= true <= ci["hi"]))
+        )
+    return spark.createDataFrame(
+        out, "query string, est double, lo double, hi double, true_val double, hit boolean"
+    )
+
+
 def _x_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch surface (Spark-native analogue of the checklist's
     approx_count_distinct row): HLL estimate next to the exact count
@@ -600,6 +719,8 @@ _PREP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "m01_spn_qerrors": (_m_spn_qerrors, None),
     "m02_incremental_insert": (_m_incremental, None),
     "m03_multi_spn": (_m_multi_spn, None),
+    "m04_aqp_groupby": (_m_aqp_groupby, None),
+    "m05_confidence_intervals": (_m_confidence, None),
     "x19_sketch_distinct": (_x_sketch, None),
     "p01_encode_dict": (
         _p_encode_dict,
@@ -825,6 +946,32 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
         """,
     ),
     "x17_media_features": (_x_media_features, None),
+    "x20_dup_clusters": (
+        _x_dup_clusters,
+        f"""
+        WITH RECURSIVE ws AS (SELECT doc_id, {_CHAR_NGRAM_DUCK} AS w FROM documents),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
+        ),
+        edges AS (SELECT id_a AS s, id_b AS t FROM p UNION SELECT id_b, id_a FROM p),
+        reach AS (
+          SELECT s, t FROM edges
+          UNION
+          SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s WHERE e.t <> r.s
+        )
+        SELECT s AS id, LEAST(s, MIN(t)) AS cluster FROM reach GROUP BY s ORDER BY id
+        """,
+    ),
+    "x21_dedup_corpus_count": (
+        _x_dedup_corpus,
+        """
+        SELECT COUNT(DISTINCT md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS n_kept
+        FROM documents
+        """,
+    ),
     "x18_asof_join": (
         lambda spark, sf_dir: _x_asof_join(spark, sf_dir),
         """

@@ -115,6 +115,76 @@ def capped_bucket_pairs(
     return pairs_small.unionByName(pairs_big).distinct()
 
 
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components over near-duplicate pairs: (id, cluster)
+    with cluster = MIN id in the component — the step that turns
+    pairwise dedup output into deletable groups.
+
+    Min-label propagation: every round each vertex takes the minimum
+    label among itself and its neighbors (two shuffles per round:
+    edge-join + groupBy-min). Converges in O(component diameter)
+    rounds — near-dup graphs are star/clique-like, so typically 2-3.
+    The driver-side loop runs one count per round to detect the
+    fixpoint, persisting the current labels and releasing the
+    previous round (the standard shape for iterative Spark
+    algorithms; GraphX/GraphFrames are JVM/Scala surface we avoid).
+    """
+    ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = ids.withColumn("cluster", F.col("id")).persist()
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                edges.join(labels.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("cluster").alias("nmin"))
+            )
+            stepped = labels.join(nbr, "id", "left").select(
+                "id",
+                F.col("cluster").alias("old"),
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            stepped = stepped.persist()
+            changed = stepped.filter(F.col("old") != F.col("cluster")).count()
+            new_labels = stepped.select("id", "cluster").persist()
+            new_labels.count()  # materialize BEFORE releasing lineage
+            labels.unpersist()
+            stepped.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        _CACHED.append(labels)  # released via release_cached()
+        return labels
+    finally:
+        edges.unpersist()
+
+
+def deduplicate_corpus(
+    df: DataFrame, id_col: str, pairs: DataFrame
+) -> DataFrame:
+    """Drop every duplicate except each cluster's representative
+    (MIN id): the end-to-end dedup a training-data pipeline applies
+    after pair generation. Rows never mentioned in ``pairs`` pass
+    through."""
+    clusters = duplicate_clusters(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster")).select("id")
+    return df.join(
+        losers, df[id_col] == losers["id"], "left_anti"
+    )
+
+
 def exact_duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Groups of byte-identical (normalized) documents:
     (fingerprint, n_docs, doc_ids). One shuffle on the md5 key."""
@@ -138,6 +208,7 @@ def jaccard_pairs_exact(
     threshold: float = 0.6,
     use_char_ngrams: bool = False,
     ngram: int = 5,
+    frequency_order: bool = False,
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs >= threshold via prefix filtering
     (PPJoin-style). Columns: id_a < id_b, jaccard.
@@ -145,15 +216,23 @@ def jaccard_pairs_exact(
     Scale story: a naive cross join is O(N²) array intersections and
     dies at corpus scale. Prefix filtering is exact with no cross
     join: two sets with Jaccard >= t MUST share a shingle within the
-    first (|s| - ceil(t*|s|) + 1) shingles when every document orders
-    its shingles by ascending global frequency — so candidates come
-    from an inverted-index self-join on those rare prefix shingles
-    only, then get verified with one exact intersection each. Shuffles:
-    explode+groupBy (frequencies), one window per doc (rank), one
-    equi-join on prefix shingles, one verify join.
-    """
-    from pyspark.sql.window import Window
+    first (|s| - ceil(t*|s|) + 1) shingles under ANY consistent
+    global shingle order — candidates come from an inverted-index
+    self-join on prefix shingles only, then one exact intersection
+    each verifies.
 
+    Default order = the shingle's own 64-bit hash: the prefix is
+    array_sort + slice PER ROW, so the whole plan is one explode of
+    prefix shingles + one equi-join + one verify join (no global
+    frequency pass). ``frequency_order=True`` switches to the classic
+    ascending-global-frequency order, which can shrink inverted lists
+    on some corpora at the cost of a corpus-wide groupBy + per-doc
+    window. Both paths apply the PPJoin POSITIONAL filter before
+    verification: a match at prefix positions (px, py) bounds the
+    possible overlap by 1 + min(|x|-px, |y|-py), which must reach
+    ceil(t/(1+t)·(|x|+|y|)) — on self-similar corpora this prunes
+    the candidate set severalfold before the expensive intersections.
+    """
     shingle = (
         char_ngrams(F.col(text_col), ngram)
         if use_char_ngrams
@@ -166,19 +245,42 @@ def jaccard_pairs_exact(
     # persist: without a materialization barrier Catalyst collapses the
     # projection into downstream joins and recomputes shingle arrays
     # per use instead of once per row
-    hashed = F.array_distinct(F.transform(shingle, lambda t: F.xxhash64(t)))
-    s = _persist(df.select(F.col(id_col).alias("id"), hashed.alias("sh")))
-    tok = s.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("t"))
-    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
-    w = Window.partitionBy("id").orderBy(F.asc("f"), F.asc("t"))
-    prefix = (
-        tok.join(freq, "t")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-        .select("id", "sz", "t")
+    hashed = F.array_sort(
+        F.array_distinct(F.transform(shingle, lambda t: F.xxhash64(t)))
     )
-    # length filter: |a| >= t*|b| is necessary for Jaccard >= t —
-    # prunes candidates before the expensive verification
+    s = _persist(df.select(F.col(id_col).alias("id"), hashed.alias("sh")))
+    plen = F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh")) + 1
+    if frequency_order:
+        from pyspark.sql.window import Window
+
+        tok = s.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("t"))
+        freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
+        w = Window.partitionBy("id").orderBy(F.asc("f"), F.asc("t"))
+        prefix = (
+            tok.join(freq, "t")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(
+                F.col("rn")
+                <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+            )
+            .select("id", "sz", "t", "rn")
+        )
+    else:
+        prefix = s.select(
+            "id",
+            F.size("sh").alias("sz"),
+            F.posexplode(F.slice(F.col("sh"), F.lit(1), plen.cast("int"))),
+        ).select(
+            "id", "sz", F.col("col").alias("t"), (F.col("pos") + 1).alias("rn")
+        )
+    # length filter (|a| >= t*|b| is necessary for Jaccard >= t) and
+    # PPJoin positional filter prune before the expensive verification
+    required = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("x.sz") + F.col("y.sz"))
+    )
+    overlap_bound = 1 + F.least(
+        F.col("x.sz") - F.col("x.rn"), F.col("y.sz") - F.col("y.rn")
+    )
     cand = (
         prefix.alias("x")
         .join(prefix.alias("y"), "t")
@@ -186,6 +288,7 @@ def jaccard_pairs_exact(
             (F.col("x.id") < F.col("y.id"))
             & (F.col("x.sz") >= F.lit(threshold) * F.col("y.sz"))
             & (F.col("y.sz") >= F.lit(threshold) * F.col("x.sz"))
+            & (overlap_bound >= required)
         )
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()

@@ -104,24 +104,36 @@ def encode_table(
 
     spark = df.sparkSession
     for col in string_cols:
-        distinct = df.select(col).filter(F.col(col).isNotNull()).distinct()
-        # distributed dense codes: global sort, then zipWithIndex
-        # assigns contiguous ranks with one extra count job — scales
-        # to arbitrary domains where a rank window would single-thread
-        indexed = distinct.sort(F.col(col)).rdd.map(lambda r: r[0]).zipWithIndex()
-        mapping = spark.createDataFrame(
-            indexed,
-            StructType(
-                [StructField(col, StringType()), StructField("__code", LongType())]
-            ),
+        distinct = (
+            df.select(col).filter(F.col(col).isNotNull()).distinct().persist()
         )
         n_distinct = distinct.count()
         value_to_code = None
-        join_side = mapping
         if n_distinct <= max_dict_size:
-            rows = mapping.collect()
-            value_to_code = {r[col]: r["__code"] for r in rows}
+            # small domain: one sorted collect, codes assigned driver-
+            # side, broadcast mapping join (no RDD jobs)
+            vals = [r[col] for r in distinct.sort(F.col(col)).collect()]
+            value_to_code = {v: i for i, v in enumerate(vals)}
+            mapping = spark.createDataFrame(
+                list(value_to_code.items()),
+                StructType(
+                    [StructField(col, StringType()), StructField("__code", LongType())]
+                ),
+            )
             join_side = F.broadcast(mapping)
+        else:
+            # distributed dense codes: global sort, then zipWithIndex
+            # assigns contiguous ranks with one extra count job —
+            # scales to arbitrary domains where a rank window would
+            # single-thread
+            indexed = distinct.sort(F.col(col)).rdd.map(lambda r: r[0]).zipWithIndex()
+            join_side = spark.createDataFrame(
+                indexed,
+                StructType(
+                    [StructField(col, StringType()), StructField("__code", LongType())]
+                ),
+            )
+        distinct.unpersist()
         out = (
             out.join(join_side, on=col, how="left")
             .drop(col)
@@ -200,6 +212,41 @@ def functional_dependencies(
             if maxes[b] == 1:
                 out.append((a, b))
     return out
+
+
+def stage_sampled_tables(
+    catalog: dict[str, DataFrame],
+    schema: SchemaGraph,
+    out_dir: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+) -> tuple[dict[str, DataFrame], SchemaGraph]:
+    """Sampled staging (reference C6: JoinDataPreparator sampled HDF5
+    staging + C7 sample-rate bookkeeping): write a seeded row sample
+    of each table to parquet and return a catalog over the staged
+    files plus a schema whose ``Table.sample_rate`` records the
+    ACHIEVED rate (staged_rows / source_rows, not the requested
+    fraction — Bernoulli sampling drifts). Training on the staged
+    catalog with this schema produces models whose COUNT/SUM
+    estimates refer to the FULL data (trainer consumes sample_rate).
+    """
+    import copy as _copy
+
+    staged_schema = _copy.deepcopy(schema)
+    staged: dict[str, DataFrame] = {}
+    spark = next(iter(catalog.values())).sparkSession
+    for name, df in catalog.items():
+        frac = fractions.get(name, 1.0)
+        path = f"{out_dir}/{name}.parquet"
+        sample = df.sample(fraction=frac, seed=seed) if frac < 1.0 else df
+        sample.write.mode("overwrite").parquet(path)
+        staged[name] = spark.read.parquet(path)
+        if name in staged_schema.tables and frac < 1.0:
+            n_src = df.count()
+            staged_schema.tables[name].sample_rate = (
+                staged[name].count() / max(n_src, 1)
+            )
+    return staged, staged_schema
 
 
 def fanout_multiplier(

@@ -87,6 +87,11 @@ class SPNModel:
     # their mul_/nn_ columns are in scope and let the ensemble expand
     # a factorized estimate across this model (B11)
     boundary_rels: list[Relationship] = field(default_factory=list)
+    # C3: FD-dropped columns — dropped_col -> (determinant_col,
+    # {dropped_value: [determinant raw values]}). Conditions on a
+    # dropped column rewrite to a determinant range (reference:
+    # prepare_single_tables.py fd_dict).
+    fd_maps: dict = field(default_factory=dict)
     # factor cache (B13, reference: IndicatorExpectation.__hash__ +
     # memoization in spn_ensemble.py): repeated expectation factors —
     # factorization denominators, workload re-runs — hit the cache
@@ -168,13 +173,41 @@ class SPNModel:
             return NumericRange([(v, np.inf, True, True)])
         raise ValueError(f"unsupported condition op {cond.op}")
 
+    def _fd_rewrite(self, cond: Condition) -> tuple[int, Range]:
+        """Rewrite a condition on an FD-dropped column into a range on
+        its determinant (C3): admitted dropped-values map to the union
+        of their determinant codes."""
+        det, mapping = self.fd_maps[cond.column]
+        if cond.op == "=":
+            admitted = [cond.value] if cond.value in mapping else []
+        elif cond.op == "IN":
+            admitted = [v for v in cond.value if v in mapping]
+        elif cond.op == "<>":
+            admitted = [v for v in mapping if v != cond.value]
+        elif cond.op == "IS_NOT_NULL":
+            admitted = [v for v in mapping if v is not None]
+        else:
+            raise ValueError(
+                f"unsupported op {cond.op!r} on FD-dropped column {cond.column}"
+            )
+        codes = []
+        for b in admitted:
+            for a in mapping[b]:
+                c = self._literal(det, a)
+                if c is not None:
+                    codes.append(c)
+        return self._col_index(det), NominalRange(sorted(set(codes)))
+
     def conditions_to_ranges(self, query: Query) -> dict[int, Range]:
         out: dict[int, Range] = {}
         for cond in query.conditions:
             if cond.table not in self.table_set:
                 raise ValueError(f"{cond.table} outside model scope")
-            i = self._col_index(cond.column)
-            rng = self._condition_to_range(cond)
+            if cond.column in self.fd_maps:
+                i, rng = self._fd_rewrite(cond)
+            else:
+                i = self._col_index(cond.column)
+                rng = self._condition_to_range(cond)
             # two conjuncts on one column intersect (x>=10 AND x<20)
             out[i] = intersect_ranges(out[i], rng) if i in out else rng
         return out

@@ -117,6 +117,8 @@ def train_spn_model(
     exclude_columns: set[str] | None = None,
     include_boundary_fanouts: bool = True,
     driver_row_limit: int = 500_000,
+    use_functional_dependencies: bool = False,
+    fd_domain_cap: int = 10_000,
 ) -> SPNModel:
     """Train one RSPN over the full-outer join of ``table_set``.
 
@@ -139,7 +141,15 @@ def train_spn_model(
     sample), the observed join size is scaled by 1/prod(rates) so
     COUNT/SUM estimates refer to the FULL data. Multiplier
     histograms observed on sampled children are still the sampled
-    fanouts — an accepted approximation, as in the reference."""
+    fanouts — an accepted approximation, as in the reference.
+
+    C3: with ``use_functional_dependencies``, exact FDs a -> b among
+    each member table's string columns drop the implied column b from
+    the model scope (smaller SPNs, same answers); the b -> {a values}
+    mapping (bounded by ``fd_domain_cap`` determinant values) is kept
+    on the model so conditions on b rewrite to determinant ranges
+    (reference: prepare_single_tables.py fd_dict +
+    hierarchy translation at estimate time)."""
     rel_ids = sorted(
         r.identifier
         for r in schema.relationships.values()
@@ -174,6 +184,33 @@ def train_spn_model(
         for r in schema.relationships.values():
             if r.start == t:
                 exclude.add(r.start_attr)
+    fd_maps: dict[str, tuple[str, dict]] = {}
+    if use_functional_dependencies:
+        from ..operators.prep import functional_dependencies
+
+        for t in sorted(table_set):
+            base = catalog[t]
+            cand = [
+                f.name
+                for f in base.schema.fields
+                if f.dataType.typeName() == "string" and f.name not in exclude
+            ]
+            if len(cand) < 2:
+                continue
+            for a, b in functional_dependencies(base, cand):
+                # drop b (implied); keep determinants un-dropped and
+                # one determinant per dropped column
+                if b in fd_maps or a in fd_maps:
+                    continue
+                pairs = base.select(a, b).distinct().limit(fd_domain_cap + 1).collect()
+                if len(pairs) > fd_domain_cap:
+                    continue
+                mapping: dict = {}
+                for r in pairs:
+                    mapping.setdefault(r[b], []).append(r[a])
+                fd_maps[b] = (a, mapping)
+        exclude |= set(fd_maps)
+
     keep = [c for c in joined.columns if c not in exclude]
     # persist: the outer-join chain feeds the row count, the encoding
     # stats/dictionaries AND the training sample — without it the
@@ -225,5 +262,6 @@ def train_spn_model(
         root=root,
         sample_size=n_sample,
         boundary_rels=boundary_rels,
+        fd_maps=fd_maps,
     )
     return model
