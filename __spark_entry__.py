@@ -335,12 +335,20 @@ def _x_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs: every involved doc labeled with the MIN doc_id of its
     component — oracle-checked against a DuckDB recursive-CTE
     transitive closure."""
+    from pyspark.sql import functions as F
+
     from deepdb_public_spark.operators.dedup import (
         duplicate_clusters,
         jaccard_pairs_exact,
     )
 
-    docs = _engine(spark, sf_dir).catalog["documents"]
+    # deterministic slice: the pair generation is already benchmarked
+    # by x05 at full scale — this entry measures the clustering step
+    docs = (
+        _engine(spark, sf_dir)
+        .catalog["documents"]
+        .filter(F.col("doc_id") < 1000)
+    )
     pairs = jaccard_pairs_exact(
         docs, "text", "doc_id", threshold=0.8, use_char_ngrams=True, ngram=5
     ).select("id_a", "id_b")
@@ -949,7 +957,8 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "x20_dup_clusters": (
         _x_dup_clusters,
         f"""
-        WITH RECURSIVE ws AS (SELECT doc_id, {_CHAR_NGRAM_DUCK} AS w FROM documents),
+        WITH RECURSIVE ws AS (SELECT doc_id, {_CHAR_NGRAM_DUCK} AS w FROM documents
+                              WHERE doc_id < 1000),
         p AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b
           FROM ws a JOIN ws b ON a.doc_id < b.doc_id

@@ -143,6 +143,70 @@ def lsh_topk(
     )
 
 
+def knn_join_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    vec_col: str,
+    left_id: str,
+    right_id: str,
+    k: int = 5,
+    n_planes: int = 6,
+    multiprobe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Bucketed kNN join — the scale path for ``knn_join`` (which
+    stays as its correctness oracle). Both sides are hashed with the
+    SAME random hyperplanes; each left row probes its own bucket plus
+    every bucket within ``multiprobe_hamming`` bit flips, joins only
+    those right rows, and reranks exactly (cosine) with a per-left
+    top-k window. Work is linear in (left x probed-bucket occupancy)
+    instead of |left| x |right|; recall follows the LSH S-curve and
+    rises with n_planes/multiprobe (recall-tested vs the exact join).
+    """
+    from itertools import combinations
+
+    from pyspark.sql.window import Window
+
+    rng = np.random.default_rng(seed)
+    dim = len(left.select(vec_col).first()[vec_col])
+    planes = rng.standard_normal((n_planes, dim)).tolist()
+
+    flips = [0]
+    for r in range(1, multiprobe_hamming + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            flips.append(m)
+
+    lbl = left.select(
+        F.col(left_id).alias("lid"),
+        F.col(vec_col).alias("lv"),
+        hyperplane_sign_bits(F.col(vec_col), planes).alias("lb"),
+    )
+    probed = lbl.select(
+        "lid",
+        "lv",
+        F.explode(
+            F.array(*[F.col("lb").bitwiseXOR(F.lit(m)) for m in flips])
+        ).alias("bucket"),
+    )
+    rbl = right.select(
+        F.col(right_id).alias("rid"),
+        F.col(vec_col).alias("rv"),
+        hyperplane_sign_bits(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = probed.join(rbl, "bucket").select(
+        "lid", "rid", cosine(F.col("lv"), F.col("rv")).alias("cos")
+    )
+    w = Window.partitionBy("lid").orderBy(F.desc("cos"), F.asc("rid"))
+    return (
+        scored.dropDuplicates(["lid", "rid"])
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,

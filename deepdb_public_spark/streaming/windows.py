@@ -115,16 +115,46 @@ def stream_events(
     return stream.withWatermark("ts", watermark)
 
 
-def run_streaming_batch(stream_df: DataFrame, transform, query_name: str) -> DataFrame:
-    """Execute a windowed transform on a stream with trigger
-    availableNow (process-everything-then-stop), landing in a memory
-    sink; returns the sink contents as a DataFrame. Proves the
-    transform is streaming-legal (stateful agg + watermark)."""
+def streaming_dedup(
+    stream_df: DataFrame,
+    subset: list[str],
+    watermark_col: str = "ts",
+    delay: str | None = None,
+) -> DataFrame:
+    """Exact streaming dedup: keep the first row per ``subset`` key
+    within the watermark horizon (dropDuplicatesWithinWatermark).
+    The unbounded-stream analogue of the batch fingerprint dedup —
+    state is bounded by the horizon, not the stream length, which is
+    the only dedup contract that survives an infinite stream.
+
+    ``delay=None`` uses the stream's EXISTING watermark
+    (stream_events sets one; Spark forbids redefining it); pass a
+    delay only for raw streams without one."""
+    out = (
+        stream_df
+        if delay is None
+        else stream_df.withWatermark(watermark_col, delay)
+    )
+    return out.dropDuplicatesWithinWatermark(subset)
+
+
+def run_streaming_batch(
+    stream_df: DataFrame,
+    transform,
+    query_name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Execute a transform on a stream with trigger availableNow
+    (process-everything-then-stop), landing in a memory sink; returns
+    the sink contents as a DataFrame. Proves the transform is
+    streaming-legal (stateful agg + watermark). ``output_mode`` is
+    'complete' for aggregations, 'append' for row-wise operators
+    (dedup, filters)."""
     q = (
         transform(stream_df)
         .writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
