@@ -232,6 +232,14 @@ def jaccard_pairs_exact(
     possible overlap by 1 + min(|x|-px, |y|-py), which must reach
     ceil(t/(1+t)·(|x|+|y|)) — on self-similar corpora this prunes
     the candidate set severalfold before the expensive intersections.
+
+    Before any pairing, documents with IDENTICAL shingle sets are
+    collapsed to one representative (groupBy on the hashed set — one
+    shuffle, strictly reduces the join input on any corpus): the
+    pipeline pairs representatives only, then expands back to doc
+    pairs — intra-group pairs have Jaccard exactly 1. On dup-heavy
+    corpora this removes the dominant share of the inverted-index
+    join.
     """
     shingle = (
         char_ngrams(F.col(text_col), ngram)
@@ -248,7 +256,12 @@ def jaccard_pairs_exact(
     hashed = F.array_sort(
         F.array_distinct(F.transform(shingle, lambda t: F.xxhash64(t)))
     )
-    s = _persist(df.select(F.col(id_col).alias("id"), hashed.alias("sh")))
+    docs = df.select(F.col(id_col).alias("id"), hashed.alias("sh"))
+    # collapse identical shingle sets: representatives carry the group
+    groups = _persist(
+        docs.groupBy("sh").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    )
+    s = groups.select(F.col("ids")[0].alias("id"), "sh")
     plen = F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh")) + 1
     if frequency_order:
         from pyspark.sql.window import Window
@@ -294,7 +307,7 @@ def jaccard_pairs_exact(
         .distinct()
     )
     sh = s
-    return (
+    rep_pairs = (
         cand.join(
             sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
         )
@@ -302,6 +315,37 @@ def jaccard_pairs_exact(
         .select("id_a", "id_b", _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    # expand representative pairs back to doc pairs...
+    ga = groups.select(F.col("ids")[0].alias("id_a"), F.col("ids").alias("ids_a"))
+    gb = groups.select(F.col("ids")[0].alias("id_b"), F.col("ids").alias("ids_b"))
+    cross = (
+        rep_pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            F.explode("ids_a").alias("ea"), F.col("ids_b").alias("ids_b"), "jaccard"
+        )
+        .select(
+            "ea", F.explode("ids_b").alias("eb"), "jaccard"
+        )
+        .select(
+            F.least("ea", "eb").alias("id_a"),
+            F.greatest("ea", "eb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # ...and add intra-group pairs (identical sets: Jaccard exactly 1)
+    intra = (
+        groups.filter(F.size("ids") > 1)
+        .select("ids", F.posexplode("ids").alias("i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
+            ).alias("id_b"),
+        )
+        .withColumn("jaccard", F.lit(1.0))
+    )
+    return cross.unionByName(intra)
 
 
 def minhash_lsh_pairs(
