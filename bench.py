@@ -46,11 +46,17 @@ def main() -> None:
     for df in eng.catalog.values():
         df.selectExpr("count(1)").collect()
 
+    from deepdb_public_spark.operators.dedup import release_cached
+
     timings: dict[str, float] = {}
     for name in sorted(queries):
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # session hygiene between queries (outside the timer): drop
+        # operator-persisted intermediates so 55 queries don't compound
+        # executor-memory pressure into GC-driven timing noise
+        release_cached()
 
     total = round(sum(timings.values()), 4)
     print(

@@ -201,6 +201,63 @@ def _jaccard(a, b):
     return inter / (F.size(a) + F.size(b) - inter)
 
 
+# verify-step strategy gate: with at most this many distinct shingles
+# corpus-wide, sets are re-encoded as fixed-width bitmaps (<= 64 longs)
+# and intersections become AND+popcount on plain columns — whole-stage
+# codegen instead of per-pair hash-set builds. Above it, the general
+# array_intersect path runs (the 100 TB default: 5-gram vocabularies
+# are effectively unbounded).
+_DENSE_VOCAB_MAX = 4096
+
+
+def _dense_bitmaps(s: DataFrame, vocab: DataFrame, n_words: int) -> DataFrame:
+    """(id, sh: array<bigint>) -> (id, sz, w0..w{n_words-1}): each
+    set as a bitmap over the dense vocab positions. One broadcast
+    join + one hash aggregate, all codegen."""
+    tok = s.select("id", F.explode("sh").alias("t")).join(F.broadcast(vocab), "t")
+    word = (F.col("pos") / 64).cast("int")
+    # pyspark's shiftleft binding takes only literal shift amounts
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))")
+    aggs = [
+        F.bit_or(F.when(word == j, bit).otherwise(F.lit(0).cast("long"))).alias(
+            f"w{j}"
+        )
+        for j in range(n_words)
+    ] + [F.count(F.lit(1)).alias("sz")]  # sh is distinct -> count == |sh|
+    return tok.groupBy("id").agg(*aggs)
+
+
+def _bitmap_verify(cand: DataFrame, bm: DataFrame, n_words: int) -> DataFrame:
+    """(id_a, id_b) candidates -> (id_a, id_b, jaccard) via bitmap
+    AND+popcount; exact, no false positives."""
+    left = bm.select(
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        *[F.col(f"w{j}").alias(f"a{j}") for j in range(n_words)],
+    )
+    right = bm.select(
+        F.col("id").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        *[F.col(f"w{j}").alias(f"b{j}") for j in range(n_words)],
+    )
+    inter = None
+    for j in range(n_words):
+        term = F.bit_count(F.col(f"a{j}").bitwiseAND(F.col(f"b{j}")))
+        inter = term if inter is None else inter + term
+    return (
+        cand.join(left, "id_a")
+        .join(right, "id_b")
+        .withColumn("__i", inter.cast("double"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__i") / (F.col("sz_a") + F.col("sz_b") - F.col("__i"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
 def jaccard_pairs_exact(
     df: DataFrame,
     text_col: str,
@@ -240,6 +297,13 @@ def jaccard_pairs_exact(
     pairs — intra-group pairs have Jaccard exactly 1. On dup-heavy
     corpora this removes the dominant share of the inverted-index
     join.
+
+    Verification adapts to the corpus: when the corpus-wide shingle
+    vocabulary fits _DENSE_VOCAB_MAX, sets are bitmap-encoded over a
+    dense vocab index and each candidate verifies with AND+popcount
+    over <= 64 long columns (whole-stage codegen) instead of an
+    array_intersect hash-set build per pair — decisive when prefix
+    filtering degenerates toward all-pairs on self-similar corpora.
     """
     shingle = (
         char_ngrams(F.col(text_col), ngram)
@@ -306,15 +370,42 @@ def jaccard_pairs_exact(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    sh = s
-    rep_pairs = (
-        cand.join(
-            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    # verification: the candidate set can approach all-pairs on
+    # self-similar corpora, so per-pair cost decides the wall time.
+    # Small vocab -> bitmap AND+popcount (codegen); else array verify.
+    vocab = s.select(F.explode("sh").alias("t")).distinct()
+    n_vocab = vocab.count()
+    if n_vocab <= _DENSE_VOCAB_MAX:
+        from pyspark.sql.window import Window
+
+        n_words = max(1, (n_vocab + 63) // 64)
+        # dense 0..V-1 positions: single-partition sort is fine at
+        # V <= _DENSE_VOCAB_MAX by construction
+        vocab = vocab.withColumn(
+            "pos", F.row_number().over(Window.orderBy("t")) - 1
         )
-        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-        .select("id_a", "id_b", _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+        bm = _dense_bitmaps(s, vocab, n_words)
+        rep_pairs = _bitmap_verify(cand, bm, n_words).filter(
+            F.col("jaccard") >= threshold
+        )
+    else:
+        sh = s
+        rep_pairs = (
+            cand.join(
+                sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+                "id_a",
+            )
+            .join(
+                sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
     # expand representative pairs back to doc pairs...
     ga = groups.select(F.col("ids")[0].alias("id_a"), F.col("ids").alias("ids_a"))
     gb = groups.select(F.col("ids")[0].alias("id_b"), F.col("ids").alias("ids_b"))
