@@ -115,60 +115,95 @@ def capped_bucket_pairs(
     return pairs_small.unionByName(pairs_big).distinct()
 
 
-def duplicate_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+def duplicate_clusters(
+    pairs: DataFrame, max_iter: int = 30, driver_max_edges: int = 2_000_000
+) -> DataFrame:
     """Connected components over near-duplicate pairs: (id, cluster)
     with cluster = MIN id in the component — the step that turns
     pairwise dedup output into deletable groups.
 
-    Min-label propagation: every round each vertex takes the minimum
-    label among itself and its neighbors (two shuffles per round:
-    edge-join + groupBy-min). Converges in O(component diameter)
-    rounds — near-dup graphs are star/clique-like, so typically 2-3.
-    The driver-side loop runs one count per round to detect the
-    fixpoint, persisting the current labels and releasing the
-    previous round (the standard shape for iterative Spark
-    algorithms; GraphX/GraphFrames are JVM/Scala surface we avoid).
+    Hybrid strategy (the shape GraphFrames' connectedComponents also
+    uses): the edge list is the *output* of dedup-pair generation, so
+    its size is proportional to the duplicate mass, not the corpus.
+    Up to ``driver_max_edges`` edges (tens of MB) a driver-side
+    union-find labels the graph in one collect + one parallelize —
+    O(E α(E)) with zero iterative Spark jobs. Above the threshold, a
+    distributed min-label-propagation loop runs: every round each
+    vertex takes the minimum label among itself and its neighbors
+    (edge-join + groupBy-min), with ``localCheckpoint`` truncating
+    the logical plan so round N's analysis cost does not grow with N.
+    Converges in O(component diameter) rounds — near-dup graphs are
+    star/clique-like, so typically 2-3.
     """
-    ids = (
-        pairs.select(F.col("id_a").alias("id"))
-        .unionByName(pairs.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        )
-        .persist()
-    )
-    labels = ids.withColumn("cluster", F.col("id")).persist()
+    # pairs is typically the output of a multi-stage dedup pipeline;
+    # it is scanned several times below, so materialize it once up
+    # front instead of recomputing upstream per scan
+    pairs = pairs.persist()
+    n_edges = pairs.count()
     try:
-        for _ in range(max_iter):
-            nbr = (
-                edges.join(labels.withColumnRenamed("id", "src"), "src")
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.min("cluster").alias("nmin"))
+        if n_edges <= driver_max_edges:
+            rows = pairs.select("id_a", "id_b").collect()
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for a, b in rows:
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min keeps the root the component MIN
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            out = [(x, find(x)) for x in parent]
+            spark = pairs.sparkSession
+            schema = pairs.select(
+                F.col("id_a").alias("id"), F.col("id_a").alias("cluster")
+            ).schema
+            return spark.createDataFrame(out, schema)
+
+        ids = (
+            pairs.select(F.col("id_a").alias("id"))
+            .unionByName(pairs.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        edges = (
+            pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+            .unionByName(
+                pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
             )
-            stepped = labels.join(nbr, "id", "left").select(
-                "id",
-                F.col("cluster").alias("old"),
-                F.least(
-                    F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
-                ).alias("cluster"),
-            )
-            stepped = stepped.persist()
-            changed = stepped.filter(F.col("old") != F.col("cluster")).count()
-            new_labels = stepped.select("id", "cluster").persist()
-            new_labels.count()  # materialize BEFORE releasing lineage
-            labels.unpersist()
-            stepped.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        _CACHED.append(labels)  # released via release_cached()
-        return labels
+            .persist()
+        )
+        labels = ids.withColumn("cluster", F.col("id")).localCheckpoint()
+        try:
+            for _ in range(max_iter):
+                nbr = (
+                    edges.join(labels.withColumnRenamed("id", "src"), "src")
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.min("cluster").alias("nmin"))
+                )
+                stepped = labels.join(nbr, "id", "left").select(
+                    "id",
+                    F.col("cluster").alias("old"),
+                    F.least(
+                        F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
+                    ).alias("cluster"),
+                ).localCheckpoint()  # eager; truncates lineage
+                changed = stepped.filter(F.col("old") != F.col("cluster")).count()
+                labels = stepped.select("id", "cluster")
+                if changed == 0:
+                    break
+            return labels
+        finally:
+            edges.unpersist()
     finally:
-        edges.unpersist()
+        pairs.unpersist()
 
 
 def deduplicate_corpus(
