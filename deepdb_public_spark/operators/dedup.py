@@ -244,6 +244,17 @@ def _jaccard(a, b):
 # are effectively unbounded).
 _DENSE_VOCAB_MAX = 4096
 
+# all-pairs gate for the dense-bitmap path. A tiny corpus-wide vocab
+# means documents share most shingles, so prefix filtering admits
+# ~all pairs anyway — generating, shuffling and deduplicating an
+# all-pairs-sized candidate set costs more than just comparing the
+# bitmaps directly. Up to this many collapsed representatives the
+# bitmap side is broadcast and every (a < b) pair verifies in one
+# codegen AND+popcount pass with NO shuffle at all; above it, the
+# prefix-filtered plan remains (all-pairs is O(N²) and only
+# acceptable bounded).
+_DENSE_ALLPAIRS_MAX = 16384
+
 
 def _dense_bitmaps(s: DataFrame, vocab: DataFrame, n_words: int) -> DataFrame:
     """(id, sh: array<bigint>) -> (id, sz, w0..w{n_words-1}): each
@@ -361,6 +372,57 @@ def jaccard_pairs_exact(
         docs.groupBy("sh").agg(F.sort_array(F.collect_list("id")).alias("ids"))
     )
     s = groups.select(F.col("ids")[0].alias("id"), "sh")
+    # corpus-adaptive strategy choice (two cheap aggregates over the
+    # persisted groups): dense vocab -> bitmap encoding; dense vocab
+    # AND bounded rep count -> skip candidate generation entirely
+    vocab = s.select(F.explode("sh").alias("t")).distinct()
+    n_vocab = vocab.count()
+    if n_vocab <= _DENSE_VOCAB_MAX:
+        from pyspark.sql.window import Window
+
+        n_words = max(1, (n_vocab + 63) // 64)
+        # dense 0..V-1 positions: single-partition sort is fine at
+        # V <= _DENSE_VOCAB_MAX by construction
+        vocab = vocab.withColumn("pos", F.row_number().over(Window.orderBy("t")) - 1)
+        if groups.count() <= _DENSE_ALLPAIRS_MAX:
+            bm = _dense_bitmaps(s, vocab, n_words)
+            left = bm.select(
+                F.col("id").alias("id_a"),
+                F.col("sz").alias("sz_a"),
+                *[F.col(f"w{j}").alias(f"a{j}") for j in range(n_words)],
+            )
+            right = bm.select(
+                F.col("id").alias("id_b"),
+                F.col("sz").alias("sz_b"),
+                *[F.col(f"w{j}").alias(f"b{j}") for j in range(n_words)],
+            )
+            inter = None
+            for j in range(n_words):
+                term = F.bit_count(F.col(f"a{j}").bitwiseAND(F.col(f"b{j}")))
+                inter = term if inter is None else inter + term
+            rep_pairs = (
+                left.join(
+                    F.broadcast(right),
+                    (F.col("id_a") < F.col("id_b"))
+                    # cheap length filter short-circuits most pairs
+                    & (F.col("sz_a") >= F.lit(threshold) * F.col("sz_b"))
+                    & (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a")),
+                )
+                .withColumn("__i", inter.cast("double"))
+                .select(
+                    "id_a",
+                    "id_b",
+                    (
+                        F.col("__i")
+                        / (F.col("sz_a") + F.col("sz_b") - F.col("__i"))
+                    ).alias("jaccard"),
+                )
+                .filter(F.col("jaccard") >= threshold)
+            )
+            return _expand_rep_pairs(groups, rep_pairs)
+        dense_verify = (vocab, n_words)
+    else:
+        dense_verify = None
     plen = F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh")) + 1
     if frequency_order:
         from pyspark.sql.window import Window
@@ -408,17 +470,8 @@ def jaccard_pairs_exact(
     # verification: the candidate set can approach all-pairs on
     # self-similar corpora, so per-pair cost decides the wall time.
     # Small vocab -> bitmap AND+popcount (codegen); else array verify.
-    vocab = s.select(F.explode("sh").alias("t")).distinct()
-    n_vocab = vocab.count()
-    if n_vocab <= _DENSE_VOCAB_MAX:
-        from pyspark.sql.window import Window
-
-        n_words = max(1, (n_vocab + 63) // 64)
-        # dense 0..V-1 positions: single-partition sort is fine at
-        # V <= _DENSE_VOCAB_MAX by construction
-        vocab = vocab.withColumn(
-            "pos", F.row_number().over(Window.orderBy("t")) - 1
-        )
+    if dense_verify is not None:
+        vocab, n_words = dense_verify
         bm = _dense_bitmaps(s, vocab, n_words)
         rep_pairs = _bitmap_verify(cand, bm, n_words).filter(
             F.col("jaccard") >= threshold
@@ -441,7 +494,12 @@ def jaccard_pairs_exact(
             )
             .filter(F.col("jaccard") >= threshold)
         )
-    # expand representative pairs back to doc pairs...
+    return _expand_rep_pairs(groups, rep_pairs)
+
+
+def _expand_rep_pairs(groups: DataFrame, rep_pairs: DataFrame) -> DataFrame:
+    """Expand representative pairs back to doc pairs and add
+    intra-group pairs (identical shingle sets: Jaccard exactly 1)."""
     ga = groups.select(F.col("ids")[0].alias("id_a"), F.col("ids").alias("ids_a"))
     gb = groups.select(F.col("ids")[0].alias("id_b"), F.col("ids").alias("ids_b"))
     cross = (
@@ -459,7 +517,6 @@ def jaccard_pairs_exact(
             "jaccard",
         )
     )
-    # ...and add intra-group pairs (identical sets: Jaccard exactly 1)
     intra = (
         groups.filter(F.size("ids") > 1)
         .select("ids", F.posexplode("ids").alias("i", "id_a"))
