@@ -61,21 +61,40 @@ def simhash64(tokens: Column) -> Column:
     Bits fold most-significant-first via acc*2+bit in two 32-bit
     halves joined with shiftleft|or — a plain 64-bit fold would trip
     ANSI-mode overflow on the sign bit.
+
+    ONE aggregate pass with a 64-long accumulator, not 64 aggregates:
+    lambda bodies are inlined per use site, so a per-bit aggregate
+    over a shared `transform(tokens, xxhash64)` expression would
+    recompute every token hash 64 times (HOF lambdas are interpreted
+    — no common-subexpression elimination across them). The
+    single-element transform below binds each token's hash to a
+    lambda variable, forcing exactly one xxhash64 per token.
     """
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    seq64 = F.sequence(F.lit(63), F.lit(0), F.lit(-1))
+    # counts[j] = number of tokens with bit j set, in ONE pass;
+    # element_at(transform(array(h0), λh ...), 1) = let-binding for h0
+    counts = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.element_at(
+                F.transform(
+                    F.array(F.xxhash64(t)),
+                    lambda h: F.transform(
+                        seq64, lambda j: F.bit_get(h, j).cast("long")
+                    ),
+                ),
+                1,
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    # sum of (2*bit - 1) over n tokens is positive iff 2*count > n
+    n_tok = F.size(tokens).cast("long")
     bits = F.transform(
-        F.sequence(F.lit(63), F.lit(0), F.lit(-1)),
-        lambda j: F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc + F.bit_get(h, j).cast("long") * 2 - 1,
-            )
-            > 0,
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .cast("long"),
+        counts,
+        lambda c: F.when(c * 2 > n_tok, F.lit(1)).otherwise(F.lit(0)).cast("long"),
     )
 
     def fold(part):

@@ -33,6 +33,7 @@ from ..functions.hashing import (
 )
 from ..functions.text import char_ngrams, fingerprint_md5, word_tokens
 from ..functions.vectors import hyperplane_sign_bits
+from .partitioning import spread_small_input
 
 # DataFrames persisted by dedup operators. A long-lived session that
 # runs many corpora should call release_cached() between them —
@@ -351,6 +352,7 @@ def jaccard_pairs_exact(
     array_intersect hash-set build per pair — decisive when prefix
     filtering degenerates toward all-pairs on self-similar corpora.
     """
+    df = spread_small_input(df)
     shingle = (
         char_ngrams(F.col(text_col), ngram)
         if use_char_ngrams
@@ -497,24 +499,30 @@ def jaccard_pairs_exact(
     return _expand_rep_pairs(groups, rep_pairs)
 
 
-def _expand_rep_pairs(groups: DataFrame, rep_pairs: DataFrame) -> DataFrame:
+def _expand_rep_pairs(
+    groups: DataFrame,
+    rep_pairs: DataFrame,
+    value_col: str = "jaccard",
+    identical_value: float = 1.0,
+) -> DataFrame:
     """Expand representative pairs back to doc pairs and add
-    intra-group pairs (identical shingle sets: Jaccard exactly 1)."""
+    intra-group pairs (identical sets: ``value_col`` is
+    ``identical_value`` — Jaccard 1.0 / Hamming 0)."""
     ga = groups.select(F.col("ids")[0].alias("id_a"), F.col("ids").alias("ids_a"))
     gb = groups.select(F.col("ids")[0].alias("id_b"), F.col("ids").alias("ids_b"))
     cross = (
         rep_pairs.join(ga, "id_a")
         .join(gb, "id_b")
         .select(
-            F.explode("ids_a").alias("ea"), F.col("ids_b").alias("ids_b"), "jaccard"
+            F.explode("ids_a").alias("ea"), F.col("ids_b").alias("ids_b"), value_col
         )
         .select(
-            "ea", F.explode("ids_b").alias("eb"), "jaccard"
+            "ea", F.explode("ids_b").alias("eb"), value_col
         )
         .select(
             F.least("ea", "eb").alias("id_a"),
             F.greatest("ea", "eb").alias("id_b"),
-            "jaccard",
+            value_col,
         )
     )
     intra = (
@@ -526,8 +534,11 @@ def _expand_rep_pairs(groups: DataFrame, rep_pairs: DataFrame) -> DataFrame:
                 F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
             ).alias("id_b"),
         )
-        .withColumn("jaccard", F.lit(1.0))
+        .withColumn(value_col, F.lit(identical_value))
     )
+    # match rep_pairs' value type (hamming is int, jaccard double)
+    vtype = dict(rep_pairs.dtypes)[value_col]
+    intra = intra.withColumn(value_col, F.col(value_col).cast(vtype))
     return cross.unionByName(intra)
 
 
@@ -552,7 +563,16 @@ def minhash_lsh_pairs(
     generation) and one join back for verification — never O(N²).
     Degenerate band buckets are bounded by ``max_bucket_size`` /
     ``chain_width`` (see capped_bucket_pairs).
+
+    Identical shingle sets are collapsed to one representative before
+    signatures (one groupBy): duplicate-heavy corpora compute one
+    signature per distinct set, buckets hold representatives, and
+    exact-duplicate pairs (Jaccard 1) are emitted directly — recall
+    on identical documents is 1.0 regardless of banding. Verification
+    reuses the corpus-adaptive bitmap path from jaccard_pairs_exact
+    when the shingle vocabulary is dense.
     """
+    df = spread_small_input(df)
     rows_per_band = n_hashes // n_bands
     shingle = (
         char_ngrams(F.col(text_col), ngram)
@@ -561,13 +581,20 @@ def minhash_lsh_pairs(
     )
     # carry shingles as 64-bit hashes (Jaccard-preserving, cheaper to
     # re-hash per MinHash permutation and to intersect at verify time)
-    hashed = F.array_distinct(F.transform(shingle, lambda t: F.xxhash64(t)))
-    sigs = (
-        df.select(F.col(id_col).alias("id"), hashed.alias("sh"))
-        .filter(F.size("sh") > 0)
-        .withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    hashed = F.array_sort(
+        F.array_distinct(F.transform(shingle, lambda t: F.xxhash64(t)))
     )
-    sigs = _persist(sigs)  # reused by banding AND verification joins
+    docs = df.select(F.col(id_col).alias("id"), hashed.alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    groups = _persist(
+        docs.groupBy("sh").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    )
+    sigs = _persist(
+        groups.select(F.col("ids")[0].alias("id"), "sh").withColumn(
+            "sig", minhash_signature(F.col("sh"), n_hashes)
+        )
+    )  # reused by banding AND verification joins
     banded = sigs.select(
         "id", F.explode(band_keys(F.col("sig"), n_bands, rows_per_band)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
@@ -575,12 +602,32 @@ def minhash_lsh_pairs(
         banded, ["band", "key"], max_bucket_size, chain_width
     )
     sh = sigs.select("id", "sh")
-    return (
-        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .select("id_a", "id_b", _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    vocab = sh.select(F.explode("sh").alias("t")).distinct()
+    n_vocab = vocab.count()
+    if n_vocab <= _DENSE_VOCAB_MAX:
+        from pyspark.sql.window import Window
+
+        n_words = max(1, (n_vocab + 63) // 64)
+        vocab = vocab.withColumn("pos", F.row_number().over(Window.orderBy("t")) - 1)
+        rep_pairs = _bitmap_verify(
+            cand, _dense_bitmaps(sh, vocab, n_words), n_words
+        ).filter(F.col("jaccard") >= threshold)
+    else:
+        rep_pairs = (
+            cand.join(
+                sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"),
+                "id_a",
+            )
+            .join(
+                sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"),
+                "id_b",
+            )
+            .select(
+                "id_a", "id_b", _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+    return _expand_rep_pairs(groups, rep_pairs)
 
 
 def simhash_pairs(
@@ -594,18 +641,29 @@ def simhash_pairs(
     """SimHash near-dup pairs with Hamming distance <= max_hamming.
     Complete (no false negatives) for max_hamming <= 3 via the 4-block
     pigeonhole filter — up to the max_bucket_size bound on degenerate
-    blocks (capped_bucket_pairs); returns (id_a, id_b, hamming)."""
-    sigs = _persist(
+    blocks (capped_bucket_pairs); returns (id_a, id_b, hamming).
+
+    Documents with IDENTICAL signatures (hamming 0 — the dominant
+    mass on duplicate-heavy corpora) are collapsed to one
+    representative by a groupBy on the signature before blocking, so
+    block buckets hold distinct signatures only and equal-signature
+    pairs are emitted directly — the bucket cap can no longer drop
+    exact duplicates."""
+    df = spread_small_input(df)
+    groups = _persist(
         df.select(
             F.col(id_col).alias("id"),
             simhash64(word_tokens(F.col(text_col))).alias("sig"),
         )
-    )  # signature is 64 aggregates/row — never recompute in the self-join
+        .groupBy("sig")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    )
+    sigs = groups.select(F.col("ids")[0].alias("id"), "sig")
     blocked = sigs.select(
         "id", F.explode(simhash_block_keys(F.col("sig"), 4)).alias("bk")
     ).select("id", F.col("bk.block").alias("block"), F.col("bk.key").alias("key"))
     cand = capped_bucket_pairs(blocked, ["block", "key"], max_bucket_size, chain_width)
-    return (
+    rep_pairs = (
         cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
         .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
         .select(
@@ -615,6 +673,7 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+    return _expand_rep_pairs(groups, rep_pairs, "hamming", 0)
 
 
 def embedding_neardup_pairs(
@@ -640,7 +699,7 @@ def embedding_neardup_pairs(
     # precompute the norm once per row; the pair loop then does ONE
     # array aggregate (the dot product) instead of three
     base = _persist(
-        df.select(
+        spread_small_input(df).select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
             l2_norm(F.col(vec_col)).alias("nrm"),

@@ -1,0 +1,36 @@
+"""Input-partition hygiene for expression-heavy operators.
+
+A small parquet file arrives as ONE input split, so a pipeline whose
+cost is per-row expression work (shingling, hashing, signature
+computation, dot products) runs on one core no matter how many the
+cluster has. At warehouse scale the scan has plenty of splits and
+this is a no-op; on small inputs an explicit round-robin exchange of
+the (cheap, pre-explosion) rows buys full parallelism for the
+downstream per-row work.
+
+reference: deepdb-public assumes pandas single-process execution and
+has no analogue; this is the Spark-native concern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Repartition ``df`` to the session's default parallelism when it
+    has fewer input partitions.
+
+    The check is metadata-only (no job); the repartition shuffles the
+    raw input rows BEFORE any expensive projection, so the exchanged
+    bytes are the source rows, not the exploded/shingled form.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if current >= target:
+        return df
+    return df.repartition(target)

@@ -21,6 +21,9 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine, hyperplane_sign_bits
 
 
+from .partitioning import spread_small_input
+
+
 def _query_vec_col(query_vec: list[float]):
     return F.array(*[F.lit(float(x)) for x in query_vec])
 
@@ -32,7 +35,7 @@ def brute_force_topk(
     to TakeOrderedAndProject — per-partition heaps, no global sort."""
     q = _query_vec_col(query_vec)
     return (
-        df.select(
+        spread_small_input(df).select(
             F.col(id_col).alias("id"), cosine(F.col(vec_col), q).alias("cos")
         )
         .orderBy(F.desc("cos"), F.asc("id"))
@@ -222,7 +225,8 @@ def knn_join(
     from pyspark.sql.window import Window
 
     scored = (
-        left.select(F.col(left_id).alias("lid"), F.col(vec_col).alias("lv"))
+        spread_small_input(left)
+        .select(F.col(left_id).alias("lid"), F.col(vec_col).alias("lv"))
         .crossJoin(right.select(F.col(right_id).alias("rid"), F.col(vec_col).alias("rv")))
         .select(
             "lid", "rid", cosine(F.col("lv"), F.col("rv")).alias("cos")

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .partitioning import spread_small_input
 from ..functions.text import (
     fingerprint_md5,
     language_id,
@@ -25,7 +26,7 @@ def doc_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document feature row: tokens, quality signals, language
     guess, fingerprints. The standard pre-training corpus profile."""
     feats = quality_features(F.col(text_col))
-    return df.select(
+    return spread_small_input(df).select(
         F.col(id_col),
         token_count(F.col(text_col)).alias("n_tokens"),
         feats["n_chars"].alias("n_chars"),
