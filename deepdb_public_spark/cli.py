@@ -1,0 +1,263 @@
+"""maqp-style command line (reference: maqp.py — the repo's primary
+user interface; SURVEY.md §3 lifecycles 3.1-3.3).
+
+The reference drives everything through one script with action flags:
+
+    python maqp.py --generate_hdf ...
+    python maqp.py --generate_ensemble --ensemble_strategy rdc_based ...
+    python maqp.py --evaluate_cardinalities --ensemble_location ... \
+        --query_file_location benchmarks/job-light/sql/queries.sql
+    python maqp.py --evaluate_aqp_queries ... [--confidence_intervals]
+
+This module mirrors that surface Spark-first, with the same action
+and knob names wherever a counterpart exists. What changes is the
+substrate, not the lifecycle: staging is parquet instead of HDF5
+(`spark.read.parquet` replaces `--generate_hdf` entirely — there is
+no conversion step to run), training samples come from distributed
+outer joins instead of pandas, and ground truth comes from the exact
+Spark plane instead of Postgres.
+
+    python -m deepdb_public_spark --data_dir /data/sf0.01 \
+        --generate_ensemble --ensemble_strategy relationship \
+        --samples_per_spn 60000 --ensemble_path /tmp/ens.pkl
+
+    python -m deepdb_public_spark --data_dir /data/sf0.01 \
+        --evaluate_cardinalities --ensemble_path /tmp/ens.pkl \
+        --query_file_location queries.sql --target_path out.csv
+
+    python -m deepdb_public_spark --data_dir /data/sf0.01 \
+        --execute_query "SELECT COUNT(*) FROM orders" --plane exact
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .engine import Engine, default_session
+from .evaluation import evaluate_aqp, evaluate_cardinalities
+
+
+def load_query_file(path: str) -> list[str]:
+    """One SQL query per line (the reference's job-light file format);
+    blank lines and #-comments are skipped."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip().rstrip(";")
+            if line and not line.startswith("#"):
+                out.append(line)
+    return out
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="deepdb_public_spark",
+        description="PySpark-native DeepDB: train RSPN ensembles, "
+        "estimate cardinalities/aggregates, execute exact SQL.",
+    )
+    p.add_argument("--data_dir", required=True, help="directory of <table>.parquet files")
+    p.add_argument("--cpus", default="*", help="local[] core count for a new session")
+
+    act = p.add_argument_group("actions (exactly one)")
+    act.add_argument("--generate_ensemble", action="store_true")
+    act.add_argument("--evaluate_cardinalities", action="store_true")
+    act.add_argument("--evaluate_aqp_queries", action="store_true")
+    act.add_argument("--evaluate_confidence_intervals", action="store_true")
+    act.add_argument("--generate_sampled_parquet", action="store_true",
+                     help="stage seeded table samples + sample-rate schema (C6; "
+                     "the reference's --generate_sampled_hdfs)")
+    act.add_argument("--execute_query", metavar="SQL")
+
+    t = p.add_argument_group("training (--generate_ensemble)")
+    t.add_argument("--ensemble_strategy", default="single",
+                   choices=["single", "relationship", "rdc_based"])
+    t.add_argument("--samples_per_spn", type=int, default=100_000)
+    t.add_argument("--ensemble_path", help="pickle path to write/read the ensemble")
+    t.add_argument("--tables", help="comma list; default = all schema tables")
+    t.add_argument("--ensemble_max_no_joins", type=int, default=2,
+                   help="rdc_based: max FK edges per join model")
+    t.add_argument("--ensemble_budget_factor", type=float, default=2.0,
+                   help="rdc_based: join-model table slots / base tables")
+    t.add_argument("--rdc_threshold", type=float, default=0.3)
+    t.add_argument("--seed", type=int, default=42)
+
+    e = p.add_argument_group("evaluation (--evaluate_*)")
+    e.add_argument("--query_file_location", help="SQL file, one query per line")
+    e.add_argument("--target_path", help="output CSV path")
+    e.add_argument("--confidence", type=float, default=0.95)
+
+    s = p.add_argument_group("sampled staging (--generate_sampled_parquet)")
+    s.add_argument("--staged_dir", help="output directory for staged parquet")
+    s.add_argument("--sample_fraction", type=float, default=0.1)
+
+    q = p.add_argument_group("query execution (--execute_query)")
+    q.add_argument("--plane", default="exact", choices=["exact", "model"],
+                   help="exact: Spark SQL on the data; model: RSPN estimate "
+                   "(needs --ensemble_path)")
+    return p
+
+
+def _require(args, flag: str, value) -> None:
+    if value is None:
+        raise SystemExit(f"--{flag} is required for this action")
+
+
+def _load_ensemble(eng: Engine, path: str):
+    from .spn.ensemble import SPNEnsemble
+
+    eng.ensemble = SPNEnsemble.load(path, eng.schema)
+    return eng.ensemble
+
+
+def _cmd_generate_ensemble(eng: Engine, args) -> int:
+    from .spn.ensemble import (
+        create_rdc_ensemble,
+        create_relationship_ensemble,
+        create_single_table_ensemble,
+    )
+
+    tables = (
+        args.tables.split(",") if args.tables else sorted(eng.schema.tables)
+    )
+    if args.ensemble_strategy == "single":
+        ens = create_single_table_ensemble(
+            eng.catalog, eng.schema, tables, args.samples_per_spn, seed=args.seed
+        )
+    elif args.ensemble_strategy == "relationship":
+        rids = sorted(
+            r.identifier
+            for r in eng.schema.relationships.values()
+            if r.start in tables and r.end in tables
+        )
+        ens = create_relationship_ensemble(
+            eng.catalog, eng.schema, rids, args.samples_per_spn, seed=args.seed
+        )
+    else:
+        ens = create_rdc_ensemble(
+            eng.catalog,
+            eng.schema,
+            tables,
+            max_no_joins=args.ensemble_max_no_joins,
+            rdc_threshold=args.rdc_threshold,
+            budget_factor=args.ensemble_budget_factor,
+            sample_budget=args.samples_per_spn,
+            seed=args.seed,
+        )
+    eng.ensemble = ens
+    if args.ensemble_path:
+        ens.save(args.ensemble_path)
+    for m in ens.models:
+        print(
+            f"model {sorted(m.table_set)}: full_join_size={m.full_join_size:.0f} "
+            f"sample={m.sample_size} cols={len(m.column_names)}"
+        )
+    print(f"ensemble: {len(ens.models)} models"
+          + (f" -> {args.ensemble_path}" if args.ensemble_path else ""))
+    return 0
+
+
+def _cmd_evaluate_cardinalities(eng: Engine, args) -> int:
+    _require(args, "ensemble_path", args.ensemble_path)
+    _require(args, "query_file_location", args.query_file_location)
+    _load_ensemble(eng, args.ensemble_path)
+    summary = evaluate_cardinalities(
+        eng, load_query_file(args.query_file_location), args.target_path
+    )
+    print(
+        f"n={summary['n']} median_q_error={summary['median_q_error']:.3f} "
+        f"p95_q_error={summary['p95_q_error']:.3f} "
+        f"max_q_error={summary['max_q_error']:.3f} "
+        f"mean_latency_ms={summary['mean_latency_ms']:.1f}"
+    )
+    return 0
+
+
+def _cmd_evaluate_aqp(eng: Engine, args) -> int:
+    _require(args, "ensemble_path", args.ensemble_path)
+    _require(args, "query_file_location", args.query_file_location)
+    _load_ensemble(eng, args.ensemble_path)
+    summary = evaluate_aqp(
+        eng, load_query_file(args.query_file_location), args.target_path
+    )
+    print(
+        f"n_cells={summary['n_cells']} "
+        f"mean_relative_error={summary['mean_relative_error']:.4f} "
+        f"p95_relative_error={summary['p95_relative_error']:.4f}"
+    )
+    return 0
+
+
+def _cmd_evaluate_cis(eng: Engine, args) -> int:
+    import csv as _csv
+
+    _require(args, "ensemble_path", args.ensemble_path)
+    _require(args, "query_file_location", args.query_file_location)
+    ens = _load_ensemble(eng, args.ensemble_path)
+    rows, hits = [], 0
+    for sql in load_query_file(args.query_file_location):
+        q = eng.parse(sql)
+        (ci,) = ens.confidence_interval(q, confidence=args.confidence)
+        true = float(eng.query(q).collect()[0][0])
+        hit = int(ci["lo"] <= true <= ci["hi"])
+        hits += hit
+        rows.append([sql, ci["est"], ci["lo"], ci["hi"], true, hit])
+    if args.target_path:
+        with open(args.target_path, "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["query", "estimate", "ci_lo", "ci_hi", "true", "hit"])
+            w.writerows(rows)
+    print(f"n={len(rows)} confidence={args.confidence} coverage={hits / len(rows):.3f}")
+    return 0
+
+
+def _cmd_generate_sampled(eng: Engine, args) -> int:
+    from .operators.prep import stage_sampled_tables
+
+    _require(args, "staged_dir", args.staged_dir)
+    fractions = {t: args.sample_fraction for t in eng.schema.tables}
+    staged, staged_schema = stage_sampled_tables(
+        eng.catalog, eng.schema, args.staged_dir, fractions, seed=args.seed
+    )
+    for t in sorted(staged):
+        rate = staged_schema.tables[t].sample_rate
+        print(f"staged {t}: sample_rate={rate:.4f}")
+    print(f"staged {len(staged)} tables -> {args.staged_dir} "
+          "(train on this dir; sample_rate scaling is applied at estimate time)")
+    return 0
+
+
+def _cmd_execute_query(eng: Engine, args) -> int:
+    if args.plane == "model":
+        _require(args, "ensemble_path", args.ensemble_path)
+        _load_ensemble(eng, args.ensemble_path)
+        print(eng.estimate(args.execute_query))
+        return 0
+    for row in eng.query(args.execute_query).collect():
+        print(row)
+    return 0
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = build_parser().parse_args(argv)
+    actions = [
+        ("generate_ensemble", _cmd_generate_ensemble),
+        ("evaluate_cardinalities", _cmd_evaluate_cardinalities),
+        ("evaluate_aqp_queries", _cmd_evaluate_aqp),
+        ("evaluate_confidence_intervals", _cmd_evaluate_cis),
+        ("generate_sampled_parquet", _cmd_generate_sampled),
+        ("execute_query", _cmd_execute_query),
+    ]
+    chosen = [(n, fn) for n, fn in actions if getattr(args, n)]
+    if len(chosen) != 1:
+        raise SystemExit(
+            "exactly one action flag is required: "
+            + ", ".join(f"--{n}" for n, _ in actions)
+        )
+    spark = spark or default_session(cpus=args.cpus)
+    eng = Engine(spark, args.data_dir)
+    return chosen[0][1](eng, args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

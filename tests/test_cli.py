@@ -1,0 +1,160 @@
+"""The maqp-style CLI (reference: maqp.py lifecycles 3.1-3.3):
+train -> persist -> evaluate cardinalities/AQP/CIs -> execute, all
+through `main(argv)` exactly as `python -m deepdb_public_spark`
+would run it (a pre-built SparkSession is injected so the test
+shares the suite's JVM)."""
+
+from __future__ import annotations
+
+import csv
+
+import pytest
+
+from deepdb_public_spark.cli import load_query_file, main
+from tests.conftest import SF_SMOKE
+
+QUERIES = [
+    "SELECT COUNT(*) FROM lineitem WHERE lineitem.l_quantity < 25",
+    "SELECT COUNT(*) FROM orders WHERE orders.o_totalprice > 100000",
+]
+
+
+@pytest.fixture(scope="module")
+def ensemble_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cli") / "ens.pkl")
+    rc = main(
+        [
+            "--data_dir", SF_SMOKE,
+            "--generate_ensemble",
+            "--ensemble_strategy", "single",
+            "--tables", "lineitem,orders",
+            "--samples_per_spn", "20000",
+            "--ensemble_path", path,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    return path
+
+
+def _write_queries(tmp_path) -> str:
+    qf = tmp_path / "queries.sql"
+    qf.write_text("# job-light-style file\n" + ";\n".join(QUERIES) + ";\n")
+    return str(qf)
+
+
+def test_query_file_format(tmp_path):
+    assert load_query_file(_write_queries(tmp_path)) == QUERIES
+
+
+def test_evaluate_cardinalities_csv(spark, ensemble_path, tmp_path, capsys):
+    out = str(tmp_path / "card.csv")
+    rc = main(
+        [
+            "--data_dir", SF_SMOKE,
+            "--evaluate_cardinalities",
+            "--ensemble_path", ensemble_path,
+            "--query_file_location", _write_queries(tmp_path),
+            "--target_path", out,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "median_q_error" in capsys.readouterr().out
+    with open(out) as f:
+        rows = list(csv.DictReader(f))
+    assert [r["query"] for r in rows] == QUERIES
+    for r in rows:
+        assert float(r["q_error"]) < 3.0  # sanity budget at sf0.001
+
+
+def test_evaluate_aqp_csv(spark, ensemble_path, tmp_path, capsys):
+    qf = tmp_path / "aqp.sql"
+    qf.write_text(
+        "SELECT lineitem.l_returnflag, COUNT(*) FROM lineitem "
+        "GROUP BY lineitem.l_returnflag\n"
+    )
+    rc = main(
+        [
+            "--data_dir", SF_SMOKE,
+            "--evaluate_aqp_queries",
+            "--ensemble_path", ensemble_path,
+            "--query_file_location", str(qf),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "mean_relative_error" in capsys.readouterr().out
+
+
+def test_evaluate_confidence_intervals(spark, ensemble_path, tmp_path, capsys):
+    out = str(tmp_path / "ci.csv")
+    rc = main(
+        [
+            "--data_dir", SF_SMOKE,
+            "--evaluate_confidence_intervals",
+            "--ensemble_path", ensemble_path,
+            "--query_file_location", _write_queries(tmp_path),
+            "--confidence", "0.99",
+            "--target_path", out,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "coverage=" in capsys.readouterr().out
+    with open(out) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == len(QUERIES)
+    for r in rows:
+        assert float(r["ci_lo"]) <= float(r["ci_hi"])
+
+
+def test_execute_query_exact(spark, capsys):
+    rc = main(
+        [
+            "--data_dir", SF_SMOKE,
+            "--execute_query",
+            "SELECT COUNT(*) FROM orders WHERE orders.o_totalprice > 100000",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "Row(" in capsys.readouterr().out
+
+
+def test_execute_query_model_plane(spark, ensemble_path, capsys):
+    rc = main(
+        [
+            "--data_dir", SF_SMOKE,
+            "--execute_query", QUERIES[0],
+            "--plane", "model",
+            "--ensemble_path", ensemble_path,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert float(capsys.readouterr().out.strip()) > 0
+
+
+def test_exactly_one_action_required(spark):
+    with pytest.raises(SystemExit):
+        main(["--data_dir", SF_SMOKE], spark=spark)
+    with pytest.raises(SystemExit):
+        main(
+            ["--data_dir", SF_SMOKE, "--generate_ensemble", "--execute_query", "x"],
+            spark=spark,
+        )
+
+
+def test_generate_sampled_parquet(spark, tmp_path, capsys):
+    rc = main(
+        [
+            "--data_dir", SF_SMOKE,
+            "--generate_sampled_parquet",
+            "--staged_dir", str(tmp_path / "staged"),
+            "--sample_fraction", "0.5",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "sample_rate=" in capsys.readouterr().out
