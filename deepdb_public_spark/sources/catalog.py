@@ -43,10 +43,20 @@ def load_tables(
     catalog: dict[str, DataFrame] = {}
     for name in tables or TABLE_NAMES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-            # integer `div`, NOT `/`: double division loses ulps at
-            # 1.7e18 ns and shifts some timestamps by 1 us
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if name == "events":
+            ts_type = dict(df.dtypes)["ts"]
+            if isinstance(df.schema["ts"].dataType, LongType):
+                # integer `div`, NOT `/`: double division loses ulps at
+                # 1.7e18 ns and shifts some timestamps by 1 us
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            elif ts_type == "timestamp_ntz":
+                # naive micros fixture: reinterpret as UTC (session tz
+                # is UTC) so event-time ops that require TIMESTAMP —
+                # unix_micros, withWatermark — resolve; DuckDB reads
+                # the same naive value, so oracle parity is unchanged
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         if register_views:
             df.createOrReplaceTempView(name)
         catalog[name] = df

@@ -110,8 +110,13 @@ def stream_events(
         os.symlink(os.path.abspath(src), os.path.join(d, os.path.basename(src)))
         src = d
     stream = spark.readStream.schema(raw_schema).parquet(src)
-    if dict(stream.dtypes)["ts"] == "bigint":
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermarks require TIMESTAMP (LTZ); the fixture stores naive
+        # micros — reinterpret as UTC (session timeZone is UTC)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream.withWatermark("ts", watermark)
 
 
