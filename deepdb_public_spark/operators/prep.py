@@ -312,6 +312,23 @@ def generate_join_sample(
         df = catalog[next(iter(table_set))]
         return df.sample(sample_fraction, seed=seed) if sample_fraction else df
 
+    # Column names must be unique ACROSS the table set: the joined
+    # frame is consumed positionally by encoding/training, where two
+    # columns sharing a name are unresolvable. Fail with the contract
+    # instead of a downstream AMBIGUOUS_REFERENCE (the reference
+    # sidesteps this by prefixing attributes with their table name).
+    seen: dict[str, str] = {}
+    for t in sorted(table_set):
+        for c in catalog[t].columns:
+            if c in seen:
+                raise ValueError(
+                    f"duplicate column name {c!r} in tables "
+                    f"{seen[c]!r} and {t!r}: outer-join staging "
+                    "requires unique column names across the table "
+                    "set (prefix columns with their table name)"
+                )
+            seen[c] = t
+
     # Pre-compute multiplier columns on each edge's parent table
     enriched = {t: catalog[t] for t in table_set}
     for rel in rels:
@@ -330,9 +347,13 @@ def generate_join_sample(
                 progressed = True
             elif rel.start in joined or rel.end in joined:
                 other = rel.end if rel.start in joined else rel.start
+                # lineage-bound references (same pattern as the exact-
+                # plane compiler): resolve each join attribute through
+                # its owning table's DataFrame
                 df = df.join(
                     enriched[other],
-                    F.col(rel.start_attr) == F.col(rel.end_attr),
+                    enriched[rel.start][rel.start_attr]
+                    == enriched[rel.end][rel.end_attr],
                     "full_outer",
                 )
                 joined.add(other)

@@ -50,16 +50,38 @@ class SPNEnsemble:
         return min(covering, key=lambda m: len(m.table_set))
 
     # -- multi-SPN factorization (B11) ---------------------------------
-    def _factorized_cardinality(self, query: Query) -> float:
+    def _factorized_cardinality(self, query: Query, max_variants: int = 1) -> float:
         """Cardinality of a query whose table set no single model
         covers, as a product of per-model factors (reference:
         spn_ensemble.py::_cardinality_greedy + evaluate_factors).
-        Assumes FK integrity (non-null FKs), as the reference does."""
+        Assumes FK integrity (non-null FKs), as the reference does.
+
+        ``max_variants`` > 1 averages the estimates of several
+        factorizations, each anchored on a different (model, piece)
+        choice for the first factor (reference: the max_variants knob
+        of _cardinality_greedy — averaging over factorization variants
+        shrinks the variance of any single greedy choice)."""
+        variants = self._rank_first_factors(query)
+        if not variants:
+            raise ValueError(
+                f"no model covers any of {sorted(query.table_set)}"
+            )
+        ests = []
+        for _key, first, covered in variants[: max(1, max_variants)]:
+            try:
+                ests.append(self._expand_factors(query, first, set(covered)))
+            except ValueError:
+                continue  # this anchor can't reach full coverage
+        if not ests:
+            raise ValueError(
+                "query join graph is disconnected across models"
+            )
+        return float(sum(ests) / len(ests))
+
+    def _query_graph(self, query: Query):
         schema_rels = self.schema.relationships
-        q_tables = set(query.table_set)
         q_rels = [schema_rels[r] for r in sorted(query.relationship_set)]
-        cond_tables = {c.table for c in query.conditions}
-        adj: dict[str, list] = {t: [] for t in q_tables}
+        adj: dict[str, list] = {t: [] for t in query.table_set}
         for r in q_rels:
             adj[r.start].append((r, r.end))
             adj[r.end].append((r, r.start))
@@ -76,7 +98,15 @@ class SPNEnsemble:
                         stack.append(v)
             return comp
 
-        def sub_query(tables: set[str], with_conds: bool = True) -> Query:
+        def sub_query(
+            tables: set[str],
+            with_conds: bool = True,
+            cond_tables: set[str] | None = None,
+        ) -> Query:
+            """Sub-query over ``tables``; ``cond_tables`` restricts
+            which tables contribute conditions (exploit_overlapping
+            denominators keep overlap conditions but drop the new
+            piece's)."""
             sub = Query(table_set=set(tables))
             sub.relationship_set = {
                 r.identifier
@@ -84,14 +114,24 @@ class SPNEnsemble:
                 if r.start in tables and r.end in tables
             }
             if with_conds:
+                allowed = tables if cond_tables is None else cond_tables
                 sub.conditions = [
-                    c for c in query.conditions if c.table in tables
+                    c for c in query.conditions if c.table in allowed
                 ]
             return sub
 
-        # first model: largest connected piece, condition tables first
-        best = None
-        for m in self.models:
+        return q_rels, component, sub_query
+
+    def _rank_first_factors(self, query: Query) -> list:
+        """All candidate (model, connected piece) anchors for a
+        factorized estimate, best first: most condition tables
+        covered, then largest piece, then smallest model (fewest
+        fanout corrections)."""
+        q_tables = set(query.table_set)
+        cond_tables = {c.table for c in query.conditions}
+        _q_rels, component, _sub_query = self._query_graph(query)
+        out = []
+        for mi, m in enumerate(self.models):
             avail = m.table_set & q_tables
             seen: set[str] = set()
             for s in sorted(avail):
@@ -99,13 +139,25 @@ class SPNEnsemble:
                     continue
                 comp = component(avail, s)
                 seen |= comp
-                key = (len(comp & cond_tables), len(comp), -len(m.table_set))
-                if best is None or key > best[0]:
-                    best = (key, m, comp)
-        if best is None:
-            raise ValueError(f"no model covers any of {sorted(q_tables)}")
-        _, first, covered = best
-        covered = set(covered)
+                key = (
+                    len(comp & cond_tables),
+                    len(comp),
+                    -len(m.table_set),
+                    -mi,
+                )
+                out.append((key, m, frozenset(comp)))
+        out.sort(key=lambda t: t[0], reverse=True)
+        return out
+
+    def _expand_factors(
+        self, query: Query, first: SPNModel, covered: set[str]
+    ) -> float:
+        """Evaluate one factorization variant: the first model answers
+        its piece, then each frontier FK edge multiplies in a
+        conditional factor (reference: evaluate_factors)."""
+        q_tables = set(query.table_set)
+        cond_tables = {c.table for c in query.conditions}
+        q_rels, component, sub_query = self._query_graph(query)
         est = first.cardinality(sub_query(covered))
         # which (model, piece) covered each table — needed to fanout-
         # weight the covered side when expanding toward a child table
@@ -138,29 +190,51 @@ class SPNEnsemble:
                     if parent_new
                     else edge.end in m.table_set
                 )
+                # exploit_overlapping (reference: spn_ensemble.py
+                # exploit_overlapping): condition-bearing COVERED
+                # tables this model also spans let the factor be
+                # conditioned on their predicates — cross-model
+                # correlation the plain conditional factor misses.
+                # Overlap-bearing models rank above smaller ones.
+                overlap = m.table_set & covered & cond_tables
                 cands.append(
-                    (usable, len(D & cond_tables), len(D), -len(m.table_set), mi, D)
+                    (
+                        usable,
+                        len(D & cond_tables),
+                        len(overlap),
+                        len(D),
+                        -len(m.table_set),
+                        mi,
+                        D,
+                        overlap,
+                    )
                 )
             if not cands:
                 raise ValueError(f"no model covers table {new_t!r}")
-            cands.sort(key=lambda t: t[:5], reverse=True)
-            usable, _nc, _nd, _sz, mi, D = cands[0]
+            cands.sort(key=lambda t: t[:6], reverse=True)
+            usable, _nc, _no, _nd, _sz, mi, D, overlap = cands[0]
             m = self.models[mi]
             if parent_new:
                 if usable:
-                    # fanout-weighted P(conds over D | parent referenced)
+                    # fanout-weighted P(conds over D | parent
+                    # referenced [, overlap conds])
                     factor = m.fanout_conditional_factor(
-                        sub_query(D), edge, sub_query({new_t}, with_conds=False)
+                        sub_query(D | overlap),
+                        edge,
+                        sub_query({new_t} | overlap, cond_tables=overlap),
                     )
                 else:  # no multiplier column: unweighted fraction
-                    nom = m.cardinality(sub_query(D))
-                    den = m.cardinality(sub_query(D, with_conds=False))
+                    nom = m.cardinality(sub_query(D | overlap))
+                    den = m.cardinality(
+                        sub_query(D | overlap, cond_tables=overlap)
+                    )
                     factor = nom / den if den > 0 else 0.0
             else:
                 if usable:
-                    # qualifying child-side tuples per qualifying parent
-                    nom = m.cardinality(sub_query(D | {edge.end}))
-                    den = m.cardinality(sub_query({edge.end}))
+                    # qualifying child-side tuples per qualifying
+                    # parent (parent + overlap conditions in BOTH)
+                    nom = m.cardinality(sub_query(D | {edge.end} | overlap))
+                    den = m.cardinality(sub_query({edge.end} | overlap))
                     factor = nom / den if den > 0 else 0.0
                 else:
                     mp, piece = piece_of.get(edge.end, (None, None))
@@ -192,11 +266,11 @@ class SPNEnsemble:
         return est
 
     # -- answering -----------------------------------------------------
-    def cardinality(self, query: Query) -> float:
+    def cardinality(self, query: Query, max_variants: int = 1) -> float:
         try:
             model = self.select_model(query)
         except ValueError:
-            return self._factorized_cardinality(query)
+            return self._factorized_cardinality(query, max_variants)
         return model.cardinality(query)
 
     def aqp(self, query: Query) -> list[dict]:

@@ -289,11 +289,14 @@ class SPNModel:
         self, nom_query: Query, rel: Relationship, denom_query: Query
     ) -> float:
         """P(conds over nom_query's tables | parent referenced by a
-        random child over ``rel``), fanout-weighted: the multiplier of
-        a factorized estimate when expanding from the child side of
-        ``rel`` into this model's scope."""
+        random child over ``rel`` [, denom_query's conds]), fanout-
+        weighted: the multiplier of a factorized estimate when
+        expanding from the child side of ``rel`` into this model's
+        scope. ``denom_query`` carries only the conditions both sides
+        share (the ensemble's exploit_overlapping overlap set — empty
+        without overlap), so the ratio is conditioned on them."""
         nom = self._weighted_expectation(nom_query, rel, True)
-        den = self._weighted_expectation(denom_query, rel, False)
+        den = self._weighted_expectation(denom_query, rel, True)
         return nom / den if den > 0 else 0.0
 
     # -- answering -----------------------------------------------------

@@ -85,3 +85,92 @@ def test_factorized_three_way_join_fixture(spark):
         est = ens.cardinality(q)
         true = eng.query(q).collect()[0][0]
         assert _qerr(est, true) < 2.0, f"{sql}: est={est} true={true}"
+
+
+def test_exploit_overlapping_conditions_on_shared_scope(spark):
+    """A 3-table chain A <- B <- C where B's group is a copy of its
+    parent A's group (perfect cross-table correlation). The anchor
+    model {B,C} covers the B and C conditions; expanding to A through
+    the {A,B} model must condition the factor on the SHARED B
+    predicate (reference: exploit_overlapping) — the unconditioned
+    factor P(ag='X') = 0.5 would halve the estimate (q-error 2)."""
+    a_rows = [(i, "X" if i < 500 else "Y") for i in range(1000)]
+    b_rows, c_rows = [], []
+    bid = cid = 0
+    for aid, ag in a_rows:
+        for _ in range(2):
+            b_rows.append((bid, aid, ag))  # bg == parent's ag
+            for _ in range(3):
+                c_rows.append((cid, bid, float(cid % 7)))
+                cid += 1
+            bid += 1
+    adf = spark.createDataFrame(a_rows, "aid int, ag string")
+    bdf = spark.createDataFrame(b_rows, "bid int, b_aid int, bg string")
+    cdf = spark.createDataFrame(c_rows, "cid int, c_bid int, cv double")
+
+    g = SchemaGraph()
+    g.add_table(Table("ta", ["aid"]))
+    g.add_table(Table("tb", ["bid"]))
+    g.add_table(Table("tc", ["cid"]))
+    r_ba = g.add_relationship("tb", "b_aid", "ta", "aid")
+    r_cb = g.add_relationship("tc", "c_bid", "tb", "bid")
+    catalog = {"ta": adf, "tb": bdf, "tc": cdf}
+    params = LearnParams(min_instances_slice=200)
+
+    ens = SPNEnsemble(g)
+    # {B,C} first so it anchors (same cond coverage as {A,B})
+    ens.add_model(train_spn_model(catalog, g, {"tb", "tc"}, 50_000, params))
+    ens.add_model(train_spn_model(catalog, g, {"ta", "tb"}, 50_000, params))
+    ens.add_model(train_spn_model(catalog, g, {"ta"}, 50_000, params))
+
+    q = Query(
+        table_set={"ta", "tb", "tc"},
+        relationship_set={r_ba.identifier, r_cb.identifier},
+        conditions=[
+            Condition("ta", "ag", "=", "X"),
+            Condition("tb", "bg", "=", "X"),
+            Condition("tc", "cv", "<=", 10.0),  # admits all C rows
+        ],
+    )
+    est = ens.cardinality(q)
+    true = 500 * 2 * 3
+    # without overlap conditioning the factor is P(ag='X') = 0.5
+    # -> est ~1500, q-error ~2; with it, P(ag='X' | bg='X') = 1
+    assert _qerr(est, true) < 1.3, f"est={est} true={true}"
+
+
+def test_max_variants_averages_factorizations(spark):
+    """max_variants > 1 (reference: _cardinality_greedy's variant
+    averaging) evaluates several anchor choices and averages; the
+    averaged estimate stays within budget and differs from neither
+    anchor by more than the anchors differ from each other."""
+    eng = Engine(spark, SF_SMOKE)
+    ens = SPNEnsemble(eng.schema)
+    ens.add_model(
+        train_spn_model(eng.catalog, eng.schema, {"orders", "lineitem"}, 50_000)
+    )
+    ens.add_model(
+        train_spn_model(eng.catalog, eng.schema, {"customer", "orders"}, 50_000)
+    )
+    ens.add_model(train_spn_model(eng.catalog, eng.schema, {"customer"}, 50_000))
+    ens.add_model(train_spn_model(eng.catalog, eng.schema, {"lineitem"}, 50_000))
+
+    sql = (
+        "SELECT COUNT(*) AS cnt FROM customer, orders, lineitem "
+        "WHERE customer.c_custkey = orders.o_custkey "
+        "AND orders.o_orderkey = lineitem.l_orderkey "
+        "AND customer.c_mktsegment = 'BUILDING' AND lineitem.l_quantity < 25"
+    )
+    q = eng.parse(sql)
+    anchors = ens._rank_first_factors(q)
+    assert len(anchors) >= 2  # both join models can anchor
+    e1 = ens.cardinality(q, max_variants=1)
+    e3 = ens.cardinality(q, max_variants=3)
+    true = eng.query(q).collect()[0][0]
+    assert _qerr(e1, true) < 2.0
+    assert _qerr(e3, true) < 2.0
+    # the average lies within the span of the individual variants
+    singles = [
+        ens._expand_factors(q, m, set(c)) for _k, m, c in anchors[:3]
+    ]
+    assert min(singles) - 1e-6 <= e3 <= max(singles) + 1e-6
