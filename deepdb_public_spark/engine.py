@@ -99,13 +99,27 @@ class Engine:
         ir = self.parse(q) if isinstance(q, str) else q
         return self.compiler.compile(ir)
 
-    def estimate(self, q: str | Query):
+    def estimate(self, q: str | Query, exact_fallback: bool = True):
         """Model-plane estimate (reference: SPNEnsemble.cardinality /
-        evaluate_query). Requires a trained ensemble."""
+        evaluate_query). Requires a trained ensemble.
+
+        A GROUP BY whose combination grid exceeds the model plane's
+        cell cap (spn.model.MAX_GROUPBY_CELLS) falls back to the
+        exact plane when ``exact_fallback`` — high-cardinality
+        grouping is what Spark's hash aggregate is for; the model
+        grid would cost more than the scan it avoids. Fallback rows
+        come back in the same list-of-dicts shape."""
         if self.ensemble is None:
             raise RuntimeError("no ensemble trained/loaded — see spn.train")
         ir = self.parse(q) if isinstance(q, str) else q
-        return self.ensemble.answer(ir)
+        from .spn.model import GroupByExplosion
+
+        try:
+            return self.ensemble.answer(ir)
+        except GroupByExplosion:
+            if not exact_fallback:
+                raise
+            return [row.asDict() for row in self.query(ir).collect()]
 
     def enable_estimate_hints(self) -> None:
         """Feed RSPN cardinality estimates to the exact plane as join

@@ -72,6 +72,18 @@ def _square(x: np.ndarray) -> np.ndarray:
 # feature functions the cache can key on (named, stateless)
 _FEATURE_NAMES = {_inv_max1: "inv", _identity: "id", _square: "sq"}
 
+# group-by grid cap: the model-side combination grid is the cross
+# product of the grouped columns' domains; past this many cells the
+# vectorized pass stops paying for itself and the grid alone risks
+# driver memory (reference caps group-by enumeration in evaluation).
+# Callers (Engine.estimate) catch GroupByExplosion and fall back to
+# the exact plane, which handles high-cardinality grouping natively.
+MAX_GROUPBY_CELLS = 2_000_000
+
+
+class GroupByExplosion(ValueError):
+    """Model-side group-by grid exceeds MAX_GROUPBY_CELLS."""
+
 
 @dataclass
 class SPNModel:
@@ -377,6 +389,13 @@ class SPNModel:
             if rng is not None:
                 dom = np.array([v for v in dom if value_admitted(rng, v)])
             axes[i] = dom
+        n_cells = int(np.prod([len(a) for a in axes.values()], dtype=np.int64))
+        if n_cells > MAX_GROUPBY_CELLS:
+            raise GroupByExplosion(
+                f"group-by grid has {n_cells} cells "
+                f"(> {MAX_GROUPBY_CELLS}); use the exact plane for "
+                "high-cardinality grouping"
+            )
 
         def grid(feats, cond=None) -> np.ndarray:
             return self.full_join_size * evaluate_groupby(

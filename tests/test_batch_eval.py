@@ -126,3 +126,37 @@ def test_factor_cache_hits_and_invalidation():
     assert len(m._eval_cache) == 0  # invalidated
     b = m.cardinality(q)
     assert b == pytest.approx(a, rel=0.01)  # delta is all x=3, below 10
+
+
+def test_groupby_grid_cap_falls_back_to_exact(spark, monkeypatch):
+    """A group-by grid past MAX_GROUPBY_CELLS raises GroupByExplosion
+    on the model plane; Engine.estimate falls back to the exact plane
+    (SURVEY §7.7: cap + fall back for high-cardinality groups)."""
+    from deepdb_public_spark.engine import Engine
+    from deepdb_public_spark.spn import model as spn_model
+    from deepdb_public_spark.spn.ensemble import SPNEnsemble
+    from deepdb_public_spark.spn.trainer import train_spn_model
+    from tests.conftest import SF_SMOKE
+
+    eng = Engine(spark, SF_SMOKE)
+    ens = SPNEnsemble(eng.schema)
+    ens.add_model(train_spn_model(eng.catalog, eng.schema, {"orders"}, 20_000))
+    eng.ensemble = ens
+
+    sql = (
+        "SELECT orders.o_orderstatus, COUNT(*) AS cnt "
+        "FROM orders GROUP BY orders.o_orderstatus"
+    )
+    monkeypatch.setattr(spn_model, "MAX_GROUPBY_CELLS", 1)
+    with pytest.raises(spn_model.GroupByExplosion):
+        eng.estimate(sql, exact_fallback=False)
+    rows = eng.estimate(sql)  # exact-plane fallback
+    exact = {
+        r["o_orderstatus"]: r["cnt"]
+        for r in (x.asDict() for x in eng.query(sql).collect())
+    }
+    assert {r["o_orderstatus"]: r["cnt"] for r in rows} == exact
+    # under the real cap the model plane answers (approximately)
+    monkeypatch.setattr(spn_model, "MAX_GROUPBY_CELLS", 2_000_000)
+    est_rows = eng.estimate(sql, exact_fallback=False)
+    assert {r["o_orderstatus"] for r in est_rows} <= set(exact)
