@@ -208,6 +208,17 @@ _SQL_QUERIES: dict[str, str] = {
                COUNT(*) AS cnt
         FROM orders GROUP BY 1, 2
     """,
+    # beyond reference (SURVEY §2 E): MIN/MAX + exact median — the
+    # aggregates the model plane cannot serve (paper-stated DeepDB
+    # limitation); the exact plane gets them from Spark's hash agg +
+    # interpolated MEDIAN (portable: DuckDB's MEDIAN is quantile_cont)
+    "q26_minmax_median": """
+        SELECT l_returnflag,
+               ROUND(MIN(l_extendedprice), 6) AS min_price,
+               ROUND(MAX(l_extendedprice), 6) AS max_price,
+               ROUND(MEDIAN(l_quantity), 6) AS med_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
 }
 
 

@@ -150,15 +150,29 @@ class SPNEnsemble:
         return out
 
     def _expand_factors(
-        self, query: Query, first: SPNModel, covered: set[str]
+        self,
+        query: Query,
+        first: SPNModel,
+        covered: set[str],
+        trace: list | None = None,
     ) -> float:
         """Evaluate one factorization variant: the first model answers
         its piece, then each frontier FK edge multiplies in a
-        conditional factor (reference: evaluate_factors)."""
+        conditional factor (reference: evaluate_factors). ``trace``
+        collects one dict per factor (explain_factors)."""
         q_tables = set(query.table_set)
         cond_tables = {c.table for c in query.conditions}
         q_rels, component, sub_query = self._query_graph(query)
         est = first.cardinality(sub_query(covered))
+        if trace is not None:
+            trace.append(
+                {
+                    "kind": "anchor",
+                    "model": sorted(first.table_set),
+                    "tables": sorted(covered),
+                    "value": est,
+                }
+            )
         # which (model, piece) covered each table — needed to fanout-
         # weight the covered side when expanding toward a child table
         piece_of = {t: (first, frozenset(covered)) for t in covered}
@@ -260,10 +274,53 @@ class SPNEnsemble:
                         den = self.cardinality(Query(table_set={edge.end}))
                         factor = nom / den if den > 0 else 0.0
             est *= factor
+            if trace is not None:
+                trace.append(
+                    {
+                        "kind": "parent_factor" if parent_new else "child_factor",
+                        "model": sorted(m.table_set),
+                        "edge": edge.identifier,
+                        "new_tables": sorted(D),
+                        "overlap": sorted(overlap),
+                        "value": factor,
+                    }
+                )
             covered |= D
             for t in D:
                 piece_of[t] = (m, frozenset(D))
         return est
+
+    def explain_factors(self, query: Query) -> list[dict]:
+        """The factor decomposition a cardinality estimate would use
+        (reference: SPNEnsemble verbose factor output): one dict per
+        factor — the anchor model's piece estimate, then each frontier
+        expansion with its model, edge, overlap set, and value. The
+        product of anchor x factors is the estimate. A query one model
+        covers returns a single 'single_model' entry."""
+        try:
+            model = self.select_model(query)
+        except ValueError:
+            variants = self._rank_first_factors(query)
+            if not variants:
+                raise ValueError(
+                    f"no model covers any of {sorted(query.table_set)}"
+                )
+            for _key, first, covered in variants:
+                trace: list[dict] = []
+                try:
+                    self._expand_factors(query, first, set(covered), trace)
+                    return trace
+                except ValueError:
+                    continue
+            raise ValueError("query join graph is disconnected across models")
+        return [
+            {
+                "kind": "single_model",
+                "model": sorted(model.table_set),
+                "tables": sorted(query.table_set),
+                "value": model.cardinality(query),
+            }
+        ]
 
     # -- answering -----------------------------------------------------
     def cardinality(self, query: Query, max_variants: int = 1) -> float:

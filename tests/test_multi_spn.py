@@ -174,3 +174,34 @@ def test_max_variants_averages_factorizations(spark):
         ens._expand_factors(q, m, set(c)) for _k, m, c in anchors[:3]
     ]
     assert min(singles) - 1e-6 <= e3 <= max(singles) + 1e-6
+
+
+def test_explain_factors_product_equals_estimate(spark):
+    """explain_factors returns the anchor + per-edge factors whose
+    product is exactly the factorized estimate; a covered query
+    returns one single_model entry."""
+    import math
+
+    eng = Engine(spark, SF_SMOKE)
+    ens = SPNEnsemble(eng.schema)
+    ens.add_model(
+        train_spn_model(eng.catalog, eng.schema, {"orders", "lineitem"}, 50_000)
+    )
+    ens.add_model(train_spn_model(eng.catalog, eng.schema, {"customer"}, 50_000))
+
+    q = eng.parse(
+        "SELECT COUNT(*) AS cnt FROM customer, orders, lineitem "
+        "WHERE customer.c_custkey = orders.o_custkey "
+        "AND orders.o_orderkey = lineitem.l_orderkey "
+        "AND customer.c_acctbal > 5000"
+    )
+    factors = ens.explain_factors(q)
+    assert factors[0]["kind"] == "anchor"
+    assert any(f["kind"] in ("parent_factor", "child_factor") for f in factors[1:])
+    prod = math.prod(f["value"] for f in factors)
+    assert prod == pytest.approx(ens.cardinality(q), rel=1e-9)
+
+    q1 = eng.parse("SELECT COUNT(*) AS cnt FROM customer WHERE customer.c_acctbal > 5000")
+    single = ens.explain_factors(q1)
+    assert len(single) == 1 and single[0]["kind"] == "single_model"
+    assert single[0]["value"] == pytest.approx(ens.cardinality(q1), rel=1e-9)
