@@ -86,6 +86,9 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--query_file_location", help="SQL file, one query per line")
     e.add_argument("--target_path", help="output CSV path")
     e.add_argument("--confidence", type=float, default=0.95)
+    e.add_argument("--max_variants", type=int, default=1,
+                   help="average up to N factorization variants for "
+                   "multi-SPN cardinality estimates (reference flag)")
 
     s = p.add_argument_group("sampled staging (--generate_sampled_parquet)")
     s.add_argument("--staged_dir", help="output directory for staged parquet")
@@ -162,7 +165,10 @@ def _cmd_evaluate_cardinalities(eng: Engine, args) -> int:
     _require(args, "query_file_location", args.query_file_location)
     _load_ensemble(eng, args.ensemble_path)
     summary = evaluate_cardinalities(
-        eng, load_query_file(args.query_file_location), args.target_path
+        eng,
+        load_query_file(args.query_file_location),
+        args.target_path,
+        max_variants=args.max_variants,
     )
     print(
         f"n={summary['n']} median_q_error={summary['median_q_error']:.3f} "

@@ -33,16 +33,21 @@ def q_error(est: float, true: float) -> float:
 
 
 def evaluate_cardinalities(
-    engine: Engine, queries: list[str], output_csv: str | None = None
+    engine: Engine,
+    queries: list[str],
+    output_csv: str | None = None,
+    max_variants: int = 1,
 ) -> dict:
     """Per-query model-plane estimate vs exact-plane truth. Returns
     summary stats; optionally writes the reference-style CSV
-    (query, cardinality_predict, cardinality_true, latency_ms)."""
+    (query, cardinality_predict, cardinality_true, latency_ms).
+    ``max_variants`` averages several factorization variants for
+    queries needing the multi-SPN path (reference --max_variants)."""
     results: list[CardinalityResult] = []
     for sql in queries:
         q = engine.parse(sql)
         t0 = time.perf_counter()
-        est = float(engine.ensemble.cardinality(q))
+        est = float(engine.ensemble.cardinality(q, max_variants=max_variants))
         latency = (time.perf_counter() - t0) * 1000
         truth = int(engine.query(q).collect()[0][0])
         results.append(

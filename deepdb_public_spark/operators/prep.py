@@ -347,13 +347,16 @@ def generate_join_sample(
                 progressed = True
             elif rel.start in joined or rel.end in joined:
                 other = rel.end if rel.start in joined else rel.start
-                # lineage-bound references (same pattern as the exact-
-                # plane compiler): resolve each join attribute through
-                # its owning table's DataFrame
+                # name-based join condition: safe because the unique-
+                # column-name contract above guarantees each attribute
+                # resolves to exactly one side. (Lineage-bound refs à
+                # la the exact compiler trip Spark's ambiguous-self-
+                # join check here: fanout_multiplier embeds the child
+                # table's plan in the parent's, so chained joins see
+                # the same Dataset on both sides.)
                 df = df.join(
                     enriched[other],
-                    enriched[rel.start][rel.start_attr]
-                    == enriched[rel.end][rel.end_attr],
+                    F.col(rel.start_attr) == F.col(rel.end_attr),
                     "full_outer",
                 )
                 joined.add(other)
