@@ -78,12 +78,23 @@ def evaluate_aqp(
 ) -> dict:
     """Relative error of model-plane aggregates vs exact answers
     (reference: aqp_evaluation.py). Group-by queries compare per-group;
-    missing/extra groups count as relative error 1."""
+    missing/extra groups count as relative error 1. A query whose
+    group-by grid exceeds the model plane's cell cap is recorded as
+    skipped (``skipped_queries``) instead of aborting the run — the
+    exact-plane fallback in Engine.estimate would make its error
+    trivially 0, which is not a model-quality measurement."""
+    from .spn.model import GroupByExplosion
+
     rows = []
+    skipped: list[str] = []
     for sql in queries:
         q = engine.parse(sql)
         t0 = time.perf_counter()
-        model_rows = engine.ensemble.aqp(q)
+        try:
+            model_rows = engine.ensemble.aqp(q)
+        except GroupByExplosion:
+            skipped.append(sql)
+            continue
         latency = (time.perf_counter() - t0) * 1000
         exact_rows = [r.asDict() for r in engine.query(q).collect()]
         gb = [c for _t, c in q.group_bys]
@@ -113,4 +124,5 @@ def evaluate_aqp(
         "mean_relative_error": float(errs.mean()),
         "p95_relative_error": float(np.percentile(errs, 95)),
         "max_relative_error": float(errs.max()),
+        "skipped_queries": skipped,
     }

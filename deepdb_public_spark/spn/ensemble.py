@@ -61,22 +61,35 @@ class SPNEnsemble:
         choice for the first factor (reference: the max_variants knob
         of _cardinality_greedy — averaging over factorization variants
         shrinks the variance of any single greedy choice)."""
+        ests = [est for est, _trace in self._variant_factors(query, max_variants)]
+        return float(sum(ests) / len(ests))
+
+    def _variant_factors(
+        self, query: Query, max_variants: int = 1, keep_traces: bool = False
+    ) -> list[tuple[float, list[dict]]]:
+        """(estimate, trace) per evaluated factorization variant — the
+        first ``max_variants`` anchors that reach full coverage. Both
+        cardinality() and explain_factors() go through here so the
+        traces always correspond to the variants the estimate
+        averaged."""
         variants = self._rank_first_factors(query)
         if not variants:
             raise ValueError(
                 f"no model covers any of {sorted(query.table_set)}"
             )
-        ests = []
+        out: list[tuple[float, list[dict]]] = []
         for _key, first, covered in variants[: max(1, max_variants)]:
+            trace: list[dict] = [] if keep_traces else None
             try:
-                ests.append(self._expand_factors(query, first, set(covered)))
+                est = self._expand_factors(query, first, set(covered), trace)
             except ValueError:
                 continue  # this anchor can't reach full coverage
-        if not ests:
+            out.append((est, trace))
+        if not out:
             raise ValueError(
                 "query join graph is disconnected across models"
             )
-        return float(sum(ests) / len(ests))
+        return out
 
     def _query_graph(self, query: Query):
         schema_rels = self.schema.relationships
@@ -290,35 +303,36 @@ class SPNEnsemble:
                 piece_of[t] = (m, frozenset(D))
         return est
 
-    def explain_factors(self, query: Query) -> list[dict]:
+    def explain_factors(self, query: Query, max_variants: int = 1) -> list[dict]:
         """The factor decomposition a cardinality estimate would use
         (reference: SPNEnsemble verbose factor output): one dict per
         factor — the anchor model's piece estimate, then each frontier
-        expansion with its model, edge, overlap set, and value. The
-        product of anchor x factors is the estimate. A query one model
-        covers returns a single 'single_model' entry."""
+        expansion with its model, edge, overlap set, and value. Each
+        dict carries a ``variant`` index; within one variant the
+        product of anchor x factors is that variant's estimate, and
+        ``cardinality(query, max_variants=k)`` is the mean over
+        variants. Pass the same ``max_variants`` used for the estimate
+        so the traced variants match (default 1: the single-variant
+        product IS the estimate). A query one model covers returns a
+        single 'single_model' entry."""
         try:
             model = self.select_model(query)
         except ValueError:
-            variants = self._rank_first_factors(query)
-            if not variants:
-                raise ValueError(
-                    f"no model covers any of {sorted(query.table_set)}"
-                )
-            for _key, first, covered in variants:
-                trace: list[dict] = []
-                try:
-                    self._expand_factors(query, first, set(covered), trace)
-                    return trace
-                except ValueError:
-                    continue
-            raise ValueError("query join graph is disconnected across models")
+            out: list[dict] = []
+            for k, (_est, trace) in enumerate(
+                self._variant_factors(query, max_variants, keep_traces=True)
+            ):
+                for f in trace:
+                    f["variant"] = k
+                out.extend(trace)
+            return out
         return [
             {
                 "kind": "single_model",
                 "model": sorted(model.table_set),
                 "tables": sorted(query.table_set),
                 "value": model.cardinality(query),
+                "variant": 0,
             }
         ]
 

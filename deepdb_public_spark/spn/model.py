@@ -24,6 +24,7 @@ multipliers (reference: ensemble_compilation/probabilistic_query.py).
 from __future__ import annotations
 
 import datetime as _dt
+import math as _math
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -389,7 +390,9 @@ class SPNModel:
             if rng is not None:
                 dom = np.array([v for v in dom if value_admitted(rng, v)])
             axes[i] = dom
-        n_cells = int(np.prod([len(a) for a in axes.values()], dtype=np.int64))
+        # arbitrary-precision product: an int64 np.prod wraps silently
+        # past 9.2e18 and would bypass the cap on absurd grids
+        n_cells = _math.prod(len(a) for a in axes.values())
         if n_cells > MAX_GROUPBY_CELLS:
             raise GroupByExplosion(
                 f"group-by grid has {n_cells} cells "

@@ -205,3 +205,15 @@ def test_explain_factors_product_equals_estimate(spark):
     single = ens.explain_factors(q1)
     assert len(single) == 1 and single[0]["kind"] == "single_model"
     assert single[0]["value"] == pytest.approx(ens.cardinality(q1), rel=1e-9)
+
+    # max_variants > 1: one trace per variant; the mean of per-variant
+    # products equals the averaged estimate the caller received
+    k = 3
+    traced = ens.explain_factors(q, max_variants=k)
+    variants = sorted({f["variant"] for f in traced})
+    per_variant = [
+        math.prod(f["value"] for f in traced if f["variant"] == v)
+        for v in variants
+    ]
+    est_k = ens.cardinality(q, max_variants=k)
+    assert sum(per_variant) / len(per_variant) == pytest.approx(est_k, rel=1e-9)

@@ -100,6 +100,26 @@ def test_evaluation_harnesses(tmp_path, engine, col3_model):
         ],
     )
     assert aqp["mean_relative_error"] < 0.1
+    assert aqp["skipped_queries"] == []
+
+
+def test_evaluate_aqp_skips_exploding_groupby(engine, col3_model, monkeypatch):
+    """A group-by grid over the model-plane cell cap is recorded as
+    skipped instead of aborting the whole evaluation run."""
+    from deepdb_public_spark.spn import model as model_mod
+
+    ens = SPNEnsemble(engine.schema)
+    ens.add_model(col3_model)
+    engine.ensemble = ens
+    monkeypatch.setattr(model_mod, "MAX_GROUPBY_CELLS", 1)
+    big = (
+        "SELECT lineitem.l_returnflag, COUNT(*) AS cnt "
+        "FROM lineitem GROUP BY lineitem.l_returnflag"
+    )
+    small = "SELECT COUNT(*) AS cnt FROM lineitem"
+    out = evaluate_aqp(engine, [big, small])
+    assert out["skipped_queries"] == [big]
+    assert out["n_cells"] == 1  # the ungrouped query still evaluated
 
 
 def test_stateful_streaming_matches_batch(spark):
