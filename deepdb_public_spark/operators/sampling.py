@@ -1,0 +1,73 @@
+"""Deterministic sampling / splitting operators for training-data
+pipelines (extension surface, SURVEY.md §7.6).
+
+`df.sample()` is seed-stable only per physical plan — re-evaluating
+the same DataFrame after an optimizer change can re-draw rows (the
+round-2 incremental-insert lesson). Pipelines that must reproduce a
+split across runs, engines, and re-partitions key it off a
+content-hash of a stable id instead: md5 is identical in every engine
+(Spark, DuckDB, Python), so the assignment is portable and
+oracle-checkable, and it's a pure projection — no shuffle, no state,
+same cost at 100 TB as at 1 GB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 4 hex chars = 65536 buckets: split fractions resolve to 1/65536
+# (plenty for train/test; raise to 8 chars for per-row experiments)
+_BUCKETS = 1 << 16
+
+
+def _bucket(id_col: Column) -> Column:
+    """Stable per-row bucket in [0, 65536) from the md5 of the id.
+
+    String comparison of the fixed-width lowercase hex prefix is
+    numeric comparison, so the same expression written in SQL
+    (substr(md5(cast(id as varchar)), 1, 4) < '<hex>') reproduces the
+    split bit-for-bit in other engines."""
+    return F.conv(F.substring(F.md5(id_col.cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    )
+
+
+def split_threshold_hex(fraction: float) -> str:
+    """The 4-hex-char threshold equivalent to ``fraction`` — for
+    writing the same split as portable SQL."""
+    return format(min(int(fraction * _BUCKETS), _BUCKETS - 1), "04x")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    split_col: str = "split",
+) -> DataFrame:
+    """Tag every row with a deterministic split label ('train'/'test'/
+    ...) proportional to ``fractions`` (must sum to ~1). The assignment
+    depends only on the id value — stable across runs, partitionings,
+    and engines."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions sum to {total}, expected 1")
+    b = _bucket(F.col(id_col))
+    expr = None
+    acc = 0.0
+    labels = list(fractions.items())
+    for name, frac in labels[:-1]:
+        acc += frac
+        cond = b < int(acc * _BUCKETS)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = labels[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(split_col, expr)
+
+
+def deterministic_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Content-hash sample: keep ~``fraction`` of rows, the SAME rows
+    every run (unlike df.sample, which is only plan-stable). The
+    filter is a pure projection predicate — it pushes down past joins
+    on the id and costs one md5 per row."""
+    return df.filter(_bucket(F.col(id_col)) < int(fraction * _BUCKETS))

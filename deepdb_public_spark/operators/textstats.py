@@ -53,6 +53,32 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def term_frequencies(
+    df: DataFrame, text_col: str, k: int = 20, min_len: int = 1
+) -> DataFrame:
+    """Corpus vocabulary: top-``k`` terms by frequency -> (token, cnt),
+    count desc then token asc (deterministic tie-break). Tokens are
+    lowercased maximal [a-z0-9] runs so the tokenization is
+    reproducible in any engine (the DuckDB oracle uses
+    string_split_regex with the same pattern).
+
+    Scale shape: explode -> one shuffle on token for the count, then
+    TakeOrdered for the top-k (no global sort). The token domain is
+    vocabulary-sized (millions), not corpus-sized, so the aggregate
+    state stays small; partial aggregation happens map-side."""
+    toks = F.explode(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
+    ).alias("token")
+    return (
+        df.select(toks)
+        .filter(F.length("token") >= min_len)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(k)
+    )
+
+
 def corpus_language_report(df: DataFrame, text_col: str, lang_col: str) -> DataFrame:
     """Language-ID evaluation vs a labeled column: per (label, guess)
     confusion counts."""
