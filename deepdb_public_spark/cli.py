@@ -81,6 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rdc_based: join-model table slots / base tables")
     t.add_argument("--rdc_threshold", type=float, default=0.3)
     t.add_argument("--seed", type=int, default=42)
+    t.add_argument("--pairwise_rdc_path",
+                   help="with --generate_ensemble: also compute pairwise "
+                   "RDC over non-key columns and persist it with the "
+                   "ensemble (reference artifact for rdc_spn_selection)")
 
     e = p.add_argument_group("evaluation (--evaluate_*)")
     e.add_argument("--query_file_location", help="SQL file, one query per line")
@@ -89,6 +93,11 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--max_variants", type=int, default=1,
                    help="average up to N factorization variants for "
                    "multi-SPN cardinality estimates (reference flag)")
+    e.add_argument("--rdc_spn_selection", action="store_true",
+                   help="rank factorization anchors by pairwise RDC of "
+                   "jointly-covered condition columns (needs an ensemble "
+                   "trained with --pairwise_rdc_path, or a sidecar pickle "
+                   "passed as the flag's companion artifact)")
 
     s = p.add_argument_group("sampled staging (--generate_sampled_parquet)")
     s.add_argument("--staged_dir", help="output directory for staged parquet")
@@ -106,10 +115,18 @@ def _require(args, flag: str, value) -> None:
         raise SystemExit(f"--{flag} is required for this action")
 
 
-def _load_ensemble(eng: Engine, path: str):
+def _load_ensemble(eng: Engine, path: str, rdc_spn_selection: bool = False):
     from .spn.ensemble import SPNEnsemble
 
     eng.ensemble = SPNEnsemble.load(path, eng.schema)
+    if rdc_spn_selection and eng.ensemble.pairwise_rdc is None:
+        raise SystemExit(
+            "--rdc_spn_selection needs an ensemble trained with "
+            "--pairwise_rdc_path (no pairwise-RDC artifact in the pickle)"
+        )
+    if not rdc_spn_selection:
+        # the stored artifact is opt-in at query time (reference flag)
+        eng.ensemble.pairwise_rdc = None
     return eng.ensemble
 
 
@@ -147,6 +164,18 @@ def _cmd_generate_ensemble(eng: Engine, args) -> int:
             sample_budget=args.samples_per_spn,
             seed=args.seed,
         )
+    if args.pairwise_rdc_path:
+        import pickle as _pickle
+
+        from .spn.ensemble import compute_pairwise_rdc
+
+        pairwise = compute_pairwise_rdc(
+            eng.catalog, eng.schema, tables, seed=args.seed
+        )
+        ens.enable_rdc_selection(pairwise)
+        with open(args.pairwise_rdc_path, "wb") as f:
+            _pickle.dump(pairwise, f)
+        print(f"pairwise RDC: {len(pairwise)} column pairs -> {args.pairwise_rdc_path}")
     eng.ensemble = ens
     if args.ensemble_path:
         ens.save(args.ensemble_path)
@@ -163,7 +192,7 @@ def _cmd_generate_ensemble(eng: Engine, args) -> int:
 def _cmd_evaluate_cardinalities(eng: Engine, args) -> int:
     _require(args, "ensemble_path", args.ensemble_path)
     _require(args, "query_file_location", args.query_file_location)
-    _load_ensemble(eng, args.ensemble_path)
+    _load_ensemble(eng, args.ensemble_path, args.rdc_spn_selection)
     summary = evaluate_cardinalities(
         eng,
         load_query_file(args.query_file_location),
@@ -182,7 +211,7 @@ def _cmd_evaluate_cardinalities(eng: Engine, args) -> int:
 def _cmd_evaluate_aqp(eng: Engine, args) -> int:
     _require(args, "ensemble_path", args.ensemble_path)
     _require(args, "query_file_location", args.query_file_location)
-    _load_ensemble(eng, args.ensemble_path)
+    _load_ensemble(eng, args.ensemble_path, args.rdc_spn_selection)
     summary = evaluate_aqp(
         eng, load_query_file(args.query_file_location), args.target_path
     )
@@ -199,7 +228,7 @@ def _cmd_evaluate_cis(eng: Engine, args) -> int:
 
     _require(args, "ensemble_path", args.ensemble_path)
     _require(args, "query_file_location", args.query_file_location)
-    ens = _load_ensemble(eng, args.ensemble_path)
+    ens = _load_ensemble(eng, args.ensemble_path, args.rdc_spn_selection)
     rows, hits = [], 0
     for sql in load_query_file(args.query_file_location):
         q = eng.parse(sql)
@@ -236,7 +265,7 @@ def _cmd_generate_sampled(eng: Engine, args) -> int:
 def _cmd_execute_query(eng: Engine, args) -> int:
     if args.plane == "model":
         _require(args, "ensemble_path", args.ensemble_path)
-        _load_ensemble(eng, args.ensemble_path)
+        _load_ensemble(eng, args.ensemble_path, args.rdc_spn_selection)
         print(eng.estimate(args.execute_query))
         return 0
     for row in eng.query(args.execute_query).collect():

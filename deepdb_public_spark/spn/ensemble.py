@@ -33,9 +33,36 @@ class SPNEnsemble:
     def __init__(self, schema: SchemaGraph) -> None:
         self.schema = schema
         self.models: list[SPNModel] = []
+        # optional pairwise-RDC map {frozenset({col_a, col_b}): rdc}
+        # for RDC-aware factorization-anchor ranking (reference:
+        # --rdc_spn_selection + pairwise_rdc_path)
+        self.pairwise_rdc: dict[frozenset, float] | None = None
 
     def add_model(self, model: SPNModel) -> None:
         self.models.append(model)
+
+    def enable_rdc_selection(self, pairwise_rdc: dict[frozenset, float]) -> None:
+        """Query-time RDC-aware SPN selection (reference:
+        spn_ensemble.py rdc_spn_selection): when several factorization
+        anchors cover equally many condition tables, prefer the one
+        whose piece models correlated condition-column pairs JOINTLY —
+        a correlated pair split across factors is estimated under an
+        independence assumption the data contradicts."""
+        self.pairwise_rdc = pairwise_rdc
+
+    def _cond_pair_rdc(self, query: Query, piece: set[str]) -> float:
+        """Sum of pairwise RDC over condition columns whose tables the
+        anchor piece covers jointly."""
+        if not self.pairwise_rdc:
+            return 0.0
+        cols = [c.column for c in query.conditions if c.table in piece]
+        total = 0.0
+        for i in range(len(cols)):
+            for j in range(i + 1, len(cols)):
+                total += self.pairwise_rdc.get(
+                    frozenset((cols[i], cols[j])), 0.0
+                )
+        return round(total, 6)
 
     # -- selection (B11) ----------------------------------------------
     def select_model(self, query: Query) -> SPNModel:
@@ -138,8 +165,9 @@ class SPNEnsemble:
     def _rank_first_factors(self, query: Query) -> list:
         """All candidate (model, connected piece) anchors for a
         factorized estimate, best first: most condition tables
-        covered, then largest piece, then smallest model (fewest
-        fanout corrections)."""
+        covered, then (with enable_rdc_selection) highest pairwise RDC
+        among jointly-covered condition columns, then largest piece,
+        then smallest model (fewest fanout corrections)."""
         q_tables = set(query.table_set)
         cond_tables = {c.table for c in query.conditions}
         _q_rels, component, _sub_query = self._query_graph(query)
@@ -154,6 +182,7 @@ class SPNEnsemble:
                 seen |= comp
                 key = (
                     len(comp & cond_tables),
+                    self._cond_pair_rdc(query, comp),
                     len(comp),
                     -len(m.table_set),
                     -mi,
@@ -358,7 +387,9 @@ class SPNEnsemble:
     # -- persistence (D9) ---------------------------------------------
     def save(self, path: str) -> None:
         with open(path, "wb") as f:
-            pickle.dump({"models": self.models}, f)
+            pickle.dump(
+                {"models": self.models, "pairwise_rdc": self.pairwise_rdc}, f
+            )
 
     @classmethod
     def load(cls, path: str, schema: SchemaGraph) -> "SPNEnsemble":
@@ -366,6 +397,7 @@ class SPNEnsemble:
             payload = pickle.load(f)
         ens = cls(schema)
         ens.models = payload["models"]
+        ens.pairwise_rdc = payload.get("pairwise_rdc")
         return ens
 
 
@@ -441,6 +473,60 @@ def score_fk_edges(
         out[rel.identifier] = max(
             (mat[i, j] for i in start_cols for j in end_cols), default=0.0
         )
+    return out
+
+
+def compute_pairwise_rdc(
+    catalog: dict[str, DataFrame],
+    schema: SchemaGraph,
+    tables: list[str],
+    rdc_sample: int = 5_000,
+    seed: int = 42,
+) -> dict[frozenset, float]:
+    """Pairwise RDC over all non-key column pairs — within each table
+    and across each FK edge (probed on a bounded inner-join sample,
+    like score_fk_edges). The result is the reference's
+    pairwise_rdc_path artifact: persisted with the ensemble and
+    consumed by enable_rdc_selection at query time."""
+    import numpy as np
+
+    from ..operators.prep import encode_table
+    from .rdc import rdc_matrix
+
+    key_cols: set[str] = set()
+    for r in schema.relationships.values():
+        key_cols |= {r.start_attr, r.end_attr}
+    for t in tables:
+        key_cols |= set(schema.tables[t].primary_key)
+
+    out: dict[frozenset, float] = {}
+
+    def probe(df: DataFrame, name: str) -> None:
+        frac = min(1.0, rdc_sample / max(df.count(), 1))
+        enc, meta = encode_table(df.sample(frac, seed=seed), name)
+        cols = [c for c in enc.columns if c in meta.columns and c not in key_cols]
+        if len(cols) < 2:
+            return
+        pdf = enc.select(*cols).toPandas()
+        data = pdf.to_numpy(dtype=np.float64, na_value=np.nan)
+        mat = rdc_matrix(data, seed=seed, max_rows=rdc_sample)
+        for i in range(len(cols)):
+            for j in range(i + 1, len(cols)):
+                k = frozenset((cols[i], cols[j]))
+                v = float(mat[i, j])
+                if v > out.get(k, 0.0):
+                    out[k] = v
+
+    for t in tables:
+        probe(catalog[t], f"rdc_{t}")
+    for rel in schema.relationships.values():
+        if rel.start not in tables or rel.end not in tables:
+            continue
+        joined = catalog[rel.start].join(
+            catalog[rel.end],
+            catalog[rel.start][rel.start_attr] == catalog[rel.end][rel.end_attr],
+        )
+        probe(joined, f"rdc_{rel.start}_{rel.end}")
     return out
 
 

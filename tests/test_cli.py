@@ -158,3 +158,52 @@ def test_generate_sampled_parquet(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert "sample_rate=" in capsys.readouterr().out
+
+
+def test_pairwise_rdc_train_and_rdc_selection(spark, tmp_path, capsys):
+    """--pairwise_rdc_path persists the RDC artifact with the ensemble;
+    --rdc_spn_selection requires it and evaluation still runs green."""
+    ens_path = str(tmp_path / "ens_rdc.pkl")
+    rdc_path = str(tmp_path / "pairwise.pkl")
+    rc = main(
+        [
+            "--data_dir", SF_SMOKE,
+            "--generate_ensemble",
+            "--ensemble_strategy", "single",
+            "--tables", "lineitem,orders",
+            "--samples_per_spn", "20000",
+            "--ensemble_path", ens_path,
+            "--pairwise_rdc_path", rdc_path,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "pairwise RDC" in capsys.readouterr().out
+
+    qf = _write_queries(tmp_path)
+    rc = main(
+        [
+            "--data_dir", SF_SMOKE,
+            "--evaluate_cardinalities",
+            "--ensemble_path", ens_path,
+            "--query_file_location", qf,
+            "--rdc_spn_selection",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "median_q_error" in capsys.readouterr().out
+
+
+def test_rdc_selection_without_artifact_errors(spark, ensemble_path, tmp_path):
+    with pytest.raises(SystemExit, match="pairwise_rdc_path"):
+        main(
+            [
+                "--data_dir", SF_SMOKE,
+                "--evaluate_cardinalities",
+                "--ensemble_path", ensemble_path,
+                "--query_file_location", _write_queries(tmp_path),
+                "--rdc_spn_selection",
+            ],
+            spark=spark,
+        )

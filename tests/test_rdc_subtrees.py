@@ -84,3 +84,82 @@ def test_correlated_chain_gets_joint_model_and_beats_independence(
     assert qerr_joint < 1.3
     assert qerr_indep > 1.5  # x=1 implies z=1; independence halves it
     assert qerr_joint < qerr_indep
+
+
+@pytest.fixture(scope="module")
+def star(spark):
+    """a(aid, x) with children b(y = parent x, correlated) and
+    d(w, independent of x): the rdc_spn_selection scenario — two
+    2-table models tie on condition coverage, only one captures a
+    correlated condition pair jointly."""
+    a = [(i, float(i % 2)) for i in range(2000)]
+    b = [(i, i, float(i % 2)) for i in range(2000)]          # y == x
+    d = [(i, i, float(1 if i % 4 >= 2 else 0)) for i in range(2000)]  # w ⊥ x
+    catalog = {
+        "a": spark.createDataFrame(a, "aid int, x double"),
+        "b": spark.createDataFrame(b, "bid int, b_aid int, y double"),
+        "d": spark.createDataFrame(d, "did int, d_aid int, w double"),
+    }
+    g = SchemaGraph()
+    g.add_table(Table("a", ["aid"]))
+    g.add_table(Table("b", ["bid"]))
+    g.add_table(Table("d", ["did"]))
+    g.add_relationship("b", "b_aid", "a", "aid")
+    g.add_relationship("d", "d_aid", "a", "aid")
+    return catalog, g
+
+
+def test_compute_pairwise_rdc_separates_pairs(spark, star):
+    from deepdb_public_spark.spn.ensemble import compute_pairwise_rdc
+
+    catalog, g = star
+    pairwise = compute_pairwise_rdc(catalog, g, ["a", "b", "d"], rdc_sample=2000)
+    assert pairwise[frozenset(("x", "y"))] > 0.6
+    assert pairwise.get(frozenset(("x", "w")), 0.0) < 0.3
+
+
+def test_rdc_spn_selection_prefers_correlated_anchor(spark, star):
+    """With pairwise RDC enabled, the factorization anchor that models
+    the correlated condition pair (x, y) jointly outranks the anchor
+    that only covers the independent pair (x, w) — the reference's
+    rdc_spn_selection behavior. The artifact survives save/load."""
+    from deepdb_public_spark.plans.query import Condition, Query
+    from deepdb_public_spark.spn.ensemble import compute_pairwise_rdc
+
+    catalog, g = star
+    params = LearnParams(min_instances_slice=200)
+    ens = SPNEnsemble(g)
+    # m_ad FIRST: the rdc-free tie-break (model order) picks it
+    ens.add_model(train_spn_model(catalog, g, {"a", "d"}, 20_000, params))
+    ens.add_model(train_spn_model(catalog, g, {"a", "b"}, 20_000, params))
+
+    q = Query(
+        table_set={"a", "b", "d"},
+        relationship_set={"b.b_aid = a.aid", "d.d_aid = a.aid"},
+        conditions=[
+            Condition("a", "x", "=", 1),
+            Condition("b", "y", "=", 1),
+            Condition("d", "w", "=", 1),
+        ],
+    )
+    _key, first, piece = ens._rank_first_factors(q)[0]
+    assert first.table_set == {"a", "d"}  # order tie-break, no rdc
+
+    pairwise = compute_pairwise_rdc(catalog, g, ["a", "b", "d"], rdc_sample=2000)
+    ens.enable_rdc_selection(pairwise)
+    _key, first, piece = ens._rank_first_factors(q)[0]
+    assert first.table_set == {"a", "b"}  # correlated pair wins
+    assert piece == frozenset({"a", "b"})
+
+    # estimate stays within budget with the rdc-chosen anchor
+    est = ens.cardinality(q)
+    true = 500.0  # x=1: 1000 a-rows; w=1 on half of those joins
+    assert max(est / true, true / est) < 1.5
+
+    # persistence carries the artifact
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "ens.pkl")
+        ens.save(path)
+        back = SPNEnsemble.load(path, g)
+        assert back.pairwise_rdc == pairwise
