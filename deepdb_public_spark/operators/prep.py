@@ -72,8 +72,8 @@ def encode_table(
     model scope). Numeric columns pass through. Timestamps become
     epoch micros (the model plane is numeric-only, SURVEY §1.2).
     """
-    # one pass for row count + all numeric distinct counts (vs a
-    # Spark job per column — matters when staging at scale)
+    # one pass for row count + approx distinct counts of EVERY column
+    # (vs a Spark job per column — matters when staging at scale)
     numeric_cols, ts_cols, string_cols = [], [], []
     for f_ in df.schema.fields:
         if isinstance(f_.dataType, NumericType):
@@ -90,7 +90,7 @@ def encode_table(
         F.count(F.lit(1)).alias("__n"),
         *[
             F.approx_count_distinct(c).alias(f"__d_{c}")
-            for c in numeric_cols + ts_cols
+            for c in numeric_cols + ts_cols + string_cols
         ],
     ).collect()[0]
     meta = TableMeta(table_name, stats["__n"])
@@ -103,16 +103,38 @@ def encode_table(
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     spark = df.sparkSession
+    # string columns whose approx distinct count is safely under the
+    # dict cap get their dictionaries from ONE combined collect_set
+    # job (HLL++ rsd is 5%; the 0.7 margin makes an overshoot past the
+    # cap implausible). Larger/ambiguous domains take the exact
+    # per-column path below.
+    small_cols = [
+        c for c in string_cols if stats[f"__d_{c}"] <= max_dict_size * 0.7
+    ]
+    dicts: dict[str, list] = {}
+    if small_cols:
+        sets = df.agg(
+            *[F.collect_set(c).alias(c) for c in small_cols]
+        ).collect()[0]
+        for col in small_cols:
+            dicts[col] = sorted(sets[col])
     for col in string_cols:
-        distinct = (
-            df.select(col).filter(F.col(col).isNotNull()).distinct().persist()
-        )
-        n_distinct = distinct.count()
         value_to_code = None
-        if n_distinct <= max_dict_size:
-            # small domain: one sorted collect, codes assigned driver-
-            # side, broadcast mapping join (no RDD jobs)
-            vals = [r[col] for r in distinct.sort(F.col(col)).collect()]
+        if col in dicts:
+            vals = dicts[col]
+            n_distinct = len(vals)
+        else:
+            distinct = (
+                df.select(col).filter(F.col(col).isNotNull()).distinct().persist()
+            )
+            n_distinct = distinct.count()
+            vals = None
+            if n_distinct <= max_dict_size:
+                vals = [r[col] for r in distinct.sort(F.col(col)).collect()]
+        if vals is not None:
+            # small domain: codes assigned driver-side in sorted order
+            # (== DENSE_RANK()-1, what the oracle computes), broadcast
+            # mapping join
             value_to_code = {v: i for i, v in enumerate(vals)}
             mapping = spark.createDataFrame(
                 list(value_to_code.items()),
@@ -133,7 +155,8 @@ def encode_table(
                     [StructField(col, StringType()), StructField("__code", LongType())]
                 ),
             )
-        distinct.unpersist()
+        if col not in dicts:
+            distinct.unpersist()
         out = (
             out.join(join_side, on=col, how="left")
             .drop(col)

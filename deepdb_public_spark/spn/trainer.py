@@ -221,15 +221,35 @@ def train_spn_model(
         observed_size = joined.count()
         encoded, meta = encode_table(joined, "+".join(sorted(table_set)))
         model_cols = [c for c in encoded.columns if c in meta.columns]
-        encoded = encoded.select(*model_cols)
 
         if sample_budget > driver_row_limit and observed_size > driver_row_limit:
             root, n_sample = _mllib_top_split(
-                encoded, model_cols, sample_budget, params, seed
+                encoded.select(*model_cols), model_cols, sample_budget, params, seed
             )
         else:
+            # sample FIRST, then apply the dictionary mapping joins
+            # (broadcast, row-wise) to the sample only — the
+            # dictionaries/meta still come from the full relation
+            # above, but the encode joins touch sample_budget rows
+            # instead of the whole join
+            from ..operators.prep import encode_with_meta
+
             fraction = min(1.0, sample_budget / max(observed_size, 1))
-            pdf = encoded.sample(fraction=fraction, seed=seed).toPandas()
+            if any(
+                meta.columns[c].kind == "categorical"
+                and meta.columns[c].value_to_code is None
+                for c in model_cols
+            ):
+                # beyond-dict-cap categorical: its codes exist only in
+                # the distributed mapping join — encode the full frame
+                src = encoded.select(*model_cols).sample(
+                    fraction=fraction, seed=seed
+                )
+            else:
+                src = encode_with_meta(
+                    joined.sample(fraction=fraction, seed=seed), meta
+                ).select(*model_cols)
+            pdf = src.toPandas()
             data = pdf.to_numpy(dtype=np.float64, na_value=np.nan)
             root = learn_spn(data, list(range(len(model_cols))), params)
             n_sample = len(data)
