@@ -520,6 +520,48 @@ def _x_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination: deterministic split, then test docs
+    whose content fingerprint also appears in train. Copies of the
+    first 40 docs are re-inserted under shifted ids so leakage
+    provably exists and the detector's hit set is oracle-checked."""
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.operators.sampling import hash_split
+    from deepdb_public_spark.operators.textstats import contamination_report
+
+    docs = _engine(spark, sf_dir).catalog["documents"].select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted)
+    tagged = hash_split(corpus, "doc_id", {"train": 0.9, "test": 0.1})
+    return contamination_report(tagged, "text", "doc_id", "split")
+
+
+def _x_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing with per-source weights (en down-sampled to 50%,
+    de kept whole), deterministic across runs/engines; per-source doc
+    and token totals."""
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.functions.text import token_count
+    from deepdb_public_spark.operators.sampling import weighted_mixture
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    mixed = weighted_mixture(
+        {
+            "web_en": (docs.filter(F.col("lang") == "en"), 0.5),
+            "de_full": (docs.filter(F.col("lang") == "de"), 1.0),
+        },
+        "doc_id",
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+    )
+
+
 def _x_embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-math surface over embeddings: per-vector L2 norm via
     JVM higher-order functions (zip_with + aggregate), no UDF."""
@@ -1190,6 +1232,44 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
         FROM embeddings WHERE vec_id < 500
         """,
     ),
+    "x25_contamination": (
+        _x_contamination,
+        """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 40
+        ),
+        fps AS (
+            SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                        THEN 'train' ELSE 'test' END AS split,
+                   doc_id,
+                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+            FROM corpus
+        ),
+        train AS (
+            SELECT fp, COUNT(*) AS n_train_dups FROM fps
+            WHERE split = 'train' GROUP BY fp
+        )
+        SELECT f.doc_id, f.fp, t.n_train_dups
+        FROM fps f JOIN train t USING (fp)
+        WHERE f.split = 'test'
+        """,
+    ),
+    "x26_corpus_mixture": (
+        _x_mixture,
+        """
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        FROM (
+            SELECT 'web_en' AS source, text FROM documents
+            WHERE lang = 'en'
+              AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+            UNION ALL
+            SELECT 'de_full', text FROM documents WHERE lang = 'de'
+        ) GROUP BY source
+        """,
+    ),
 }
 
 
@@ -1244,6 +1324,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY_TAIL = [
     "q29_grouping_sets",
     "x24_embed_norms",
+    "x25_contamination",
+    "x26_corpus_mixture",
     "x06_minhash_pairs",
     "x19_sketch_distinct",
     "m01_spn_qerrors",

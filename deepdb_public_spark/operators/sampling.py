@@ -71,3 +71,24 @@ def deterministic_sample(df: DataFrame, id_col: str, fraction: float) -> DataFra
     filter is a pure projection predicate — it pushes down past joins
     on the id and costs one md5 per row."""
     return df.filter(_bucket(F.col(id_col)) < int(fraction * _BUCKETS))
+
+
+def weighted_mixture(
+    sources: dict[str, tuple[DataFrame, float]],
+    id_col: str,
+    source_col: str = "source",
+) -> DataFrame:
+    """Training-data mixing: deterministically keep ``fraction`` of
+    each named source and union them with a provenance column — the
+    standard corpus-mixture step (e.g. web 0.6, code 1.0, books 1.0)
+    expressed as pure filters + union, so it is reproducible across
+    runs and engines and costs one scan per source at any scale.
+    Schemas must be union-compatible; columns are matched by name."""
+    parts = []
+    for name, (df, fraction) in sorted(sources.items()):
+        kept = df if fraction >= 1.0 else deterministic_sample(df, id_col, fraction)
+        parts.append(kept.withColumn(source_col, F.lit(name)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

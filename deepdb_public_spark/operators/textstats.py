@@ -87,3 +87,36 @@ def corpus_language_report(df: DataFrame, text_col: str, lang_col: str) -> DataF
         .groupBy("label", "guess")
         .agg(F.count("*").alias("n"))
     )
+
+
+def contamination_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    split_col: str,
+    train_label: str = "train",
+    test_label: str = "test",
+) -> DataFrame:
+    """Train/test contamination check: test rows whose normalized
+    content fingerprint also appears in the train split -> (test id,
+    fp, n_train_dups). The eval-leakage guard every training-data
+    pipeline needs after splitting.
+
+    Scale shape: one fingerprint projection (no shuffle) + one
+    aggregate on fp for the train side + one shuffle join on fp —
+    never content-to-content comparison."""
+    fps = df.select(
+        F.col(split_col).alias("__split"),
+        F.col(id_col),
+        fingerprint_md5(F.col(text_col)).alias("fp"),
+    )
+    train = (
+        fps.filter(F.col("__split") == train_label)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_train_dups"))
+    )
+    return (
+        fps.filter(F.col("__split") == test_label)
+        .join(train, "fp")
+        .select(id_col, "fp", "n_train_dups")
+    )

@@ -66,3 +66,30 @@ def test_term_frequencies(spark):
     )
     out = term_frequencies(docs, "text", k=3).collect()
     assert [(r["token"], r["cnt"]) for r in out] == [("dog", 3), ("cat", 2), ("the", 2)]
+
+
+def test_weighted_mixture_sources_and_fractions(spark):
+    from deepdb_public_spark.operators.sampling import weighted_mixture
+
+    a = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    b = spark.range(10_000, 12_000).withColumnRenamed("id", "doc_id")
+    mixed = weighted_mixture({"big": (a, 0.5), "small": (b, 1.0)}, "doc_id")
+    counts = {r["source"]: r["n"] for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["small"] == 2_000
+    assert abs(counts["big"] / 10_000 - 0.5) < 0.03
+    # re-evaluation keeps the exact same rows (deterministic)
+    again = weighted_mixture({"big": (a, 0.5), "small": (b, 1.0)}, "doc_id")
+    assert mixed.exceptAll(again).count() == 0
+
+
+def test_contamination_report_finds_planted_leak(spark):
+    from deepdb_public_spark.operators.textstats import contamination_report
+
+    rows = [(i, f"unique text {i}", "train" if i % 2 == 0 else "test") for i in range(100)]
+    rows.append((1000, "unique text 2", "test"))   # duplicates a train doc
+    rows.append((1001, "Unique   TEXT 2", "test")) # same after normalization
+    rows.append((1002, "unique text 3", "train"))  # contaminates test doc 3
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    hits = contamination_report(df, "text", "doc_id", "split").collect()
+    assert {r["doc_id"] for r in hits} == {3, 1000, 1001}
+    assert all(r["n_train_dups"] == 1 for r in hits)
