@@ -477,13 +477,70 @@ class SPNModel:
         (nodes.evaluate_with_variance). AVG uses the delta method on
         the SUM/COUNT ratio, treating numerator and denominator as
         independent (their covariance is dropped, as in the
-        reference)."""
+        reference). GROUP BY queries return one row per (group,
+        aggregate) with the group columns attached (reference:
+        confidence_interval_evaluation over grouped AQP queries)."""
         z = {0.9: 1.645, 0.95: 1.96, 0.99: 2.576}.get(round(confidence, 2), 1.96)
         from .nodes import evaluate_with_variance
 
         cond = self.conditions_to_ranges(query)
         extra, features = self.correction_factors(query)
         cond.update(extra)
+
+        if query.group_bys:
+            # grouped CIs (reference: confidence_interval_evaluation
+            # over grouped AQP queries): enumerate the admitted combos
+            # exactly like aqp(), then run the per-node variance pass
+            # with the combo pinned as point conditions — one tree
+            # pass per (group, aggregate), bounded by the same grid
+            # cap as the batch path
+            gb_cols = [c for _t, c in query.group_bys]
+            gb_idx = [self._col_index(c) for c in gb_cols]
+            axes: dict[int, np.ndarray] = {}
+            for i in gb_idx:
+                dom = distinct_values(self.root, i)
+                rng = cond.pop(i, None)
+                if rng is not None:
+                    dom = np.array([v for v in dom if value_admitted(rng, v)])
+                axes[i] = dom
+            n_cells = _math.prod(len(a) for a in axes.values())
+            if n_cells > MAX_GROUPBY_CELLS:
+                raise GroupByExplosion(
+                    f"group-by grid has {n_cells} cells (> {MAX_GROUPBY_CELLS})"
+                )
+            count_grid = self.full_join_size * evaluate_groupby(
+                self.root, cond, features, axes
+            )
+            out: list[dict] = []
+            for idx in np.argwhere(count_grid >= 0.5):
+                combo_cond = dict(cond)
+                group_vals: dict = {}
+                for a, (c, i) in enumerate(zip(gb_cols, gb_idx)):
+                    code = float(axes[i][idx[a]])
+                    cm = self.meta.columns[c]
+                    if cm.kind == "categorical":
+                        combo_cond[i] = NominalRange([int(code)])
+                        inv = (
+                            {v: k for k, v in cm.value_to_code.items()}
+                            if cm.value_to_code
+                            else {}
+                        )
+                        group_vals[c] = inv.get(int(code), code)
+                    else:
+                        combo_cond[i] = NumericRange([(code, code, True, True)])
+                        group_vals[c] = code
+                for row in self._ci_rows(query, combo_cond, features, z):
+                    row.update(group_vals)
+                    out.append(row)
+            return out
+
+        return self._ci_rows(query, cond, features, z)
+
+    def _ci_rows(
+        self, query: Query, cond: dict[int, Range], features, z: float
+    ) -> list[dict]:
+        from .nodes import evaluate_with_variance
+
         N = self.full_join_size
         p, var_p = evaluate_with_variance(self.root, cond, features)
         out = []

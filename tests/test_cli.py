@@ -207,3 +207,32 @@ def test_rdc_selection_without_artifact_errors(spark, ensemble_path, tmp_path):
             ],
             spark=spark,
         )
+
+
+def test_evaluate_grouped_confidence_intervals(spark, ensemble_path, tmp_path, capsys):
+    qf = tmp_path / "gq.sql"
+    qf.write_text(
+        "SELECT lineitem.l_returnflag, COUNT(*) AS c, AVG(lineitem.l_quantity) AS a "
+        "FROM lineitem GROUP BY lineitem.l_returnflag;\n"
+    )
+    out = str(tmp_path / "gci.csv")
+    rc = main(
+        [
+            "--data_dir", SF_SMOKE,
+            "--evaluate_confidence_intervals",
+            "--ensemble_path", ensemble_path,
+            "--query_file_location", str(qf),
+            "--confidence", "0.99",
+            "--target_path", out,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "coverage=" in capsys.readouterr().out
+    with open(out) as f:
+        rows = list(csv.DictReader(f))
+    # 3 return flags x 2 aggregates
+    assert len(rows) == 6
+    assert {r["aggregate"] for r in rows} == {"c", "a"}
+    hit_rate = sum(int(r["hit"]) for r in rows) / len(rows)
+    assert hit_rate >= 0.5  # full-data model: CIs should mostly cover

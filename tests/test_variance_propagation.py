@@ -130,3 +130,39 @@ def test_sum_and_avg_cis_contain_truth():
     assert ci_s["lo"] <= true_sum <= ci_s["hi"]
     assert ci_a["lo"] <= true_avg <= ci_a["hi"]
     assert 0 < ci_s["hi"] - ci_s["lo"] < 2 * true_sum
+
+
+def test_grouped_cis_cover_per_group_truth():
+    """GROUP BY CIs: one row per (group, aggregate); each 0.99 CI
+    contains the group's true value on a model trained on the full
+    data."""
+    rng = np.random.default_rng(11)
+    n = 6000
+    g = rng.integers(0, 3, n).astype(float)          # group column, 3 values
+    x = rng.normal(10 + 5 * g, 2.0, n)               # mean depends on group
+    data = np.column_stack([x, g])
+    m = _model(data, ["x", "g"])
+    q = Query(query_type=QueryType.AQP, table_set={"t"})
+    q.group_bys.append(("t", "g"))
+    q.aggregations.append(
+        AggOperation(
+            AggregationOperationType.AGGREGATION,
+            AggregationType.COUNT, [], alias="c",
+        )
+    )
+    q.aggregations.append(
+        AggOperation(
+            AggregationOperationType.AGGREGATION,
+            AggregationType.AVG, [("t", "x")], alias="a",
+        )
+    )
+    rows = m.confidence_interval(q, confidence=0.99)
+    assert len(rows) == 6  # 3 groups x 2 aggregates
+    for gv in (0.0, 1.0, 2.0):
+        mask = data[:, 1] == gv
+        true_by_agg = {"c": mask.sum(), "a": data[mask, 0].mean()}
+        for row in rows:
+            if row["g"] == gv:
+                t = true_by_agg[row["agg"]]
+                assert row["lo"] <= t <= row["hi"], (gv, row, t)
+                assert row["hi"] > row["lo"]
