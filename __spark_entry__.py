@@ -562,6 +562,49 @@ def _x_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window join: all clicks within 1 hour before each
+    purchase by the same user (stream-stream-legal interval join;
+    tests prove the identical transform under Structured Streaming)."""
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.streaming.windows import interval_join
+
+    ev = _engine(spark, sf_dir).catalog["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ts_r"), "value"
+    )
+    out = interval_join(purchases, clicks, "user_id", "ts", "ts_r", "1 hour")
+    return out.select(
+        "event_id",
+        F.unix_micros(F.col("ts_r")).alias("click_ts_us"),
+        F.col("value").alias("click_value"),
+    )
+
+
+def _x_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch surface: exact interpolated quartiles (hash-
+    checked vs DuckDB quantile_cont) next to approx_percentile
+    within-2%-relative-error flags (Spark's KLL-style sketch)."""
+    return _engine(spark, sf_dir).sql(
+        """
+        WITH q AS (
+            SELECT percentile(l_extendedprice, array(0.25, 0.5, 0.75)) AS ex,
+                   approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000) AS ap
+            FROM lineitem
+        )
+        SELECT ROUND(ex[0], 6) AS p25, ROUND(ex[1], 6) AS p50, ROUND(ex[2], 6) AS p75,
+               ABS(ap[0] - ex[0]) < 0.02 * ex[0] AS p25_ok,
+               ABS(ap[1] - ex[1]) < 0.02 * ex[1] AS p50_ok,
+               ABS(ap[2] - ex[2]) < 0.02 * ex[2] AS p75_ok
+        FROM q
+        """
+    )
+
+
 def _x_embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-math surface over embeddings: per-vector L2 norm via
     JVM higher-order functions (zip_with + aggregate), no UDF."""
@@ -1256,6 +1299,31 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
         WHERE f.split = 'test'
         """,
     ),
+    "x27_interval_join": (
+        _x_interval_join,
+        """
+        SELECT p.event_id,
+               epoch_us(c.ts) AS click_ts_us,
+               c.value AS click_value
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.ts >= p.ts - INTERVAL 1 HOUR
+         AND c.ts <= p.ts
+        """,
+    ),
+    "x28_quantile_sketch": (
+        _x_quantile_sketch,
+        """
+        WITH q AS (
+            SELECT quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS ex
+            FROM lineitem
+        )
+        SELECT ROUND(ex[1], 6) AS p25, ROUND(ex[2], 6) AS p50, ROUND(ex[3], 6) AS p75,
+               TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+        FROM q
+        """,
+    ),
     "x26_corpus_mixture": (
         _x_mixture,
         """
@@ -1326,6 +1394,8 @@ _PRIORITY_TAIL = [
     "x24_embed_norms",
     "x25_contamination",
     "x26_corpus_mixture",
+    "x27_interval_join",
+    "x28_quantile_sketch",
     "x06_minhash_pairs",
     "x19_sketch_distinct",
     "m01_spn_qerrors",

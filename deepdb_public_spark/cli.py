@@ -107,6 +107,10 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--plane", default="exact", choices=["exact", "model"],
                    help="exact: Spark SQL on the data; model: RSPN estimate "
                    "(needs --ensemble_path)")
+    q.add_argument("--explain", action="store_true",
+                   help="model plane: also print the factor decomposition "
+                   "(anchor + per-edge factors whose product is the "
+                   "estimate; reference verbose output)")
     return p
 
 
@@ -281,6 +285,10 @@ def _cmd_execute_query(eng: Engine, args) -> int:
     if args.plane == "model":
         _require(args, "ensemble_path", args.ensemble_path)
         _load_ensemble(eng, args.ensemble_path, args.rdc_spn_selection)
+        if args.explain:
+            q = eng.parse(args.execute_query)
+            for f in eng.ensemble.explain_factors(q, max_variants=args.max_variants):
+                print(f)
         print(eng.estimate(args.execute_query))
         return 0
     for row in eng.query(args.execute_query).collect():

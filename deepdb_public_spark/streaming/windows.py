@@ -143,6 +143,33 @@ def streaming_dedup(
     return out.dropDuplicatesWithinWatermark(subset)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts_r",
+    lookback: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: every right row whose timestamp
+    falls in [left_ts - lookback, left_ts] for the same ``on`` key
+    (e.g. all clicks within the hour before each purchase — the
+    attribution-window join; x18's as-of join keeps only the nearest).
+
+    Defined once, valid in batch AND Structured Streaming: the
+    equality key + bounded time-range condition is exactly what makes
+    a stream-stream inner join state-bounded (each side's watermark
+    lets Spark evict rows older than the lookback). Batch form is the
+    DuckDB-checkable range join. ``right_ts`` must differ from
+    ``left_ts`` (rename before calling)."""
+    cond = (
+        (left[on] == right[on])
+        & (right[right_ts] >= left[left_ts] - F.expr(f"INTERVAL {lookback}"))
+        & (right[right_ts] <= left[left_ts])
+    )
+    return left.join(right, cond, "inner").drop(right[on])
+
+
 def run_streaming_batch(
     stream_df: DataFrame,
     transform,

@@ -236,3 +236,20 @@ def test_evaluate_grouped_confidence_intervals(spark, ensemble_path, tmp_path, c
     assert {r["aggregate"] for r in rows} == {"c", "a"}
     hit_rate = sum(int(r["hit"]) for r in rows) / len(rows)
     assert hit_rate >= 0.5  # full-data model: CIs should mostly cover
+
+
+def test_execute_query_model_explain(spark, ensemble_path, capsys):
+    rc = main(
+        [
+            "--data_dir", SF_SMOKE,
+            "--execute_query",
+            "SELECT COUNT(*) AS c FROM lineitem WHERE lineitem.l_quantity < 25",
+            "--plane", "model",
+            "--ensemble_path", ensemble_path,
+            "--explain",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "single_model" in out and "'value'" in out

@@ -139,3 +139,49 @@ def test_stateful_streaming_matches_batch(spark):
     assert len(got) == len(batch)
     assert (got["n_events"].to_numpy() == batch["n"].to_numpy()).all()
     assert np.allclose(got["total_value"].to_numpy(), batch["s"].to_numpy(), rtol=1e-9)
+
+
+def test_interval_join_streaming_matches_batch(spark):
+    """The interval join is defined once and runs identically as a
+    batch range join and as a stateful stream-stream inner join
+    (watermarks on both sides + bounded time condition)."""
+    from deepdb_public_spark.streaming.windows import interval_join, stream_events
+
+    eng = Engine(spark, SF_CORRECT)
+    ev = eng.catalog["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ts_r"), "value"
+    )
+    batch = interval_join(purchases, clicks, "user_id", "ts", "ts_r", "1 hour").select(
+        "event_id", F.unix_micros("ts_r").alias("c_us"), "value"
+    )
+
+    path = SF_CORRECT + "/events.parquet"
+    s1 = (
+        stream_events(spark, path, watermark="2 days")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    s2 = (
+        stream_events(spark, path, watermark="2 days")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("ts_r"), "value")
+    )
+    joined = interval_join(s1, s2, "user_id", "ts", "ts_r", "1 hour").select(
+        "event_id", F.unix_micros("ts_r").alias("c_us"), "value"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("_ij_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("_ij_stream")
+    assert streamed.count() == batch.count() > 0
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
