@@ -238,6 +238,16 @@ _SQL_QUERIES: dict[str, str] = {
             SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
             FROM orders)
     """,
+    # beyond reference: analytic window FRAMES (q13 covers ranking;
+    # this covers ROWS BETWEEN rolling aggregates). DECIMAL sum keeps
+    # the rolling values bit-identical across engines
+    "q30_window_frames": """
+        SELECT o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum
+        FROM orders
+    """,
     # beyond reference: explicit GROUPING SETS (finer than rollup/cube)
     "q29_grouping_sets": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
@@ -583,6 +593,15 @@ def _x_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts_r")).alias("click_ts_us"),
         F.col("value").alias("click_value"),
     )
+
+
+def _x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: users who
+    completed each prefix of the sequence in order."""
+    from deepdb_public_spark.streaming.windows import funnel_counts
+
+    ev = _engine(spark, sf_dir).catalog["events"]
+    return funnel_counts(ev, ["view", "click", "purchase"])
 
 
 def _x_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1312,6 +1331,30 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
          AND c.ts <= p.ts
         """,
     ),
+    "x29_funnel": (
+        _x_funnel,
+        """
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY e.user_id
+        )
+        SELECT 1 AS step_order, 'view' AS step, (SELECT COUNT(*) FROM s1) AS n_users
+        UNION ALL
+        SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        UNION ALL
+        SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+        """,
+    ),
     "x28_quantile_sketch": (
         _x_quantile_sketch,
         """
@@ -1391,11 +1434,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # (CORRECTNESS_full_r{N}.json).
 _PRIORITY_TAIL = [
     "q29_grouping_sets",
+    "q30_window_frames",
     "x24_embed_norms",
     "x25_contamination",
     "x26_corpus_mixture",
     "x27_interval_join",
     "x28_quantile_sketch",
+    "x29_funnel",
     "x06_minhash_pairs",
     "x19_sketch_distinct",
     "m01_spn_qerrors",

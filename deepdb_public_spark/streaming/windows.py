@@ -170,6 +170,52 @@ def interval_join(
     return left.join(right, cond, "inner").drop(right[on])
 
 
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: users who performed step[0], then
+    step[1] at-or-after their first step[0], then step[2] at-or-after
+    that, ... -> one row per step (step_order, step, n_users). The
+    strictly-ordered conversion funnel over an event log.
+
+    Scale shape: every aggregation and join keys on ``user_col``, so
+    after the first shuffle the per-step joins co-partition; cost is
+    len(steps) passes over the (filtered) event log, no window over
+    the whole log, no per-user collect."""
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t"))
+    )
+    parts = [
+        cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(1).alias("step_order"), F.lit(steps[0]).alias("step"), "n_users"
+        )
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(F.col(type_col) == s)
+            .join(cur.withColumnRenamed("__t", "__prev"), user_col)
+            .filter(F.col(ts_col) >= F.col("__prev"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("__t"))
+        )
+        parts.append(
+            nxt.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i).alias("step_order"), F.lit(s).alias("step"), "n_users"
+            )
+        )
+        cur = nxt
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def run_streaming_batch(
     stream_df: DataFrame,
     transform,

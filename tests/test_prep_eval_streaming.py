@@ -185,3 +185,30 @@ def test_interval_join_streaming_matches_batch(spark):
     assert streamed.count() == batch.count() > 0
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_funnel_counts_hand_computed(spark):
+    from deepdb_public_spark.streaming.windows import funnel_counts
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, 1, "view", "2024-01-01 10:00:00"),
+        (2, 1, "click", "2024-01-01 10:05:00"),
+        (3, 1, "purchase", "2024-01-01 10:10:00"),
+        # user 2: clicked BEFORE viewing -> stops after view
+        (4, 2, "click", "2024-01-01 09:00:00"),
+        (5, 2, "view", "2024-01-01 09:30:00"),
+        # user 3: view + click, no purchase
+        (6, 3, "view", "2024-01-01 08:00:00"),
+        (7, 3, "click", "2024-01-01 08:30:00"),
+        # user 4: purchase only -> not even step 1
+        (8, 4, "purchase", "2024-01-01 07:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert out == {"view": 3, "click": 2, "purchase": 1}
