@@ -221,6 +221,53 @@ def deduplicate_corpus(
     )
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n\n",
+    keep_empty_docs: bool = False,
+) -> DataFrame:
+    """Corpus-wide exact PARAGRAPH dedup (the C4/RefinedWeb line-level
+    cleanup): every paragraph that occurs more than once across the
+    corpus is kept only at its first occurrence (ordered by doc id,
+    then position); documents are reassembled from their surviving
+    paragraphs in original order -> (id, clean text). Documents whose
+    every paragraph was seen earlier are dropped (pass
+    ``keep_empty_docs`` to keep them with empty text).
+
+    Scale shape: one posexplode, one window keyed on the paragraph
+    hash (shuffle ~corpus size, state one row per distinct
+    paragraph), one groupBy(id) to reassemble — linear, no pairwise
+    comparisons anywhere."""
+    paras = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+    ).filter(F.trim("__para") != "")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.xxhash64("__para")).orderBy("__id", "__pos")
+    kept = paras.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__para"))),
+                lambda s: s["__para"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    if keep_empty_docs:
+        rebuilt = (
+            df.select(F.col(id_col).alias("__id"))
+            .join(rebuilt, "__id", "left")
+            .fillna({text_col: ""})
+        )
+    return rebuilt.withColumnRenamed("__id", id_col)
+
+
 def exact_duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Groups of byte-identical (normalized) documents:
     (fingerprint, n_docs, doc_ids). One shuffle on the md5 key."""

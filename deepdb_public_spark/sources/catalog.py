@@ -63,6 +63,31 @@ def load_tables(
     return catalog
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSONL (one JSON object per line) ingestion — the lingua franca
+    of training-data corpora. A declared schema avoids the inference
+    scan AND silently-corrupt rows: records that fail to parse land in
+    a `_corrupt_record` column instead of killing the job (PERMISSIVE
+    mode), so a 100 TB crawl with a few bad lines still loads;
+    filter/route them downstream. (Spark restriction: a query that
+    references ONLY `_corrupt_record` over raw JSON is rejected —
+    `.cache()` the frame or select data columns alongside it.)"""
+    reader = spark.read.option("multiLine", multiline).option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    )
+    if schema is not None:
+        # the corrupt-record column must be part of the declared schema
+        if "_corrupt_record" not in schema:
+            schema = f"{schema}, _corrupt_record string"
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def read_csv_table(
     spark: SparkSession,
     path: str,

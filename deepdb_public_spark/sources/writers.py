@@ -58,3 +58,22 @@ def write_csv(
 ) -> None:
     """CSV result export (the reference's evaluation output format)."""
     df.write.mode(mode).option("header", header).csv(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    target_files: int | None = None,
+    compression: str | None = "gzip",
+) -> None:
+    """JSONL corpus export (one object per line, optionally gzipped —
+    the interchange format downstream tokenizer/training jobs read).
+    ``target_files`` bounds output file count; leave None to keep the
+    upstream parallelism."""
+    if target_files is not None:
+        df = df.repartition(target_files)
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)

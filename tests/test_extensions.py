@@ -103,3 +103,30 @@ def test_streaming_tumbling_matches_batch(spark, tabs):
     b = batch.sort_values(key).reset_index(drop=True)
     s = out.sort_values(key).reset_index(drop=True)
     assert b[key + ["cnt"]].equals(s[key + ["cnt"]])
+
+
+def test_dedup_paragraphs_first_occurrence(spark):
+    """C4-style paragraph dedup: repeated paragraphs survive only at
+    their first (doc_id, pos) occurrence; docs reassemble in order;
+    fully-duplicated docs drop (or stay empty with keep_empty_docs)."""
+    from deepdb_public_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\n\nshared boilerplate\n\ngamma"),
+            (2, "shared boilerplate\n\ndelta"),
+            (3, "shared boilerplate"),
+            (4, "alpha beta\n\nshared boilerplate"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in dedup_paragraphs(docs, "text", "doc_id").collect()}
+    assert out[1] == "alpha beta\n\nshared boilerplate\n\ngamma"
+    assert out[2] == "delta"
+    assert 3 not in out and 4 not in out  # nothing survived
+    kept = {
+        r["doc_id"]: r["text"]
+        for r in dedup_paragraphs(docs, "text", "doc_id", keep_empty_docs=True).collect()
+    }
+    assert kept[3] == "" and kept[4] == ""
+    assert len(kept) == 4

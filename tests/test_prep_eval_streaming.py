@@ -212,3 +212,30 @@ def test_funnel_counts_hand_computed(spark):
         for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()
     }
     assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_jsonl_roundtrip_and_corrupt_records(tmp_path, spark, engine):
+    from deepdb_public_spark.sources.catalog import read_jsonl
+    from deepdb_public_spark.sources.writers import write_jsonl
+
+    out = str(tmp_path / "docs_jsonl")
+    docs = engine.catalog["documents"].select("doc_id", "lang", "text")
+    write_jsonl(docs, out, target_files=2, compression=None)
+    back = read_jsonl(spark, out, schema="doc_id long, lang string, text string").cache()
+    assert back.count() == docs.count()
+    assert back.filter(F.col("_corrupt_record").isNotNull()).count() == 0
+    assert (
+        back.select("doc_id", "lang", "text").exceptAll(docs).count() == 0
+    )
+
+    # corrupt line lands in _corrupt_record instead of failing the job
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-0.json").write_text(
+        '{"doc_id": 1, "lang": "en", "text": "ok"}\n'
+        'this is not json\n'
+        '{"doc_id": 2, "lang": "de", "text": "auch ok"}\n'
+    )
+    got = read_jsonl(spark, str(bad), schema="doc_id long, lang string, text string").cache()
+    assert got.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    assert got.filter(F.col("doc_id").isNotNull()).count() == 2
