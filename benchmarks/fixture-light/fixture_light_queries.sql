@@ -38,3 +38,33 @@ SELECT COUNT(*) FROM customer, orders WHERE customer.c_custkey = orders.o_custke
 SELECT COUNT(*) FROM lineitem WHERE lineitem.l_discount BETWEEN 0.01 AND 0.06 AND lineitem.l_returnflag = 'A'
 SELECT COUNT(*) FROM customer, orders, lineitem WHERE customer.c_custkey = orders.o_custkey AND orders.o_orderkey = lineitem.l_orderkey AND orders.o_orderstatus = 'O'
 SELECT COUNT(*) FROM customer, orders WHERE customer.c_custkey = orders.o_custkey AND customer.c_mktsegment = 'HOUSEHOLD'
+SELECT COUNT(*) FROM supplier, lineitem WHERE lineitem.l_suppkey = supplier.s_suppkey AND supplier.s_acctbal > 5000
+SELECT COUNT(*) FROM supplier, lineitem, orders WHERE lineitem.l_suppkey = supplier.s_suppkey AND orders.o_orderkey = lineitem.l_orderkey AND orders.o_orderstatus = 'F' AND supplier.s_acctbal < 3000
+SELECT COUNT(*) FROM supplier, nation WHERE supplier.s_nationkey = nation.n_nationkey AND nation.n_name = 'NATION_3'
+SELECT COUNT(*) FROM supplier, nation, region WHERE supplier.s_nationkey = nation.n_nationkey AND nation.n_regionkey = region.r_regionkey AND region.r_name = 'ASIA'
+SELECT COUNT(*) FROM customer, nation WHERE customer.c_nationkey = nation.n_nationkey AND nation.n_name = 'NATION_7'
+SELECT COUNT(*) FROM customer, nation, region WHERE customer.c_nationkey = nation.n_nationkey AND nation.n_regionkey = region.r_regionkey AND region.r_name = 'EUROPE' AND customer.c_acctbal > 0
+SELECT COUNT(*) FROM customer, orders, lineitem, part WHERE customer.c_custkey = orders.o_custkey AND orders.o_orderkey = lineitem.l_orderkey AND lineitem.l_partkey = part.p_partkey AND part.p_type = 'PROMO'
+SELECT COUNT(*) FROM customer, orders, lineitem, part WHERE customer.c_custkey = orders.o_custkey AND orders.o_orderkey = lineitem.l_orderkey AND lineitem.l_partkey = part.p_partkey AND customer.c_mktsegment = 'BUILDING' AND part.p_size >= 25
+SELECT COUNT(*) FROM supplier, lineitem, part WHERE lineitem.l_suppkey = supplier.s_suppkey AND lineitem.l_partkey = part.p_partkey AND part.p_type = 'ECONOMY' AND supplier.s_acctbal >= 0
+SELECT COUNT(*) FROM region, nation, customer, orders, lineitem WHERE nation.n_regionkey = region.r_regionkey AND customer.c_nationkey = nation.n_nationkey AND orders.o_custkey = customer.c_custkey AND lineitem.l_orderkey = orders.o_orderkey AND region.r_name = 'AMERICA' AND lineitem.l_quantity < 10
+SELECT COUNT(*) FROM orders WHERE orders.o_orderpriority IN ('1-URGENT', '2-HIGH')
+SELECT COUNT(*) FROM orders, lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND orders.o_orderpriority IN ('5-LOW', '4-NOT SPECIFIED') AND lineitem.l_returnflag = 'R'
+SELECT COUNT(*) FROM part, lineitem WHERE lineitem.l_partkey = part.p_partkey AND part.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3') AND lineitem.l_discount <= 0.05
+SELECT COUNT(*) FROM lineitem WHERE lineitem.l_linestatus <> 'F' AND lineitem.l_tax < 0.05
+SELECT COUNT(*) FROM customer, orders WHERE customer.c_custkey = orders.o_custkey AND customer.c_mktsegment <> 'BUILDING' AND orders.o_totalprice > 200000
+SELECT COUNT(*) FROM lineitem WHERE lineitem.l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31' AND lineitem.l_quantity BETWEEN 10 AND 20
+SELECT COUNT(*) FROM orders, lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND orders.o_orderdate < DATE '1995-06-01' AND lineitem.l_shipdate >= DATE '1995-06-01'
+SELECT COUNT(*) FROM orders WHERE orders.o_totalprice BETWEEN 100000 AND 150000 AND orders.o_orderstatus = 'O'
+SELECT COUNT(*) FROM lineitem WHERE lineitem.l_returnflag IS NOT NULL AND lineitem.l_extendedprice > 40000
+SELECT COUNT(*) FROM part WHERE part.p_size >= 10 AND part.p_size < 40 AND part.p_retailprice > 950
+SELECT COUNT(*) FROM customer WHERE customer.c_acctbal BETWEEN -500 AND 3000 AND customer.c_mktsegment = 'MACHINERY'
+SELECT COUNT(*) FROM supplier WHERE supplier.s_acctbal < 0
+SELECT COUNT(*) FROM part, lineitem WHERE lineitem.l_partkey = part.p_partkey AND part.p_retailprice >= 980 AND lineitem.l_quantity >= 40 AND lineitem.l_discount >= 0.05
+SELECT COUNT(*) FROM customer, orders WHERE customer.c_custkey = orders.o_custkey AND customer.c_acctbal < 0 AND orders.o_orderpriority = '1-URGENT'
+SELECT COUNT(*) FROM orders, lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND orders.o_orderpriority = '3-MEDIUM' AND lineitem.l_linestatus = 'O' AND lineitem.l_discount > 0.02
+SELECT COUNT(*) FROM supplier, lineitem, orders WHERE lineitem.l_suppkey = supplier.s_suppkey AND orders.o_orderkey = lineitem.l_orderkey AND orders.o_orderdate >= DATE '1998-01-01' AND lineitem.l_tax >= 0.04
+SELECT COUNT(*) FROM part, supplier, lineitem, orders WHERE lineitem.l_partkey = part.p_partkey AND lineitem.l_suppkey = supplier.s_suppkey AND orders.o_orderkey = lineitem.l_orderkey AND part.p_type = 'LARGE' AND supplier.s_acctbal > 2000 AND orders.o_orderstatus = 'O'
+SELECT COUNT(*) FROM lineitem WHERE lineitem.l_quantity = 1 AND lineitem.l_returnflag = 'N'
+SELECT COUNT(*) FROM orders, lineitem, customer WHERE orders.o_orderkey = lineitem.l_orderkey AND customer.c_custkey = orders.o_custkey AND customer.c_acctbal >= 9000 AND lineitem.l_discount = 0.00
+SELECT COUNT(*) FROM nation, customer, orders WHERE customer.c_nationkey = nation.n_nationkey AND orders.o_custkey = customer.c_custkey AND nation.n_name <> 'NATION_0' AND orders.o_totalprice >= 300000

@@ -3,8 +3,11 @@ JOB-light queries + true-cardinality CSV that are the reference's
 correctness yardstick, SURVEY.md §5.1).
 
 `benchmarks/fixture-light/` plays that role for the fixture schema:
-40 reference-grammar COUNT(*) queries over 1–3-way FK joins with
-golden counts at sf0.01.
+70 reference-grammar COUNT(*) queries (JOB-light-sized) over 1–5-way
+FK joins — supplier/nation/region dimension chains, 4-table stars,
+IN / <> / IS NOT NULL / BETWEEN / date predicates — with golden
+counts at sf0.01. The 3+-table queries have no dedicated join model
+in the test ensemble, so they exercise multi-SPN factorization.
 """
 
 from __future__ import annotations

@@ -63,15 +63,52 @@ def _parse_literal(text: str):
         return text
 
 
-def _split_conjuncts(where: str) -> list[str]:
-    """Split on AND, re-merging the AND that belongs to BETWEEN."""
-    parts = [p.strip() for p in re.split(r"\s+AND\s+", where, flags=re.IGNORECASE)]
+def _mask_string_literals(s: str) -> str:
+    """Same-length copy of ``s`` with the CONTENTS of '...' literals
+    replaced by underscores (doubled-quote escapes included), so
+    keyword scans and AND-splitting never match inside a literal —
+    values like '4-NOT SPECIFIED' or 'ROCK AND ROLL' are data, not
+    grammar."""
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        out.append(ch)
+        i += 1
+        if ch == "'":
+            while i < n:
+                if s[i] == "'":
+                    if i + 1 < n and s[i + 1] == "'":  # '' escape
+                        out.append("__")
+                        i += 2
+                        continue
+                    out.append("'")
+                    i += 1
+                    break
+                out.append("_")
+                i += 1
+    return "".join(out)
+
+
+def _split_conjuncts(where: str, masked: str | None = None) -> list[str]:
+    """Split on AND (outside string literals), re-merging the AND
+    that belongs to BETWEEN."""
+    if masked is None:
+        masked = _mask_string_literals(where)
+    bounds = [0]
+    for m in re.finditer(r"\s+AND\s+", masked, flags=re.IGNORECASE):
+        bounds.extend((m.start(), m.end()))
+    bounds.append(len(where))
+    parts = [
+        (where[a:b].strip(), masked[a:b])
+        for a, b in zip(bounds[::2], bounds[1::2])
+    ]
     out: list[str] = []
     i = 0
     while i < len(parts):
-        p = parts[i]
-        if re.search(r"\bBETWEEN\b", p, re.IGNORECASE) and i + 1 < len(parts):
-            out.append(p + " AND " + parts[i + 1])
+        p, pm = parts[i]
+        if re.search(r"\bBETWEEN\b", pm, re.IGNORECASE) and i + 1 < len(parts):
+            out.append(p + " AND " + parts[i + 1][0])
             i += 2
         else:
             out.append(p)
@@ -204,13 +241,15 @@ def parse_query(sql: str, schema: SchemaGraph) -> Query:
 
     if m.group("where"):
         where = m.group("where")
+        masked = _mask_string_literals(where)
         # the grammar is conjunctive-only (reference A8): no OR, and
-        # NOT only inside IS NOT NULL
-        if re.search(r"\bOR\b", where, re.IGNORECASE):
+        # NOT only inside IS NOT NULL (scans run on the literal-masked
+        # text so keywords inside string values don't false-trigger)
+        if re.search(r"\bOR\b", masked, re.IGNORECASE):
             raise ValueError("disjunctions (OR) are outside the grammar")
-        if re.search(r"\bNOT\b(?!\s+NULL)", where, re.IGNORECASE):
+        if re.search(r"\bNOT\b(?!\s+NULL)", masked, re.IGNORECASE):
             raise ValueError("NOT is only supported as IS NOT NULL")
-        for conjunct in _split_conjuncts(where):
+        for conjunct in _split_conjuncts(where, masked):
             jm = _JOIN_RE.match(conjunct)
             if jm:
                 t1, a1, t2, a2 = jm.groups()
@@ -237,10 +276,16 @@ def parse_query(sql: str, schema: SchemaGraph) -> Query:
             im = _IN_RE.match(conjunct)
             if im:
                 t, c, vals = im.groups()
+                vm = _mask_string_literals(vals)
+                cuts = [0] + [i for i, ch in enumerate(vm) if ch == ","] + [len(vals)]
+                items = [
+                    vals[a + (1 if a else 0) : b].strip()
+                    for a, b in zip(cuts, cuts[1:])
+                ]
                 query.add_where_condition(
                     Condition(
                         _resolve(alias_map, t), c, "IN",
-                        [_parse_literal(v) for v in vals.split(",")],
+                        [_parse_literal(v) for v in items],
                     )
                 )
                 continue

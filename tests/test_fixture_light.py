@@ -36,9 +36,14 @@ def test_model_plane_qerror_on_corpus(engine):
         {"orders"},
         {"customer"},
         {"part"},
+        {"supplier"},
+        {"nation"},
+        {"region"},
         {"orders", "lineitem"},
         {"customer", "orders"},
         {"part", "lineitem"},
+        {"supplier", "lineitem"},
+        {"customer", "nation"},
     ]:
         ens.add_model(train_spn_model(engine.catalog, engine.schema, ts, 60_000))
     engine.ensemble = ens

@@ -88,3 +88,30 @@ def test_null_and_neq():
 def test_rejections(bad):
     with pytest.raises(ValueError):
         parse_query(bad, S)
+
+
+def test_keywords_inside_string_literals_are_data():
+    """AND/OR/NOT/BETWEEN/commas inside quoted values must not be
+    treated as grammar (masking fix)."""
+    g = tpch_like_schema()
+    q = parse_query(
+        "SELECT COUNT(*) FROM orders WHERE orders.o_orderpriority IN "
+        "('5-LOW', '4-NOT SPECIFIED') AND orders.o_orderstatus = 'O'",
+        g,
+    )
+    ops = {(c.op, tuple(c.value) if isinstance(c.value, list) else c.value) for c in q.conditions}
+    assert ("IN", ("5-LOW", "4-NOT SPECIFIED")) in ops
+    q2 = parse_query(
+        "SELECT COUNT(*) FROM customer WHERE customer.c_name = 'ROCK AND ROLL OR NOT'",
+        g,
+    )
+    assert q2.conditions[0].value == "ROCK AND ROLL OR NOT"
+    q3 = parse_query(
+        "SELECT COUNT(*) FROM customer WHERE customer.c_name IN ('A, B', 'C')", g
+    )
+    assert q3.conditions[0].value == ["A, B", "C"]
+    with pytest.raises(ValueError):
+        parse_query(
+            "SELECT COUNT(*) FROM customer WHERE customer.c_acctbal > 5 OR customer.c_acctbal < 0",
+            g,
+        )
