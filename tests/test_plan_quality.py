@@ -1,0 +1,91 @@
+"""Physical-plan quality gates: the properties we claim in README
+("Designed for 100 TB") asserted on real executed plans so perf
+regressions fail loudly, not silently.
+
+- filters/projections reach the parquet scan (PushedFilters)
+- dimension joins broadcast (no shuffle of the small side)
+- no CartesianProduct anywhere in the 70-query corpus
+- dedup pair generation never plans a cross join
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepdb_public_spark.benchmarks import load_fixture_light
+from deepdb_public_spark.engine import Engine
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark, SF_CORRECT)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(engine):
+    plan = _plan(
+        engine.query(
+            "SELECT COUNT(*) AS c FROM lineitem WHERE lineitem.l_quantity < 25"
+        )
+    )
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_quantity)" in plan or "LessThan(l_quantity" in plan
+
+
+def test_column_pruning_reaches_scan(engine):
+    plan = _plan(
+        engine.query(
+            "SELECT COUNT(*) AS c FROM lineitem WHERE lineitem.l_quantity < 25"
+        )
+    )
+    # a COUNT over one predicate column must not read the wide columns
+    assert "l_extendedprice" not in plan.split("ReadSchema")[-1]
+
+
+def test_dimension_join_broadcasts(engine):
+    plan = _plan(
+        engine.query(
+            "SELECT COUNT(*) AS c FROM orders, lineitem "
+            "WHERE orders.o_orderkey = lineitem.l_orderkey "
+            "AND orders.o_orderstatus = 'F'"
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_has_no_cartesian_products(engine):
+    for sql, _true in load_fixture_light():
+        plan = _plan(engine.query(sql))
+        assert "CartesianProduct" not in plan, sql
+        assert "BroadcastNestedLoopJoin" not in plan, sql
+
+
+def test_dedup_pair_generation_is_not_cross_join(engine):
+    from deepdb_public_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = engine.catalog["documents"]
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold=0.8, n_hashes=64, n_bands=16,
+        use_char_ngrams=True, ngram=5,
+    )
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan
+    from deepdb_public_spark.operators.dedup import release_cached
+
+    release_cached()
+
+
+def test_whole_stage_codegen_covers_exact_plane(engine):
+    df = engine.query(
+        "SELECT COUNT(*) AS c FROM lineitem WHERE lineitem.l_discount BETWEEN 0.02 AND 0.06"
+    )
+    df.collect()  # AQE only shows codegen spans in the FINAL plan
+    # "*(n)" prefixes are the WholeStageCodegen stage markers in the
+    # simple plan string; the filter+partial-agg must be inside one
+    plan = _plan(df)
+    assert "*(1)" in plan and "isFinalPlan=true" in plan
