@@ -105,9 +105,21 @@ def stream_events(
     src = events_parquet
     if os.path.isfile(src):
         # the file stream source requires a directory; expose a single
-        # parquet file through a symlink in a temp dir
-        d = tempfile.mkdtemp(prefix="stream_events_")
-        os.symlink(os.path.abspath(src), os.path.join(d, os.path.basename(src)))
+        # parquet file through a symlink shim. The shim path is
+        # DETERMINISTIC per source file (not mkdtemp): a checkpointed
+        # query records the source path, so resuming across
+        # stream_events calls needs the same directory back.
+        import hashlib
+
+        abs_src = os.path.abspath(src)
+        d = os.path.join(
+            tempfile.gettempdir(),
+            "stream_events_" + hashlib.md5(abs_src.encode()).hexdigest()[:10],
+        )
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, os.path.basename(src))
+        if not os.path.exists(link):
+            os.symlink(abs_src, link)
         src = d
     stream = spark.readStream.schema(raw_schema).parquet(src)
     ts_type = dict(stream.dtypes)["ts"]
@@ -214,6 +226,29 @@ def funnel_counts(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def stream_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> None:
+    """Production sink: land a stream in parquet with a checkpoint —
+    the file-sink commit log makes delivery exactly-once (re-running
+    with the same checkpoint after processing everything appends
+    NOTHING, even though the source files are still there). Trigger
+    availableNow processes the backlog and stops, the
+    batch-boundary-friendly way to drain a topic."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
 
 
 def run_streaming_batch(

@@ -89,3 +89,42 @@ def test_whole_stage_codegen_covers_exact_plane(engine):
     # simple plan string; the filter+partial-agg must be inside one
     plan = _plan(df)
     assert "*(1)" in plan and "isFinalPlan=true" in plan
+
+
+def test_bucketed_staging_join_skips_shuffle(engine, spark, tmp_path):
+    """The 100 TB staging story: orders and lineitem bucketed on the
+    join key join WITHOUT an Exchange on either side (co-located
+    sort-merge join), unlike the plain parquet join."""
+    import shutil
+
+    from deepdb_public_spark.sources.writers import write_bucketed_table
+
+    for t in ("t_orders_b", "t_lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    write_bucketed_table(
+        engine.catalog["orders"].select("o_orderkey", "o_totalprice"),
+        "t_orders_b", "o_orderkey", n_buckets=8,
+    )
+    write_bucketed_table(
+        engine.catalog["lineitem"].select("l_orderkey", "l_quantity"),
+        "t_lineitem_b", "l_orderkey", n_buckets=8,
+    )
+    # at fixture scale the planner prefers broadcasting the small
+    # side; disable it so the test exercises the (100 TB-realistic)
+    # shuffle-join path where bucketing is what removes the Exchange
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_orders_b").join(
+            spark.table("t_lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        joined.collect()
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("t_orders_b", "t_lineitem_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

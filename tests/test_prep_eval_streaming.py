@@ -239,3 +239,24 @@ def test_jsonl_roundtrip_and_corrupt_records(tmp_path, spark, engine):
     got = read_jsonl(spark, str(bad), schema="doc_id long, lang string, text string").cache()
     assert got.filter(F.col("_corrupt_record").isNotNull()).count() == 1
     assert got.filter(F.col("doc_id").isNotNull()).count() == 2
+
+
+def test_stream_to_parquet_exactly_once(tmp_path, spark):
+    """Parquet sink with checkpoint: draining the backlog lands every
+    row once; re-running against the same checkpoint appends nothing
+    (exactly-once via the sink commit log)."""
+    from deepdb_public_spark.streaming.windows import stream_events, stream_to_parquet
+
+    src = f"{SF_CORRECT}/events.parquet"
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    n_src = spark.read.parquet(src).count()
+
+    s = stream_events(spark, src, watermark="1 day").select("event_id", "user_id", "ts")
+    stream_to_parquet(s, out, ckpt)
+    assert spark.read.parquet(out).count() == n_src
+
+    # same checkpoint, same source: nothing new to process
+    s2 = stream_events(spark, src, watermark="1 day").select("event_id", "user_id", "ts")
+    stream_to_parquet(s2, out, ckpt)
+    assert spark.read.parquet(out).count() == n_src
