@@ -641,6 +641,90 @@ def _x_embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -sample semantics that make RSPN answers correct, oracle-checked ---
 
 
+def _x_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality audit (word count / mean word length /
+    symbol ratio / alphabetic fraction / stopword presence) — pure
+    projection, oracle-checked flag-for-flag."""
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.operators.filters import gopher_quality_flags
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    out = gopher_quality_flags(docs, "text", "doc_id")
+    return out.withColumn("n_words", F.col("n_words").cast("long"))
+
+
+def _x_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals (dup-word / top-word / dup-2-gram fractions)
+    via exploded (doc_id, token) aggregation — the skew-free scale
+    shape for boilerplate detection."""
+    from deepdb_public_spark.operators.filters import repetition_stats
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    return repetition_stats(docs, "text", "doc_id")
+
+
+def _x_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: emails/phones are planted deterministically on every
+    7th doc (the fixture corpus has none), then redacted; match counts
+    and the md5 of the redacted text are oracle-checked, proving the
+    replacement itself is byte-identical across engines."""
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.operators.filters import redact_pii
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or +1-555-0199"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = redact_pii(aug, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        F.md5(F.col("redacted")).alias("red_md5"),
+    )
+
+
+def _x_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: docs are chunked into ~512-token packs
+    per source shard (window partitioned by source — no global sort);
+    per-pack doc counts and token totals are oracle-checked."""
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.functions.text import token_count
+    from deepdb_public_spark.operators.sampling import pack_sequences
+
+    docs = _engine(spark, sf_dir).catalog["documents"].select(
+        "doc_id", "source", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, "doc_id", F.col("n_tokens"), 512, "source")
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+def _x_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: md5-ordered top-20 per lang
+    stratum — rerun- and engine-stable (same rows every time)."""
+    from deepdb_public_spark.operators.sampling import stratified_sample
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    return stratified_sample(docs, "lang", "doc_id", 20).select("doc_id", "lang")
+
+
 def _p_encode_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepdb_public_spark.operators.prep import encode_table
 
@@ -1146,7 +1230,165 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
         FROM documents
         """,
     ),
-    "x11_langid_confusion": (_x_langid_confusion, None),
+    # langid heuristic replicated in DuckDB list/regex SQL: same
+    # tokenization, same marker hit counts, same argmax tie-break
+    # (max (score, lang) struct == first matching lang in DESC order)
+    "x11_langid_confusion": (
+        _x_langid_confusion,
+        """
+        WITH t AS (
+          SELECT lang AS label, text,
+                 list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+          FROM documents
+        ), s AS (
+          SELECT label,
+                 len(list_filter(w, x -> x IN ('the','and','of','is','that','with'))) AS s_en,
+                 len(list_filter(w, x -> x IN ('el','la','de','que','los','una'))) AS s_es,
+                 len(list_filter(w, x -> x IN ('der','die','und','das','ist','nicht'))) AS s_de,
+                 len(list_filter(w, x -> x IN ('le','la','les','des','est','une'))) AS s_fr,
+                 length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
+                 length(text) AS n
+          FROM t
+        ), g AS (
+          SELECT label,
+                 CASE WHEN cjk * 2 > n THEN 'zh'
+                      WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                      WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) THEN 'fr'
+                      WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                      WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                      ELSE 'de' END AS guess
+          FROM s
+        )
+        SELECT label, guess, COUNT(*) AS n FROM g GROUP BY 1, 2
+        """,
+    ),
+    "x30_gopher_flags": (
+        _x_gopher_flags,
+        """
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 len(w) AS n_words,
+                 CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                   / greatest(len(w), 1) AS mwl,
+                 CAST((length(text) - length(replace(text, '#', '')))
+                      + ((length(text) - length(replace(text, '...', ''))) // 3) AS DOUBLE)
+                   / greatest(len(w), 1) AS symr,
+                 CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                   / greatest(len(w), 1) AS alphaf,
+                 len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
+                     ['the','be','to','of','and','that','have','with'])) AS nstop
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               ROUND(mwl, 6) AS mean_word_len,
+               (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
+               (mwl >= 3.0 AND mwl <= 10.0) AS mean_word_len_ok,
+               (symr <= 0.1) AS symbol_ratio_ok,
+               (alphaf >= 0.8) AS alpha_fraction_ok,
+               (nstop >= 2) AS stopwords_ok,
+               (n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+                AND symr <= 0.1 AND alphaf >= 0.8 AND nstop >= 2) AS keep
+        FROM s
+        """,
+    ),
+    "x31_repetition_stats": (
+        _x_repetition,
+        """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+          FROM documents
+        ),
+        words AS (SELECT doc_id, unnest(w) AS tok FROM t),
+        wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM words GROUP BY 1, 2),
+        wagg AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                 COUNT(*) AS n_distinct_words, CAST(MAX(c) AS BIGINT) AS top_word_cnt
+          FROM wc GROUP BY 1
+        ),
+        grams AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS tok
+          FROM t
+        ),
+        gc AS (SELECT doc_id, tok, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+        gagg AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                 COUNT(*) AS n_distinct_bigrams
+          FROM gc GROUP BY 1
+        )
+        SELECT w.doc_id, w.n_words, w.n_distinct_words, w.top_word_cnt,
+               COALESCE(g.n_bigrams, 0) AS n_bigrams,
+               COALESCE(g.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+               ROUND(CAST(w.n_words - w.n_distinct_words AS DOUBLE)
+                     / greatest(w.n_words, 1), 6) AS dup_word_frac,
+               ROUND(CAST(w.top_word_cnt AS DOUBLE) / greatest(w.n_words, 1), 6) AS top_word_frac,
+               ROUND(CAST(COALESCE(g.n_bigrams, 0) - COALESCE(g.n_distinct_bigrams, 0) AS DOUBLE)
+                     / greatest(COALESCE(g.n_bigrams, 0), 1), 6) AS dup_bigram_frac
+        FROM wagg w LEFT JOIN gagg g USING (doc_id)
+        """,
+    ),
+    "x32_pii_redaction": (
+        _x_pii_redaction,
+        """
+        WITH aug AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 7 = 0
+                              THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                   || '@example.com or +1-555-0199'
+                              ELSE '' END AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text,
+                 '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+               md5(regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS red_md5
+        FROM aug
+        """,
+    ),
+    "x33_seq_packing": (
+        _x_seq_packing,
+        """
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                      AS BIGINT) AS n_tokens
+          FROM documents
+        ), p AS (
+          SELECT source,
+                 CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
+                      AS BIGINT) AS pack_id,
+                 n_tokens
+          FROM d
+        )
+        SELECT source, pack_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM p GROUP BY 1, 2
+        """,
+    ),
+    "x34_stratified_sample": (
+        _x_stratified,
+        """
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents
+        ) WHERE rn <= 20
+        """,
+    ),
     "x12_tumbling": (
         _x_tumbling,
         """
@@ -1449,7 +1691,6 @@ _PRIORITY_TAIL = [
     "m04_aqp_groupby",
     "m05_confidence_intervals",
     "x07_simhash_pairs",
-    "x11_langid_confusion",
     "x17_media_features",
 ]
 _PRIORITY_HEAD = [

@@ -1,0 +1,203 @@
+"""Corpus-filtering operators for training-data pipelines (extension
+surface, SURVEY.md §7.6): Gopher-style heuristic quality rules,
+repetition statistics, and PII redaction.
+
+These are the standard pre-training cleaning passes (Rae et al. 2021
+"Scaling Language Models: ... Gopher", Raffel et al. 2020 C4). The
+reference engine (deepdb-public) has no text surface at all — this
+module exists for the training-data-pipeline extension goal.
+
+Scale notes:
+- `gopher_quality_flags` and `redact_pii` are pure column projections
+  (JVM regex/array expressions, zero shuffle, zero Python): the 100 TB
+  cost is one columnar scan.
+- `repetition_stats` explodes tokens and aggregates on (doc_id, token)
+  — one shuffle keyed by doc_id+token, which is near-uniformly
+  distributed, so it scales linearly and skew-free. No per-row
+  quadratic array work: the grouped form keeps state bounded by each
+  document's vocabulary.
+
+Every expression here is written in engine-portable primitives
+(split/regexp/list ops that exist identically in DuckDB) so the
+operators are oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_tokens
+
+# Gopher rule constants (Rae et al. 2021, Table A1)
+MIN_WORDS = 50
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+MAX_SYMBOL_WORD_RATIO = 0.1
+MIN_ALPHA_WORD_FRACTION = 0.8
+MIN_STOPWORD_HITS = 2
+
+# Gopher's required-stopword list ("must contain at least two of")
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _sum_lengths(toks: Column) -> Column:
+    return F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-document Gopher-rule booleans + overall keep decision.
+
+    Rules (names follow the paper): word count in [50, 100k]; mean
+    word length in [3, 10]; symbol-to-word ratio ('#' or '...') <=
+    0.1; >= 80% of words contain an alphabetic character; at least two
+    distinct common-English stopwords present. Line-based rules
+    (bullet / ellipsis line fractions) need newline-structured text
+    and are omitted — the same split-on-newline shape would slot in
+    as two more flags.
+
+    Pure projection: no shuffle, no UDF; identical expressions exist
+    in DuckDB (list_filter / string_split_regex), so the output is
+    oracle-checkable.
+    """
+    text = F.col(text_col)
+    toks = word_tokens(text)
+    toks_lower = F.transform(toks, lambda t: F.lower(t))
+    n_words = F.size(toks)
+    nw = F.greatest(n_words, F.lit(1))
+    mean_word_len = _sum_lengths(toks).cast("double") / nw
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = F.floor(
+        (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+    )
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / nw
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_fraction = n_alpha.cast("double") / nw
+    stop = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop_distinct = F.size(F.array_intersect(F.array_distinct(toks_lower), stop))
+
+    flags = {
+        "word_count_ok": (n_words >= MIN_WORDS) & (n_words <= MAX_WORDS),
+        "mean_word_len_ok": (mean_word_len >= MIN_MEAN_WORD_LEN)
+        & (mean_word_len <= MAX_MEAN_WORD_LEN),
+        "symbol_ratio_ok": symbol_ratio <= MAX_SYMBOL_WORD_RATIO,
+        "alpha_fraction_ok": alpha_fraction >= MIN_ALPHA_WORD_FRACTION,
+        "stopwords_ok": n_stop_distinct >= MIN_STOPWORD_HITS,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+def gopher_filter(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep only documents passing every Gopher rule (the actual
+    filtering pass; `gopher_quality_flags` is the audit view)."""
+    flags = gopher_quality_flags(df, text_col, id_col).select(id_col, "keep")
+    return df.join(F.broadcast(flags.filter(F.col("keep"))), id_col, "left_semi")
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document repetition signals (Gopher/C4-style): duplicate
+    word fraction, most-frequent-word share, duplicate 2-gram
+    fraction. High values indicate boilerplate / degenerate text.
+
+    Shape: explode tokens and 2-grams, aggregate on (doc_id, token)
+    then (doc_id). Two shuffles on near-uniform keys; aggregate state
+    is bounded by per-document vocabulary, so this is the scale path
+    (the per-row higher-order-function alternative is O(n_tokens *
+    n_distinct) inside a single task).
+    """
+    text = F.lower(F.col(text_col))
+    toks = word_tokens(text)
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks"), grams.alias("__grams"))
+
+    def _per_token_agg(col: str, prefix: str) -> DataFrame:
+        per = (
+            base.select(id_col, F.explode(col).alias("t"))
+            .groupBy(id_col, "t")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return per.groupBy(id_col).agg(
+            F.sum("c").alias(f"{prefix}_total"),
+            F.count(F.lit(1)).alias(f"{prefix}_distinct"),
+            F.max("c").alias(f"{prefix}_top"),
+        )
+
+    w = _per_token_agg("__toks", "word")
+    g = _per_token_agg("__grams", "gram")
+    out = w.join(g, id_col, "left")
+    wt = F.greatest(F.col("word_total"), F.lit(1))
+    gt = F.greatest(F.coalesce(F.col("gram_total"), F.lit(0)), F.lit(1))
+    return out.select(
+        F.col(id_col),
+        F.col("word_total").alias("n_words"),
+        F.col("word_distinct").alias("n_distinct_words"),
+        F.col("word_top").alias("top_word_cnt"),
+        F.coalesce(F.col("gram_total"), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.col("gram_distinct"), F.lit(0)).alias("n_distinct_bigrams"),
+        F.round((F.col("word_total") - F.col("word_distinct")).cast("double") / wt, 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(F.col("word_top").cast("double") / wt, 6).alias("top_word_frac"),
+        F.round(
+            (F.coalesce(F.col("gram_total"), F.lit(0)) - F.coalesce(F.col("gram_distinct"), F.lit(0))).cast(
+                "double"
+            )
+            / gt,
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+
+
+# Redaction patterns: valid and identical under Java regex (Spark) and
+# RE2 (DuckDB) — no backrefs, no lookaround.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    redacted_col: str = "redacted",
+) -> DataFrame:
+    """Scrub emails and international-format phone numbers, keeping
+    per-document match counts for audit. Pure projection (JVM regex),
+    zero shuffle; patterns are portable so the redacted text (and its
+    md5) hash-match a DuckDB oracle.
+    """
+    text = F.col(text_col)
+    red = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>"),
+        PHONE_PATTERN,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_PATTERN), F.lit(0))).alias(
+            "n_phones"
+        ),
+        red.alias(redacted_col),
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # 4 hex chars = 65536 buckets: split fractions resolve to 1/65536
 # (plenty for train/test; raise to 8 chars for per-row experiments)
@@ -71,6 +72,58 @@ def deterministic_sample(df: DataFrame, id_col: str, fraction: float) -> DataFra
     filter is a pure projection predicate — it pushes down past joins
     on the id and costs one md5 per row."""
     return df.filter(_bucket(F.col(id_col)) < int(fraction * _BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Deterministic top-``k`` rows per stratum, chosen by md5 of the
+    id — an engine-portable, rerun-stable stratified sample (the
+    md5 order is uniform-pseudorandom but fixed, so the "random" k
+    per group never changes across runs or engines).
+
+    Shape: one shuffle on the stratum key + per-partition top-k via
+    rank window. Stratum cardinality is group-count-sized; for heavily
+    skewed strata sizes the window sort is per-stratum, not global.
+    """
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    size_col: Column,
+    budget: int,
+    partition_col: str,
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs (context-window
+    packing for LLM training): within each ``partition_col`` shard,
+    documents are laid out in ``id_col`` order and cut into packs of
+    ~``budget`` tokens (a document straddling a boundary starts the
+    next pack's budget — contiguous chunking, the streaming-friendly
+    approximation of bin packing).
+
+    Scale shape: ONE window partitioned by the shard column — never a
+    global ORDER BY. At 100 TB you pack per source/date shard, which
+    is exactly what the partition_col expresses; each shard's prefix
+    sum is a single-pass window over its own partition.
+    """
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return df.withColumn(pack_col, F.floor(prev / F.lit(budget)))
 
 
 def weighted_mixture(
