@@ -228,40 +228,22 @@ def _cmd_evaluate_aqp(eng: Engine, args) -> int:
 
 
 def _cmd_evaluate_cis(eng: Engine, args) -> int:
-    import csv as _csv
+    from .evaluation import evaluate_confidence_intervals
 
     _require(args, "ensemble_path", args.ensemble_path)
     _require(args, "query_file_location", args.query_file_location)
-    ens = _load_ensemble(eng, args.ensemble_path, args.rdc_spn_selection)
-    rows, hits = [], 0
-    for sql in load_query_file(args.query_file_location):
-        q = eng.parse(sql)
-        cis = ens.confidence_interval(q, confidence=args.confidence)
-        gb = [c for _t, c in q.group_bys]
-        exact = [r.asDict() for r in eng.query(q).collect()]
-        true_by = {
-            tuple(r[c] for c in gb): r for r in exact
-        }  # () key when ungrouped
-        for ci in cis:
-            key = tuple(ci.get(c) for c in gb)
-            exact_row = true_by.get(key)
-            true = (
-                float(exact_row[ci["agg"]])
-                if exact_row is not None and ci["agg"] in exact_row
-                else (float(next(iter(exact_row.values()))) if exact_row and not gb else None)
-            )
-            if true is None:
-                continue  # group the model predicted but the data lacks
-            hit = int(ci["lo"] <= true <= ci["hi"])
-            hits += hit
-            grp = ",".join(str(ci.get(c)) for c in gb)
-            rows.append([sql, grp, ci["agg"], ci["est"], ci["lo"], ci["hi"], true, hit])
-    if args.target_path:
-        with open(args.target_path, "w", newline="") as f:
-            w = _csv.writer(f)
-            w.writerow(["query", "group", "aggregate", "estimate", "ci_lo", "ci_hi", "true", "hit"])
-            w.writerows(rows)
-    print(f"n={len(rows)} confidence={args.confidence} coverage={hits / max(len(rows), 1):.3f}")
+    eng.ensemble = _load_ensemble(eng, args.ensemble_path, args.rdc_spn_selection)
+    summary = evaluate_confidence_intervals(
+        eng,
+        load_query_file(args.query_file_location),
+        confidence=args.confidence,
+        output_csv=args.target_path,
+    )
+    print(
+        f"n={summary['n_cells']} confidence={args.confidence} "
+        f"coverage={summary['coverage']:.3f} "
+        f"mean_rel_halfwidth={summary['mean_rel_halfwidth']:.4f}"
+    )
     return 0
 
 

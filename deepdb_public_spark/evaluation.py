@@ -73,6 +73,77 @@ def evaluate_cardinalities(
     }
 
 
+def evaluate_confidence_intervals(
+    engine: Engine,
+    queries: list[str],
+    confidence: float = 0.95,
+    output_csv: str | None = None,
+) -> dict:
+    """CI calibration harness (reference:
+    evaluation/confidence_interval_evaluation.py — SURVEY.md §5.1):
+    for each AQP query, predict [lo, hi] at ``confidence`` from the
+    model plane and check whether the exact answer falls inside.
+    Reports empirical coverage (should be ≈ the nominal level; far
+    below = overconfident model, far above = intervals too wide to be
+    useful) and the mean relative half-width.
+
+    Group-by queries are checked per (group, aggregate) cell; cells
+    the model fails to enumerate count as misses.
+    """
+    rows = []  # (query, group, agg, truth, lo, hi, hit, rel_halfwidth)
+    for sql in queries:
+        q = engine.parse(sql)
+        ci_rows = engine.ensemble.confidence_interval(q, confidence=confidence)
+        exact_rows = [r.asDict() for r in engine.query(q).collect()]
+        gb = [c for _t, c in q.group_bys]
+
+        def key_exact(r: dict):
+            return tuple(r[c] for c in gb) if gb else ()
+
+        def key_model(r: dict):
+            return tuple(r[c] for c in gb) if gb else ()
+
+        exact_by = {key_exact(r): r for r in exact_rows}
+        # cells arrive in aggregation order per group (one dict per
+        # aggregate from the model), and the exact plane projects
+        # aggregates in the same query order — match positionally so
+        # implicit aliases ("count" vs compiler default) can't miss
+        model_by_key: dict = {}
+        for r in ci_rows:
+            model_by_key.setdefault(key_model(r), []).append(r)
+        for k, ex in exact_by.items():
+            agg_cols = [c for c in ex if c not in gb]
+            cells = model_by_key.get(k, [])
+            for i, c in enumerate(agg_cols):
+                truth = ex[c]
+                cell = cells[i] if i < len(cells) else None
+                if cell is None or truth is None:
+                    rows.append((sql, k, c, truth, None, None, False, None))
+                    continue
+                hit = bool(cell["lo"] <= truth <= cell["hi"])
+                relw = float(
+                    (cell["hi"] - cell["lo"]) / 2.0 / max(abs(truth), 1e-9)
+                )
+                rows.append((sql, k, c, truth, cell["lo"], cell["hi"], hit, relw))
+    if output_csv:
+        with open(output_csv, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(
+                ["query", "group", "aggregate", "truth", "ci_lo", "ci_hi", "hit", "rel_halfwidth"]
+            )
+            for sql, k, c, truth, lo, hi, hit, relw in rows:
+                w.writerow([sql, ",".join(map(str, k)), c, truth, lo, hi, int(hit), relw])
+    hits = np.array([r[6] for r in rows]) if rows else np.array([True])
+    wlist = [r[7] for r in rows if r[7] is not None]
+    return {
+        "n_cells": len(rows),
+        "nominal": confidence,
+        "coverage": float(hits.mean()),
+        "mean_rel_halfwidth": float(np.mean(wlist)) if wlist else 0.0,
+        "rows": rows,
+    }
+
+
 def evaluate_aqp(
     engine: Engine, queries: list[str], output_csv: str | None = None
 ) -> dict:

@@ -103,6 +103,33 @@ def test_evaluation_harnesses(tmp_path, engine, col3_model):
     assert aqp["skipped_queries"] == []
 
 
+def test_evaluate_confidence_intervals_harness(tmp_path, engine, col3_model):
+    """CI calibration harness (reference:
+    confidence_interval_evaluation.py): coverage on a seeded query set
+    should be high (intervals contain the truth) and the CSV written."""
+    from deepdb_public_spark.evaluation import evaluate_confidence_intervals
+
+    ens = SPNEnsemble(engine.schema)
+    ens.add_model(col3_model)
+    engine.ensemble = ens
+    res = evaluate_confidence_intervals(
+        engine,
+        [
+            "SELECT COUNT(*) AS cnt FROM lineitem WHERE lineitem.l_quantity < 25",
+            "SELECT SUM(lineitem.l_quantity) AS sq FROM lineitem "
+            "WHERE lineitem.l_discount <= 0.05",
+            "SELECT lineitem.l_returnflag, COUNT(*) AS cnt FROM lineitem "
+            "GROUP BY lineitem.l_returnflag",
+        ],
+        confidence=0.99,
+        output_csv=str(tmp_path / "ci.csv"),
+    )
+    assert res["n_cells"] >= 5
+    assert res["coverage"] >= 0.8, res
+    assert res["mean_rel_halfwidth"] < 1.0
+    assert (tmp_path / "ci.csv").read_text().startswith("query,")
+
+
 def test_evaluate_aqp_skips_exploding_groupby(engine, col3_model, monkeypatch):
     """A group-by grid over the model-plane cell cap is recorded as
     skipped instead of aborting the whole evaluation run."""
