@@ -300,8 +300,11 @@ _DENSE_VOCAB_MAX = 4096
 # bitmap side is broadcast and every (a < b) pair verifies in one
 # codegen AND+popcount pass with NO shuffle at all; above it, the
 # prefix-filtered plan remains (all-pairs is O(N²) and only
-# acceptable bounded).
-_DENSE_ALLPAIRS_MAX = 16384
+# acceptable bounded). Measured crossover on local[32]: ~500 reps the
+# broadcast loop wins clearly; by ~5k reps (25M pair evals) the
+# prefix+positional filter plan is ~40% faster and scales, so the
+# gate sits at 2k.
+_DENSE_ALLPAIRS_MAX = 2048
 
 
 def _dense_bitmaps(s: DataFrame, vocab: DataFrame, n_words: int) -> DataFrame:
