@@ -725,6 +725,40 @@ def _x_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, "lang", "doc_id", 20).select("doc_id", "lang")
 
 
+def _x_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: 80% of the corpus is indexed once
+    (MinHash band table + shingle sets), the other 20% arrives as a
+    'new crawl' batch and matches against the index WITHOUT re-pairing
+    the corpus. Verified-jaccard output equals the exact cross-pair
+    set (16x4 banding recall ~1 at J>=0.8), so it is hash-checked."""
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    index = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    bands, sets = build_minhash_index(
+        index, "text", "doc_id", n_hashes=64, n_bands=16,
+        use_char_ngrams=True, ngram=5,
+    )
+    return dedup_against_index(
+        new, "text", "doc_id", bands, sets, threshold=0.8,
+        n_hashes=64, n_bands=16, use_char_ngrams=True, ngram=5,
+    ).selectExpr("new_id", "index_id", "round(jaccard, 6) AS jaccard")
+
+
+def _x_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of `orders` (C2 metadata surface as an
+    operator): one aggregate pass, per-column stats rows."""
+    from deepdb_public_spark.operators.prep import profile_table
+
+    return profile_table(_engine(spark, sf_dir).catalog["orders"])
+
+
 def _p_encode_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepdb_public_spark.operators.prep import encode_table
 
@@ -1376,6 +1410,65 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
         SELECT source, pack_id, COUNT(*) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
         FROM p GROUP BY 1, 2
+        """,
+    ),
+    "x35_dedup_index": (
+        _x_dedup_index,
+        f"""
+        WITH ws AS (SELECT doc_id, {_CHAR_NGRAM_DUCK} AS w FROM documents)
+        SELECT a.doc_id AS new_id, b.doc_id AS index_id,
+               ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                     / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))), 6) AS jaccard
+        FROM (SELECT * FROM ws WHERE doc_id % 5 = 0) a
+        JOIN (SELECT * FROM ws WHERE doc_id % 5 <> 0) b ON TRUE
+        WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+              / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
+        """,
+    ),
+    "x36_table_profile": (
+        _x_profile,
+        """
+        SELECT 'o_orderkey' AS col_name, 'bigint' AS dtype, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT o_orderkey) AS n_distinct,
+               CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+               CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', 'bigint', COUNT(*),
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_custkey),
+               CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+               NULL, NULL
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', 'string', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_orderstatus),
+               NULL, NULL, MIN(o_orderstatus), MAX(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', 'double', COUNT(*),
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_totalprice),
+               CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
+               NULL, NULL
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', 'timestamp_ntz', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_orderdate),
+               CAST(epoch_us(MIN(o_orderdate)) AS DOUBLE),
+               CAST(epoch_us(MAX(o_orderdate)) AS DOUBLE),
+               NULL, NULL
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', 'string', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_orderpriority),
+               NULL, NULL, MIN(o_orderpriority), MAX(o_orderpriority)
+        FROM orders
         """,
     ),
     "x34_stratified_sample": (

@@ -680,6 +680,111 @@ def minhash_lsh_pairs(
     return _expand_rep_pairs(groups, rep_pairs)
 
 
+def build_minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    use_char_ngrams: bool = False,
+    ngram: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """Persistent dedup index over a corpus: returns
+    ``(bands, sets)`` — ``bands`` = (id, band, key) LSH bucket rows,
+    ``sets`` = (id, sh) hashed shingle sets for exact verification.
+    Write both as parquet (partition ``bands`` by ``band``, bucket by
+    ``key`` for shuffle-free lookups) and new crawl batches dedup
+    against the corpus WITHOUT re-pairing it (`dedup_against_index`).
+
+    This is the production shape at 100 TB: the corpus index is built
+    once (linear scan), and each incoming batch costs
+    O(batch + matched buckets), never O(corpus).
+    """
+    rows_per_band = n_hashes // n_bands
+    shingle = (
+        char_ngrams(F.col(text_col), ngram)
+        if use_char_ngrams
+        else F.array_distinct(word_tokens(F.col(text_col)))
+    )
+    hashed = F.array_sort(
+        F.array_distinct(F.transform(shingle, lambda t: F.xxhash64(t)))
+    )
+    docs = _persist(
+        spread_small_input(df)
+        .select(F.col(id_col).alias("id"), hashed.alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    sigs = docs.withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    bands = sigs.select(
+        "id", F.explode(band_keys(F.col("sig"), n_bands, rows_per_band)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    return bands, docs.select("id", "sh")
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_bands: DataFrame,
+    index_sets: DataFrame,
+    threshold: float = 0.8,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    use_char_ngrams: bool = False,
+    ngram: int = 5,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Incremental dedup: match a NEW batch against an existing corpus
+    index (`build_minhash_index`) -> (new_id, index_id, jaccard) with
+    jaccard >= threshold, verified exactly (no false positives;
+    recall = the LSH S-curve, ~1 at the default 16x4 banding for
+    J >= 0.8 — and exactly 1 for byte-identical documents, whose
+    signatures agree on every band).
+
+    Scale shape: the new batch is scanned once (signatures, JVM-side),
+    then ONE equi-join on (band, key) against the index's band table
+    — with the index bucketed by key on disk this is shuffle-free on
+    the corpus side; only matched buckets are read for verification.
+    Oversized index buckets (boilerplate) are truncated to
+    ``max_bucket_size`` members per (band, key) — same bounding policy
+    as capped_bucket_pairs.
+    """
+    new_bands, new_sets = build_minhash_index(
+        new_df, text_col, id_col, n_hashes, n_bands, use_char_ngrams, ngram
+    )
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("band", "key").orderBy("id")
+    idx = index_bands.withColumn("__rn", F.row_number().over(wb)).filter(
+        F.col("__rn") <= max_bucket_size
+    )
+    cand = (
+        new_bands.withColumnRenamed("id", "new_id")
+        .join(idx.withColumnRenamed("id", "index_id"), ["band", "key"])
+        .select("new_id", "index_id")
+        .distinct()
+    )
+    pairs = (
+        cand.join(
+            new_sets.select(F.col("id").alias("new_id"), F.col("sh").alias("sh_a")),
+            "new_id",
+        )
+        .join(
+            index_sets.select(
+                F.col("id").alias("index_id"), F.col("sh").alias("sh_b")
+            ),
+            "index_id",
+        )
+        .select(
+            "new_id",
+            "index_id",
+            _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return pairs
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str,

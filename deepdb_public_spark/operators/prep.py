@@ -401,3 +401,66 @@ def generate_join_sample(
     if sample_fraction is not None:
         df = df.sample(sample_fraction, seed=seed)
     return df
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column statistics profile -> one row per column:
+    (col_name, dtype, n_rows, n_nulls, n_distinct, min_num, max_num,
+    min_str, max_str). Numeric/timestamp columns report numeric
+    min/max (timestamps as epoch micros); strings report lexical
+    min/max.
+
+    The C2 metadata surface (reference:
+    data_preparation/prepare_single_tables.py records table length,
+    distinct counts and null codes per column) generalized into a
+    data-quality profiling operator. ONE aggregate pass over the
+    table — the count-distincts share a single expand+aggregate plan,
+    no per-column jobs, no driver loop; the wide single-row result is
+    exploded into per-column rows in the same job.
+    """
+    from pyspark.sql.types import StringType, TimestampNTZType, TimestampType
+
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    specs = []  # (col, dtype_str, kind)
+    for c in cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, (TimestampType, TimestampNTZType)):
+            kind = "ts"
+            num = F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        elif isinstance(dt, NumericType):
+            kind = "num"
+            num = F.col(c).cast("double")
+        elif isinstance(dt, StringType):
+            kind = "str"
+            num = None
+        else:  # arrays/structs/binary: null-count + distinct only
+            kind = "other"
+            num = None
+        specs.append((c, dt.simpleString(), kind))
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+        if num is not None:
+            aggs.append(F.min(num).alias(f"__mn_{c}"))
+            aggs.append(F.max(num).alias(f"__mx_{c}"))
+        if kind == "str":
+            aggs.append(F.min(F.col(c)).alias(f"__ms_{c}"))
+            aggs.append(F.max(F.col(c)).alias(f"__xs_{c}"))
+    wide = df.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.lit(dtype).alias("dtype"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__nn_{c}").alias("n_nulls"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            (F.col(f"__mn_{c}") if kind in ("num", "ts") else null_d).alias("min_num"),
+            (F.col(f"__mx_{c}") if kind in ("num", "ts") else null_d).alias("max_num"),
+            (F.col(f"__ms_{c}") if kind == "str" else null_s).alias("min_str"),
+            (F.col(f"__xs_{c}") if kind == "str" else null_s).alias("max_str"),
+        )
+        for c, dtype, kind in specs
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
