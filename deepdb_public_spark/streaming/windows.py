@@ -273,3 +273,59 @@ def run_streaming_batch(
     )
     q.awaitTermination(120)
     return stream_df.sparkSession.table(query_name)
+
+
+def streaming_index_dedup(
+    stream_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_bands: DataFrame,
+    index_sets: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.8,
+    **dedup_kwargs,
+) -> None:
+    """Crawl-ingestion dedup: every arriving micro-batch of documents
+    is matched against the STATIC corpus index
+    (operators/dedup.build_minhash_index) inside foreachBatch and the
+    verified near-dup pairs append to parquet. availableNow drains the
+    backlog and stops; with a live source the same query runs forever,
+    each batch costing O(batch + hit buckets) — the corpus index is
+    never re-paired (the batch twin is dedup_against_index, which this
+    reuses verbatim: one definition, two execution modes).
+
+    foreachBatch (not a stream-stream join) is the right shape here:
+    the index side is static/slowly-growing, and the per-batch plan is
+    a bounded batch job, so no streaming state accumulates at all.
+    Exactly-once: the pair output is keyed by (new_id, index_id) and a
+    replayed batch rewrites the same pairs; use the checkpointed batch
+    id for transactional sinks.
+    """
+    from ..operators import dedup as _dedup
+    from ..operators.dedup import dedup_against_index
+
+    def _handle(batch: DataFrame, _bid: int) -> None:
+        before = len(_dedup._CACHED)
+        try:
+            pairs = dedup_against_index(
+                batch, text_col, id_col, index_bands, index_sets,
+                threshold=threshold, **dedup_kwargs,
+            )
+            pairs.write.mode("append").parquet(out_path)
+        finally:
+            # unpersist only this batch's intermediates, not the index
+            while len(_dedup._CACHED) > before:
+                df = _dedup._CACHED.pop()
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+
+    q = (
+        stream_docs.writeStream.foreachBatch(_handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)

@@ -82,6 +82,45 @@ class TestDedupIndex:
         assert 1 <= n <= 16  # capped, and the duplicate is still caught
 
 
+class TestStreamingIndexDedup:
+    def test_stream_matches_batch(self, spark, tmp_path):
+        """The streaming micro-batch form produces exactly the batch
+        operator's pairs (one definition, two execution modes)."""
+        from deepdb_public_spark.streaming.windows import streaming_index_dedup
+
+        index = _corpus(
+            spark,
+            [(1, BASE), (2, "some totally different indexed text about engines")],
+        )
+        new_rows = [(100, BASE), (101, "unrelated fresh crawl content"), (102, BASE + " tail")]
+        new = _corpus(spark, new_rows)
+        src = str(tmp_path / "incoming")
+        new.repartition(2).write.parquet(src)  # >1 file => >=1 micro-batch
+        bands, sets = build_minhash_index(index, "text", "doc_id")
+
+        stream = (
+            spark.readStream.schema(new.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = str(tmp_path / "pairs")
+        streaming_index_dedup(
+            stream, "text", "doc_id", bands, sets,
+            out_path=out, checkpoint=str(tmp_path / "ckpt"), threshold=0.6,
+        )
+        got = sorted(
+            (r.new_id, r.index_id) for r in spark.read.parquet(out).collect()
+        )
+        want = sorted(
+            (r.new_id, r.index_id)
+            for r in dedup_against_index(
+                new, "text", "doc_id", bands, sets, threshold=0.6
+            ).collect()
+        )
+        release_cached()
+        assert got == want and (100, 1) in got
+
+
 class TestProfileTable:
     def test_profile_stats(self, spark):
         df = spark.createDataFrame(
