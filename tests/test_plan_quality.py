@@ -80,6 +80,61 @@ def test_dedup_pair_generation_is_not_cross_join(engine):
     release_cached()
 
 
+def test_corpus_filters_are_pure_projections(engine):
+    """Gopher flags and PII redaction must plan with NO Exchange at
+    all — one scan, zero shuffle (the claim in operators/filters.py)."""
+    from deepdb_public_spark.operators.filters import (
+        gopher_quality_flags,
+        redact_pii,
+    )
+
+    docs = engine.catalog["documents"]
+    for df in (
+        gopher_quality_flags(docs, "text", "doc_id"),
+        redact_pii(docs, "text", "doc_id"),
+    ):
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan
+
+
+def test_sequence_packing_avoids_global_sort(engine):
+    """pack_sequences windows per shard: the plan must hash-partition
+    on the shard column, never collapse to a single partition."""
+    from deepdb_public_spark.functions.text import token_count
+    from deepdb_public_spark.operators.sampling import pack_sequences
+
+    docs = engine.catalog["documents"].select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    plan = _plan(pack_sequences(docs, "doc_id", F.col("n_tokens"), 512, "source"))
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(source" in plan, plan
+
+
+def test_index_dedup_probe_has_no_cross_join(engine):
+    """dedup_against_index must plan the band-key probe as an
+    equi-join (hash/sort-merge), never a cartesian/nested-loop."""
+    from deepdb_public_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_against_index,
+        release_cached,
+    )
+
+    docs = engine.catalog["documents"]
+    bands, sets = build_minhash_index(
+        docs.filter(F.col("doc_id") % 5 != 0), "text", "doc_id",
+        use_char_ngrams=True, ngram=5,
+    )
+    pairs = dedup_against_index(
+        docs.filter(F.col("doc_id") % 5 == 0), "text", "doc_id", bands, sets,
+        threshold=0.8, use_char_ngrams=True, ngram=5,
+    )
+    plan = _plan(pairs)
+    release_cached()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_whole_stage_codegen_covers_exact_plane(engine):
     df = engine.query(
         "SELECT COUNT(*) AS c FROM lineitem WHERE lineitem.l_discount BETWEEN 0.02 AND 0.06"
