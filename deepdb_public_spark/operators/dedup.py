@@ -95,15 +95,22 @@ def capped_bucket_pairs(
     big = sized.filter(F.col("__bsz") > max_bucket_size).withColumn(
         "__rn", F.row_number().over(wb.orderBy("id"))
     )
-    fanned = big.select(
-        *bucket_cols,
-        F.col("id").alias("id_a"),
-        F.explode(
-            F.sequence(
-                F.col("__rn") + 1,
-                F.least(F.col("__rn") + chain_width, F.col("__bsz")),
-            )
-        ).alias("__target"),
+    # NOTE: sequence(start, stop) REVERSES when start > stop (it never
+    # yields empty), so the bucket's last member (rn == bsz) would fan
+    # out to [bsz+1, bsz] and pair with ITSELF — rows at the chain end
+    # must be excluded before the explode.
+    fanned = (
+        big.filter(F.col("__rn") < F.col("__bsz"))
+        .select(
+            *bucket_cols,
+            F.col("id").alias("id_a"),
+            F.explode(
+                F.sequence(
+                    F.col("__rn") + 1,
+                    F.least(F.col("__rn") + chain_width, F.col("__bsz")),
+                )
+            ).alias("__target"),
+        )
     )
     pairs_big = fanned.join(
         big.select(

@@ -40,6 +40,9 @@ def test_capped_bucket_pairs_linear_and_connected(spark):
     rows = [(r["id_a"], r["id_b"]) for r in out.collect()]
     assert len(rows) <= n * 4  # linear, not 499500
     assert _connected_one_cluster(rows, n)
+    # regression: sequence(start, stop) REVERSES when start > stop, so
+    # the chain end used to emit (last, last) self-pairs
+    assert all(a != b for a, b in rows)
 
 
 def test_minhash_identical_docs_complete_pairs(spark):
