@@ -185,6 +185,60 @@ def _duck_rows(con, sql):
     return sorted(tuple(r) for r in con.execute(sql).fetchall())
 
 
+@pytest.fixture(scope="module")
+def model_eng(spark):
+    """Engine with a 2-table ensemble for model-plane fuzzing."""
+    from deepdb_public_spark.spn.ensemble import SPNEnsemble
+    from deepdb_public_spark.spn.trainer import train_spn_model
+
+    eng = Engine(spark, SF_DIR)
+    ens = SPNEnsemble(eng.schema)
+    ens.add_model(
+        train_spn_model(eng.catalog, eng.schema, {"orders", "lineitem"}, 60_000)
+    )
+    eng.ensemble = ens
+    return eng
+
+
+def gen_model_query(seed: int) -> str:
+    """Random cardinality query inside the {orders, lineitem} scope:
+    0-2 predicates, optional FK join."""
+    rng = random.Random(seed)
+    if rng.random() < 0.5:
+        tabs = [rng.choice(["orders", "lineitem"])]
+        joins = []
+    else:
+        tabs = ["lineitem", "orders"]
+        joins = ["orders.o_orderkey = lineitem.l_orderkey"]
+    preds = []
+    for _ in range(rng.choice([0, 1, 1, 2])):
+        p = _rand_pred(tabs, rng)
+        if p:
+            preds.append(p)
+    where = joins + preds
+    where_sql = (" WHERE " + " AND ".join(where)) if where else ""
+    return f"SELECT COUNT(*) AS cnt FROM {', '.join(sorted(tabs))}{where_sql}"
+
+
+@pytest.mark.parametrize("seed", range(900, 940))
+def test_fuzzed_model_estimate_within_budget(model_eng, seed):
+    """Model-plane fuzz (SURVEY §5.2-2): the RSPN estimate for a
+    random in-scope cardinality query must stay within a q-error
+    budget of the exact answer — across the predicate space, not just
+    hand-picked cases. Very selective predicates are rescaled: below
+    50 true rows, absolute error against the sample resolution is the
+    meaningful check, not the ratio."""
+    sql = gen_model_query(seed)
+    q = model_eng.parse(sql)
+    est = float(model_eng.ensemble.cardinality(q))
+    true = int(model_eng.query(q).collect()[0][0])
+    if true < 50:
+        assert abs(est - true) <= 500, f"{sql}: est {est} vs {true}"
+    else:
+        qerr = max(est / true, true / max(est, 1e-9))
+        assert qerr <= 6.0, f"{sql}: est {est} vs {true} (qerr {qerr:.2f})"
+
+
 @pytest.mark.parametrize("seed", range(300, 380))
 def test_fuzzed_query_matches_duckdb(eng, duck, seed):
     sql, mode = gen_query(seed)
