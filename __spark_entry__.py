@@ -641,6 +641,23 @@ def _x_embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -sample semantics that make RSPN answers correct, oracle-checked ---
 
 
+def _x_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantiles: exact interpolated percentiles hash-check
+    against DuckDB quantile_cont; the KLL-style approx_percentile must
+    agree within 2% (the grouped form of x28's sketch surface)."""
+    return _engine(spark, sf_dir).sql(
+        """
+        SELECT l_returnflag,
+               ROUND(percentile(l_extendedprice, 0.5), 6) AS p50,
+               ROUND(percentile(l_quantity, 0.9), 6) AS q90,
+               ABS(approx_percentile(l_extendedprice, 0.5, 10000)
+                   - percentile(l_extendedprice, 0.5))
+                 < 0.02 * percentile(l_extendedprice, 0.5) AS p50_ok
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
 def _x_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality audit (word count / mean word length /
     symbol ratio / alphabetic fraction / stopword presence) — pure
@@ -1469,6 +1486,16 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
                COUNT(DISTINCT o_orderpriority),
                NULL, NULL, MIN(o_orderpriority), MAX(o_orderpriority)
         FROM orders
+        """,
+    ),
+    "x37_grouped_quantiles": (
+        _x_grouped_quantiles,
+        """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+               ROUND(quantile_cont(l_quantity, 0.9), 6) AS q90,
+               TRUE AS p50_ok
+        FROM lineitem GROUP BY l_returnflag
         """,
     ),
     "x34_stratified_sample": (
