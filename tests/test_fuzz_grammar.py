@@ -239,6 +239,69 @@ def test_fuzzed_model_estimate_within_budget(model_eng, seed):
         assert qerr <= 6.0, f"{sql}: est {est} vs {true} (qerr {qerr:.2f})"
 
 
+def gen_aqp_query(seed: int) -> str:
+    """Random AQP query on lineitem: SUM/AVG (optionally grouped by
+    l_returnflag) under 0-2 predicates."""
+    rng = random.Random(seed)
+    agg = rng.choice(["SUM", "AVG"])
+    col = rng.choice(["l_quantity", "l_extendedprice", "l_discount"])
+    preds = []
+    for _ in range(rng.choice([0, 1, 1, 2])):
+        p = _rand_pred(["lineitem"], rng)
+        if p:
+            preds.append(p)
+    where_sql = (" WHERE " + " AND ".join(preds)) if preds else ""
+    if rng.random() < 0.4:
+        return (
+            f"SELECT lineitem.l_returnflag, {agg}(lineitem.{col}) AS v "
+            f"FROM lineitem{where_sql} GROUP BY lineitem.l_returnflag"
+        )
+    return f"SELECT {agg}(lineitem.{col}) AS v FROM lineitem{where_sql}"
+
+
+@pytest.mark.parametrize("seed", range(700, 730))
+def test_fuzzed_model_aqp_within_budget(model_eng, seed):
+    """AQP fuzz: model-plane SUM/AVG within 15% relative error of the
+    exact plane wherever the cell is well-populated (>= 500 true
+    rows); sparse cells are skipped — the sample resolution dominates
+    there and the reference's evaluation does the same (error is
+    reported against well-populated ground truth)."""
+    sql = gen_aqp_query(seed)
+    q = model_eng.parse(sql)
+    model_rows = model_eng.ensemble.aqp(q)
+    exact = [r.asDict() for r in model_eng.query(q).collect()]
+    gb = [c for _t, c in q.group_bys]
+    counts = {}
+    if gb:
+        cq = model_eng.parse(
+            "SELECT lineitem.l_returnflag, COUNT(*) AS c FROM lineitem"
+            + (" WHERE " + sql.split(" WHERE ")[1].split(" GROUP BY")[0]
+               if " WHERE " in sql else "")
+            + " GROUP BY lineitem.l_returnflag"
+        )
+        counts = {r[0]: r[1] for r in model_eng.query(cq).collect()}
+    else:
+        csql = "SELECT COUNT(*) AS c FROM lineitem" + (
+            " WHERE " + sql.split(" WHERE ")[1] if " WHERE " in sql else ""
+        )
+        counts[()] = model_eng.query(model_eng.parse(csql)).collect()[0][0]
+
+    def key(r):
+        return tuple(r[c] for c in gb) if gb else ()
+
+    model_by = {key(r): r for r in model_rows}
+    for r in exact:
+        k = key(r)
+        n_true = counts.get(k[0] if gb else k, counts.get(k, 0))
+        if n_true < 500:
+            continue
+        truth = [v for c, v in r.items() if c not in gb][0]
+        assert k in model_by, f"{sql}: missing group {k}"
+        est = [v for c, v in model_by[k].items() if c not in gb][0]
+        rel = abs(est - truth) / max(abs(truth), 1e-9)
+        assert rel <= 0.15, f"{sql} group {k}: est {est} vs {truth} (rel {rel:.3f})"
+
+
 @pytest.mark.parametrize("seed", range(300, 380))
 def test_fuzzed_query_matches_duckdb(eng, duck, seed):
     sql, mode = gen_query(seed)
