@@ -658,6 +658,16 @@ def _x_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-proxy filter: mean unigram log-prob per
+    doc under the corpus-trained unigram model (add-one smoothing),
+    replicated exactly in DuckDB (same ratio, same ln)."""
+    from deepdb_public_spark.operators.filters import unigram_logprob
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    return unigram_logprob(docs, "text", "doc_id")
+
+
 def _x_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality audit (word count / mean word length /
     symbol ratio / alphabetic fraction / stopword presence) — pure
@@ -1496,6 +1506,24 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
                ROUND(quantile_cont(l_quantity, 0.9), 6) AS q90,
                TRUE AS p50_ok
         FROM lineitem GROUP BY l_returnflag
+        """,
+    ),
+    "x38_unigram_logprob": (
+        _x_unigram_logprob,
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS t
+          FROM documents
+        ),
+        model AS (SELECT t, COUNT(*) AS cnt FROM toks GROUP BY t),
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total, COUNT(*) AS vocab FROM model)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               ROUND(AVG(ln((COALESCE(cnt, 0) + 1.0) / (total + 1.0 * (vocab + 1)))), 6)
+                 AS mean_logprob
+        FROM toks LEFT JOIN model USING (t) CROSS JOIN tot
+        GROUP BY doc_id
         """,
     ),
     "x34_stratified_sample": (

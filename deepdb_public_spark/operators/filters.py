@@ -168,6 +168,57 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    model_df: DataFrame | None = None,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """CCNet-style language-model quality score, unigram proxy:
+    mean log p(token) per document under a corpus-trained unigram
+    model -> (id, n_tokens, mean_logprob). Lower (more negative) =
+    rarer vocabulary = flagged by the perplexity filter. Pass
+    ``model_df`` (token, cnt) to score against a reference corpus
+    (the CCNet setup: score web docs under a Wikipedia-trained LM);
+    default trains on ``df`` itself.
+
+    Add-one smoothing over the vocabulary: p(t) = (cnt + s) /
+    (total + s·(V+1)); unseen tokens get p = s / (total + s·(V+1)).
+
+    Scale shape: the model is a vocabulary-sized aggregate; scoring is
+    explode -> broadcast-or-shuffle join on token -> groupBy(id) mean.
+    Two shuffles on near-uniform keys, zero Python.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(F.lower(F.col(text_col)))).alias("t")
+    )
+    model_src = (
+        model_df.select(F.col("token").alias("t"), F.col("cnt"))
+        if model_df is not None
+        else toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # totals as a 1-row broadcast (crossJoin of a single aggregate row)
+    totals = model_src.agg(
+        F.sum("cnt").alias("__total"), F.count(F.lit(1)).alias("__vocab")
+    )
+    scored = (
+        toks.join(model_src, "t", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(smoothing))
+                / (F.col("__total") + F.lit(smoothing) * (F.col("__vocab") + 1))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+    )
+
+
 # Redaction patterns: valid and identical under Java regex (Spark) and
 # RE2 (DuckDB) — no backrefs, no lookaround.
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

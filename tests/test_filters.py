@@ -107,6 +107,34 @@ class TestRedactPII:
         assert r.n_emails == 2 and r.n_phones == 1
 
 
+class TestUnigramLogprob:
+    def test_matches_hand_math(self, spark):
+        import math
+
+        from deepdb_public_spark.operators.filters import unigram_logprob
+
+        df = _docs(spark, [(1, "a a b"), (2, "c")])
+        rows = {r.doc_id: r for r in unigram_logprob(df, "text", "doc_id").collect()}
+        # model: a->2, b->1, c->1; total=4, vocab=3; denom = 4 + 1*(3+1) = 8
+        pa, pb, pc = 3 / 8, 2 / 8, 2 / 8
+        want1 = (2 * math.log(pa) + math.log(pb)) / 3
+        assert rows[1].n_tokens == 3
+        assert abs(rows[1].mean_logprob - round(want1, 6)) < 1e-9
+        assert abs(rows[2].mean_logprob - round(math.log(pc), 6)) < 1e-9
+
+    def test_external_model_unseen_tokens(self, spark):
+        from deepdb_public_spark.operators.filters import unigram_logprob
+
+        docs = _docs(spark, [(1, "common common"), (2, "weird unseen junk")])
+        model = spark.createDataFrame([("common", 98)], ["token", "cnt"])
+        rows = {
+            r.doc_id: r.mean_logprob
+            for r in unigram_logprob(docs, "text", "doc_id", model_df=model).collect()
+        }
+        # rare-vocab doc scores strictly lower under the reference model
+        assert rows[2] < rows[1]
+
+
 class TestSamplingOps:
     def test_stratified_sample_deterministic(self, spark):
         rows = [(i, "s%d" % (i % 3)) for i in range(90)]
