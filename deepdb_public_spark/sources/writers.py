@@ -77,3 +77,24 @@ def write_jsonl(
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    target_files: int | None = None,
+) -> None:
+    """ORC export (Spark-native columnar alternative for Hive-centric
+    consumers) — same partition/file-count discipline as parquet."""
+    if target_files is not None:
+        df = (
+            df.repartition(target_files, *partition_by)
+            if partition_by
+            else df.repartition(target_files)
+        )
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -145,6 +145,15 @@ def main() -> int:
             n_fail += 1
         rec["secs"] = round(time.perf_counter() - t0, 2)
         report[name] = rec
+        # session hygiene between entries (mirrors bench.py): drop
+        # operator-persisted intermediates so 78 entries don't
+        # compound executor-memory pressure
+        try:
+            from deepdb_public_spark.operators.dedup import release_cached
+
+            release_cached()
+        except Exception:
+            pass
         status = (
             "FAIL" if rec.get("err") not in (None, "no_oracle")
             else ("ok" if rec.get("hash_match") else rec.get("err") or "MISMATCH")

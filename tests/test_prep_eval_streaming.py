@@ -46,6 +46,10 @@ def test_sink_roundtrip(tmp_path, engine, spark):
     ).count()
     write_csv(engine.sql("SELECT 1 AS one"), str(tmp_path / "res_csv"))
     assert spark.read.option("header", True).csv(str(tmp_path / "res_csv")).count() == 1
+    from deepdb_public_spark.sources.writers import write_orc
+
+    write_orc(df.select("l_orderkey", "l_quantity"), str(tmp_path / "li_orc"), target_files=2)
+    assert spark.read.orc(str(tmp_path / "li_orc")).count() == df.count()
 
 
 @pytest.fixture(scope="module")
