@@ -641,6 +641,33 @@ def _x_embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -sample semantics that make RSPN answers correct, oracle-checked ---
 
 
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: counts and decimal-exact sums by l_returnflag x
+    l_linestatus (explicit pivot values => static schema, which is
+    what a 100 TB plan needs — never the value-discovery scan).
+    Oracle is the portable conditional-aggregation form."""
+    from pyspark.sql import functions as F
+
+    li = _engine(spark, sf_dir).catalog["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("qty"),
+        )
+        .select(
+            "l_returnflag",
+            F.coalesce("F_cnt", F.lit(0)).alias("f_cnt"),
+            F.coalesce("F_qty", F.lit(0.0)).alias("f_qty"),
+            F.coalesce("O_cnt", F.lit(0)).alias("o_cnt"),
+            F.coalesce("O_qty", F.lit(0.0)).alias("o_qty"),
+        )
+    )
+
+
 def _x_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group quantiles: exact interpolated percentiles hash-check
     against DuckDB quantile_cont; the KLL-style approx_percentile must
@@ -1496,6 +1523,19 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
                COUNT(DISTINCT o_orderpriority),
                NULL, NULL, MIN(o_orderpriority), MAX(o_orderpriority)
         FROM orders
+        """,
+    ),
+    "q31_pivot": (
+        _q_pivot,
+        """
+        SELECT l_returnflag,
+               COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS f_cnt,
+               CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS f_qty,
+               COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS o_cnt,
+               CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS o_qty
+        FROM lineitem GROUP BY l_returnflag
         """,
     ),
     "x37_grouped_quantiles": (
