@@ -107,6 +107,31 @@ class TestRedactPII:
         assert r.n_emails == 2 and r.n_phones == 1
 
 
+class TestFiltersStreamingLegal:
+    def test_gopher_flags_under_structured_streaming(self, spark, tmp_path):
+        """The quality flags are stateless projections, so the SAME
+        operator definition runs under Structured Streaming unchanged;
+        streamed output must equal the batch output."""
+        from deepdb_public_spark.streaming.windows import run_streaming_batch
+
+        rows = [(i, GOOD if i % 2 else "too short") for i in range(10)]
+        batch = _docs(spark, rows)
+        src = str(tmp_path / "docs")
+        batch.repartition(2).write.parquet(src)
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        got = run_streaming_batch(
+            stream,
+            lambda d: gopher_quality_flags(d, "text", "doc_id"),
+            "gopher_stream",
+            output_mode="append",
+        )
+        want = sorted(
+            (r.doc_id, r.keep)
+            for r in gopher_quality_flags(batch, "text", "doc_id").collect()
+        )
+        assert sorted((r.doc_id, r.keep) for r in got.collect()) == want
+
+
 class TestUnigramLogprob:
     def test_matches_hand_math(self, spark):
         import math
