@@ -134,3 +134,68 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def resize_images(
+    media: DataFrame,
+    target_width: int,
+    resample_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Aspect-preserving image resize: images get target_width and a
+    height scaled by the original aspect ratio; non-image rows pass
+    through untouched.
+
+    The dimension arithmetic is pure JVM column math (no Python); only
+    the pixel resample itself crosses into Arrow-batched mapInPandas.
+    The resample is STUBBED (no PIL in this container) with a
+    deterministic md5-derived payload so the full pipeline —
+    schema, metadata update, batch iteration — runs and is testable;
+    pass ``resample_fn(payload, w, h) -> bytes`` (PIL/opencv) in
+    production. A None payload raises loudly, same policy as decode.
+    """
+    is_img = F.col("kind") == "image"
+    tw = F.when(is_img, F.lit(int(target_width))).otherwise(F.col("meta_width"))
+    th = F.when(
+        is_img,
+        F.greatest(
+            F.lit(1),
+            F.round(
+                F.lit(int(target_width))
+                * F.col("meta_height")
+                / F.greatest(F.col("meta_width"), F.lit(1))
+            ).cast("long"),
+        ),
+    ).otherwise(F.col("meta_height"))
+    sized = media.select(
+        "media_id", "kind", "payload",
+        tw.alias("meta_width"), th.alias("meta_height"), "meta_duration_ms",
+    )
+
+    if resample_fn is None:
+
+        def resample_fn(payload: bytes, w: int, h: int) -> bytes:
+            if payload is None:
+                raise NotImplementedError("real image resample requires PIL/opencv")
+            import hashlib
+
+            seed = hashlib.md5(payload + b"%dx%d" % (w, h)).digest()
+            need = max(16, (w * h) // 64)  # stand-in for the resized size
+            return (seed * (need // len(seed) + 1))[:need]
+
+    fn = resample_fn
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p, kind, w, h in zip(
+                pdf["payload"], pdf["kind"], pdf["meta_width"], pdf["meta_height"]
+            ):
+                if kind != "image" or p is None:
+                    out.append(p)
+                else:
+                    out.append(fn(bytes(p), int(w), int(h)))
+            pdf = pdf.copy()
+            pdf["payload"] = out
+            yield pdf
+
+    return sized.mapInPandas(run, MEDIA_SCHEMA)
