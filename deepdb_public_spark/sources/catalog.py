@@ -104,3 +104,10 @@ def read_csv_table(
     else:
         reader = reader.option("inferSchema", True)
     return reader.csv(path)
+
+
+def read_orc_table(spark: SparkSession, path: str) -> DataFrame:
+    """ORC ingestion (Hive-ecosystem interchange; schema travels with
+    the file like parquet, so no declaration needed). Predicate
+    pushdown and column pruning work the same as the parquet source."""
+    return spark.read.orc(path)
