@@ -641,6 +641,16 @@ def _x_embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -sample semantics that make RSPN answers correct, oracle-checked ---
 
 
+def _sql_runner_late(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    """Same as _sql_runner (defined below the registries) but usable
+    inside the dict literals."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _engine(spark, sf_dir).sql(sql)
+
+    return run
+
+
 def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: counts and decimal-exact sums by l_returnflag x
     l_linestatus (explicit pivot values => static schema, which is
@@ -1523,6 +1533,45 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
                COUNT(DISTINCT o_orderpriority),
                NULL, NULL, MIN(o_orderpriority), MAX(o_orderpriority)
         FROM orders
+        """,
+    ),
+    "q32_math_scalars": (
+        _sql_runner_late(
+            """
+            SELECT l_returnflag,
+                   ROUND(SQRT(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)), 6) AS sqrt_qty,
+                   ROUND(LN(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)), 6) AS ln_price,
+                   ROUND(POWER(CAST(AVG(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE), 2), 6) AS disc_sq,
+                   CAST(ABS(MIN(l_quantity) - 1) AS DOUBLE) AS abs_chk
+            FROM lineitem GROUP BY l_returnflag
+            """
+        ),
+        """
+        SELECT l_returnflag,
+               ROUND(SQRT(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)), 6) AS sqrt_qty,
+               ROUND(LN(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)), 6) AS ln_price,
+               ROUND(POWER(CAST(AVG(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE), 2), 6) AS disc_sq,
+               CAST(ABS(MIN(l_quantity) - 1) AS DOUBLE) AS abs_chk
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    ),
+    "q33_date_arith": (
+        _sql_runner_late(
+            """
+            SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+                   COUNT(*) AS cnt,
+                   CAST(MAX(DATEDIFF(CAST(o_orderdate AS DATE), DATE '1995-01-01')) AS BIGINT) AS max_days,
+                   CAST(MIN(CAST(DATE_ADD(CAST(o_orderdate AS DATE), 30) >= DATE '1995-01-31' AS INT)) AS BIGINT) AS all_shifted
+            FROM orders GROUP BY 1
+            """
+        ),
+        """
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+               COUNT(*) AS cnt,
+               CAST(MAX(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS BIGINT) AS max_days,
+               CAST(MIN(CASE WHEN CAST(o_orderdate AS DATE) + INTERVAL 30 DAY >= DATE '1995-01-31'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS all_shifted
+        FROM orders GROUP BY 1
         """,
     ),
     "q31_pivot": (
