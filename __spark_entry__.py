@@ -1068,6 +1068,42 @@ def _m_aqp_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _m_aqp_join_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped AQP over a JOIN scope: grouped COUNT/SUM from the
+    {orders, lineitem} RSPN (outer-join sample + fanout algebra), the
+    query shape the reference's SSB AQP workload exercises. Same
+    flag-checking contract as m04."""
+    eng = _engine(spark, sf_dir)
+    _ensure_models(eng, [({"orders", "lineitem"}, 60_000)])
+    sql = (
+        "SELECT orders.o_orderstatus, COUNT(*) AS cnt, "
+        "SUM(lineitem.l_quantity) AS sq "
+        "FROM orders, lineitem "
+        "WHERE orders.o_orderkey = lineitem.l_orderkey "
+        "AND lineitem.l_discount <= 0.08 "
+        "GROUP BY orders.o_orderstatus"
+    )
+    q = eng.parse(sql)
+    est_rows = {r["o_orderstatus"]: r for r in eng.ensemble.aqp(q)}
+    exact = {r["o_orderstatus"]: r for r in eng.query(q).collect()}
+    budget = 0.25
+    out = []
+    for key in sorted(exact):
+        e, t = est_rows.get(key), exact[key]
+        rel = lambda a, b: abs(a - b) / max(abs(b), 1e-9)  # noqa: E731
+        out.append(
+            (
+                key,
+                int(t["cnt"]),
+                bool(e and rel(e["cnt"], t["cnt"]) < budget),
+                bool(e and rel(e["sq"], t["sq"]) < budget),
+            )
+        )
+    return spark.createDataFrame(
+        out, "grp string, true_cnt long, cnt_ok boolean, sum_ok boolean"
+    )
+
+
 # m05 CI cases: (cid, engine-grammar SQL for the model, portable SQL
 # computing the SAME true value with DECIMAL sums — exact and
 # order-independent, so Spark and DuckDB produce bit-identical doubles
@@ -1162,6 +1198,16 @@ _PREP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
         SELECT l_returnflag AS grp, COUNT(*) AS true_cnt,
                TRUE AS cnt_ok, TRUE AS sum_ok, TRUE AS avg_ok
         FROM lineitem WHERE l_discount <= 0.06 GROUP BY l_returnflag
+        """,
+    ),
+    "m06_aqp_join_groupby": (
+        _m_aqp_join_groupby,
+        """
+        SELECT o.o_orderstatus AS grp, COUNT(*) AS true_cnt,
+               TRUE AS cnt_ok, TRUE AS sum_ok
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_discount <= 0.08
+        GROUP BY o.o_orderstatus
         """,
     ),
     "m05_confidence_intervals": (
@@ -1927,6 +1973,7 @@ _PRIORITY_TAIL = [
     "m03_multi_spn",
     "m04_aqp_groupby",
     "m05_confidence_intervals",
+    "m06_aqp_join_groupby",
     "x07_simhash_pairs",
     "x17_media_features",
 ]
