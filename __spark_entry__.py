@@ -1466,15 +1466,21 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
                  COUNT(*) AS n_distinct_bigrams
           FROM gc GROUP BY 1
         )
-        SELECT w.doc_id, w.n_words, w.n_distinct_words, w.top_word_cnt,
+        SELECT d.doc_id,
+               COALESCE(w.n_words, 0) AS n_words,
+               COALESCE(w.n_distinct_words, 0) AS n_distinct_words,
+               COALESCE(w.top_word_cnt, 0) AS top_word_cnt,
                COALESCE(g.n_bigrams, 0) AS n_bigrams,
                COALESCE(g.n_distinct_bigrams, 0) AS n_distinct_bigrams,
-               ROUND(CAST(w.n_words - w.n_distinct_words AS DOUBLE)
-                     / greatest(w.n_words, 1), 6) AS dup_word_frac,
-               ROUND(CAST(w.top_word_cnt AS DOUBLE) / greatest(w.n_words, 1), 6) AS top_word_frac,
+               ROUND(CAST(COALESCE(w.n_words, 0) - COALESCE(w.n_distinct_words, 0) AS DOUBLE)
+                     / greatest(COALESCE(w.n_words, 0), 1), 6) AS dup_word_frac,
+               ROUND(CAST(COALESCE(w.top_word_cnt, 0) AS DOUBLE)
+                     / greatest(COALESCE(w.n_words, 0), 1), 6) AS top_word_frac,
                ROUND(CAST(COALESCE(g.n_bigrams, 0) - COALESCE(g.n_distinct_bigrams, 0) AS DOUBLE)
                      / greatest(COALESCE(g.n_bigrams, 0), 1), 6) AS dup_bigram_frac
-        FROM wagg w LEFT JOIN gagg g USING (doc_id)
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN wagg w USING (doc_id)
+        LEFT JOIN gagg g USING (doc_id)
         """,
     ),
     "x32_pii_redaction": (

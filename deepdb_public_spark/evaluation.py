@@ -118,27 +118,34 @@ def evaluate_confidence_intervals(
                 truth = ex[c]
                 cell = cells[i] if i < len(cells) else None
                 if cell is None or truth is None:
-                    rows.append((sql, k, c, truth, None, None, False, None))
+                    rows.append((sql, k, c, None, truth, None, None, False, None))
                     continue
                 hit = bool(cell["lo"] <= truth <= cell["hi"])
                 relw = float(
                     (cell["hi"] - cell["lo"]) / 2.0 / max(abs(truth), 1e-9)
                 )
-                rows.append((sql, k, c, truth, cell["lo"], cell["hi"], hit, relw))
+                rows.append(
+                    (sql, k, c, cell["est"], truth, cell["lo"], cell["hi"], hit, relw)
+                )
     if output_csv:
         with open(output_csv, "w", newline="") as f:
             w = csv.writer(f)
             w.writerow(
-                ["query", "group", "aggregate", "truth", "ci_lo", "ci_hi", "hit", "rel_halfwidth"]
+                ["query", "group", "aggregate", "estimate", "truth",
+                 "ci_lo", "ci_hi", "hit", "rel_halfwidth"]
             )
-            for sql, k, c, truth, lo, hi, hit, relw in rows:
-                w.writerow([sql, ",".join(map(str, k)), c, truth, lo, hi, int(hit), relw])
-    hits = np.array([r[6] for r in rows]) if rows else np.array([True])
-    wlist = [r[7] for r in rows if r[7] is not None]
+            for sql, k, c, est, truth, lo, hi, hit, relw in rows:
+                w.writerow(
+                    [sql, ",".join(map(str, k)), c, est, truth, lo, hi, int(hit), relw]
+                )
+    # coverage over ZERO cells is 0.0, not 1.0 — an empty evaluation
+    # must not read as perfectly calibrated
+    hits = [r[7] for r in rows]
+    wlist = [r[8] for r in rows if r[8] is not None]
     return {
         "n_cells": len(rows),
         "nominal": confidence,
-        "coverage": float(hits.mean()),
+        "coverage": float(np.mean(hits)) if hits else 0.0,
         "mean_rel_halfwidth": float(np.mean(wlist)) if wlist else 0.0,
         "rows": rows,
     }

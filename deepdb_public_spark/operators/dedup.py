@@ -761,8 +761,17 @@ def dedup_against_index(
     )
     from pyspark.sql.window import Window
 
+    # restrict the index to buckets the batch actually probes BEFORE
+    # any window: the probe-key set is batch-sized (broadcastable), so
+    # the corpus index is never globally shuffled — only matched
+    # buckets flow into the size-cap window and the candidate join.
+    # (With the band table bucketed by key on disk the semi-join scan
+    # prunes too.) This is what keeps the operator O(batch + hit
+    # buckets) instead of O(corpus) per call / per micro-batch.
+    probe_keys = new_bands.select("band", "key").distinct()
+    hit = index_bands.join(F.broadcast(probe_keys), ["band", "key"], "left_semi")
     wb = Window.partitionBy("band", "key").orderBy("id")
-    idx = index_bands.withColumn("__rn", F.row_number().over(wb)).filter(
+    idx = hit.withColumn("__rn", F.row_number().over(wb)).filter(
         F.col("__rn") <= max_bucket_size
     )
     cand = (

@@ -50,23 +50,10 @@ def _sum_lengths(toks: Column) -> Column:
     )
 
 
-def gopher_quality_flags(
-    df: DataFrame, text_col: str, id_col: str
-) -> DataFrame:
-    """Per-document Gopher-rule booleans + overall keep decision.
-
-    Rules (names follow the paper): word count in [50, 100k]; mean
-    word length in [3, 10]; symbol-to-word ratio ('#' or '...') <=
-    0.1; >= 80% of words contain an alphabetic character; at least two
-    distinct common-English stopwords present. Line-based rules
-    (bullet / ellipsis line fractions) need newline-structured text
-    and are omitted — the same split-on-newline shape would slot in
-    as two more flags.
-
-    Pure projection: no shuffle, no UDF; identical expressions exist
-    in DuckDB (list_filter / string_split_regex), so the output is
-    oracle-checkable.
-    """
+def _gopher_exprs(text_col: str) -> tuple[dict[str, Column], Column, Column, Column]:
+    """(flag columns, keep column, n_words, mean_word_len) — shared by
+    the audit view and the filter so both are pure expressions over
+    the input row (no joins anywhere)."""
     text = F.col(text_col)
     toks = word_tokens(text)
     toks_lower = F.transform(toks, lambda t: F.lower(t))
@@ -94,6 +81,27 @@ def gopher_quality_flags(
     keep = None
     for c in flags.values():
         keep = c if keep is None else (keep & c)
+    return flags, keep, n_words, mean_word_len
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-document Gopher-rule booleans + overall keep decision.
+
+    Rules (names follow the paper): word count in [50, 100k]; mean
+    word length in [3, 10]; symbol-to-word ratio ('#' or '...') <=
+    0.1; >= 80% of words contain an alphabetic character; at least two
+    distinct common-English stopwords present. Line-based rules
+    (bullet / ellipsis line fractions) need newline-structured text
+    and are omitted — the same split-on-newline shape would slot in
+    as two more flags.
+
+    Pure projection: no shuffle, no UDF; identical expressions exist
+    in DuckDB (list_filter / string_split_regex), so the output is
+    oracle-checkable.
+    """
+    flags, keep, n_words, mean_word_len = _gopher_exprs(text_col)
     return df.select(
         F.col(id_col),
         n_words.alias("n_words"),
@@ -105,9 +113,13 @@ def gopher_quality_flags(
 
 def gopher_filter(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep only documents passing every Gopher rule (the actual
-    filtering pass; `gopher_quality_flags` is the audit view)."""
-    flags = gopher_quality_flags(df, text_col, id_col).select(id_col, "keep")
-    return df.join(F.broadcast(flags.filter(F.col("keep"))), id_col, "left_semi")
+    filtering pass; `gopher_quality_flags` is the audit view).
+
+    A plain row filter — one scan, zero joins/broadcasts: the rules
+    are expressions over the row itself, so no keep-list ever
+    materializes (a broadcast keep-list would be corpus-sized)."""
+    _flags, keep, _n, _m = _gopher_exprs(text_col)
+    return df.filter(keep)
 
 
 def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -144,7 +156,17 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     w = _per_token_agg("__toks", "word")
     g = _per_token_agg("__grams", "gram")
-    out = w.join(g, id_col, "left")
+    # anchor on the input docs, not the word aggregate: empty /
+    # whitespace-only documents explode to zero token rows and would
+    # otherwise vanish from the audit instead of reporting zeros
+    out = (
+        base.select(id_col)
+        .join(w, id_col, "left")
+        .join(g, id_col, "left")
+        .withColumn("word_total", F.coalesce(F.col("word_total"), F.lit(0)))
+        .withColumn("word_distinct", F.coalesce(F.col("word_distinct"), F.lit(0)))
+        .withColumn("word_top", F.coalesce(F.col("word_top"), F.lit(0)))
+    )
     wt = F.greatest(F.col("word_total"), F.lit(1))
     gt = F.greatest(F.coalesce(F.col("gram_total"), F.lit(0)), F.lit(1))
     return out.select(

@@ -298,21 +298,30 @@ def streaming_index_dedup(
     foreachBatch (not a stream-stream join) is the right shape here:
     the index side is static/slowly-growing, and the per-batch plan is
     a bounded batch job, so no streaming state accumulates at all.
-    Exactly-once: the pair output is keyed by (new_id, index_id) and a
-    replayed batch rewrites the same pairs; use the checkpointed batch
-    id for transactional sinks.
+    Idempotence under replay (foreachBatch is at-least-once): each
+    batch writes its pairs under a batch_id=<epoch id> partition with
+    dynamic partition overwrite, so a batch replayed after a crash
+    OVERWRITES its own partition instead of appending duplicates.
     """
+    import pyspark.sql.functions as F
+
     from ..operators import dedup as _dedup
     from ..operators.dedup import dedup_against_index
 
-    def _handle(batch: DataFrame, _bid: int) -> None:
+    def _handle(batch: DataFrame, bid: int) -> None:
         before = len(_dedup._CACHED)
         try:
             pairs = dedup_against_index(
                 batch, text_col, id_col, index_bands, index_sets,
                 threshold=threshold, **dedup_kwargs,
             )
-            pairs.write.mode("append").parquet(out_path)
+            (
+                pairs.withColumn("batch_id", F.lit(int(bid)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out_path)
+            )
         finally:
             # unpersist only this batch's intermediates, not the index
             while len(_dedup._CACHED) > before:
@@ -328,4 +337,9 @@ def streaming_index_dedup(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError(
+            "streaming_index_dedup: backlog not drained within 180s — "
+            "output is partial; re-run (the checkpoint resumes)"
+        )

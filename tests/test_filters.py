@@ -87,6 +87,15 @@ class TestRepetition:
         r = repetition_stats(df, "text", "doc_id").collect()[0]
         assert r.n_bigrams == 0 and r.dup_bigram_frac == 0.0
 
+    def test_empty_doc_not_dropped(self, spark):
+        """Empty / whitespace-only docs must still get an audit row
+        (zeros), not silently vanish from the output."""
+        df = _docs(spark, [(1, ""), (2, "   "), (3, "ok words here")])
+        rows = {r.doc_id: r for r in repetition_stats(df, "text", "doc_id").collect()}
+        assert set(rows) == {1, 2, 3}
+        assert rows[1].n_words == 0 and rows[1].dup_word_frac == 0.0
+        assert rows[2].n_words == 0
+
 
 class TestRedactPII:
     def test_email_and_phone(self, spark):

@@ -42,8 +42,11 @@ def test_resize_images_aspect_and_passthrough(media):
         o = orig[mid]
         if o.kind == "image":
             assert r.meta_width == 64
-            # aspect preserved: h' = round(64 * h / w), >= 1
-            want_h = max(1, round(64 * o.meta_height / max(o.meta_width, 1)))
+            # aspect preserved: h' = round-half-UP(64 * h / w), >= 1
+            # (Spark F.round is HALF_UP; Python round() is banker's)
+            import math
+
+            want_h = max(1, math.floor(64 * o.meta_height / max(o.meta_width, 1) + 0.5))
             assert r.meta_height == want_h
             assert r.payload != o.payload  # stub produced new bytes
         else:
