@@ -80,6 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--ensemble_budget_factor", type=float, default=2.0,
                    help="rdc_based: join-model table slots / base tables")
     t.add_argument("--rdc_threshold", type=float, default=0.3)
+    t.add_argument("--post_sampling_factor", type=float, default=1.0,
+                   help="compress leaf histograms ~len/factor after "
+                        "learning (reference maqp.py knob; 1 = off)")
     t.add_argument("--seed", type=int, default=42)
     t.add_argument("--pairwise_rdc_path",
                    help="with --generate_ensemble: also compute pairwise "
@@ -168,6 +171,14 @@ def _cmd_generate_ensemble(eng: Engine, args) -> int:
             sample_budget=args.samples_per_spn,
             seed=args.seed,
         )
+    if args.post_sampling_factor > 1:
+        # post-learning leaf compression, exactly where the reference
+        # applies post_sampling_factor (after structure learning)
+        from .spn.nodes import iter_leaves
+
+        for model in ens.models:
+            for leaf in iter_leaves(model.root):
+                leaf.compact(args.post_sampling_factor)
     if args.pairwise_rdc_path:
         import pickle as _pickle
 

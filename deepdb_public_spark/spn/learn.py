@@ -36,6 +36,10 @@ class LearnParams:
     n_clusters: int = 2
     max_sampling_threshold_cols: int = 10_000
     seed: int = 42
+    # leaf histogram compression after fitting (reference: maqp.py
+    # --post_sampling_factor, default off here; >1 merges distinct
+    # values into ~len/factor equal-mass bins, Leaf.compact)
+    post_sampling_factor: float = 1.0
 
 
 def scale_minmax(
@@ -106,6 +110,7 @@ def learn_spn(
     def leaves_product() -> Node:
         ls = [Leaf.fit(scope[j], data[:, j]) for j in range(d)]
         for leaf in ls:
+            leaf.compact(params.post_sampling_factor)
             leaf.n_rows = n
         if d == 1:
             return ls[0]
@@ -115,6 +120,7 @@ def learn_spn(
 
     if d == 1:
         leaf = Leaf.fit(scope[0], data[:, 0])
+        leaf.compact(params.post_sampling_factor)
         leaf.n_rows = n
         return leaf
     if n < params.min_instances_slice or _depth > 30:

@@ -81,6 +81,34 @@ class Leaf:
             return 0.0
         return float((fn(self.values[mask]) * self.probs[mask]).sum())
 
+    def compact(self, factor: float, min_keep: int = 100) -> None:
+        """Post-sampling compression (reference: maqp.py
+        ``post_sampling_factor``, default "10 10 5" — aqp_leaves
+        compress the stored unique-value histogram after learning).
+
+        Merges the sorted distinct values into ~len/factor equal-mass
+        bins; each bin keeps its total mass and its mass-weighted MEAN
+        value, so COUNT probabilities aggregate exactly at bin
+        granularity and E[x] (SUM/AVG) is preserved EXACTLY; range
+        boundaries falling inside a bin become approximate — the
+        reference's size/accuracy tradeoff. No-op for leaves at or
+        under ``min_keep`` distinct values.
+        """
+        n = len(self.values)
+        if factor <= 1 or n <= min_keep:
+            return
+        k = max(min_keep, int(np.ceil(n / factor)))
+        cum = np.cumsum(self.probs)
+        mass = cum[-1]
+        if mass <= 0:
+            return
+        bins = np.minimum((cum / mass * k - 1e-12).astype(int), k - 1)
+        w = np.bincount(bins, weights=self.probs, minlength=k)
+        wv = np.bincount(bins, weights=self.probs * self.values, minlength=k)
+        keep = w > 0
+        self.values = wv[keep] / w[keep]
+        self.probs = w[keep]
+
     # -- incremental update (reference D5: AQPSPN.add_dataset) ---------
     def absorb_counts(
         self,

@@ -105,3 +105,78 @@ def test_estimate_hints_broadcast_filtered_fact(engine, li_model):
     assert "BroadcastHashJoin" in plan_after
     assert "BroadcastHashJoin" not in plan_before
     assert "SortMergeJoin" in plan_before or "ShuffledHashJoin" in plan_before
+
+
+class TestPostSamplingCompaction:
+    """Leaf.compact (reference post_sampling_factor): mass and mean
+    preserved exactly, range probabilities within bin granularity."""
+
+    def test_mass_mean_preserved_and_size_reduced(self):
+        import numpy as np
+
+        from deepdb_public_spark.spn.leaves import Leaf
+
+        rng = np.random.default_rng(7)
+        col = rng.integers(0, 5000, size=20_000).astype(float)
+        leaf = Leaf.fit(0, col)
+        n0 = len(leaf.values)
+        mean0 = leaf.expect(lambda x: x, None)
+        leaf.compact(10)
+        assert len(leaf.values) < n0 / 5
+        assert abs(leaf.probs.sum() + leaf.null_prob - 1.0) < 1e-12
+        assert abs(leaf.expect(lambda x: x, None) - mean0) < 1e-9 * abs(mean0)
+        # values stay sorted (range masks rely on it)
+        assert (np.diff(leaf.values) > 0).all()
+
+    def test_range_prob_within_bin_granularity(self):
+        import numpy as np
+
+        from deepdb_public_spark.spn.leaves import Leaf
+        from deepdb_public_spark.spn.ranges import NumericRange
+
+        rng = np.random.default_rng(11)
+        col = rng.uniform(0, 1000, size=30_000)
+        leaf = Leaf.fit(0, col)
+        r = NumericRange([(100.0, 700.0, True, True)])
+        p0 = leaf.prob(r)
+        leaf.compact(20)
+        # equal-mass bins: boundary error bounded by ~2 bin masses
+        bin_mass = leaf.probs.max()
+        assert abs(leaf.prob(r) - p0) <= 2 * bin_mass + 1e-9
+
+    def test_small_leaf_untouched(self):
+        import numpy as np
+
+        from deepdb_public_spark.spn.leaves import Leaf
+
+        leaf = Leaf.fit(0, np.arange(50, dtype=float))
+        vals = leaf.values.copy()
+        leaf.compact(10)
+        assert np.array_equal(leaf.values, vals)
+
+    def test_learned_model_with_compaction_still_estimates(self, spark):
+        import numpy as np
+
+        from deepdb_public_spark.spn.learn import LearnParams, learn_spn
+        from deepdb_public_spark.spn.nodes import iter_leaves, validate
+        from deepdb_public_spark.spn.ranges import NumericRange
+
+        rng = np.random.default_rng(3)
+        data = np.column_stack(
+            [rng.integers(0, 2000, 30_000), rng.uniform(0, 10, 30_000)]
+        ).astype(float)
+        root = learn_spn(
+            data, [0, 1], LearnParams(post_sampling_factor=10.0)
+        )
+        validate(root, 2)
+        # every leaf holds <= ceil(slice_distinct/10) values (bounded
+        # by its slice rows / 10, plus the min_keep floor)
+        assert all(
+            len(lf.values) <= max(100, int(np.ceil(lf.n_rows / 10)) + 1)
+            for lf in iter_leaves(root)
+        )
+        from deepdb_public_spark.spn.nodes import evaluate
+
+        want = ((data[:, 0] >= 100) & (data[:, 0] <= 900)).mean()
+        got = evaluate(root, {0: NumericRange([(100.0, 900.0, True, True)])})
+        assert abs(got - want) < 0.05
