@@ -137,26 +137,53 @@ class ExactCompiler:
         df = scans[start]
         joined = {start}
         pending = list(rels)
+
+        def _attach_cost(table: str) -> float:
+            """Estimated filtered rows of a candidate table — the
+            model plane driving join ORDER (DeepDB's optimizer pitch):
+            attach the most selective side first so intermediates stay
+            small. Falls back to declared table_size, then 'unknown
+            last'. Spark may still reorder under CBO/AQE; without
+            them the DataFrame join order IS the join tree."""
+            if self.cardinality_estimator is not None:
+                est = self.cardinality_estimator(table, query)
+                if est is not None:
+                    return float(est)
+            meta = self.schema.tables.get(table)
+            if meta is not None and meta.table_size is not None:
+                return float(meta.table_size)
+            return float("inf")
+
         while pending:
-            progressed = False
-            for rel in list(pending):
-                if rel.start in joined and rel.end in joined:
-                    pending.remove(rel)
-                    progressed = True
-                elif rel.start in joined or rel.end in joined:
-                    other = rel.end if rel.start in joined else rel.start
-                    scans[other] = self._scan(other, query, len(joined))
-                    df = df.join(
-                        scans[other],
-                        scans[rel.start][rel.start_attr]
-                        == scans[rel.end][rel.end_attr],
-                        "inner",
-                    )
-                    joined.add(other)
-                    pending.remove(rel)
-                    progressed = True
-            if not progressed:
-                raise ValueError(f"join graph is disconnected: {pending}")
+            attachable = [
+                rel
+                for rel in pending
+                if (rel.start in joined) != (rel.end in joined)
+            ]
+            done = [
+                rel for rel in pending if rel.start in joined and rel.end in joined
+            ]
+            for rel in done:
+                pending.remove(rel)
+            if not attachable:
+                if pending:
+                    raise ValueError(f"join graph is disconnected: {pending}")
+                break
+            rel = min(
+                attachable,
+                key=lambda r: _attach_cost(
+                    r.end if r.start in joined else r.start
+                ),
+            )
+            other = rel.end if rel.start in joined else rel.start
+            scans[other] = self._scan(other, query, len(joined))
+            df = df.join(
+                scans[other],
+                scans[rel.start][rel.start_attr] == scans[rel.end][rel.end_attr],
+                "inner",
+            )
+            joined.add(other)
+            pending.remove(rel)
 
         group_cols = [c for _, c in query.group_bys]
         agg_cols = build_agg_columns(query.aggregations)

@@ -183,3 +183,34 @@ def test_bucketed_staging_join_skips_shuffle(engine, spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for t in ("t_orders_b", "t_lineitem_b"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_estimate_driven_join_order(engine):
+    """With a cardinality estimator wired in, the compiler attaches
+    the most selective table first (DeepDB's optimizer integration:
+    learned cardinalities drive the join tree)."""
+    order: list[str] = []
+    comp = engine.compiler
+    orig_scan = comp._scan
+
+    def spy(table, query, joined_tables):
+        order.append(table)
+        return orig_scan(table, query, joined_tables)
+
+    sql = (
+        "SELECT COUNT(*) AS c FROM part, lineitem, orders "
+        "WHERE lineitem.l_partkey = part.p_partkey "
+        "AND orders.o_orderkey = lineitem.l_orderkey"
+    )
+    try:
+        comp._scan = spy
+        # estimator says part is tiny and orders huge -> part joins first
+        comp.cardinality_estimator = lambda t, q: {"part": 10.0, "orders": 1e9}.get(t)
+        engine.query(sql)
+        with_est = list(order)
+    finally:
+        comp._scan = orig_scan
+        comp.cardinality_estimator = None
+    anchor = with_est[0]
+    rest = with_est[1:]
+    assert rest.index("part") < rest.index("orders") or anchor == "part"
