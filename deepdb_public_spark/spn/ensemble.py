@@ -385,6 +385,38 @@ class SPNEnsemble:
         return self.aqp(query)
 
     # -- persistence (D9) ---------------------------------------------
+    def stats(self) -> dict:
+        """Ensemble observability (paper parity: ensembles are
+        MB-scale and ship to a driver): per-model node/leaf/value
+        counts and pickled size in bytes."""
+        import pickle
+
+        from .nodes import iter_leaves
+
+        models = []
+        for m in self.models:
+            leaves = list(iter_leaves(m.root))
+            n_nodes = 0
+            stack = [m.root]
+            while stack:
+                node = stack.pop()
+                n_nodes += 1
+                stack.extend(getattr(node, "children", []) or [])
+            models.append(
+                {
+                    "table_set": sorted(m.table_set),
+                    "n_nodes": n_nodes,
+                    "n_leaves": len(leaves),
+                    "n_leaf_values": int(sum(len(lf.values) for lf in leaves)),
+                    "pickled_bytes": len(pickle.dumps(m)),
+                }
+            )
+        return {
+            "n_models": len(models),
+            "total_bytes": sum(m["pickled_bytes"] for m in models),
+            "models": models,
+        }
+
     def save(self, path: str) -> None:
         with open(path, "wb") as f:
             pickle.dump(

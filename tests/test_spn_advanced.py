@@ -180,3 +180,27 @@ class TestPostSamplingCompaction:
         want = ((data[:, 0] >= 100) & (data[:, 0] <= 900)).mean()
         got = evaluate(root, {0: NumericRange([(100.0, 900.0, True, True)])})
         assert abs(got - want) < 0.05
+
+
+def test_ensemble_stats_mb_scale(spark):
+    """Paper parity: trained ensembles are MB-scale driver objects;
+    stats() reports sizes and compaction shrinks them."""
+    from deepdb_public_spark.engine import Engine
+    from deepdb_public_spark.spn.ensemble import SPNEnsemble
+    from deepdb_public_spark.spn.nodes import iter_leaves
+    from deepdb_public_spark.spn.trainer import train_spn_model
+    from tests.conftest import SF_CORRECT
+
+    eng = Engine(spark, SF_CORRECT)
+    ens = SPNEnsemble(eng.schema)
+    ens.add_model(train_spn_model(eng.catalog, eng.schema, {"lineitem"}, 30_000))
+    s = ens.stats()
+    assert s["n_models"] == 1
+    m = s["models"][0]
+    assert m["n_leaves"] >= 1 and m["n_nodes"] > m["n_leaves"] - 1
+    assert 0 < s["total_bytes"] < 50 * 1024 * 1024  # MB-scale, not GB
+    before = s["models"][0]["n_leaf_values"]
+    for lf in iter_leaves(ens.models[0].root):
+        lf.compact(10)
+    after = ens.stats()["models"][0]["n_leaf_values"]
+    assert after < before
