@@ -199,8 +199,12 @@ def _cmd_generate_ensemble(eng: Engine, args) -> int:
             f"model {sorted(m.table_set)}: full_join_size={m.full_join_size:.0f} "
             f"sample={m.sample_size} cols={len(m.column_names)}"
         )
-    print(f"ensemble: {len(ens.models)} models"
-          + (f" -> {args.ensemble_path}" if args.ensemble_path else ""))
+    s = ens.stats()
+    print(
+        f"ensemble: {len(ens.models)} models, "
+        f"{s['total_bytes'] / 1e6:.2f} MB pickled"
+        + (f" -> {args.ensemble_path}" if args.ensemble_path else "")
+    )
     return 0
 
 
