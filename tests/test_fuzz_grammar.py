@@ -105,6 +105,8 @@ def _rand_pred(tabs: list[str], rng: random.Random) -> str | None:
     if not kinds:
         return None
     kind, t, c, spec = rng.choice(kinds)
+    if rng.random() < 0.08:  # NULL predicates on any column kind
+        return f"{t}.{c} IS {'NOT ' if rng.random() < 0.7 else ''}NULL"
     if kind == "cat":
         op = rng.choice(["=", "=", "<>", "IN"])
         if op == "IN":
@@ -125,7 +127,14 @@ def _rand_pred(tabs: list[str], rng: random.Random) -> str | None:
     lo, hi = spec
     yr = rng.randint(int(lo[:4]), int(hi[:4]))
     mo = rng.randint(1, 12)
-    op = rng.choice([">=", "<", "<=", ">"])
+    op = rng.choice([">=", "<", "<=", ">", "BETWEEN"])
+    if op == "BETWEEN":
+        yr2 = rng.randint(yr, int(hi[:4]))
+        mo2 = rng.randint(mo if yr2 == yr else 1, 12)
+        return (
+            f"{t}.{c} BETWEEN DATE '{yr:04d}-{mo:02d}-01' "
+            f"AND DATE '{yr2:04d}-{mo2:02d}-01'"
+        )
     return f"{t}.{c} {op} DATE '{yr:04d}-{mo:02d}-01'"
 
 
@@ -302,8 +311,7 @@ def test_fuzzed_model_aqp_within_budget(model_eng, seed):
         assert rel <= 0.15, f"{sql} group {k}: est {est} vs {truth} (rel {rel:.3f})"
 
 
-@pytest.mark.parametrize("seed", range(300, 380))
-def test_fuzzed_query_matches_duckdb(eng, duck, seed):
+def _run_fuzz_case(eng, duck, seed):
     sql, mode = gen_query(seed)
     got = _rows(eng.query(sql))
     want = _duck_rows(duck, sql)
@@ -316,3 +324,16 @@ def test_fuzzed_query_matches_duckdb(eng, duck, seed):
             assert abs(g - w) <= 1e-9 * max(1.0, abs(w)), sql
     else:
         assert got == want, sql
+
+
+@pytest.mark.parametrize("seed", range(300, 380))
+def test_fuzzed_query_matches_duckdb(eng, duck, seed):
+    _run_fuzz_case(eng, duck, seed)
+
+
+@pytest.mark.parametrize("seed", range(380, 420))
+def test_fuzzed_query_matches_duckdb_extended(eng, duck, seed):
+    """Second fuzz band: the generator also emits IS [NOT] NULL and
+    date BETWEEN predicates (same-column conjunct intersections arise
+    by chance in both bands)."""
+    _run_fuzz_case(eng, duck, seed)
