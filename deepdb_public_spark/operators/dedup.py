@@ -728,6 +728,34 @@ def build_minhash_index(
     return bands, docs.select("id", "sh")
 
 
+def append_to_minhash_index(
+    index_bands: DataFrame,
+    index_sets: DataFrame,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    use_char_ngrams: bool = False,
+    ngram: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """Grow the corpus index with a new (already-deduplicated) batch:
+    returns the unioned ``(bands, sets)``. The ingestion loop is
+    probe -> drop matches -> append survivors; parameters MUST match
+    the ones the index was built with (band keys are a function of
+    n_hashes/n_bands/shingling). Cost: one scan of the new batch —
+    the existing index DataFrames are reused untouched (append the
+    delta to the same parquet locations in production).
+    """
+    new_bands, new_sets = build_minhash_index(
+        new_df, text_col, id_col, n_hashes, n_bands, use_char_ngrams, ngram
+    )
+    return (
+        index_bands.unionByName(new_bands),
+        index_sets.unionByName(new_sets),
+    )
+
+
 def dedup_against_index(
     new_df: DataFrame,
     text_col: str,

@@ -82,6 +82,39 @@ class TestDedupIndex:
         assert 1 <= n <= 16  # capped, and the duplicate is still caught
 
 
+class TestIndexAppend:
+    def test_ingestion_loop(self, spark):
+        """probe -> drop matches -> append survivors -> later batches
+        see the grown index."""
+        from deepdb_public_spark.operators.dedup import append_to_minhash_index
+
+        index = _corpus(spark, [(1, BASE)])
+        batch1 = _corpus(
+            spark, [(10, BASE), (11, "fresh new content about columnar engines")]
+        )
+        bands, sets = build_minhash_index(index, "text", "doc_id")
+        hits = dedup_against_index(
+            batch1, "text", "doc_id", bands, sets, threshold=0.8
+        )
+        dup_ids = [r.new_id for r in hits.collect()]
+        assert dup_ids == [10]
+        survivors = batch1.join(
+            spark.createDataFrame([(i,) for i in dup_ids], ["doc_id"]),
+            "doc_id",
+            "left_anti",
+        )
+        bands2, sets2 = append_to_minhash_index(
+            bands, sets, survivors, "text", "doc_id"
+        )
+        # a later batch duplicating doc 11 now matches the grown index
+        batch2 = _corpus(spark, [(20, "fresh new content about columnar engines")])
+        hits2 = dedup_against_index(
+            batch2, "text", "doc_id", bands2, sets2, threshold=0.8
+        ).collect()
+        release_cached()
+        assert [(r.new_id, r.index_id) for r in hits2] == [(20, 11)]
+
+
 class TestStreamingIndexDedup:
     def test_stream_matches_batch(self, spark, tmp_path):
         """The streaming micro-batch form produces exactly the batch
