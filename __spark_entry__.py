@@ -1626,6 +1626,28 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
         FROM orders GROUP BY 1
         """,
     ),
+    "q34_window_lag": (
+        _sql_runner_late(
+            """
+            SELECT user_id, event_id,
+                   CAST(COALESCE(LAG(value) OVER w, -1) AS DOUBLE) AS prev_value,
+                   CAST(COALESCE(LEAD(value) OVER w, -1) AS DOUBLE) AS next_value,
+                   ROUND(CUME_DIST() OVER w, 6) AS cd
+            FROM events
+            WHERE user_id < 50
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            """
+        ),
+        """
+        SELECT user_id, event_id,
+               CAST(COALESCE(LAG(value) OVER w, -1) AS DOUBLE) AS prev_value,
+               CAST(COALESCE(LEAD(value) OVER w, -1) AS DOUBLE) AS next_value,
+               ROUND(CUME_DIST() OVER w, 6) AS cd
+        FROM events
+        WHERE user_id < 50
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+    ),
     "q31_pivot": (
         _q_pivot,
         """
