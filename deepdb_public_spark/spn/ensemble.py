@@ -485,17 +485,20 @@ def score_fk_edges(
     ]
     out: dict[str, float] = {}
     for rel in edges:
-        joined = catalog[rel.start].join(
-            catalog[rel.end],
-            catalog[rel.start][rel.start_attr] == catalog[rel.end][rel.end_attr],
-        )
+        # side-prefix EVERY column before joining: shared non-key
+        # column names across the two tables would otherwise make the
+        # join output ambiguous (encode_table's mapping joins crash)
+        # and conflate start/end column indices in the RDC matrix
+        joined, s_pfx, e_pfx = _prefixed_edge_join(catalog, rel)
         frac = min(1.0, rdc_sample / max(joined.count(), 1))
         enc, meta = encode_table(joined.sample(frac, seed=seed), f"probe_{rel.start}")
-        cols = [c for c in enc.columns if c in meta.columns and c not in key_cols]
-        start_cols = [
-            i for i, c in enumerate(cols) if c in catalog[rel.start].columns
+        cols = [
+            c
+            for c in enc.columns
+            if c in meta.columns and _strip_side(c) not in key_cols
         ]
-        end_cols = [i for i, c in enumerate(cols) if c in catalog[rel.end].columns]
+        start_cols = [i for i, c in enumerate(cols) if c.startswith(s_pfx)]
+        end_cols = [i for i, c in enumerate(cols) if c.startswith(e_pfx)]
         if not start_cols or not end_cols:
             out[rel.identifier] = 0.0
             continue
@@ -506,6 +509,35 @@ def score_fk_edges(
             (mat[i, j] for i in start_cols for j in end_cols), default=0.0
         )
     return out
+
+
+_SIDE_PREFIXES = ("s__", "e__")
+
+
+def _strip_side(col: str) -> str:
+    for p in _SIDE_PREFIXES:
+        if col.startswith(p):
+            return col[len(p):]
+    return col
+
+
+def _prefixed_edge_join(catalog: dict[str, DataFrame], rel):
+    """Inner-join an FK edge with side-prefixed column names so shared
+    names across the two tables never collide."""
+    from pyspark.sql import functions as F
+
+    s_pfx, e_pfx = _SIDE_PREFIXES
+    sdf = catalog[rel.start].select(
+        *[F.col(c).alias(f"{s_pfx}{c}") for c in catalog[rel.start].columns]
+    )
+    edf = catalog[rel.end].select(
+        *[F.col(c).alias(f"{e_pfx}{c}") for c in catalog[rel.end].columns]
+    )
+    joined = sdf.join(
+        edf,
+        F.col(f"{s_pfx}{rel.start_attr}") == F.col(f"{e_pfx}{rel.end_attr}"),
+    )
+    return joined, s_pfx, e_pfx
 
 
 def compute_pairwise_rdc(
@@ -533,10 +565,15 @@ def compute_pairwise_rdc(
 
     out: dict[frozenset, float] = {}
 
-    def probe(df: DataFrame, name: str) -> None:
+    def probe(df: DataFrame, name: str, strip: bool = False) -> None:
         frac = min(1.0, rdc_sample / max(df.count(), 1))
         enc, meta = encode_table(df.sample(frac, seed=seed), name)
-        cols = [c for c in enc.columns if c in meta.columns and c not in key_cols]
+        cols = [
+            c
+            for c in enc.columns
+            if c in meta.columns
+            and (_strip_side(c) if strip else c) not in key_cols
+        ]
         if len(cols) < 2:
             return
         pdf = enc.select(*cols).toPandas()
@@ -544,7 +581,11 @@ def compute_pairwise_rdc(
         mat = rdc_matrix(data, seed=seed, max_rows=rdc_sample)
         for i in range(len(cols)):
             for j in range(i + 1, len(cols)):
-                k = frozenset((cols[i], cols[j]))
+                a = _strip_side(cols[i]) if strip else cols[i]
+                b = _strip_side(cols[j]) if strip else cols[j]
+                if a == b:  # same column name on both edge sides
+                    continue
+                k = frozenset((a, b))
                 v = float(mat[i, j])
                 if v > out.get(k, 0.0):
                     out[k] = v
@@ -554,11 +595,8 @@ def compute_pairwise_rdc(
     for rel in schema.relationships.values():
         if rel.start not in tables or rel.end not in tables:
             continue
-        joined = catalog[rel.start].join(
-            catalog[rel.end],
-            catalog[rel.start][rel.start_attr] == catalog[rel.end][rel.end_attr],
-        )
-        probe(joined, f"rdc_{rel.start}_{rel.end}")
+        joined, _s, _e = _prefixed_edge_join(catalog, rel)
+        probe(joined, f"rdc_{rel.start}_{rel.end}", strip=True)
     return out
 
 

@@ -48,6 +48,40 @@ def absorb_delta(
     n_total = delta_df.count()
     if n_total == 0:
         return 0
+    # Reject unseen categorical values LOUDLY: encode_with_meta maps
+    # them to NULL codes, which would silently inflate null_prob and
+    # give the real value zero mass (prep.py's contract says callers
+    # must re-encode with an extended dictionary). One bounded
+    # distinct+anti-join probe per dictionary column.
+    spark = delta_df.sparkSession
+    for c in model.column_names:
+        cm = model.meta.columns.get(c)
+        if (
+            cm is None
+            or cm.kind != "categorical"
+            or cm.value_to_code is None
+            or c not in delta_df.columns
+        ):
+            continue
+        dict_df = spark.createDataFrame(
+            [(v,) for v in cm.value_to_code], f"`{c}` string"
+        )
+        unseen = (
+            delta_df.select(c)
+            .where(F.col(c).isNotNull())
+            .distinct()
+            .join(F.broadcast(dict_df), c, "left_anti")
+            .limit(3)
+            .collect()
+        )
+        if unseen:
+            vals = [r[0] for r in unseen]
+            raise ValueError(
+                f"delta has categorical values unseen at training time "
+                f"for column '{c}' (e.g. {vals}); re-encode with an "
+                "extended dictionary and retrain/extend the model "
+                "instead of absorbing them as NULL"
+            )
     enc = encode_with_meta(delta_df, model.meta)
     # boundary fanout columns (B11) describe children REFERENCING the
     # inserted rows — at insert time new parents have none, so mul=0 /

@@ -136,8 +136,21 @@ class SPNModel:
     def _literal(self, col: str, value):
         cm = self.meta.columns[col]
         if cm.kind == "categorical":
-            if cm.value_to_code is None or value not in cm.value_to_code:
-                return None  # unseen value -> empty range
+            if cm.value_to_code is None:
+                # beyond-dict-cap column: literals CANNOT be translated;
+                # silently returning an empty range would estimate 0
+                # rows for predicates that match millions — fail loudly
+                # (the trainer excludes such columns from model scope;
+                # hitting this means a hand-built Query targets one)
+                raise ValueError(
+                    f"column '{col}' has no driver-side dictionary "
+                    "(distinct count above the encoding cap) — "
+                    "model-plane literals are untranslatable; use the "
+                    "exact plane or raise max_dict_size"
+                )
+            if value not in cm.value_to_code:
+                return None  # unseen value -> empty range (dict is
+                # complete for encoded columns, so 0 rows is EXACT)
             return float(cm.value_to_code[value])
         if cm.origin == "timestamp" and isinstance(value, str):
             s = value.strip()
@@ -159,8 +172,16 @@ class SPNModel:
             codes = [self._literal(col, v) for v in cond.value]
             return NominalRange([c for c in codes if c is not None])
         if cond.op == "BETWEEN":
-            lo, hi = (self._literal(col, v) for v in cond.value)
-            return NumericRange([(lo, hi, True, True)])
+            lo, lo_incl = self._range_bound(cm, col, cond.value[0], "lo", True)
+            hi, hi_incl = self._range_bound(cm, col, cond.value[1], "hi", True)
+            return NumericRange([(lo, hi, lo_incl, hi_incl)])
+        if cond.op in ("<", "<=", ">", ">="):
+            incl = cond.op in ("<=", ">=")
+            side = "hi" if cond.op[0] == "<" else "lo"
+            v, incl = self._range_bound(cm, col, cond.value, side, incl)
+            if side == "hi":
+                return NumericRange([(-np.inf, v, True, incl)])
+            return NumericRange([(v, np.inf, incl, True)])
         v = self._literal(col, cond.value)
         if v is None:
             return NominalRange([])
@@ -176,15 +197,35 @@ class SPNModel:
             return NumericRange(
                 [(-np.inf, v, True, False), (v, np.inf, False, True)]
             )
-        if cond.op == "<":
-            return NumericRange([(-np.inf, v, True, False)])
-        if cond.op == "<=":
-            return NumericRange([(-np.inf, v, True, True)])
-        if cond.op == ">":
-            return NumericRange([(v, np.inf, False, True)])
-        if cond.op == ">=":
-            return NumericRange([(v, np.inf, True, True)])
         raise ValueError(f"unsupported condition op {cond.op}")
+
+    def _range_bound(self, cm, col: str, value, side: str, incl: bool):
+        """Translate one range endpoint to code space -> (bound, incl).
+
+        Categorical codes are dense ranks over the SORTED dictionary
+        values, so a literal ABSENT from the dictionary still has a
+        well-defined position: bisect_left gives the first code with
+        value >= literal. Silently treating an untranslatable endpoint
+        as unbounded (the old behavior via _literal -> None) both
+        overestimated and crashed range intersection (None compares)."""
+        if cm.kind != "categorical":
+            return self._literal(col, value), incl
+        code = None
+        if cm.value_to_code is not None and value in cm.value_to_code:
+            code = float(cm.value_to_code[value])
+        if code is not None:
+            return code, incl
+        if cm.value_to_code is None:
+            self._literal(col, value)  # raises the loud cap error
+        import bisect
+
+        ordered = sorted(cm.value_to_code)
+        t = float(bisect.bisect_left(ordered, value))
+        # absent literal: x >= v and x > v both mean code >= t;
+        # x <= v and x < v both mean code < t
+        if side == "lo":
+            return t, True
+        return t, False
 
     def _fd_rewrite(self, cond: Condition) -> tuple[int, Range]:
         """Rewrite a condition on an FD-dropped column into a range on
@@ -340,8 +381,23 @@ class SPNModel:
         val = self.full_join_size * self._eval(cond, feats)
         if agg_type is AggregationType.SUM:
             return val
-        denom = self.full_join_size * self._eval(cond, features)
+        # AVG: SQL averages over rows where the operand is NOT NULL —
+        # the numerator already zeroes NULLs (Leaf.expect), so the
+        # denominator must exclude them too or AVG biases low by the
+        # operand's null fraction
+        denom = self.full_join_size * self._eval(
+            self._notnull_cond(cond, operands), features
+        )
         return val / denom if denom > 0 else float("nan")
+
+    def _notnull_cond(self, cond, operands):
+        """cond ∧ (every operand column IS NOT NULL)."""
+        out = dict(cond)
+        for t, c in operands:
+            i = self._col_index(c)
+            nn = self._condition_to_range(Condition(t, c, "IS_NOT_NULL"))
+            out[i] = intersect_ranges(out[i], nn) if i in out else nn
+        return out
 
     def aqp(self, query: Query) -> list[dict]:
         """Approximate aggregate answer; one dict per output row
@@ -425,8 +481,19 @@ class SPNModel:
             val = grid(feats)
             if op.agg_type is AggregationType.SUM:
                 return val
+            # AVG denominator excludes operand NULLs (SQL semantics);
+            # group axes are never NULL so only non-axis operands add
+            # a restriction
+            ops_off_axis = [
+                (t, c) for t, c in op.operands if self._col_index(c) not in axes
+            ]
+            den = (
+                grid(features, self._notnull_cond(cond_rest, ops_off_axis))
+                if ops_off_axis
+                else count_grid
+            )
             with np.errstate(divide="ignore", invalid="ignore"):
-                return np.where(count_grid > 0, val / count_grid, np.nan)
+                return np.where(den > 0, val / den, np.nan)
 
         agg_outputs: list[tuple[str, np.ndarray]] = []
         acc = None
@@ -444,10 +511,17 @@ class SPNModel:
         if acc is not None:
             agg_outputs.append((alias or f"agg_{len(agg_outputs)}", acc))
 
-        def decode(col: str, code: float):
-            cm = self.meta.columns[col]
+        # build each inverse dictionary ONCE per group-by column (a
+        # per-value rebuild is O(n_axis * n_distinct))
+        inv_maps = {}
+        for c in gb_cols:
+            cm = self.meta.columns[c]
             if cm.kind == "categorical" and cm.value_to_code is not None:
-                inv = {v: k for k, v in cm.value_to_code.items()}
+                inv_maps[c] = {v: k for k, v in cm.value_to_code.items()}
+
+        def decode(col: str, code: float):
+            inv = inv_maps.get(col)
+            if inv is not None:
                 return inv.get(int(code), code)
             return code
 
@@ -511,6 +585,12 @@ class SPNModel:
             count_grid = self.full_join_size * evaluate_groupby(
                 self.root, cond, features, axes
             )
+            inv_maps = {
+                c: {v: k for k, v in self.meta.columns[c].value_to_code.items()}
+                for c in gb_cols
+                if self.meta.columns[c].kind == "categorical"
+                and self.meta.columns[c].value_to_code
+            }
             out: list[dict] = []
             for idx in np.argwhere(count_grid >= 0.5):
                 combo_cond = dict(cond)
@@ -520,12 +600,7 @@ class SPNModel:
                     cm = self.meta.columns[c]
                     if cm.kind == "categorical":
                         combo_cond[i] = NominalRange([int(code)])
-                        inv = (
-                            {v: k for k, v in cm.value_to_code.items()}
-                            if cm.value_to_code
-                            else {}
-                        )
-                        group_vals[c] = inv.get(int(code), code)
+                        group_vals[c] = inv_maps.get(c, {}).get(int(code), code)
                     else:
                         combo_cond[i] = NumericRange([(code, code, True, True)])
                         group_vals[c] = code
@@ -562,10 +637,13 @@ class SPNModel:
             if op.agg_type is AggregationType.SUM:
                 est = N * ex
                 half = z * N * float(np.sqrt(max(var_ex, 0.0)))
-            else:  # AVG = E[x1]/E[1]: delta method on the ratio
-                est = ex / p if p > 0 else float("nan")
-                p2 = max(p, 1e-12)
-                g = var_ex / (p2 * p2) + (ex * ex) * var_p / (p2**4)
+            else:  # AVG = E[x1]/E[1(x not null)]: delta method on ratio
+                pn, var_pn = evaluate_with_variance(
+                    self.root, self._notnull_cond(cond, op.operands), features
+                )
+                est = ex / pn if pn > 0 else float("nan")
+                p2 = max(pn, 1e-12)
+                g = var_ex / (p2 * p2) + (ex * ex) * var_pn / (p2**4)
                 half = z * float(np.sqrt(max(g, 0.0)))
             out.append(
                 {"agg": op.alias or op.agg_type.name.lower(), "est": est,

@@ -199,8 +199,13 @@ def train_spn_model(
                 continue
             for a, b in functional_dependencies(base, cand):
                 # drop b (implied); keep determinants un-dropped and
-                # one determinant per dropped column
-                if b in fd_maps or a in fd_maps:
+                # one determinant per dropped column. A column serving
+                # as a determinant must NEVER itself be dropped by a
+                # later FD (transitive chain city->state->country):
+                # conditions on its dependents rewrite onto it, so it
+                # has to stay in model scope.
+                determinants = {d for d, _m in fd_maps.values()}
+                if b in fd_maps or a in fd_maps or b in determinants:
                     continue
                 pairs = base.select(a, b).distinct().limit(fd_domain_cap + 1).collect()
                 if len(pairs) > fd_domain_cap:
@@ -220,7 +225,19 @@ def train_spn_model(
     try:
         observed_size = joined.count()
         encoded, meta = encode_table(joined, "+".join(sorted(table_set)))
-        model_cols = [c for c in encoded.columns if c in meta.columns]
+        # beyond-dict-cap categoricals (value_to_code None) leave model
+        # scope entirely: their literals are untranslatable, so keeping
+        # them would let predicates silently estimate 0 (the reference
+        # likewise excludes such columns from SPN scope)
+        model_cols = [
+            c
+            for c in encoded.columns
+            if c in meta.columns
+            and not (
+                meta.columns[c].kind == "categorical"
+                and meta.columns[c].value_to_code is None
+            )
+        ]
 
         if sample_budget > driver_row_limit and observed_size > driver_row_limit:
             root, n_sample = _mllib_top_split(
