@@ -70,13 +70,14 @@ def capped_bucket_pairs(
     Buckets up to ``max_bucket_size`` emit all within-bucket pairs.
     A degenerate bucket (boilerplate corpus, empty strings) would
     alone re-create the O(B²) blowup LSH exists to avoid, so larger
-    buckets are CHAINED instead: each member pairs with its next
-    ``chain_width`` neighbors in id order — O(B·w) pairs that still
-    connect a true duplicate cluster transitively (downstream
-    connected-components sees one cluster). Pairs beyond the chain
-    are intentionally not generated; for near- (not exact-) dups that
-    collide in a degenerate bucket this trades recall for a bounded
-    plan, which is the right call at 100 TB.
+    buckets emit a STAR instead: every member pairs with the bucket's
+    first ``chain_width`` members (id order) — O(B·w) pairs whose
+    component has diameter <= 2, so downstream min-label propagation
+    converges in two rounds regardless of bucket size (a next-
+    neighbor chain needs O(B/w) rounds — the silent-non-convergence
+    trap). Pairs beyond the star are intentionally not generated; for
+    near- (not exact-) dups colliding in a degenerate bucket this
+    trades recall for a bounded plan, the right call at 100 TB.
 
     Shuffle profile: one window count per bucket (same key as the
     bucket join) + the bucket equi-joins; never an uncapped B².
@@ -95,19 +96,20 @@ def capped_bucket_pairs(
     big = sized.filter(F.col("__bsz") > max_bucket_size).withColumn(
         "__rn", F.row_number().over(wb.orderBy("id"))
     )
-    # NOTE: sequence(start, stop) REVERSES when start > stop (it never
-    # yields empty), so the bucket's last member (rn == bsz) would fan
-    # out to [bsz+1, bsz] and pair with ITSELF — rows at the chain end
-    # must be excluded before the explode.
+    # every member (rank > 1) points at hub ranks 1..min(w, rn-1); the
+    # hub's id is smaller by construction (rank order == id order), so
+    # (id_a, id_b) = (hub, member) keeps the id_a < id_b convention.
+    # (sequence() reverses when start > stop — the rn-1 ceiling keeps
+    # it ascending and self-pair-free.)
     fanned = (
-        big.filter(F.col("__rn") < F.col("__bsz"))
+        big.filter(F.col("__rn") > 1)
         .select(
             *bucket_cols,
-            F.col("id").alias("id_a"),
+            F.col("id").alias("id_b"),
             F.explode(
                 F.sequence(
-                    F.col("__rn") + 1,
-                    F.least(F.col("__rn") + chain_width, F.col("__bsz")),
+                    F.lit(1),
+                    F.least(F.lit(chain_width), F.col("__rn") - 1),
                 )
             ).alias("__target"),
         )
@@ -115,7 +117,7 @@ def capped_bucket_pairs(
     pairs_big = fanned.join(
         big.select(
             *bucket_cols,
-            F.col("id").alias("id_b"),
+            F.col("id").alias("id_a"),
             F.col("__rn").alias("__target"),
         ),
         bucket_cols + ["__target"],
@@ -190,6 +192,7 @@ def duplicate_clusters(
         )
         labels = ids.withColumn("cluster", F.col("id")).localCheckpoint()
         try:
+            changed = 0
             for _ in range(max_iter):
                 nbr = (
                     edges.join(labels.withColumnRenamed("id", "src"), "src")
@@ -207,6 +210,16 @@ def duplicate_clusters(
                 labels = stepped.select("id", "cluster")
                 if changed == 0:
                     break
+            if changed != 0:
+                # silent non-convergence would return wrong cluster ids
+                # (capped_bucket_pairs' star topology keeps diameters
+                # <= 2, so hitting this means an adversarial graph —
+                # fail loudly instead of under-deduplicating)
+                raise RuntimeError(
+                    f"duplicate_clusters: min-label propagation did not "
+                    f"converge in {max_iter} rounds ({changed} labels "
+                    "still moving); raise max_iter"
+                )
             return labels
         finally:
             edges.unpersist()
@@ -425,7 +438,12 @@ def jaccard_pairs_exact(
     hashed = F.array_sort(
         F.array_distinct(F.transform(shingle, lambda t: F.xxhash64(t)))
     )
-    docs = df.select(F.col(id_col).alias("id"), hashed.alias("sh"))
+    # empty shingle sets (whitespace-only docs) are excluded, matching
+    # minhash_lsh_pairs: Jaccard of empty sets is 0/0-undefined, and
+    # grouping them would emit bogus jaccard-1.0 "pairs"
+    docs = df.select(F.col(id_col).alias("id"), hashed.alias("sh")).filter(
+        F.size("sh") > 0
+    )
     # collapse identical shingle sets: representatives carry the group
     groups = _persist(
         docs.groupBy("sh").agg(F.sort_array(F.collect_list("id")).alias("ids"))
@@ -630,6 +648,14 @@ def minhash_lsh_pairs(
     when the shingle vocabulary is dense.
     """
     df = spread_small_input(df)
+    if n_bands <= 0 or n_hashes % n_bands != 0:
+        # indivisible settings would silently drop hashes (changing
+        # the documented S-curve) or hash zero rows per band (every
+        # doc in one bucket)
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be a positive multiple of "
+            f"n_bands ({n_bands})"
+        )
     rows_per_band = n_hashes // n_bands
     shingle = (
         char_ngrams(F.col(text_col), ngram)
@@ -707,6 +733,14 @@ def build_minhash_index(
     once (linear scan), and each incoming batch costs
     O(batch + matched buckets), never O(corpus).
     """
+    if n_bands <= 0 or n_hashes % n_bands != 0:
+        # indivisible settings would silently drop hashes (changing
+        # the documented S-curve) or hash zero rows per band (every
+        # doc in one bucket)
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be a positive multiple of "
+            f"n_bands ({n_bands})"
+        )
     rows_per_band = n_hashes // n_bands
     shingle = (
         char_ngrams(F.col(text_col), ngram)
@@ -912,7 +946,12 @@ def embedding_neardup_pairs(
             (_dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
         )
     else:
-        dim = len(base.select("v").first()["v"])
+        probe = base.select("v").filter(F.col("v").isNotNull()).first()
+        if probe is None:  # empty batch: zero pairs, not a crash
+            return base.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cos double"
+            )
+        dim = len(probe["v"])
         rng = np.random.default_rng(seed)
         planes = rng.standard_normal((n_planes, dim)).tolist()
         bucketed = _persist(

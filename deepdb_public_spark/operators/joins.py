@@ -84,6 +84,20 @@ def asof_join(
     rvals = right_value_cols or [
         c for c in right.columns if c not in (key, right_ts)
     ]
+    collisions = {f"{right_ts}{suffix}"} | {f"{c}{suffix}" for c in rvals}
+    collisions &= set(left.columns)
+    if collisions:
+        # silently nulling + overwriting an existing left column would
+        # corrupt data; demand a different suffix
+        raise ValueError(
+            f"asof_join: left already has column(s) {sorted(collisions)} "
+            f"that the suffix '{suffix}' would overwrite — pass a "
+            "different suffix"
+        )
+    # equi-join semantics: NULL never matches NULL, so NULL-key right
+    # rows must not seed the NULL-key window partition (left NULL-key
+    # rows then correctly carry NULL right values)
+    right = right.filter(F.col(key).isNotNull())
     lhs = left.withColumn("__side", F.lit(1)).withColumn("__ets", F.col(left_ts))
     rhs = right.select(
         F.col(key),

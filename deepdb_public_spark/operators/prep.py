@@ -227,8 +227,18 @@ def functional_dependencies(
         others = [b for b in cols if b != a]
         if not others:
             continue
+        # countDistinct skips NULLs, so NULL-ness must count as its own
+        # value: a group holding {x, NULL} has TWO b-states, and
+        # declaring a->b would reconstruct 'x' onto rows whose true
+        # value is NULL
         agg = df.groupBy(a).agg(
-            *[F.countDistinct(b).alias(b) for b in others]
+            *[
+                (
+                    F.countDistinct(b)
+                    + F.max(F.col(b).isNull().cast("int"))
+                ).alias(b)
+                for b in others
+            ]
         )
         maxes = agg.agg(*[F.max(b).alias(b) for b in others]).collect()[0]
         for b in others:

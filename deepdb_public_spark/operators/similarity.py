@@ -171,7 +171,12 @@ def knn_join_lsh(
     from pyspark.sql.window import Window
 
     rng = np.random.default_rng(seed)
-    dim = len(left.select(vec_col).first()[vec_col])
+    probe = left.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if probe is None:  # empty left side: zero matches, not a crash
+        return left.sparkSession.createDataFrame(
+            [], "lid long, rid long, cos double, rnk int"
+        )
+    dim = len(probe[vec_col])
     planes = rng.standard_normal((n_planes, dim)).tolist()
 
     flips = [0]

@@ -54,9 +54,15 @@ def running_user_stats(events: DataFrame, alpha: float = 0.1) -> DataFrame:
             n, total, ema = state.get
         else:
             n, total, ema = 0, 0.0, None
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for v in pdf["value"]:
+        # the group arrives as MULTIPLE Arrow chunks when it exceeds
+        # the Arrow batch size; sorting per chunk would interleave out
+        # of time order and corrupt the order-sensitive EMA — collect
+        # the group's chunks, then one global sort (group size is
+        # bounded by per-user batch volume, not stream length)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allpdf = pd.concat(chunks).sort_values("ts", kind="stable")
+            for v in allpdf["value"]:
                 v = float(v)
                 n += 1
                 total += v
@@ -94,5 +100,9 @@ def run_stateful_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError(
+            f"{query_name}: backlog not drained within 180s — partial state"
+        )
     return events_stream.sparkSession.table(query_name)

@@ -248,7 +248,12 @@ def stream_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "stream_to_parquet: backlog not drained within 120s — "
+            "output is partial; re-run (the checkpoint resumes)"
+        )
 
 
 def run_streaming_batch(
@@ -271,7 +276,12 @@ def run_streaming_batch(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            f"run_streaming_batch({query_name}): backlog not drained "
+            "within 120s — memory sink is partial"
+        )
     return stream_df.sparkSession.table(query_name)
 
 

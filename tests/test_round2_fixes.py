@@ -257,3 +257,133 @@ def test_skew_join_left_keeps_null_keys(spark):
     )
     with pytest.raises(ValueError):
         skew_tolerant_join(left, right, "k", how="full")
+
+
+class TestOperatorReviewFixes:
+    """Round-3 review regressions: star buckets, empty inputs, NULL
+    semantics, banding validation."""
+
+    def test_star_bucket_diameter_two(self, spark):
+        from deepdb_public_spark.operators.dedup import capped_bucket_pairs
+
+        n = 800
+        members = spark.createDataFrame(
+            [(i, "same") for i in range(n)], "id int, bucket string"
+        )
+        rows = [
+            (r.id_a, r.id_b)
+            for r in capped_bucket_pairs(
+                members, ["bucket"], max_bucket_size=256, chain_width=4
+            ).collect()
+        ]
+        assert len(rows) <= n * 4 and all(a < b for a, b in rows)
+        # star: every member reaches member 0 within <= 2 hops
+        nbrs: dict = {}
+        for a, b in rows:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        hub_reach = {0} | nbrs.get(0, set())
+        assert all(
+            v in hub_reach or (nbrs[v] & hub_reach) for v in nbrs
+        ), "component diameter exceeds 2"
+
+    def test_banding_validation(self, spark):
+        import pytest as _pytest
+
+        from deepdb_public_spark.operators.dedup import minhash_lsh_pairs
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="multiple"):
+            minhash_lsh_pairs(docs, "text", "doc_id", n_hashes=32, n_bands=40)
+        with _pytest.raises(ValueError, match="multiple"):
+            minhash_lsh_pairs(docs, "text", "doc_id", n_hashes=32, n_bands=10)
+
+    def test_jaccard_exact_skips_empty_docs(self, spark):
+        from deepdb_public_spark.operators.dedup import (
+            jaccard_pairs_exact,
+            release_cached,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "   "), (2, ""), (3, "real words here")],
+            "doc_id long, text string",
+        )
+        pairs = jaccard_pairs_exact(docs, "text", "doc_id", threshold=0.5).collect()
+        release_cached()
+        assert pairs == []  # no bogus jaccard-1.0 pair for (1, 2)
+
+    def test_embedding_neardup_empty_input(self, spark):
+        from deepdb_public_spark.operators.dedup import embedding_neardup_pairs
+
+        empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        assert embedding_neardup_pairs(empty, "embedding", "vec_id").count() == 0
+
+    def test_knn_join_lsh_empty_left(self, spark):
+        from deepdb_public_spark.operators.similarity import knn_join_lsh
+
+        empty = spark.createDataFrame([], "id long, v array<float>")
+        right = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "id long, v array<float>"
+        )
+        assert knn_join_lsh(empty, right, "v", "id", "id").count() == 0
+
+    def test_asof_join_null_keys_and_suffix_collision(self, spark):
+        import pytest as _pytest
+
+        from deepdb_public_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame(
+            [(None, 10), (1, 10)], "k int, ts int"
+        )
+        right = spark.createDataFrame(
+            [(None, 5, 99.0), (1, 5, 7.0)], "k int, ts int, value double"
+        )
+        out = {r.k: r.value_right for r in asof_join(left, right, "k").collect()}
+        assert out[1] == 7.0
+        assert out[None] is None  # NULL never matches NULL
+        bad_left = left.withColumn("value_right", left.ts * 1.0)
+        with _pytest.raises(ValueError, match="suffix"):
+            asof_join(bad_left, right, "k")
+
+    def test_fd_detection_respects_nulls(self, spark):
+        from deepdb_public_spark.operators.prep import functional_dependencies
+
+        df = spark.createDataFrame(
+            [(1, "k1", "x"), (2, "k1", None), (3, "k2", "y"), (4, "k2", "y")],
+            "id long, a string, b string",
+        )
+        fds = functional_dependencies(df, ["a", "b"])
+        assert ("a", "b") not in fds  # k1 has {x, NULL}: not an FD
+
+    def test_stateful_ema_multi_chunk_order(self, spark, tmp_path):
+        """EMA must be computed over globally time-sorted rows even
+        when the group spans several Arrow chunks (forced via a tiny
+        maxRecordsPerBatch)."""
+        from deepdb_public_spark.streaming.stateful import run_stateful_stream
+
+        prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+        try:
+            import datetime
+            import random as _random
+
+            n = 300
+            base = datetime.datetime(2024, 1, 1)
+            rows = [
+                (1, base + datetime.timedelta(seconds=i), float(i)) for i in range(n)
+            ]
+            _random.Random(5).shuffle(rows)  # arrival order != time order
+            df = spark.createDataFrame(
+                rows, "user_id long, ts timestamp, value double"
+            )
+            src = str(tmp_path / "ev")
+            df.coalesce(1).write.parquet(src)  # ONE file => one batch
+            stream = spark.readStream.schema(df.schema).parquet(src)
+            got = run_stateful_stream(stream, "ema_chunk_test").collect()[0]
+            ema = None
+            for i in range(n):
+                v = float(i)
+                ema = v if ema is None else 0.1 * v + 0.9 * ema
+            assert abs(got.ema_value - ema) < 1e-9
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
