@@ -29,7 +29,11 @@ class CardinalityResult:
 
 
 def q_error(est: float, true: float) -> float:
-    return float(max(est / max(true, 1.0), true / max(est, 1e-9)))
+    """max(est/true, true/est) with symmetric epsilon guards — by
+    definition >= 1 (the old max(true, 1) denominator let empty-result
+    queries score below 1 and drag the summary stats under the floor)."""
+    e, t = max(est, 1e-9), max(true, 1e-9)
+    return float(max(e / t, t / e))
 
 
 def evaluate_cardinalities(
@@ -189,6 +193,12 @@ def evaluate_aqp(
                 continue
             for c in agg_cols:
                 t, m = exact_by[k][c], model_by[k][c]
+                if t is None or m is None:
+                    # SQL NULL aggregate (all-NULL operand group):
+                    # matching NULLs are exact, mismatches count as
+                    # full relative error — never a TypeError abort
+                    rows.append((sql, k, c, 0.0 if t == m else 1.0, latency))
+                    continue
                 rel = abs(m - t) / max(abs(t), 1e-9)
                 rows.append((sql, k, c, float(rel), latency))
     if output_csv:

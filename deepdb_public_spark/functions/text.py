@@ -124,9 +124,21 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))
 
 
-def rolling_hash64(text: Column, base: int = 1000003, mod: int = (1 << 61) - 1) -> Column:
-    """Polynomial rolling hash over characters -> bigint. Expressed
-    with aggregate() so it runs vectorized in the JVM."""
+def rolling_hash64(text: Column, base: int = 1000003, mod: int = (1 << 31) - 1) -> Column:
+    """Polynomial rolling hash over characters -> bigint, expressed
+    with aggregate() so it runs vectorized in the JVM.
+
+    The modulus must satisfy mod * base + 255 < 2^63 or the fold's
+    multiply overflows LongType — a hard ARITHMETIC_OVERFLOW under
+    ANSI mode (Spark 4 default), silent wraparound otherwise. The
+    Mersenne-31 default keeps the accumulator safely inside 64 bits
+    with the ~10^6 base (same overflow discipline as simhash64's
+    split fold)."""
+    if mod * base + 255 >= (1 << 63):
+        raise ValueError(
+            f"mod ({mod}) * base ({base}) overflows 64-bit long — "
+            "shrink one of them"
+        )
     chars = F.split(text, "")
     return F.aggregate(
         chars,

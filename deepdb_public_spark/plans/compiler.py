@@ -164,6 +164,15 @@ class ExactCompiler:
                 rel for rel in pending if rel.start in joined and rel.end in joined
             ]
             for rel in done:
+                # cycle-closing edge (both endpoints already joined):
+                # its equality is a real predicate of the query and
+                # must be APPLIED as a filter, not dropped — e.g. a
+                # supplier-nation + customer-nation cycle would
+                # otherwise return rows violating the fifth edge
+                df = df.filter(
+                    scans[rel.start][rel.start_attr]
+                    == scans[rel.end][rel.end_attr]
+                )
                 pending.remove(rel)
             if not attachable:
                 if pending:

@@ -90,9 +90,14 @@ def _mask_string_literals(s: str) -> str:
     return "".join(out)
 
 
-def _split_conjuncts(where: str, masked: str | None = None) -> list[str]:
+def _split_conjuncts(
+    where: str, masked: str | None = None
+) -> list[tuple[str, str]]:
     """Split on AND (outside string literals), re-merging the AND
-    that belongs to BETWEEN."""
+    that belongs to BETWEEN. Returns (raw, masked) pairs so callers
+    can pattern-match on the masked text (keywords/operators inside
+    literals never trigger) while extracting literal values from the
+    raw text."""
     if masked is None:
         masked = _mask_string_literals(where)
     bounds = [0]
@@ -100,18 +105,18 @@ def _split_conjuncts(where: str, masked: str | None = None) -> list[str]:
         bounds.extend((m.start(), m.end()))
     bounds.append(len(where))
     parts = [
-        (where[a:b].strip(), masked[a:b])
+        (where[a:b].strip(), masked[a:b].strip())
         for a, b in zip(bounds[::2], bounds[1::2])
     ]
-    out: list[str] = []
+    out: list[tuple[str, str]] = []
     i = 0
     while i < len(parts):
         p, pm = parts[i]
         if re.search(r"\bBETWEEN\b", pm, re.IGNORECASE) and i + 1 < len(parts):
-            out.append(p + " AND " + parts[i + 1][0])
+            out.append((p + " AND " + parts[i + 1][0], pm + " AND " + parts[i + 1][1]))
             i += 2
         else:
-            out.append(p)
+            out.append((p, pm))
             i += 1
     return out
 
@@ -165,7 +170,15 @@ def _parse_select_list(
             item = item[: m_alias.start()].strip()
         if _AGG_RE.match(item) is None:
             if re.fullmatch(r"\w+\.\w+", item):
-                # bare group-by output column t.c — carried by group_bys
+                # bare output column t.c — legal ONLY as a group-by
+                # echo; otherwise the query would silently compile to
+                # COUNT(*) (pure projections are outside the grammar)
+                t, c = item.split(".", 1)
+                if (_resolve(alias_map, t), c) not in query.group_bys:
+                    raise ValueError(
+                        f"bare select column {item!r} is not in GROUP BY "
+                        "(projections are outside the grammar)"
+                    )
                 continue
             raise ValueError(f"cannot parse select item: {item!r}")
         # split aggregate arithmetic: SUM(a) - SUM(b) + SUM(c)
@@ -207,19 +220,29 @@ def _parse_select_list(
 def parse_query(sql: str, schema: SchemaGraph) -> Query:
     """(reference: evaluation/utils.py::parse_query). Raises ValueError
     on anything outside the reference grammar."""
-    sql = re.sub(r"\s+", " ", sql.strip()).rstrip(";")
+    # mask FIRST, then match clauses on the MASKED text and slice the
+    # raw text by span: collapsing whitespace or scanning for keywords
+    # before masking would corrupt literals ('a  b' -> 'a b') or split
+    # at a 'GROUP BY' inside a quoted value
+    sql = sql.strip().rstrip(";").strip()
+    masked_sql = _mask_string_literals(sql)
     m = re.match(
-        r"^SELECT (?P<select>.+?) FROM (?P<from>.+?)"
-        r"(?: WHERE (?P<where>.+?))?(?: GROUP BY (?P<group>.+?))?$",
-        sql,
-        re.IGNORECASE,
+        r"^SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<from>.+?)"
+        r"(?:\s+WHERE\s+(?P<where>.+?))?(?:\s+GROUP\s+BY\s+(?P<group>.+?))?$",
+        masked_sql,
+        re.IGNORECASE | re.DOTALL,
     )
     if not m:
         raise ValueError(f"query outside the supported grammar: {sql!r}")
 
+    def _raw(group_name: str) -> str | None:
+        if m.group(group_name) is None:
+            return None
+        return sql[m.start(group_name): m.end(group_name)]
+
     query = Query()
     alias_map: dict[str, str] = {}
-    for entry in m.group("from").split(","):
+    for entry in _raw("from").split(","):
         toks = entry.strip().split()
         tname = toks[0]
         if tname not in schema.tables:
@@ -232,15 +255,18 @@ def parse_query(sql: str, schema: SchemaGraph) -> Query:
         query.table_set.add(tname)
 
     if m.group("group"):
-        for gb in m.group("group").split(","):
+        for gb in _raw("group").split(","):
             t, c = gb.strip().split(".")
             query.add_group_by(_resolve(alias_map, t), c)
 
-    default_table = next(iter(query.table_set))
-    _parse_select_list(m.group("select"), alias_map, default_table, query)
+    # deterministic owner for unqualified operand columns: set
+    # iteration order varies with PYTHONHASHSEED and would make the
+    # parsed IR (and model-plane answers) irreproducible across runs
+    default_table = sorted(query.table_set)[0]
+    _parse_select_list(_raw("select"), alias_map, default_table, query)
 
     if m.group("where"):
-        where = m.group("where")
+        where = _raw("where")
         masked = _mask_string_literals(where)
         # the grammar is conjunctive-only (reference A8): no OR, and
         # NOT only inside IS NOT NULL (scans run on the literal-masked
@@ -249,8 +275,11 @@ def parse_query(sql: str, schema: SchemaGraph) -> Query:
             raise ValueError("disjunctions (OR) are outside the grammar")
         if re.search(r"\bNOT\b(?!\s+NULL)", masked, re.IGNORECASE):
             raise ValueError("NOT is only supported as IS NOT NULL")
-        for conjunct in _split_conjuncts(where, masked):
-            jm = _JOIN_RE.match(conjunct)
+        for conjunct, conj_masked in _split_conjuncts(where, masked):
+            # match grammar on the MASKED conjunct (operators/keywords
+            # inside literals can't trigger); slice literal values out
+            # of the RAW conjunct by match span (same length)
+            jm = _JOIN_RE.match(conj_masked)
             if jm:
                 t1, a1, t2, a2 = jm.groups()
                 if t1 in alias_map and t2 in alias_map:
@@ -263,9 +292,19 @@ def parse_query(sql: str, schema: SchemaGraph) -> Query:
                         )
                     query.add_join_condition(rel.identifier)
                     continue
-            bm = _BETWEEN_RE.match(conjunct)
+                if not (t1[0].isdigit() or t2[0].isdigit()):
+                    # col = col with an unknown/typo'd alias: falling
+                    # through would silently parse the RHS as a string
+                    # literal and match zero rows (digits fall through:
+                    # `x = 0.07` is a numeric predicate, not a join)
+                    raise ValueError(
+                        f"unknown table or alias in join {conjunct!r}"
+                    )
+            bm = _BETWEEN_RE.match(conj_masked)
             if bm:
-                t, c, lo, hi = bm.groups()
+                t, c = bm.group(1), bm.group(2)
+                lo = conjunct[bm.start(3): bm.end(3)]
+                hi = conjunct[bm.start(4): bm.end(4)]
                 query.add_where_condition(
                     Condition(
                         _resolve(alias_map, t), c, "BETWEEN",
@@ -273,9 +312,10 @@ def parse_query(sql: str, schema: SchemaGraph) -> Query:
                     )
                 )
                 continue
-            im = _IN_RE.match(conjunct)
+            im = _IN_RE.match(conj_masked)
             if im:
-                t, c, vals = im.groups()
+                t, c = im.group(1), im.group(2)
+                vals = conjunct[im.start(3): im.end(3)]
                 vm = _mask_string_literals(vals)
                 cuts = [0] + [i for i, ch in enumerate(vm) if ch == ","] + [len(vals)]
                 items = [
@@ -289,7 +329,7 @@ def parse_query(sql: str, schema: SchemaGraph) -> Query:
                     )
                 )
                 continue
-            nm = _NULL_RE.match(conjunct)
+            nm = _NULL_RE.match(conj_masked)
             if nm:
                 t, c, notnull = nm.groups()
                 query.add_where_condition(
@@ -299,9 +339,10 @@ def parse_query(sql: str, schema: SchemaGraph) -> Query:
                     )
                 )
                 continue
-            pm = _PRED_RE.match(conjunct)
+            pm = _PRED_RE.match(conj_masked)
             if pm:
-                t, c, op, val = pm.groups()
+                t, c, op = pm.group(1), pm.group(2), pm.group(3)
+                val = conjunct[pm.start(4): pm.end(4)]
                 if op == "!=":
                     op = "<>"
                 query.add_where_condition(

@@ -115,3 +115,96 @@ def test_keywords_inside_string_literals_are_data():
             "SELECT COUNT(*) FROM customer WHERE customer.c_acctbal > 5 OR customer.c_acctbal < 0",
             g,
         )
+
+
+class TestParserReviewFixes:
+    """Round-3 review regressions: literal-preserving preprocessing,
+    masked-text clause matching, loud out-of-grammar rejections."""
+
+    def test_literal_whitespace_preserved(self):
+        q = parse_query(
+            "SELECT COUNT(*) AS c FROM part WHERE part.p_type = 'a  b'", S
+        )
+        assert q.conditions_for("part")[0].value == "a  b"
+
+    def test_keyword_inside_literal_not_a_clause(self):
+        q = parse_query(
+            "SELECT COUNT(*) AS c FROM part "
+            "WHERE part.p_type = 'x GROUP BY y'",
+            S,
+        )
+        assert q.conditions_for("part")[0].value == "x GROUP BY y"
+        assert not q.group_bys
+
+    def test_between_with_and_inside_literal(self):
+        q = parse_query(
+            "SELECT COUNT(*) AS c FROM part "
+            "WHERE part.p_type BETWEEN 'x' AND 'A AND B'",
+            S,
+        )
+        cond = q.conditions_for("part")[0]
+        assert cond.op == "BETWEEN" and cond.value == ("x", "A AND B")
+
+    def test_multiline_query_parses(self):
+        q = parse_query(
+            "SELECT COUNT(*) AS c\nFROM part\nWHERE part.p_size\n< 20", S
+        )
+        assert q.conditions_for("part")[0].op == "<"
+
+    def test_unknown_join_alias_is_loud(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="unknown table or alias"):
+            parse_query(
+                "SELECT COUNT(*) FROM orders o, lineitem l "
+                "WHERE l.l_orderkey = ord.o_orderkey",
+                S,
+            )
+
+    def test_numeric_literal_predicate_still_parses(self):
+        q = parse_query(
+            "SELECT COUNT(*) AS c FROM lineitem WHERE lineitem.l_tax = 0.07",
+            S,
+        )
+        assert q.conditions_for("lineitem")[0].value == 0.07
+
+    def test_bare_projection_rejected(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="GROUP BY"):
+            parse_query("SELECT part.p_type FROM part", S)
+        # but group-by echo stays legal
+        q = parse_query(
+            "SELECT part.p_type, COUNT(*) AS c FROM part GROUP BY part.p_type",
+            S,
+        )
+        assert q.group_bys == [("part", "p_type")]
+
+
+class TestCompilerCycleEdges:
+    def test_cycle_closing_edge_is_applied(self, spark):
+        """5 tables + 5 FK edges = one cycle through nation; the
+        cycle-closing equality must filter the result, matching SQL."""
+        from deepdb_public_spark.engine import Engine
+        from tests.conftest import SF_SMOKE
+
+        eng = Engine(spark, SF_SMOKE)
+        sql = (
+            "SELECT COUNT(*) AS c FROM lineitem, orders, customer, supplier, nation "
+            "WHERE lineitem.l_orderkey = orders.o_orderkey "
+            "AND orders.o_custkey = customer.c_custkey "
+            "AND customer.c_nationkey = nation.n_nationkey "
+            "AND lineitem.l_suppkey = supplier.s_suppkey "
+            "AND supplier.s_nationkey = nation.n_nationkey"
+        )
+        got = eng.query(sql).collect()[0][0]
+        want = eng.sql(
+            """
+            SELECT COUNT(*) FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+            """
+        ).collect()[0][0]
+        assert got == want
