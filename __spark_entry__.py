@@ -65,6 +65,16 @@ _IR_QUERIES: dict[str, str] = {
         "SELECT COUNT(*) AS cnt FROM lineitem "
         "WHERE lineitem.l_returnflag IS NULL"
     ),
+    # grammar EXTENSION (beyond reference A8, SURVEY §2 table E):
+    # parenthesized same-column disjunction through parser + IR + both
+    # compilers — exact plane or-filter here; the model-plane range
+    # union is budget-tested in tests/test_disjunction.py and m01 c6
+    "q35_disjunct": (
+        "SELECT COUNT(*) AS cnt FROM orders, lineitem "
+        "WHERE orders.o_orderkey = lineitem.l_orderkey "
+        "AND (lineitem.l_quantity < 5 OR lineitem.l_quantity > 45) "
+        "AND orders.o_orderstatus = 'F'"
+    ),
     # A4 + A6 + A15: 4-way join, range + IN predicates
     "q18_join4_card": (
         "SELECT COUNT(*) AS cnt FROM part, lineitem, orders, customer "
@@ -891,6 +901,9 @@ _M01_CASES = [
     ("c3", "SELECT COUNT(*) AS cnt FROM orders, lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND orders.o_orderstatus = 'F'"),
     ("c4", "SELECT COUNT(*) AS cnt FROM orders WHERE orders.o_totalprice > 100000"),
     ("c5", "SELECT COUNT(*) AS cnt FROM orders, lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND orders.o_orderdate >= DATE '1999-01-01' AND lineitem.l_discount <= 0.03"),
+    # same-column disjunction (grammar extension): model plane answers
+    # via a range union (spn/ranges.py::union_ranges)
+    ("c6", "SELECT COUNT(*) AS cnt FROM lineitem WHERE (lineitem.l_quantity < 5 OR lineitem.l_quantity > 45)"),
 ]
 
 _M03_CASES = [
@@ -1018,6 +1031,46 @@ def _m_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = eng.parse(f"SELECT COUNT(*) AS cnt FROM lineitem WHERE {sql_pred}")
         est = float(model.cardinality(q))
         true = grown.filter(pred).count()
+        qerr = max(est / max(true, 1), true / max(est, 1e-9))
+        out.append((pid, true, bool(qerr < _MODEL_QERR_BUDGET)))
+    return spark.createDataFrame(
+        out, "pid string, true_cnt long, qerr_ok boolean"
+    )
+
+
+def _m_incremental_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DELETE support — beyond the reference (the DeepDB
+    paper supports inserts via add_dataset, D5, and lists deletes as
+    future work): REUSE the engine's cached {lineitem} model, remove a
+    30% delta via spn.incremental.remove_delta (Spark-side encoding +
+    bounded weighted sample routed down stored cluster centers — no
+    data-scale collect) and compare model estimates against the SHRUNK
+    table. The delete filter (l_orderkey % 10 < 3) is portable SQL, so
+    the output (pid, true_cnt, qerr_ok) is oracle-checked against
+    DuckDB's counts over the same remaining rows."""
+    import copy
+
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.spn.incremental import remove_delta
+
+    eng = _engine(spark, sf_dir)
+    _ensure_models(eng, [({"lineitem"}, 60_000)])
+    model = copy.deepcopy(
+        next(m for m in eng.ensemble.models if m.table_set == {"lineitem"})
+    )
+    base = eng.catalog["lineitem"]
+    delta = base.filter((F.col("l_orderkey") % 10) < 3)
+    remove_delta(model, delta, sample_budget=60_000)
+    remaining = base.filter((F.col("l_orderkey") % 10) >= 3)
+    out = []
+    for pid, pred, sql_pred in [
+        ("r1", "l_quantity < 25", "lineitem.l_quantity < 25"),
+        ("r2", "l_returnflag = 'A'", "lineitem.l_returnflag = 'A'"),
+    ]:
+        q = eng.parse(f"SELECT COUNT(*) AS cnt FROM lineitem WHERE {sql_pred}")
+        est = float(model.cardinality(q))
+        true = remaining.filter(pred).count()
         qerr = max(est / max(true, 1), true / max(est, 1e-9))
         out.append((pid, true, bool(qerr < _MODEL_QERR_BUDGET)))
     return spark.createDataFrame(
@@ -1192,6 +1245,21 @@ _PREP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
         """,
     ),
     "m03_multi_spn": (_m_multi_spn, _card_oracle(_M03_CASES)),
+    "m07_incremental_delete": (
+        _m_incremental_delete,
+        """
+        WITH remaining AS (
+            SELECT * FROM lineitem WHERE l_orderkey % 10 >= 3
+        )
+        SELECT 'r1' AS pid,
+               (SELECT COUNT(*) FROM remaining WHERE l_quantity < 25) AS true_cnt,
+               TRUE AS qerr_ok
+        UNION ALL
+        SELECT 'r2',
+               (SELECT COUNT(*) FROM remaining WHERE l_returnflag = 'A'),
+               TRUE
+        """,
+    ),
     "m04_aqp_groupby": (
         _m_aqp_groupby,
         """

@@ -28,6 +28,11 @@ from .schema import SchemaGraph
 
 def condition_to_column(cond: Condition) -> Column:
     col = F.col(cond.column)
+    if cond.op == "OR":
+        out = condition_to_column(cond.value[0])
+        for sub in cond.value[1:]:
+            out = out | condition_to_column(sub)
+        return out
     if cond.op == "=":
         return col == F.lit(cond.value)
     if cond.op == "<>":

@@ -10,7 +10,12 @@ fragment is intentionally identical to the reference:
   [GROUP BY t.a, ...]
 
 Predicates: =, <>, !=, <, <=, >, >=, BETWEEN, IN, IS [NOT] NULL —
-conjunctions only (no OR/NOT/parentheses, as in the reference).
+conjunctions only, as in the reference, PLUS one extension the
+reference lacks (SURVEY.md §2 table E): a parenthesized SAME-COLUMN
+disjunction group ``(t.c < 5 OR t.c > 45)`` parses to a single
+OR-condition that the exact plane compiles to an or-filter and the
+model plane evaluates as a range union (no inclusion-exclusion
+needed on one column).
 Aggregates: COUNT(*), SUM/AVG over a column or product of columns,
 and +/- arithmetic between aggregates (reference A12/A13).
 
@@ -90,19 +95,35 @@ def _mask_string_literals(s: str) -> str:
     return "".join(out)
 
 
+def _paren_depth(masked: str) -> list[int]:
+    """Prefix paren depth per character position (masked text, so
+    parens inside string literals don't count)."""
+    depth, out = 0, []
+    for ch in masked:
+        if ch == "(":
+            depth += 1
+        out.append(depth)
+        if ch == ")":
+            depth -= 1
+    return out
+
+
 def _split_conjuncts(
     where: str, masked: str | None = None
 ) -> list[tuple[str, str]]:
-    """Split on AND (outside string literals), re-merging the AND
-    that belongs to BETWEEN. Returns (raw, masked) pairs so callers
-    can pattern-match on the masked text (keywords/operators inside
-    literals never trigger) while extracting literal values from the
-    raw text."""
+    """Split on AND (outside string literals AND outside parentheses,
+    so a ``(a OR b)`` disjunction group stays whole), re-merging the
+    AND that belongs to BETWEEN. Returns (raw, masked) pairs so
+    callers can pattern-match on the masked text (keywords/operators
+    inside literals never trigger) while extracting literal values
+    from the raw text."""
     if masked is None:
         masked = _mask_string_literals(where)
+    depth = _paren_depth(masked)
     bounds = [0]
     for m in re.finditer(r"\s+AND\s+", masked, flags=re.IGNORECASE):
-        bounds.extend((m.start(), m.end()))
+        if depth[m.start()] == 0:
+            bounds.extend((m.start(), m.end()))
     bounds.append(len(where))
     parts = [
         (where[a:b].strip(), masked[a:b].strip())
@@ -112,7 +133,15 @@ def _split_conjuncts(
     i = 0
     while i < len(parts):
         p, pm = parts[i]
-        if re.search(r"\bBETWEEN\b", pm, re.IGNORECASE) and i + 1 < len(parts):
+        # merge only when the split actually severed a BETWEEN from its
+        # AND: the part's LAST BETWEEN has no AND after it (a paren
+        # group like "(x BETWEEN 1 AND 5 OR ...)" is complete — its
+        # AND was never split away — and must not swallow the next
+        # conjunct)
+        if (
+            re.search(r"\bBETWEEN\b(?!.*\bAND\b)", pm, re.IGNORECASE | re.DOTALL)
+            and i + 1 < len(parts)
+        ):
             out.append((p + " AND " + parts[i + 1][0], pm + " AND " + parts[i + 1][1]))
             i += 2
         else:
@@ -217,6 +246,93 @@ def _parse_select_list(
         query.query_type = QueryType.CARDINALITY
 
 
+def _match_predicate(
+    conjunct: str, conj_masked: str, alias_map: dict[str, str]
+) -> Condition | None:
+    """Match one simple (non-join) predicate: BETWEEN / IN /
+    IS [NOT] NULL / comparison. Patterns run on the MASKED text so
+    operators or keywords inside string literals never trigger;
+    literal values are sliced out of the RAW text by match span
+    (same length). Returns None when nothing matches."""
+    bm = _BETWEEN_RE.match(conj_masked)
+    if bm:
+        t, c = bm.group(1), bm.group(2)
+        lo = conjunct[bm.start(3): bm.end(3)]
+        hi = conjunct[bm.start(4): bm.end(4)]
+        return Condition(
+            _resolve(alias_map, t), c, "BETWEEN",
+            (_parse_literal(lo), _parse_literal(hi)),
+        )
+    im = _IN_RE.match(conj_masked)
+    if im:
+        t, c = im.group(1), im.group(2)
+        vals = conjunct[im.start(3): im.end(3)]
+        vm = _mask_string_literals(vals)
+        cuts = [0] + [i for i, ch in enumerate(vm) if ch == ","] + [len(vals)]
+        items = [
+            vals[a + (1 if a else 0) : b].strip()
+            for a, b in zip(cuts, cuts[1:])
+        ]
+        return Condition(
+            _resolve(alias_map, t), c, "IN",
+            [_parse_literal(v) for v in items],
+        )
+    nm = _NULL_RE.match(conj_masked)
+    if nm:
+        t, c, notnull = nm.groups()
+        return Condition(
+            _resolve(alias_map, t), c,
+            "IS_NOT_NULL" if notnull else "IS_NULL",
+        )
+    pm = _PRED_RE.match(conj_masked)
+    if pm:
+        t, c, op = pm.group(1), pm.group(2), pm.group(3)
+        val = conjunct[pm.start(4): pm.end(4)]
+        if op == "!=":
+            op = "<>"
+        return Condition(_resolve(alias_map, t), c, op, _parse_literal(val))
+    return None
+
+
+def _parse_or_group(
+    conjunct: str, conj_masked: str, alias_map: dict[str, str]
+) -> Condition:
+    """Parse a parenthesized same-column disjunction group
+    ``(t.c op v OR t.c BETWEEN a AND b OR ...)`` into
+    Condition(t, c, "OR", [sub-conditions]) — a grammar extension
+    beyond the reference's conjunctive-only fragment (SURVEY.md §2
+    table E): the exact plane compiles it to an or-filter, the model
+    plane to a single-column range union (spn/ranges.py::union_ranges).
+    Disjuncts over DIFFERENT columns are rejected: multi-column OR
+    would need inclusion-exclusion on the model plane."""
+    inner_raw = conjunct[1:-1].strip()
+    inner_masked = conj_masked[1:-1].strip()
+    depth = _paren_depth(inner_masked)
+    bounds = [0]
+    for m in re.finditer(r"\s+OR\s+", inner_masked, flags=re.IGNORECASE):
+        if depth[m.start()] == 0:
+            bounds.extend((m.start(), m.end()))
+    bounds.append(len(inner_raw))
+    subs: list[Condition] = []
+    for a, b in zip(bounds[::2], bounds[1::2]):
+        raw, msk = inner_raw[a:b].strip(), inner_masked[a:b].strip()
+        cond = _match_predicate(raw, msk, alias_map)
+        if cond is None:
+            raise ValueError(f"cannot parse disjunct: {raw!r}")
+        subs.append(cond)
+    if len(subs) == 1:
+        return subs[0]
+    keys = {(c.table, c.column) for c in subs}
+    if len(keys) != 1:
+        raise ValueError(
+            "disjunction groups must reference a single column "
+            f"(got {sorted(keys)}); multi-column OR is outside the "
+            "grammar"
+        )
+    first = subs[0]
+    return Condition(first.table, first.column, "OR", subs)
+
+
 def parse_query(sql: str, schema: SchemaGraph) -> Query:
     """(reference: evaluation/utils.py::parse_query). Raises ValueError
     on anything outside the reference grammar."""
@@ -268,17 +384,34 @@ def parse_query(sql: str, schema: SchemaGraph) -> Query:
     if m.group("where"):
         where = _raw("where")
         masked = _mask_string_literals(where)
-        # the grammar is conjunctive-only (reference A8): no OR, and
-        # NOT only inside IS NOT NULL (scans run on the literal-masked
-        # text so keywords inside string values don't false-trigger)
-        if re.search(r"\bOR\b", masked, re.IGNORECASE):
-            raise ValueError("disjunctions (OR) are outside the grammar")
+        # conjunctive grammar (reference A8) + ONE extension: OR is
+        # legal only inside a parenthesized same-column group
+        # (_parse_or_group). NOT only inside IS NOT NULL (scans run on
+        # the literal-masked text so keywords inside string values
+        # don't false-trigger)
+        depth = _paren_depth(masked)
+        for om in re.finditer(r"\bOR\b", masked, re.IGNORECASE):
+            if depth[om.start()] == 0:
+                raise ValueError(
+                    "top-level OR is outside the grammar; disjunctions "
+                    "must be parenthesized same-column groups, e.g. "
+                    "(t.c < 5 OR t.c > 45)"
+                )
         if re.search(r"\bNOT\b(?!\s+NULL)", masked, re.IGNORECASE):
             raise ValueError("NOT is only supported as IS NOT NULL")
         for conjunct, conj_masked in _split_conjuncts(where, masked):
             # match grammar on the MASKED conjunct (operators/keywords
             # inside literals can't trigger); slice literal values out
             # of the RAW conjunct by match span (same length)
+            if conj_masked.startswith("(") and conj_masked.endswith(")"):
+                cdepth = _paren_depth(conj_masked)
+                # only treat as a group if the outer parens wrap the
+                # WHOLE conjunct (depth stays >= 1 until the end)
+                if min(cdepth[:-1] or [1]) >= 1:
+                    query.add_where_condition(
+                        _parse_or_group(conjunct, conj_masked, alias_map)
+                    )
+                    continue
             jm = _JOIN_RE.match(conj_masked)
             if jm:
                 t1, a1, t2, a2 = jm.groups()
@@ -300,56 +433,10 @@ def parse_query(sql: str, schema: SchemaGraph) -> Query:
                     raise ValueError(
                         f"unknown table or alias in join {conjunct!r}"
                     )
-            bm = _BETWEEN_RE.match(conj_masked)
-            if bm:
-                t, c = bm.group(1), bm.group(2)
-                lo = conjunct[bm.start(3): bm.end(3)]
-                hi = conjunct[bm.start(4): bm.end(4)]
-                query.add_where_condition(
-                    Condition(
-                        _resolve(alias_map, t), c, "BETWEEN",
-                        (_parse_literal(lo), _parse_literal(hi)),
-                    )
-                )
-                continue
-            im = _IN_RE.match(conj_masked)
-            if im:
-                t, c = im.group(1), im.group(2)
-                vals = conjunct[im.start(3): im.end(3)]
-                vm = _mask_string_literals(vals)
-                cuts = [0] + [i for i, ch in enumerate(vm) if ch == ","] + [len(vals)]
-                items = [
-                    vals[a + (1 if a else 0) : b].strip()
-                    for a, b in zip(cuts, cuts[1:])
-                ]
-                query.add_where_condition(
-                    Condition(
-                        _resolve(alias_map, t), c, "IN",
-                        [_parse_literal(v) for v in items],
-                    )
-                )
-                continue
-            nm = _NULL_RE.match(conj_masked)
-            if nm:
-                t, c, notnull = nm.groups()
-                query.add_where_condition(
-                    Condition(
-                        _resolve(alias_map, t), c,
-                        "IS_NOT_NULL" if notnull else "IS_NULL",
-                    )
-                )
-                continue
-            pm = _PRED_RE.match(conj_masked)
-            if pm:
-                t, c, op = pm.group(1), pm.group(2), pm.group(3)
-                val = conjunct[pm.start(4): pm.end(4)]
-                if op == "!=":
-                    op = "<>"
-                query.add_where_condition(
-                    Condition(_resolve(alias_map, t), c, op, _parse_literal(val))
-                )
-                continue
-            raise ValueError(f"cannot parse predicate: {conjunct!r}")
+            cond = _match_predicate(conjunct, conj_masked, alias_map)
+            if cond is None:
+                raise ValueError(f"cannot parse predicate: {conjunct!r}")
+            query.add_where_condition(cond)
 
     if len(query.table_set) > 1 and len(query.relationship_set) < len(query.table_set) - 1:
         raise ValueError("FROM lists multiple tables but joins do not connect them")

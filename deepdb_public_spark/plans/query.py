@@ -48,6 +48,8 @@ class Condition:
     value: object = None
 
     def __str__(self) -> str:
+        if self.op == "OR":
+            return "(" + " OR ".join(str(c) for c in self.value) + ")"
         if self.op == "BETWEEN":
             return f"{self.table}.{self.column} BETWEEN {self.value[0]} AND {self.value[1]}"
         if self.op == "IN":

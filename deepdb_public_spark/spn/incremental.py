@@ -37,17 +37,8 @@ def _iter_nodes(node):
         yield from _iter_nodes(ch)
 
 
-def absorb_delta(
-    model: SPNModel,
-    delta_df: DataFrame,
-    sample_budget: int = 100_000,
-    seed: int = 42,
-) -> int:
-    """Absorb a Spark delta into ``model`` without retraining and
-    without any data-scale collect. Returns the delta row count."""
-    n_total = delta_df.count()
-    if n_total == 0:
-        return 0
+def _encoded_delta(model: SPNModel, delta_df: DataFrame) -> DataFrame:
+    """Shared validation + encoding for insert/delete deltas."""
     # Reject unseen categorical values LOUDLY: encode_with_meta maps
     # them to NULL codes, which would silently inflate null_prob and
     # give the real value zero mass (prep.py's contract says callers
@@ -97,9 +88,23 @@ def absorb_delta(
     missing = [c for c in model.column_names if c not in enc.columns]
     if missing:
         raise ValueError(f"delta lacks model columns {missing}")
-    enc = enc.select(
+    return enc.select(
         *[F.col(c).cast("double").alias(c) for c in model.column_names]
     )
+
+
+def absorb_delta(
+    model: SPNModel,
+    delta_df: DataFrame,
+    sample_budget: int = 100_000,
+    seed: int = 42,
+) -> int:
+    """Absorb a Spark delta into ``model`` without retraining and
+    without any data-scale collect. Returns the delta row count."""
+    n_total = delta_df.count()
+    if n_total == 0:
+        return 0
+    enc = _encoded_delta(model, delta_df)
 
     if any(isinstance(n, Sum) for n in _iter_nodes(model.root)):
         frac = min(1.0, sample_budget / n_total)
@@ -139,5 +144,76 @@ def absorb_delta(
             )
     model.sample_size += n_total * scale
     model.full_join_size += n_total
+    model.invalidate_cache()
+    return n_total
+
+
+def remove_delta(
+    model: SPNModel,
+    delta_df: DataFrame,
+    sample_budget: int = 100_000,
+    seed: int = 42,
+) -> int:
+    """Incremental DELETE support — beyond the reference (DeepDB's
+    paper handles inserts via add_dataset, D5, and lists deletes as
+    future work). The Spark shapes mirror absorb_delta exactly:
+
+    - Sum-free models: EXACT per-column histogram subtraction via the
+      same one-pass melt + groupBy — masses clamp at zero
+      (Leaf.remove_counts), so over-deletion of a value drops the
+      value instead of going negative.
+    - Models with Sum nodes: a BOUNDED weighted sample of the deleted
+      rows routes down the stored cluster centers and decrements
+      mixture weights + leaf masses (SPNModel.remove_dataset).
+
+    ``delta_df`` must contain the rows being deleted (same contract
+    as the insert path: callers supply the delta relation). Returns
+    the deleted row count."""
+    n_total = delta_df.count()
+    if n_total == 0:
+        return 0
+    if n_total >= model.full_join_size:
+        raise ValueError(
+            f"delta deletes {n_total} rows but the model holds "
+            f"{model.full_join_size:.0f}; retrain instead"
+        )
+    enc = _encoded_delta(model, delta_df)
+
+    if any(isinstance(n, Sum) for n in _iter_nodes(model.root)):
+        frac = min(1.0, sample_budget / n_total)
+        sampled = enc.sample(fraction=frac, seed=seed) if frac < 1.0 else enc
+        pdf = sampled.toPandas()
+        rows = pdf.to_numpy(dtype=np.float64, na_value=np.nan)
+        model.remove_dataset(rows, n_total=n_total)
+        return n_total
+
+    cols = model.column_names
+    stack = (
+        f"stack({len(cols)}, "
+        + ", ".join(f"'{c}', `{c}`" for c in cols)
+        + ") AS (__col, __val)"
+    )
+    hist = enc.selectExpr(stack).groupBy("__col", "__val").count().collect()
+    per_col: dict[str, list] = {}
+    for r in hist:
+        per_col.setdefault(r["__col"], []).append((r["__val"], r["count"]))
+
+    scale = model.sample_size / max(model.full_join_size, 1.0)
+    for leaf in iter_leaves(model.root):
+        name = model.column_names[leaf.scope[0]]
+        entries = per_col.get(name, [])
+        vals = np.array([v for v, _c in entries if v is not None])
+        cnts = np.array([c for v, c in entries if v is not None])
+        nulls = sum(c for v, c in entries if v is None)
+        prior = getattr(leaf, "n_rows", model.sample_size)
+        leaf.n_rows = leaf.remove_counts(vals, cnts, nulls, prior, scale)
+    for node in _iter_nodes(model.root):
+        if not isinstance(node, Leaf):
+            node.n_rows = max(
+                0.0,
+                getattr(node, "n_rows", model.sample_size) - n_total * scale,
+            )
+    model.sample_size = max(1.0, model.sample_size - n_total * scale)
+    model.full_join_size -= n_total
     model.invalidate_cache()
     return n_total

@@ -136,18 +136,62 @@ class Leaf:
     def absorb(self, column: np.ndarray, prior_n: float, weight: float = 1.0) -> None:
         """Merge new rows into the histogram without retraining; each
         new row counts as ``weight`` (fractional when the delta is a
-        sample drawn at a different rate than the training sample)."""
+        sample drawn at a different rate than the training sample).
+
+        A NEGATIVE weight deletes mass (see SPNModel.remove_dataset —
+        beyond the reference, which supports inserts only): per-value
+        masses clamp at zero, so deleting more of a value than the
+        sample-scaled histogram holds removes the value outright
+        instead of going negative. Probabilities renormalize over the
+        REMAINING mass, which for positive weights is exactly the old
+        (prior + new) / total arithmetic."""
         col = np.asarray(column, dtype=np.float64)
         if len(col) == 0:
             return
-        n_new = len(col) * weight
-        total = prior_n + n_new
         nulls = np.isnan(col)
         vals, counts = np.unique(col[~nulls], return_counts=True)
         merged = {float(v): p * prior_n for v, p in zip(self.values, self.probs)}
         for v, c in zip(vals, counts):
-            merged[float(v)] = merged.get(float(v), 0.0) + c * weight
-        items = sorted(merged.items())
+            merged[float(v)] = max(0.0, merged.get(float(v), 0.0) + c * weight)
+        null_mass = max(0.0, self.null_prob * prior_n + nulls.sum() * weight)
+        items = sorted((v, m) for v, m in merged.items() if m > 0)
+        total = sum(m for _, m in items) + null_mass
+        if total <= 0:
+            self.values = np.array([])
+            self.probs = np.array([])
+            self.null_prob = 0.0
+            return
         self.values = np.array([v for v, _ in items])
-        self.probs = np.array([c / total for _, c in items])
-        self.null_prob = (self.null_prob * prior_n + nulls.sum() * weight) / total
+        self.probs = np.array([m / total for _, m in items])
+        self.null_prob = null_mass / total
+
+    def remove_counts(
+        self,
+        values: np.ndarray,
+        counts: np.ndarray,
+        null_count: float,
+        prior_n: float,
+        scale: float = 1.0,
+    ) -> float:
+        """Subtract an exact histogram delta (value/count pairs from a
+        Spark ``groupBy(col).count()`` over the DELETED rows) — the
+        delete twin of absorb_counts, beyond the reference (the DeepDB
+        paper lists deletes as future work). Masses clamp at zero;
+        returns the remaining row mass so callers can update n_rows."""
+        mass = {float(v): p * prior_n for v, p in zip(self.values, self.probs)}
+        for v, c in zip(values, counts):
+            v = float(v)
+            if v in mass:
+                mass[v] = max(0.0, mass[v] - c * scale)
+        null_mass = max(0.0, self.null_prob * prior_n - null_count * scale)
+        items = sorted((v, m) for v, m in mass.items() if m > 0)
+        total = sum(m for _, m in items) + null_mass
+        if total <= 0:
+            self.values = np.array([])
+            self.probs = np.array([])
+            self.null_prob = 0.0
+            return 0.0
+        self.values = np.array([v for v, _ in items])
+        self.probs = np.array([m / total for _, m in items])
+        self.null_prob = null_mass / total
+        return total

@@ -52,6 +52,7 @@ from .ranges import (
     NumericRange,
     Range,
     intersect_ranges,
+    union_ranges,
     is_empty_range,
     range_key,
     value_admitted,
@@ -162,6 +163,16 @@ class SPNModel:
     def _condition_to_range(self, cond: Condition) -> Range:
         col = cond.column
         cm = self.meta.columns[col]
+        if cond.op == "OR":
+            # same-column disjunction (grammar extension; the parser
+            # guarantees every disjunct references cond.column):
+            # P(c in A or c in B) = P(c in A∪B) — one range union, no
+            # inclusion-exclusion needed on a single column
+            out: Range | None = None
+            for sub in cond.value:
+                r = self._condition_to_range(sub)
+                out = r if out is None else union_ranges(out, r)
+            return out
         if cond.op == "IS_NULL":
             return NullOnlyRange()
         if cond.op == "IS_NOT_NULL":
@@ -258,7 +269,15 @@ class SPNModel:
             if cond.table not in self.table_set:
                 raise ValueError(f"{cond.table} outside model scope")
             if cond.column in self.fd_maps:
-                i, rng = self._fd_rewrite(cond)
+                if cond.op == "OR":
+                    # rewrite each disjunct onto the determinant and
+                    # union the resulting code sets
+                    i, rng = None, None
+                    for sub in cond.value:
+                        i, r = self._fd_rewrite(sub)
+                        rng = r if rng is None else union_ranges(rng, r)
+                else:
+                    i, rng = self._fd_rewrite(cond)
             else:
                 i = self._col_index(cond.column)
                 rng = self._condition_to_range(cond)
@@ -712,4 +731,74 @@ class SPNModel:
         absorb(self.root, rows, list(range(len(self.column_names))))
         self.sample_size += n_sample * weight
         self.full_join_size += n_total
+        self.invalidate_cache()
+
+    def remove_dataset(self, rows: np.ndarray, n_total: int | None = None) -> None:
+        """Incremental DELETE support — beyond the reference (the
+        DeepDB paper lists deletes as future work; D5 covers inserts
+        only). Mirrors add_dataset with negative mass: each deleted
+        row routes down the tree by the stored cluster centers, sum
+        weights and leaf histograms decrement (clamped at zero) and
+        renormalize, and full_join_size shrinks by the true delta
+        count. ``rows`` may be a bounded sample of the delta;
+        ``n_total`` is the true deleted row count."""
+        from .learn import scale_minmax
+
+        n_sample = len(rows)
+        if n_sample == 0:
+            return
+        n_total = n_sample if n_total is None else n_total
+        if n_total >= self.full_join_size:
+            raise ValueError(
+                f"delta deletes {n_total} rows but the model holds "
+                f"{self.full_join_size:.0f}; retrain instead"
+            )
+        weight = (self.sample_size * n_total) / (
+            max(self.full_join_size, 1.0) * n_sample
+        )
+
+        def remove(node: Node, data: np.ndarray, scope: list[int]) -> None:
+            n_del = len(data) * weight
+            prior = getattr(node, "n_rows", self.sample_size)
+            if hasattr(node, "values"):  # Leaf
+                j = scope.index(node.scope[0])
+                node.absorb(data[:, j], prior, weight=-weight)
+                node.n_rows = max(0.0, prior - n_del)
+                return
+            if isinstance(node, Sum):
+                x, _, _ = scale_minmax(
+                    data[:, [scope.index(s) for s in node.scope]],
+                    node.scale_lo,
+                    node.scale_hi,
+                )
+                d = ((x[:, None, :] - node.cluster_centers[None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                labels = d.argmin(axis=1)
+                total = max(prior - n_del, 1e-9)
+                for c, ch in enumerate(node.children):
+                    mask = labels == c
+                    ch_prior = getattr(ch, "n_rows", 0)
+                    node.weights[c] = max(
+                        0.0,
+                        (node.weights[c] * prior - mask.sum() * weight) / total,
+                    )
+                    remove(ch, data[mask], scope)
+                    ch.n_rows = max(0.0, ch_prior - mask.sum() * weight)
+                wsum = sum(node.weights)
+                if wsum <= 0:
+                    raise ValueError(
+                        "delete delta drained every mixture component; "
+                        "retrain instead"
+                    )
+                node.weights = [w / wsum for w in node.weights]
+                node.n_rows = max(0.0, prior - n_del)
+                return
+            for ch in node.children:  # Product
+                remove(ch, data, scope)
+            node.n_rows = max(0.0, prior - n_del)
+
+        remove(self.root, rows, list(range(len(self.column_names))))
+        self.sample_size = max(1.0, self.sample_size - n_sample * weight)
+        self.full_join_size -= n_total
         self.invalidate_cache()

@@ -130,6 +130,62 @@ def intersect_ranges(a: Range, b: Range) -> Range:
     return NumericRange(out, include_null=both_null)
 
 
+def _merge_intervals(intervals):
+    """Canonical union of interval lists: sorted, overlapping/touching
+    intervals coalesced (inclusivity-aware). Leaf masks OR intervals
+    together so overlap never double-counts, but the merged form is
+    the canonical factor-cache key (B13) and keeps interval counts
+    bounded under repeated unions."""
+    if not intervals:
+        return []
+    ivs = sorted(intervals, key=lambda iv: (iv[0], 0 if iv[2] else 1))
+    out = [list(ivs[0])]
+    for lo, hi, lo_incl, hi_incl in ivs[1:]:
+        _L, H, _Li, Hi = out[-1]
+        if lo < H or (lo == H and (lo_incl or Hi)):
+            if hi > H:
+                out[-1][1], out[-1][3] = hi, hi_incl
+            elif hi == H:
+                out[-1][3] = Hi or hi_incl
+        else:
+            out.append([lo, hi, lo_incl, hi_incl])
+    return [tuple(iv) for iv in out]
+
+
+def union_ranges(a: Range, b: Range) -> Range:
+    """Disjunction of two ranges on the same column — the model-plane
+    half of the same-column OR extension (beyond the reference's
+    conjunctive-only grammar, SURVEY.md §2 table E). Nominal unions
+    stay nominal; mixed nominal/numeric unions lift dictionary codes
+    to point intervals (codes ARE the numeric domain of categorical
+    leaves, so the lifted range evaluates identically)."""
+    include_null = getattr(a, "include_null", False) or getattr(
+        b, "include_null", False
+    )
+    if isinstance(a, NullOnlyRange) and isinstance(b, NullOnlyRange):
+        return NullOnlyRange()
+    if isinstance(a, NullOnlyRange) or isinstance(b, NullOnlyRange):
+        other = b if isinstance(a, NullOnlyRange) else a
+        if isinstance(other, NominalRange):
+            return NominalRange(list(other.values), include_null=True)
+        return NumericRange(list(other.intervals), include_null=True)
+    if isinstance(a, NominalRange) and isinstance(b, NominalRange):
+        return NominalRange(
+            sorted(set(a.values) | set(b.values)), include_null=include_null
+        )
+    ia = (
+        [(v, v, True, True) for v in a.values]
+        if isinstance(a, NominalRange)
+        else list(a.intervals)
+    )
+    ib = (
+        [(v, v, True, True) for v in b.values]
+        if isinstance(b, NominalRange)
+        else list(b.intervals)
+    )
+    return NumericRange(_merge_intervals(ia + ib), include_null=include_null)
+
+
 @dataclass
 class ConditionSet:
     """col name -> Range (conjunctive, as in the reference grammar)."""

@@ -1,0 +1,228 @@
+"""Same-column disjunction extension: ``(t.c < 5 OR t.c > 45)``.
+
+The reference grammar is conjunctive-only (reference:
+evaluation/utils.py::parse_query — SURVEY.md §2 A8/table E); this is
+a beyond-reference extension. Both planes serve it: the exact plane
+compiles an or-filter, the model plane evaluates a single-column
+range union (spn/ranges.py::union_ranges), so no inclusion-exclusion
+is needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from deepdb_public_spark.engine import Engine
+from deepdb_public_spark.plans.parser import parse_query
+from deepdb_public_spark.plans.schema import tpch_like_schema
+from deepdb_public_spark.spn.leaves import Leaf
+from deepdb_public_spark.spn.ranges import (
+    NominalRange,
+    NullOnlyRange,
+    NumericRange,
+    union_ranges,
+)
+from tests.conftest import SF_SMOKE
+
+# ---------------------------------------------------------------- ranges
+
+
+def test_union_numeric_merges_overlap():
+    a = NumericRange([(0.0, 10.0, True, True)])
+    b = NumericRange([(5.0, 20.0, True, False)])
+    u = union_ranges(a, b)
+    assert u.intervals == [(0.0, 20.0, True, False)]
+
+
+def test_union_numeric_keeps_disjoint():
+    a = NumericRange([(-np.inf, 5.0, True, False)])
+    b = NumericRange([(45.0, np.inf, False, True)])
+    u = union_ranges(a, b)
+    assert u.intervals == [
+        (-np.inf, 5.0, True, False),
+        (45.0, np.inf, False, True),
+    ]
+
+
+def test_union_touching_inclusive_coalesces():
+    a = NumericRange([(0.0, 5.0, True, True)])
+    b = NumericRange([(5.0, 9.0, False, True)])
+    u = union_ranges(a, b)
+    assert u.intervals == [(0.0, 9.0, True, True)]
+
+
+def test_union_touching_both_exclusive_stays_split():
+    a = NumericRange([(0.0, 5.0, True, False)])
+    b = NumericRange([(5.0, 9.0, False, True)])
+    u = union_ranges(a, b)
+    assert u.intervals == [
+        (0.0, 5.0, True, False),
+        (5.0, 9.0, False, True),
+    ]
+
+
+def test_union_nominal_sets():
+    u = union_ranges(NominalRange([1, 3]), NominalRange([3, 7]))
+    assert u.values == [1, 3, 7]
+
+
+def test_union_null_marks_include_null():
+    u = union_ranges(NullOnlyRange(), NumericRange([(0.0, 1.0, True, True)]))
+    assert isinstance(u, NumericRange) and u.include_null
+
+
+def test_union_mixed_nominal_numeric_lifts_codes():
+    u = union_ranges(NominalRange([2, 8]), NumericRange([(3.0, 5.0, True, True)]))
+    assert isinstance(u, NumericRange)
+    assert u.intervals == [
+        (2.0, 2.0, True, True),
+        (3.0, 5.0, True, True),
+        (8.0, 8.0, True, True),
+    ]
+
+
+def test_union_prob_matches_brute_force_on_leaf():
+    """P over a union range == brute-force count over the histogram,
+    for random interval unions (the leaf masks OR per interval, so
+    this also guards against double counting)."""
+    rng = np.random.default_rng(7)
+    col = rng.integers(0, 50, size=2000).astype(float)
+    leaf = Leaf.fit(0, col)
+    for _ in range(50):
+        bounds = np.sort(rng.uniform(0, 50, size=4))
+        a = NumericRange([(bounds[0], bounds[1], True, False)])
+        b = NumericRange([(bounds[2], bounds[3], True, True)])
+        u = union_ranges(a, b)
+        in_a = (col >= bounds[0]) & (col < bounds[1])
+        in_b = (col >= bounds[2]) & (col <= bounds[3])
+        want = (in_a | in_b).mean()
+        assert leaf.prob(u) == pytest.approx(want, abs=1e-9)
+
+
+# ---------------------------------------------------------------- parser
+
+
+def test_parser_or_group_and_conjuncts():
+    sch = tpch_like_schema()
+    q = parse_query(
+        "SELECT COUNT(*) FROM lineitem WHERE "
+        "(lineitem.l_quantity < 5 OR lineitem.l_quantity > 45) "
+        "AND lineitem.l_discount <= 0.05",
+        sch,
+    )
+    assert len(q.conditions) == 2
+    assert q.conditions[0].op == "OR"
+    assert [c.op for c in q.conditions[0].value] == ["<", ">"]
+
+
+def test_parser_or_with_between_and_literals():
+    sch = tpch_like_schema()
+    q = parse_query(
+        "SELECT COUNT(*) FROM orders, lineitem WHERE "
+        "orders.o_orderkey = lineitem.l_orderkey AND "
+        "(lineitem.l_quantity BETWEEN 1 AND 5 OR "
+        "lineitem.l_quantity BETWEEN 40 AND 50) AND "
+        "orders.o_orderstatus = 'F'",
+        sch,
+    )
+    assert len(q.conditions) == 2
+    assert q.conditions[0].op == "OR"
+    assert q.conditions[0].value[0].op == "BETWEEN"
+    assert len(q.relationship_set) == 1
+
+
+def test_parser_or_literal_containing_keywords():
+    sch = tpch_like_schema()
+    q = parse_query(
+        "SELECT COUNT(*) FROM lineitem WHERE "
+        "(lineitem.l_returnflag = 'ROCK AND ROLL' "
+        "OR lineitem.l_returnflag IN ('R', 'N'))",
+        sch,
+    )
+    (cond,) = q.conditions
+    assert cond.op == "OR"
+    assert cond.value[0].value == "ROCK AND ROLL"
+    assert cond.value[1].value == ["R", "N"]
+
+
+def test_parser_rejects_top_level_or():
+    sch = tpch_like_schema()
+    with pytest.raises(ValueError, match="top-level OR"):
+        parse_query(
+            "SELECT COUNT(*) FROM lineitem WHERE "
+            "lineitem.l_quantity < 5 OR lineitem.l_quantity > 45",
+            sch,
+        )
+
+
+def test_parser_rejects_cross_column_or():
+    sch = tpch_like_schema()
+    with pytest.raises(ValueError, match="single column"):
+        parse_query(
+            "SELECT COUNT(*) FROM lineitem WHERE "
+            "(lineitem.l_quantity < 5 OR lineitem.l_discount > 0.05)",
+            sch,
+        )
+
+
+def test_parser_single_parenthesized_predicate_degrades():
+    sch = tpch_like_schema()
+    q = parse_query(
+        "SELECT COUNT(*) FROM lineitem WHERE (lineitem.l_quantity < 5)",
+        sch,
+    )
+    (cond,) = q.conditions
+    assert cond.op == "<"
+
+
+# ------------------------------------------------------------ exact plane
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "SELECT COUNT(*) AS cnt FROM lineitem WHERE "
+        "(lineitem.l_quantity < 5 OR lineitem.l_quantity > 45)",
+        "SELECT COUNT(*) AS cnt FROM lineitem WHERE "
+        "(lineitem.l_returnflag = 'A' OR lineitem.l_returnflag = 'R') "
+        "AND lineitem.l_discount <= 0.05",
+        "SELECT SUM(lineitem.l_extendedprice) AS s FROM orders, lineitem "
+        "WHERE orders.o_orderkey = lineitem.l_orderkey AND "
+        "(lineitem.l_quantity BETWEEN 1 AND 5 OR "
+        "lineitem.l_quantity BETWEEN 40 AND 50)",
+    ],
+)
+def test_exact_plane_or_matches_duckdb(spark, duck, sql):
+    eng = Engine(spark, SF_SMOKE)
+    got = eng.query(sql).collect()[0][0]
+    want = duck[SF_SMOKE].execute(sql).fetchone()[0]
+    assert got == want or got == pytest.approx(want, rel=1e-9)
+
+
+# ------------------------------------------------------------ model plane
+
+
+def test_model_plane_or_within_budget(spark):
+    from deepdb_public_spark.spn.ensemble import SPNEnsemble
+    from deepdb_public_spark.spn.trainer import train_spn_model
+
+    eng = Engine(spark, SF_SMOKE)
+    eng.ensemble = SPNEnsemble(eng.schema)
+    eng.ensemble.add_model(
+        train_spn_model(eng.catalog, eng.schema, {"lineitem"}, 60_000)
+    )
+    for sql in [
+        "SELECT COUNT(*) AS cnt FROM lineitem WHERE "
+        "(lineitem.l_quantity < 5 OR lineitem.l_quantity > 45)",
+        "SELECT COUNT(*) AS cnt FROM lineitem WHERE "
+        "(lineitem.l_returnflag = 'A' OR lineitem.l_returnflag = 'R')",
+        "SELECT COUNT(*) AS cnt FROM lineitem WHERE "
+        "(lineitem.l_discount BETWEEN 0.0 AND 0.02 "
+        "OR lineitem.l_discount >= 0.08)",
+    ]:
+        q = eng.parse(sql)
+        est = float(eng.ensemble.cardinality(q))
+        true = int(eng.query(q).collect()[0][0])
+        qerr = max(est / max(true, 1), true / max(est, 1e-9))
+        assert qerr < 2.0, (sql, est, true)

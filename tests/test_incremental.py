@@ -85,3 +85,76 @@ def test_absorb_delta_sampled_path_with_sum_nodes(spark):
         est = model.cardinality(q)
         true = grown.filter(pred).count()
         assert _qerr(est, true) < 1.3, f"{pred}: est={est} true={true}"
+
+
+def test_remove_delta_exact_path_sum_free(spark):
+    """DELETE twin of the exact insert path: removing the rows we just
+    absorbed must restore the original estimates (mass clamping only
+    triggers on over-deletion, not on a clean round trip)."""
+    from deepdb_public_spark.plans.query import Condition, Query
+    from deepdb_public_spark.spn.incremental import remove_delta
+
+    eng = Engine(spark, SF_SMOKE)
+    model = train_spn_model(
+        eng.catalog, eng.schema, {"customer"}, 100_000,
+        LearnParams(min_instances_slice=10**9),
+    )
+    base = eng.catalog["customer"]
+    q = Query(table_set={"customer"})
+    q.add_where_condition(Condition("customer", "c_mktsegment", "=", "BUILDING"))
+    before = model.cardinality(q)
+
+    delta = base.filter(F.pmod(F.xxhash64("c_custkey"), F.lit(4)) < 1)
+    n_delta = delta.count()
+    absorb_delta(model, delta)
+    remove_delta(model, delta)
+    assert model.full_join_size == pytest.approx(base.count())
+    assert model.cardinality(q) == pytest.approx(before, rel=0.01)
+
+    # delete from the ORIGINAL model: estimates track the shrunk table
+    model2 = train_spn_model(
+        eng.catalog, eng.schema, {"customer"}, 100_000,
+        LearnParams(min_instances_slice=10**9),
+    )
+    remove_delta(model2, delta)
+    remaining = base.subtract(delta)
+    true = remaining.filter("c_mktsegment = 'BUILDING'").count()
+    assert model2.cardinality(q) == pytest.approx(true, rel=0.05)
+
+
+def test_remove_delta_sampled_path_with_sum_nodes(spark):
+    """Mixture models take the bounded-sample delete path; estimates
+    on the shrunk table stay inside the q-error budget."""
+    from deepdb_public_spark.plans.query import Condition, Query
+    from deepdb_public_spark.spn.incremental import remove_delta
+
+    eng = Engine(spark, SF_SMOKE)
+    model = train_spn_model(eng.catalog, eng.schema, {"lineitem"}, 100_000)
+    base = eng.catalog["lineitem"]
+    delta = base.filter(
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(10)) < 3
+    )
+    remove_delta(model, delta, sample_budget=500)
+    remaining = base.subtract(delta)
+    assert model.full_join_size == pytest.approx(remaining.count(), rel=1e-6)
+    for pred, cond in [
+        ("l_quantity < 25", ("lineitem", "l_quantity", "<", 25)),
+        ("l_returnflag = 'A'", ("lineitem", "l_returnflag", "=", "A")),
+    ]:
+        q = Query(table_set={"lineitem"})
+        q.add_where_condition(Condition(*cond))
+        est = model.cardinality(q)
+        true = remaining.filter(pred).count()
+        assert _qerr(est, true) < 1.5, (pred, est, true)
+
+
+def test_remove_delta_rejects_full_wipe(spark):
+    from deepdb_public_spark.spn.incremental import remove_delta
+
+    eng = Engine(spark, SF_SMOKE)
+    model = train_spn_model(
+        eng.catalog, eng.schema, {"customer"}, 100_000,
+        LearnParams(min_instances_slice=10**9),
+    )
+    with pytest.raises(ValueError, match="retrain"):
+        remove_delta(model, eng.catalog["customer"])
