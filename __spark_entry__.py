@@ -75,6 +75,14 @@ _IR_QUERIES: dict[str, str] = {
         "AND (lineitem.l_quantity < 5 OR lineitem.l_quantity > 45) "
         "AND orders.o_orderstatus = 'F'"
     ),
+    # cross-TABLE OR group: no single scan owns the predicate, so the
+    # compiler applies it post-join; the model plane answers it via
+    # inclusion-exclusion (m01 case c7 + tests/test_disjunction.py)
+    "q36_disjunct_cross": (
+        "SELECT COUNT(*) AS cnt FROM orders, lineitem "
+        "WHERE orders.o_orderkey = lineitem.l_orderkey "
+        "AND (orders.o_totalprice > 200000 OR lineitem.l_quantity > 45)"
+    ),
     # A4 + A6 + A15: 4-way join, range + IN predicates
     "q18_join4_card": (
         "SELECT COUNT(*) AS cnt FROM part, lineitem, orders, customer "
@@ -904,6 +912,9 @@ _M01_CASES = [
     # same-column disjunction (grammar extension): model plane answers
     # via a range union (spn/ranges.py::union_ranges)
     ("c6", "SELECT COUNT(*) AS cnt FROM lineitem WHERE (lineitem.l_quantity < 5 OR lineitem.l_quantity > 45)"),
+    # CROSS-column disjunction: answered by inclusion-exclusion over
+    # conjunctive sub-queries (SPNEnsemble._ie_terms)
+    ("c7", "SELECT COUNT(*) AS cnt FROM lineitem WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)"),
 ]
 
 _M03_CASES = [
@@ -2064,23 +2075,26 @@ _PRIORITY_TAIL = [
     "x29_funnel",
     "x06_minhash_pairs",
     "x19_sketch_distinct",
-    "m01_spn_qerrors",
-    "m02_incremental_insert",
-    "m03_multi_spn",
-    "m04_aqp_groupby",
-    "m05_confidence_intervals",
-    "m06_aqp_join_groupby",
     "x07_simhash_pairs",
     "x17_media_features",
 ]
 _PRIORITY_HEAD = [
-    # p-plane + new oracled entries slot in right after the q's
+    # p-plane, then the MODEL plane (the core DeepDB capability —
+    # every m-entry must land inside the driver's 50-entry record),
+    # then two text ops
     "q27_exists_semi",
     "q28_scalar_subq",
     "p01_encode_dict",
     "p02_fanout_hist",
     "p03_outer_sample_stats",
     "p04_outer_sample_3way",
+    "m01_spn_qerrors",
+    "m03_multi_spn",
+    "m02_incremental_insert",
+    "m07_incremental_delete",
+    "m04_aqp_groupby",
+    "m05_confidence_intervals",
+    "m06_aqp_join_groupby",
     "x22_term_freq",
     "x23_hash_split",
 ]

@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                      help="stage seeded table samples + sample-rate schema (C6; "
                      "the reference's --generate_sampled_hdfs)")
     act.add_argument("--execute_query", metavar="SQL")
+    act.add_argument("--update_ensemble", action="store_true",
+                     help="absorb an insert/delete delta into the "
+                     "pickled ensemble's single-table models without "
+                     "retraining (D5 + delete extension)")
 
     t = p.add_argument_group("training (--generate_ensemble)")
     t.add_argument("--ensemble_strategy", default="single",
@@ -105,6 +109,18 @@ def build_parser() -> argparse.ArgumentParser:
     s = p.add_argument_group("sampled staging (--generate_sampled_parquet)")
     s.add_argument("--staged_dir", help="output directory for staged parquet")
     s.add_argument("--sample_fraction", type=float, default=0.1)
+
+    u = p.add_argument_group("incremental updates (--update_ensemble)")
+    u.add_argument("--update_table", help="table the delta belongs to")
+    u.add_argument("--delta_filter",
+                   help="SQL boolean expression selecting the delta "
+                   "rows inside <data_dir>/<table>.parquet, e.g. "
+                   "\"l_orderkey % 10 < 3\"; or pass --delta_dir")
+    u.add_argument("--delta_dir",
+                   help="directory holding <table>.parquet with ONLY "
+                   "the delta rows (alternative to --delta_filter)")
+    u.add_argument("--delete", action="store_true",
+                   help="remove the delta instead of absorbing it")
 
     q = p.add_argument_group("query execution (--execute_query)")
     q.add_argument("--plane", default="exact", choices=["exact", "model"],
@@ -293,6 +309,57 @@ def _cmd_execute_query(eng: Engine, args) -> int:
     return 0
 
 
+def _cmd_update_ensemble(eng: Engine, args) -> int:
+    """Incremental insert/delete lifecycle: load the pickled ensemble,
+    apply the delta to every SINGLE-TABLE model of --update_table
+    (join models need the delta expressed in their joined relation —
+    retrain those), save back. (D5 absorb_delta + the delete
+    extension remove_delta; the reference has no update CLI — its
+    add_dataset is API-only and deletes are future work.)"""
+    from .spn.incremental import absorb_delta, remove_delta
+
+    _require(args, "ensemble_path", args.ensemble_path)
+    _require(args, "update_table", args.update_table)
+    if (args.delta_filter is None) == (args.delta_dir is None):
+        raise SystemExit(
+            "exactly one of --delta_filter / --delta_dir is required"
+        )
+    ens = _load_ensemble(eng, args.ensemble_path)
+    if args.update_table not in eng.catalog:
+        raise SystemExit(f"unknown table {args.update_table!r}")
+    if args.delta_filter:
+        delta = eng.catalog[args.update_table].filter(args.delta_filter)
+    else:
+        delta = eng.spark.read.parquet(
+            f"{args.delta_dir}/{args.update_table}.parquet"
+        )
+    targets = [
+        m for m in ens.models if m.table_set == {args.update_table}
+    ]
+    skipped = [
+        sorted(m.table_set)
+        for m in ens.models
+        if args.update_table in m.table_set and m.table_set != {args.update_table}
+    ]
+    if not targets:
+        raise SystemExit(
+            f"no single-table model for {args.update_table!r} in the ensemble"
+        )
+    apply_fn = remove_delta if args.delete else absorb_delta
+    for m in targets:
+        n = apply_fn(m, delta, sample_budget=args.samples_per_spn)
+        verb = "removed from" if args.delete else "absorbed into"
+        print(
+            f"{n} rows {verb} model {sorted(m.table_set)} "
+            f"(full_join_size now {m.full_join_size:.0f})"
+        )
+    for ts in skipped:
+        print(f"skipped join model {ts}: delta is table-local; retrain it")
+    ens.save(args.ensemble_path)
+    print(f"ensemble saved -> {args.ensemble_path}")
+    return 0
+
+
 def main(argv: list[str] | None = None, spark=None) -> int:
     args = build_parser().parse_args(argv)
     actions = [
@@ -302,6 +369,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         ("evaluate_confidence_intervals", _cmd_evaluate_cis),
         ("generate_sampled_parquet", _cmd_generate_sampled),
         ("execute_query", _cmd_execute_query),
+        ("update_ensemble", _cmd_update_ensemble),
     ]
     chosen = [(n, fn) for n, fn in actions if getattr(args, n)]
     if len(chosen) != 1:

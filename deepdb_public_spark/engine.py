@@ -119,11 +119,11 @@ class Engine:
         if self.ensemble is None:
             raise RuntimeError("no ensemble trained/loaded — see spn.train")
         ir = self.parse(q) if isinstance(q, str) else q
-        from .spn.model import GroupByExplosion
+        from .spn.model import GroupByExplosion, ModelPlaneUnsupported
 
         try:
             return self.ensemble.answer(ir)
-        except GroupByExplosion:
+        except (GroupByExplosion, ModelPlaneUnsupported):
             if not exact_fallback:
                 raise
             return [row.asDict() for row in self.query(ir).collect()]

@@ -27,12 +27,12 @@ from .schema import SchemaGraph
 
 
 def condition_to_column(cond: Condition) -> Column:
-    col = F.col(cond.column)
     if cond.op == "OR":
         out = condition_to_column(cond.value[0])
         for sub in cond.value[1:]:
             out = out | condition_to_column(sub)
         return out
+    col = F.col(cond.column)
     if cond.op == "=":
         return col == F.lit(cond.value)
     if cond.op == "<>":
@@ -198,6 +198,15 @@ class ExactCompiler:
             )
             joined.add(other)
             pending.remove(rel)
+
+        # cross-TABLE OR groups (Condition.table is None) reference
+        # columns of several scans, so they cannot be pushed into any
+        # single _scan — apply them once the join tree is complete
+        # (Catalyst still prunes columns; the filter just can't reach
+        # one parquet scan, which is inherent to the predicate)
+        for cond in query.conditions:
+            if cond.table is None:
+                df = df.filter(condition_to_column(cond))
 
         group_cols = [c for _, c in query.group_bys]
         agg_cols = build_agg_columns(query.aggregations)

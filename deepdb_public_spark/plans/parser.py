@@ -11,11 +11,11 @@ fragment is intentionally identical to the reference:
 
 Predicates: =, <>, !=, <, <=, >, >=, BETWEEN, IN, IS [NOT] NULL —
 conjunctions only, as in the reference, PLUS one extension the
-reference lacks (SURVEY.md §2 table E): a parenthesized SAME-COLUMN
-disjunction group ``(t.c < 5 OR t.c > 45)`` parses to a single
-OR-condition that the exact plane compiles to an or-filter and the
-model plane evaluates as a range union (no inclusion-exclusion
-needed on one column).
+reference lacks (SURVEY.md §2 table E): a parenthesized disjunction
+group ``(t.c < 5 OR t.c > 45)``. Same-column groups compile to one
+OR-condition the model plane evaluates as a range union; cross-column
+groups (up to MAX_OR_DISJUNCTS disjuncts) are answered exactly by the
+exact plane and via inclusion-exclusion by the model plane.
 Aggregates: COUNT(*), SUM/AVG over a column or product of columns,
 and +/- arithmetic between aggregates (reference A12/A13).
 
@@ -47,6 +47,10 @@ _BETWEEN_RE = re.compile(
 _IN_RE = re.compile(r"^(\w+)\.(\w+)\s+IN\s*\((.+)\)$", re.IGNORECASE | re.DOTALL)
 _NULL_RE = re.compile(r"^(\w+)\.(\w+)\s+IS\s+(NOT\s+)?NULL$", re.IGNORECASE)
 _AGG_RE = re.compile(r"^(SUM|AVG|COUNT)\s*\((.+)\)$", re.IGNORECASE | re.DOTALL)
+
+# cross-column OR groups expand to 2^k - 1 inclusion-exclusion terms
+# on the model plane — cap the width
+MAX_OR_DISJUNCTS = 4
 
 
 def _parse_literal(text: str):
@@ -297,14 +301,16 @@ def _match_predicate(
 def _parse_or_group(
     conjunct: str, conj_masked: str, alias_map: dict[str, str]
 ) -> Condition:
-    """Parse a parenthesized same-column disjunction group
+    """Parse a parenthesized disjunction group
     ``(t.c op v OR t.c BETWEEN a AND b OR ...)`` into
-    Condition(t, c, "OR", [sub-conditions]) — a grammar extension
+    Condition(..., "OR", [sub-conditions]) — a grammar extension
     beyond the reference's conjunctive-only fragment (SURVEY.md §2
-    table E): the exact plane compiles it to an or-filter, the model
-    plane to a single-column range union (spn/ranges.py::union_ranges).
-    Disjuncts over DIFFERENT columns are rejected: multi-column OR
-    would need inclusion-exclusion on the model plane."""
+    table E). The exact plane compiles every group to an or-filter
+    (pushed into the scan when one table owns all disjuncts, applied
+    post-join otherwise). The model plane answers SAME-column groups
+    as one range union (spn/ranges.py::union_ranges) and CROSS-column
+    groups via inclusion-exclusion over at most MAX_OR_DISJUNCTS
+    disjuncts (SPNEnsemble)."""
     inner_raw = conjunct[1:-1].strip()
     inner_masked = conj_masked[1:-1].strip()
     depth = _paren_depth(inner_masked)
@@ -323,14 +329,22 @@ def _parse_or_group(
     if len(subs) == 1:
         return subs[0]
     keys = {(c.table, c.column) for c in subs}
-    if len(keys) != 1:
-        raise ValueError(
-            "disjunction groups must reference a single column "
-            f"(got {sorted(keys)}); multi-column OR is outside the "
-            "grammar"
-        )
     first = subs[0]
-    return Condition(first.table, first.column, "OR", subs)
+    if len(keys) == 1:
+        return Condition(first.table, first.column, "OR", subs)
+    # cross-column group: table is the shared table (None when the
+    # disjuncts span tables — the exact compiler then applies the
+    # filter post-join instead of pushing it into one scan); the model
+    # plane expands these via inclusion-exclusion (SPNEnsemble)
+    if len(subs) > MAX_OR_DISJUNCTS:
+        raise ValueError(
+            f"cross-column OR groups support at most {MAX_OR_DISJUNCTS} "
+            f"disjuncts (got {len(subs)}): inclusion-exclusion terms "
+            "grow exponentially"
+        )
+    tables = {c.table for c in subs}
+    table = tables.pop() if len(tables) == 1 else None
+    return Condition(table, None, "OR", subs)
 
 
 def parse_query(sql: str, schema: SchemaGraph) -> Query:
@@ -394,7 +408,7 @@ def parse_query(sql: str, schema: SchemaGraph) -> Query:
             if depth[om.start()] == 0:
                 raise ValueError(
                     "top-level OR is outside the grammar; disjunctions "
-                    "must be parenthesized same-column groups, e.g. "
+                    "must be parenthesized groups, e.g. "
                     "(t.c < 5 OR t.c > 45)"
                 )
         if re.search(r"\bNOT\b(?!\s+NULL)", masked, re.IGNORECASE):

@@ -53,6 +53,35 @@ def write_bucketed_table(
     writer.format("parquet").saveAsTable(table_name)
 
 
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, sorted parquet: rows are globally
+    range-partitioned on ``sort_cols`` (one sort-key range per output
+    file, via ``repartitionByRange`` sampling the key distribution)
+    and sorted within each file.
+
+    This is the data-skipping layout for a 100 TB fact table: parquet
+    stores per-file and per-row-group min/max statistics, and because
+    files own DISJOINT key ranges, a pushed-down filter on the sort
+    key prunes whole files at scan time — the scan reads
+    O(selectivity) bytes instead of O(table). The skipping itself is
+    free (Spark's parquet reader consumes the stats); this writer only
+    has to make the stats selective, which random row placement never
+    is. tests/test_extensions.py asserts the disjoint-ranges invariant
+    from the written footers."""
+    (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_csv(
     df: DataFrame, path: str, header: bool = True, mode: str = "overwrite"
 ) -> None:

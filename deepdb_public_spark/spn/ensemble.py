@@ -343,7 +343,19 @@ class SPNEnsemble:
         variants. Pass the same ``max_variants`` used for the estimate
         so the traced variants match (default 1: the single-variant
         product IS the estimate). A query one model covers returns a
-        single 'single_model' entry."""
+        single 'single_model' entry. Cross-column OR groups expand to
+        one 'ie_term' entry per signed inclusion-exclusion term."""
+        if self._complex_or_index(query) is not None:
+            return [
+                {
+                    "kind": "ie_term",
+                    "sign": s,
+                    "conditions": [str(c) for c in q.conditions],
+                    "value": self.cardinality(q),
+                    "variant": 0,
+                }
+                for s, q in self._ie_terms(query)
+            ]
         try:
             model = self.select_model(query)
         except ValueError:
@@ -365,8 +377,56 @@ class SPNEnsemble:
             }
         ]
 
+    # -- cross-column OR via inclusion-exclusion (grammar extension) ---
+    @staticmethod
+    def _complex_or_index(query: Query) -> int | None:
+        """Index of the first CROSS-column OR group (Condition.column
+        is None), or None. Same-column groups are handled inside the
+        models as range unions and never reach this machinery."""
+        for i, c in enumerate(query.conditions):
+            if c.op == "OR" and c.column is None:
+                return i
+        return None
+
+    def _ie_terms(self, query: Query) -> list[tuple[float, Query]]:
+        """Expand every cross-column OR group into signed conjunctive
+        sub-queries: card(A ∨ B) = card(A) + card(B) − card(A ∧ B),
+        generally Σ_{∅≠S} (−1)^{|S|+1} card(∧S). COUNT and SUM are
+        linear in the indicator, so the same signed sum answers them;
+        AVG is a ratio of two such sums (see aqp). The parser caps
+        group width (MAX_OR_DISJUNCTS), bounding the expansion."""
+        i = self._complex_or_index(query)
+        if i is None:
+            return [(1.0, query)]
+        from itertools import combinations
+
+        cond = query.conditions[i]
+        before, after = query.conditions[:i], query.conditions[i + 1:]
+        out: list[tuple[float, Query]] = []
+        for r in range(1, len(cond.value) + 1):
+            sign = 1.0 if r % 2 else -1.0
+            for subset in combinations(cond.value, r):
+                q2 = Query(
+                    query_type=query.query_type,
+                    table_set=set(query.table_set),
+                    relationship_set=set(query.relationship_set),
+                    conditions=before + list(subset) + after,
+                    group_bys=list(query.group_bys),
+                    aggregations=list(query.aggregations),
+                )
+                out.extend(
+                    (sign * s, q) for s, q in self._ie_terms(q2)
+                )
+        return out
+
     # -- answering -----------------------------------------------------
     def cardinality(self, query: Query, max_variants: int = 1) -> float:
+        if self._complex_or_index(query) is not None:
+            total = sum(
+                s * self.cardinality(q, max_variants)
+                for s, q in self._ie_terms(query)
+            )
+            return max(total, 0.0)
         try:
             model = self.select_model(query)
         except ValueError:
@@ -374,9 +434,81 @@ class SPNEnsemble:
         return model.cardinality(query)
 
     def aqp(self, query: Query) -> list[dict]:
-        return self.select_model(query).aqp(query)
+        if self._complex_or_index(query) is None:
+            return self.select_model(query).aqp(query)
+        return self._aqp_inclusion_exclusion(query)
+
+    def _aqp_inclusion_exclusion(self, query: Query) -> list[dict]:
+        """Non-grouped AQP over cross-column OR groups: each COUNT/SUM
+        output is the signed sum of per-term evaluations; AVG is the
+        signed SUM over the signed (NULL-skipping) COUNT. Grouped
+        queries fall back to the exact plane (the per-group expansion
+        would multiply the grid by the term count)."""
+        from ..plans.query import (
+            AggOperation,
+            AggregationOperationType,
+            AggregationType,
+        )
+        from .model import ModelPlaneUnsupported
+
+        if query.group_bys:
+            raise ModelPlaneUnsupported(
+                "GROUP BY with a cross-column OR group: use the exact "
+                "plane (Engine.estimate falls back automatically)"
+            )
+        terms = self._ie_terms(query)
+
+        def scalar(agg_type, operands) -> float:
+            total = 0.0
+            for sign, q in terms:
+                q1 = Query(
+                    query_type=q.query_type,
+                    table_set=set(q.table_set),
+                    relationship_set=set(q.relationship_set),
+                    conditions=list(q.conditions),
+                    aggregations=[
+                        AggOperation(
+                            AggregationOperationType.AGGREGATION,
+                            agg_type,
+                            list(operands),
+                            alias="v",
+                        )
+                    ],
+                )
+                total += sign * self.select_model(q1).aqp(q1)[0]["v"]
+            return total
+
+        row: dict = {}
+        acc = None
+        alias = None
+        for op in query.aggregations:
+            if op.agg_type is AggregationType.AVG:
+                num = scalar(AggregationType.SUM, op.operands)
+                den = scalar(AggregationType.COUNT, op.operands)
+                val = num / den if den > 0 else float("nan")
+            else:
+                val = scalar(op.agg_type, op.operands)
+            if op.op_type is AggregationOperationType.AGGREGATION:
+                if acc is not None:
+                    row[alias or f"agg_{len(row)}"] = acc
+                acc, alias = val, op.alias
+            elif op.op_type is AggregationOperationType.PLUS:
+                acc += val
+            else:
+                acc -= val
+        if acc is not None:
+            row[alias or f"agg_{len(row)}"] = acc
+        return [row]
 
     def confidence_interval(self, query: Query, confidence: float = 0.95):
+        if self._complex_or_index(query) is not None:
+            from .model import ModelPlaneUnsupported
+
+            raise ModelPlaneUnsupported(
+                "confidence intervals over cross-column OR groups are "
+                "not supported (signed-term variances correlate); use "
+                "the exact plane"
+            )
         return self.select_model(query).confidence_interval(query, confidence)
 
     def answer(self, query: Query):

@@ -87,6 +87,12 @@ class GroupByExplosion(ValueError):
     """Model-side group-by grid exceeds MAX_GROUPBY_CELLS."""
 
 
+class ModelPlaneUnsupported(ValueError):
+    """The query shape is outside what the model plane can answer
+    (e.g. GROUP BY combined with a cross-column OR group). Callers
+    (Engine.estimate) catch this and fall back to the exact plane."""
+
+
 @dataclass
 class SPNModel:
     table_set: set[str]
@@ -266,6 +272,14 @@ class SPNModel:
     def conditions_to_ranges(self, query: Query) -> dict[int, Range]:
         out: dict[int, Range] = {}
         for cond in query.conditions:
+            if cond.op == "OR" and cond.column is None:
+                # cross-column group: a single model cannot express it
+                # as one per-column range — SPNEnsemble expands it via
+                # inclusion-exclusion BEFORE models see the query
+                raise ModelPlaneUnsupported(
+                    "cross-column OR reaches a single SPN; answer via "
+                    "SPNEnsemble (inclusion-exclusion) or the exact plane"
+                )
             if cond.table not in self.table_set:
                 raise ValueError(f"{cond.table} outside model scope")
             if cond.column in self.fd_maps:

@@ -253,3 +253,77 @@ def test_execute_query_model_explain(spark, ensemble_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "single_model" in out and "'value'" in out
+
+
+def test_update_ensemble_insert_then_delete(spark, tmp_path, capsys):
+    """--update_ensemble lifecycle: absorb a delta into the pickled
+    single-table model, then delete the same delta; estimates must
+    track grown/original table counts (D5 + delete extension)."""
+    import shutil
+
+    from deepdb_public_spark.engine import Engine
+    from deepdb_public_spark.spn.ensemble import SPNEnsemble
+
+    path = str(tmp_path / "upd.pkl")
+    rc = main(
+        [
+            "--data_dir", SF_SMOKE,
+            "--generate_ensemble",
+            "--ensemble_strategy", "single",
+            "--tables", "lineitem",
+            "--samples_per_spn", "20000",
+            "--ensemble_path", path,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    eng = Engine(spark, SF_SMOKE)
+    base_n = eng.catalog["lineitem"].count()
+    delta_n = eng.catalog["lineitem"].filter("l_orderkey % 10 < 3").count()
+
+    rc = main(
+        [
+            "--data_dir", SF_SMOKE,
+            "--update_ensemble",
+            "--update_table", "lineitem",
+            "--delta_filter", "l_orderkey % 10 < 3",
+            "--ensemble_path", path,
+            "--samples_per_spn", "20000",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"{delta_n} rows absorbed" in out
+    ens = SPNEnsemble.load(path, eng.schema)
+    assert ens.models[0].full_join_size == pytest.approx(base_n + delta_n)
+
+    rc = main(
+        [
+            "--data_dir", SF_SMOKE,
+            "--update_ensemble",
+            "--update_table", "lineitem",
+            "--delta_filter", "l_orderkey % 10 < 3",
+            "--ensemble_path", path,
+            "--samples_per_spn", "20000",
+            "--delete",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "rows removed" in capsys.readouterr().out
+    ens = SPNEnsemble.load(path, eng.schema)
+    assert ens.models[0].full_join_size == pytest.approx(base_n)
+
+
+def test_update_ensemble_requires_one_delta_source(spark, tmp_path):
+    with pytest.raises(SystemExit, match="delta_filter"):
+        main(
+            [
+                "--data_dir", SF_SMOKE,
+                "--update_ensemble",
+                "--update_table", "lineitem",
+                "--ensemble_path", str(tmp_path / "nope.pkl"),
+            ],
+            spark=spark,
+        )

@@ -1,11 +1,12 @@
-"""Same-column disjunction extension: ``(t.c < 5 OR t.c > 45)``.
+"""Disjunction extension: ``(t.c < 5 OR t.c > 45)``.
 
 The reference grammar is conjunctive-only (reference:
 evaluation/utils.py::parse_query — SURVEY.md §2 A8/table E); this is
 a beyond-reference extension. Both planes serve it: the exact plane
-compiles an or-filter, the model plane evaluates a single-column
-range union (spn/ranges.py::union_ranges), so no inclusion-exclusion
-is needed.
+compiles an or-filter (pushed into the scan when one table owns the
+group, post-join otherwise); the model plane evaluates SAME-column
+groups as one range union (spn/ranges.py::union_ranges) and
+CROSS-column groups via inclusion-exclusion (SPNEnsemble._ie_terms).
 """
 
 from __future__ import annotations
@@ -156,16 +157,6 @@ def test_parser_rejects_top_level_or():
         )
 
 
-def test_parser_rejects_cross_column_or():
-    sch = tpch_like_schema()
-    with pytest.raises(ValueError, match="single column"):
-        parse_query(
-            "SELECT COUNT(*) FROM lineitem WHERE "
-            "(lineitem.l_quantity < 5 OR lineitem.l_discount > 0.05)",
-            sch,
-        )
-
-
 def test_parser_single_parenthesized_predicate_degrades():
     sch = tpch_like_schema()
     q = parse_query(
@@ -226,3 +217,148 @@ def test_model_plane_or_within_budget(spark):
         true = int(eng.query(q).collect()[0][0])
         qerr = max(est / max(true, 1), true / max(est, 1e-9))
         assert qerr < 2.0, (sql, est, true)
+
+
+# --------------------------------------------- cross-column OR (IE)
+
+
+def test_parser_cross_column_group_allowed_now():
+    sch = tpch_like_schema()
+    q = parse_query(
+        "SELECT COUNT(*) FROM lineitem WHERE "
+        "(lineitem.l_quantity < 5 OR lineitem.l_discount > 0.08)",
+        sch,
+    )
+    (cond,) = q.conditions
+    assert cond.op == "OR" and cond.column is None
+    assert cond.table == "lineitem"
+
+
+def test_parser_cross_table_group_has_no_table():
+    sch = tpch_like_schema()
+    q = parse_query(
+        "SELECT COUNT(*) FROM orders, lineitem WHERE "
+        "orders.o_orderkey = lineitem.l_orderkey AND "
+        "(orders.o_totalprice > 200000 OR lineitem.l_quantity > 45)",
+        sch,
+    )
+    or_conds = [c for c in q.conditions if c.op == "OR"]
+    assert len(or_conds) == 1 and or_conds[0].table is None
+
+
+def test_parser_caps_cross_column_width():
+    sch = tpch_like_schema()
+    with pytest.raises(ValueError, match="at most"):
+        parse_query(
+            "SELECT COUNT(*) FROM lineitem WHERE "
+            "(lineitem.l_quantity < 1 OR lineitem.l_discount > 0.09 "
+            "OR lineitem.l_tax > 0.07 OR lineitem.l_extendedprice > 50000 "
+            "OR lineitem.l_suppkey = 3)",
+            sch,
+        )
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "SELECT COUNT(*) AS cnt FROM lineitem WHERE "
+        "(lineitem.l_quantity < 5 OR lineitem.l_discount > 0.08)",
+        "SELECT COUNT(*) AS cnt FROM orders, lineitem WHERE "
+        "orders.o_orderkey = lineitem.l_orderkey AND "
+        "(orders.o_totalprice > 200000 OR lineitem.l_quantity > 45) "
+        "AND lineitem.l_tax <= 0.05",
+    ],
+)
+def test_exact_plane_cross_column_or_matches_duckdb(spark, duck, sql):
+    eng = Engine(spark, SF_SMOKE)
+    got = eng.query(sql).collect()[0][0]
+    want = duck[SF_SMOKE].execute(sql).fetchone()[0]
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def li_engine(spark):
+    from deepdb_public_spark.spn.ensemble import SPNEnsemble
+    from deepdb_public_spark.spn.trainer import train_spn_model
+
+    eng = Engine(spark, SF_SMOKE)
+    eng.ensemble = SPNEnsemble(eng.schema)
+    eng.ensemble.add_model(
+        train_spn_model(eng.catalog, eng.schema, {"lineitem"}, 60_000)
+    )
+    return eng
+
+
+def test_model_plane_cross_column_or_inclusion_exclusion(li_engine):
+    eng = li_engine
+    for sql in [
+        "SELECT COUNT(*) AS cnt FROM lineitem WHERE "
+        "(lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)",
+        "SELECT COUNT(*) AS cnt FROM lineitem WHERE "
+        "(lineitem.l_returnflag = 'A' OR lineitem.l_quantity > 45 "
+        "OR lineitem.l_discount < 0.01)",
+    ]:
+        q = eng.parse(sql)
+        est = float(eng.ensemble.cardinality(q))
+        true = int(eng.query(q).collect()[0][0])
+        qerr = max(est / max(true, 1), true / max(est, 1e-9))
+        assert qerr < 2.0, (sql, est, true)
+
+
+def test_model_plane_cross_column_or_aqp(li_engine):
+    eng = li_engine
+    sql = (
+        "SELECT COUNT(*) AS cnt, SUM(lineitem.l_quantity) AS sq, "
+        "AVG(lineitem.l_extendedprice) AS ap FROM lineitem WHERE "
+        "(lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)"
+    )
+    q = eng.parse(sql)
+    (est,) = eng.ensemble.aqp(q)
+    (true,) = eng.query(q).collect()
+    assert est["cnt"] == pytest.approx(true["cnt"], rel=0.25)
+    assert est["sq"] == pytest.approx(true["sq"], rel=0.25)
+    assert est["ap"] == pytest.approx(true["ap"], rel=0.25)
+
+
+def test_grouped_cross_column_or_falls_back_to_exact(li_engine):
+    eng = li_engine
+    sql = (
+        "SELECT lineitem.l_returnflag, COUNT(*) AS cnt FROM lineitem "
+        "WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08) "
+        "GROUP BY lineitem.l_returnflag"
+    )
+    rows = eng.estimate(sql)  # ModelPlaneUnsupported -> exact fallback
+    exact = {r["l_returnflag"]: r["cnt"] for r in
+             (row.asDict() for row in eng.query(sql).collect())}
+    got = {r["l_returnflag"]: r["cnt"] for r in rows}
+    assert got == exact
+
+    from deepdb_public_spark.spn.model import ModelPlaneUnsupported
+
+    with pytest.raises(ModelPlaneUnsupported):
+        eng.estimate(sql, exact_fallback=False)
+
+
+def test_single_model_rejects_cross_column_or(li_engine):
+    from deepdb_public_spark.spn.model import ModelPlaneUnsupported
+
+    eng = li_engine
+    q = eng.parse(
+        "SELECT COUNT(*) AS cnt FROM lineitem WHERE "
+        "(lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)"
+    )
+    model = eng.ensemble.models[0]
+    with pytest.raises(ModelPlaneUnsupported):
+        model.cardinality(q)
+
+
+def test_explain_factors_ie_terms(li_engine):
+    eng = li_engine
+    q = eng.parse(
+        "SELECT COUNT(*) AS cnt FROM lineitem WHERE "
+        "(lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)"
+    )
+    trace = eng.ensemble.explain_factors(q)
+    assert [t["kind"] for t in trace] == ["ie_term"] * 3
+    signed = sum(t["sign"] * t["value"] for t in trace)
+    assert signed == pytest.approx(eng.ensemble.cardinality(q), rel=1e-9)

@@ -291,3 +291,44 @@ def test_stream_to_parquet_exactly_once(tmp_path, spark):
     s2 = stream_events(spark, src, watermark="1 day").select("event_id", "user_id", "ts")
     stream_to_parquet(s2, out, ckpt)
     assert spark.read.parquet(out).count() == n_src
+
+
+def test_sorted_parquet_files_own_disjoint_key_ranges(tmp_path, engine, spark):
+    """write_sorted_parquet is the data-skipping layout: output files
+    must own DISJOINT sort-key ranges (checked from the real parquet
+    footers), so a pushed-down filter on the key prunes whole files
+    at scan time instead of reading the table."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "li_sorted")
+    from deepdb_public_spark.sources.writers import write_sorted_parquet
+
+    df = engine.catalog["lineitem"]
+    write_sorted_parquet(df, out, ["l_shipdate"], n_files=8)
+
+    spans = []
+    for f in glob.glob(out + "/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("l_shipdate")
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            assert st is not None and st.has_min_max
+            los.append(st.min)
+            his.append(st.max)
+        spans.append((min(los), max(his)))
+    assert len(spans) >= 2
+    spans.sort()
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        # range partitioning: boundaries may share ONE key value, but
+        # ranges never interleave
+        assert lo_next >= hi_prev
+
+    # the filter reaches the scan as a pushed filter
+    back = spark.read.parquet(out)
+    flt = back.filter(F.col("l_shipdate") >= "1998-09-01")
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    assert flt.count() == df.filter(F.col("l_shipdate") >= "1998-09-01").count()
