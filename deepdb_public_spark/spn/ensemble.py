@@ -439,66 +439,99 @@ class SPNEnsemble:
         return self._aqp_inclusion_exclusion(query)
 
     def _aqp_inclusion_exclusion(self, query: Query) -> list[dict]:
-        """Non-grouped AQP over cross-column OR groups: each COUNT/SUM
-        output is the signed sum of per-term evaluations; AVG is the
-        signed SUM over the signed (NULL-skipping) COUNT. Grouped
-        queries fall back to the exact plane (the per-group expansion
-        would multiply the grid by the term count)."""
+        """AQP over cross-column OR groups: each COUNT/SUM output is
+        the signed sum of per-term evaluations; AVG is the signed SUM
+        over the signed (NULL-skipping) COUNT. Grouped queries combine
+        the per-term GRIDS per group key: a group's output row exists
+        iff some POSITIVE single-disjunct term produced it (the union
+        of the disjuncts' group sets — exactly SQL's visible groups),
+        and its values are the signed sums over all terms (missing
+        term-groups contribute 0)."""
         from ..plans.query import (
             AggOperation,
             AggregationOperationType,
             AggregationType,
         )
-        from .model import ModelPlaneUnsupported
 
-        if query.group_bys:
-            raise ModelPlaneUnsupported(
-                "GROUP BY with a cross-column OR group: use the exact "
-                "plane (Engine.estimate falls back automatically)"
-            )
         terms = self._ie_terms(query)
+        gb_cols = [c for _t, c in query.group_bys]
 
-        def scalar(agg_type, operands) -> float:
-            total = 0.0
+        def per_term(q, agg_type, operands) -> list[dict]:
+            q1 = Query(
+                query_type=q.query_type,
+                table_set=set(q.table_set),
+                relationship_set=set(q.relationship_set),
+                conditions=list(q.conditions),
+                group_bys=list(q.group_bys),
+                aggregations=[
+                    AggOperation(
+                        AggregationOperationType.AGGREGATION,
+                        agg_type,
+                        list(operands),
+                        alias="v",
+                    )
+                ],
+            )
+            return self.select_model(q1).aqp(q1)
+
+        # visible groups = union of group keys over POSITIVE terms: a
+        # group appears in SQL's output iff some disjunct conjunction
+        # admits rows for it (negative terms only subtract overlap
+        # mass and can never reveal a new group). Collected during the
+        # first signed() pass.
+        visible: set[tuple] = set() if gb_cols else {()}
+        collect_visible = bool(gb_cols)
+
+        def signed(agg_type, operands) -> dict[tuple, float]:
+            """group key tuple -> signed sum (key = () when ungrouped)."""
+            nonlocal collect_visible
+            total: dict[tuple, float] = {}
             for sign, q in terms:
-                q1 = Query(
-                    query_type=q.query_type,
-                    table_set=set(q.table_set),
-                    relationship_set=set(q.relationship_set),
-                    conditions=list(q.conditions),
-                    aggregations=[
-                        AggOperation(
-                            AggregationOperationType.AGGREGATION,
-                            agg_type,
-                            list(operands),
-                            alias="v",
-                        )
-                    ],
-                )
-                total += sign * self.select_model(q1).aqp(q1)[0]["v"]
+                for row in per_term(q, agg_type, operands):
+                    key = tuple(row[c] for c in gb_cols)
+                    total[key] = total.get(key, 0.0) + sign * row["v"]
+                    if collect_visible and sign > 0:
+                        visible.add(key)
+            collect_visible = False
             return total
 
-        row: dict = {}
-        acc = None
+        outputs: list[tuple[str, dict[tuple, float]]] = []
+        acc: dict[tuple, float] | None = None
         alias = None
+
+        def combine(a, b, f):
+            return {k: f(a.get(k, 0.0), b.get(k, 0.0)) for k in visible}
+
         for op in query.aggregations:
             if op.agg_type is AggregationType.AVG:
-                num = scalar(AggregationType.SUM, op.operands)
-                den = scalar(AggregationType.COUNT, op.operands)
-                val = num / den if den > 0 else float("nan")
+                num = signed(AggregationType.SUM, op.operands)
+                den = signed(AggregationType.COUNT, op.operands)
+                val = {
+                    k: (num.get(k, 0.0) / den[k])
+                    if den.get(k, 0.0) > 0
+                    else float("nan")
+                    for k in visible
+                }
             else:
-                val = scalar(op.agg_type, op.operands)
+                val = signed(op.agg_type, op.operands)
             if op.op_type is AggregationOperationType.AGGREGATION:
                 if acc is not None:
-                    row[alias or f"agg_{len(row)}"] = acc
+                    outputs.append((alias or f"agg_{len(outputs)}", acc))
                 acc, alias = val, op.alias
             elif op.op_type is AggregationOperationType.PLUS:
-                acc += val
+                acc = combine(acc, val, lambda x, y: x + y)
             else:
-                acc -= val
+                acc = combine(acc, val, lambda x, y: x - y)
         if acc is not None:
-            row[alias or f"agg_{len(row)}"] = acc
-        return [row]
+            outputs.append((alias or f"agg_{len(outputs)}", acc))
+
+        rows = []
+        for key in sorted(visible, key=repr):
+            row = dict(zip(gb_cols, key))
+            for name, val in outputs:
+                row[name] = val.get(key, 0.0)
+            rows.append(row)
+        return rows
 
     def confidence_interval(self, query: Query, confidence: float = 0.95):
         if self._complex_or_index(query) is not None:

@@ -320,23 +320,40 @@ def test_model_plane_cross_column_or_aqp(li_engine):
     assert est["ap"] == pytest.approx(true["ap"], rel=0.25)
 
 
-def test_grouped_cross_column_or_falls_back_to_exact(li_engine):
+def test_grouped_cross_column_or_signed_grids(li_engine):
+    """Grouped AQP over a cross-column OR: per-group signed sums of
+    the term grids; visible groups = union over positive terms —
+    matches SQL's group set exactly and the counts within budget."""
     eng = li_engine
     sql = (
-        "SELECT lineitem.l_returnflag, COUNT(*) AS cnt FROM lineitem "
+        "SELECT lineitem.l_returnflag, COUNT(*) AS cnt, "
+        "SUM(lineitem.l_quantity) AS sq, "
+        "AVG(lineitem.l_extendedprice) AS ap FROM lineitem "
         "WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08) "
         "GROUP BY lineitem.l_returnflag"
     )
-    rows = eng.estimate(sql)  # ModelPlaneUnsupported -> exact fallback
-    exact = {r["l_returnflag"]: r["cnt"] for r in
-             (row.asDict() for row in eng.query(sql).collect())}
-    got = {r["l_returnflag"]: r["cnt"] for r in rows}
-    assert got == exact
+    q = eng.parse(sql)
+    est = {r["l_returnflag"]: r for r in eng.ensemble.aqp(q)}
+    exact = {
+        r["l_returnflag"]: r.asDict() for r in eng.query(q).collect()
+    }
+    assert set(est) == set(exact)
+    for g, truth in exact.items():
+        assert est[g]["cnt"] == pytest.approx(truth["cnt"], rel=0.3), g
+        assert est[g]["sq"] == pytest.approx(truth["sq"], rel=0.3), g
+        assert est[g]["ap"] == pytest.approx(truth["ap"], rel=0.3), g
 
+
+def test_cross_column_or_ci_falls_back(li_engine):
     from deepdb_public_spark.spn.model import ModelPlaneUnsupported
 
+    eng = li_engine
+    q = eng.parse(
+        "SELECT COUNT(*) AS cnt FROM lineitem WHERE "
+        "(lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)"
+    )
     with pytest.raises(ModelPlaneUnsupported):
-        eng.estimate(sql, exact_fallback=False)
+        eng.ensemble.confidence_interval(q)
 
 
 def test_single_model_rejects_cross_column_or(li_engine):

@@ -337,3 +337,51 @@ def test_fuzzed_query_matches_duckdb_extended(eng, duck, seed):
     date BETWEEN predicates (same-column conjunct intersections arise
     by chance in both bands)."""
     _run_fuzz_case(eng, duck, seed)
+
+
+# ---------------------------------------------------- OR-group band
+
+
+def _simple_pred_for_or(tabs: list[str], rng: random.Random) -> str | None:
+    """Simple predicate for use inside a disjunction group (no nested
+    parens; NULL predicates legal inside groups)."""
+    return _rand_pred(tabs, rng)
+
+
+def gen_query_or(seed: int) -> tuple[str, str]:
+    """Like gen_query but guarantees at least one parenthesized OR
+    group (the round-3 grammar extension): same-column groups exercise
+    the range-union path, cross-column groups the post-join filter /
+    inclusion-exclusion path."""
+    rng = random.Random(10_000 + seed)
+    tabs, joins = _rand_tables(rng)
+    parts = []
+    for _ in range(8):
+        p = _rand_pred(tabs, rng)
+        if p is not None and not p.startswith("("):
+            parts.append(p)
+        if len(parts) >= 4:
+            break
+    if len(parts) < 2:
+        where_sql = (" WHERE " + " AND ".join(joins)) if joins else ""
+        return (
+            f"SELECT COUNT(*) AS cnt FROM {', '.join(tabs)}{where_sql}",
+            "count",
+        )
+    k = rng.choice([2, 2, 3])
+    group = "(" + " OR ".join(parts[:k]) + ")"
+    preds = [group] + parts[k:k + 1]
+    where = joins + preds
+    where_sql = " WHERE " + " AND ".join(where)
+    return (
+        f"SELECT COUNT(*) AS cnt FROM {', '.join(tabs)}{where_sql}",
+        "count",
+    )
+
+
+@pytest.mark.parametrize("seed", range(0, 40))
+def test_fuzzed_or_groups_match_duckdb(eng, duck, seed):
+    sql, _mode = gen_query_or(seed)
+    got = _rows(eng.query(sql))
+    want = _duck_rows(duck, sql)
+    assert got == want, sql
