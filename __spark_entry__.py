@@ -83,6 +83,16 @@ _IR_QUERIES: dict[str, str] = {
         "WHERE orders.o_orderkey = lineitem.l_orderkey "
         "AND (orders.o_totalprice > 200000 OR lineitem.l_quantity > 45)"
     ),
+    # grammar EXTENSION: NOT IN / NOT BETWEEN / NOT LIKE through the
+    # IR path (the reference grammar has no NOT and no patterns);
+    # model-plane twins are m01 case c8 + tests/test_pattern_predicates
+    "q37_not_pattern": (
+        "SELECT COUNT(*) AS cnt FROM orders, lineitem "
+        "WHERE orders.o_orderkey = lineitem.l_orderkey "
+        "AND orders.o_orderpriority NOT LIKE '1-%' "
+        "AND lineitem.l_quantity NOT BETWEEN 5 AND 45 "
+        "AND lineitem.l_returnflag NOT IN ('A')"
+    ),
     # A4 + A6 + A15: 4-way join, range + IN predicates
     "q18_join4_card": (
         "SELECT COUNT(*) AS cnt FROM part, lineitem, orders, customer "
@@ -915,6 +925,9 @@ _M01_CASES = [
     # CROSS-column disjunction: answered by inclusion-exclusion over
     # conjunctive sub-queries (SPNEnsemble._ie_terms)
     ("c7", "SELECT COUNT(*) AS cnt FROM lineitem WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)"),
+    # LIKE via dictionary pattern matching (code-set membership over
+    # the complete driver-side dictionary — exact translation)
+    ("c8", "SELECT COUNT(*) AS cnt FROM orders WHERE orders.o_orderpriority NOT LIKE '1-%'"),
 ]
 
 _M03_CASES = [

@@ -58,6 +58,23 @@ def main() -> None:
         # executor-memory pressure into GC-driven timing noise
         release_cached()
 
+    # model-plane estimate latency (the reference's headline: answer
+    # without touching the data). The m-entries above left trained
+    # models in the shared engine; time pure ensemble.cardinality
+    # calls over the m01 case list. Factor caches are invalidated by
+    # using fresh parses each pass — the number reported is warm-model
+    # (not warm-cache-per-query) latency.
+    est_ms = None
+    if getattr(eng, "ensemble", None) is not None:
+        cases = [sql for _qid, sql in entry_mod._M01_CASES]
+        n = 0
+        t0 = time.perf_counter()
+        for _ in range(20):
+            for sql in cases:
+                eng.ensemble.cardinality(eng.parse(sql))
+                n += 1
+        est_ms = round((time.perf_counter() - t0) / n * 1000, 3)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -68,6 +85,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
+                "estimate_ms_mean": est_ms,
             }
         )
     )

@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                      help="stage seeded table samples + sample-rate schema (C6; "
                      "the reference's --generate_sampled_hdfs)")
     act.add_argument("--execute_query", metavar="SQL")
+    act.add_argument("--generate_ground_truth", action="store_true",
+                     help="run the query file ONCE on the exact plane "
+                     "and pickle {sql: rows} to --target_path "
+                     "(reference --aqp_ground_truth / "
+                     "--cardinalities_ground_truth lifecycles)")
     act.add_argument("--update_ensemble", action="store_true",
                      help="absorb an insert/delete delta into the "
                      "pickled ensemble's single-table models without "
@@ -100,6 +105,9 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--max_variants", type=int, default=1,
                    help="average up to N factorization variants for "
                    "multi-SPN cardinality estimates (reference flag)")
+    e.add_argument("--ground_truth_path",
+                   help="pickled truths from --generate_ground_truth; "
+                   "evaluations then skip the exact plane")
     e.add_argument("--rdc_spn_selection", action="store_true",
                    help="rank factorization anchors by pairwise RDC of "
                    "jointly-covered condition columns (needs an ensemble "
@@ -224,6 +232,26 @@ def _cmd_generate_ensemble(eng: Engine, args) -> int:
     return 0
 
 
+def _ground_truth(args):
+    if not args.ground_truth_path:
+        return None
+    from .evaluation import load_ground_truth
+
+    return load_ground_truth(args.ground_truth_path)
+
+
+def _cmd_generate_ground_truth(eng: Engine, args) -> int:
+    from .evaluation import generate_ground_truth
+
+    _require(args, "query_file_location", args.query_file_location)
+    _require(args, "target_path", args.target_path)
+    truth = generate_ground_truth(
+        eng, load_query_file(args.query_file_location), args.target_path
+    )
+    print(f"{len(truth)} ground truths -> {args.target_path}")
+    return 0
+
+
 def _cmd_evaluate_cardinalities(eng: Engine, args) -> int:
     _require(args, "ensemble_path", args.ensemble_path)
     _require(args, "query_file_location", args.query_file_location)
@@ -233,6 +261,7 @@ def _cmd_evaluate_cardinalities(eng: Engine, args) -> int:
         load_query_file(args.query_file_location),
         args.target_path,
         max_variants=args.max_variants,
+        ground_truth=_ground_truth(args),
     )
     print(
         f"n={summary['n']} median_q_error={summary['median_q_error']:.3f} "
@@ -248,7 +277,10 @@ def _cmd_evaluate_aqp(eng: Engine, args) -> int:
     _require(args, "query_file_location", args.query_file_location)
     _load_ensemble(eng, args.ensemble_path, args.rdc_spn_selection)
     summary = evaluate_aqp(
-        eng, load_query_file(args.query_file_location), args.target_path
+        eng,
+        load_query_file(args.query_file_location),
+        args.target_path,
+        ground_truth=_ground_truth(args),
     )
     print(
         f"n_cells={summary['n_cells']} "
@@ -269,6 +301,7 @@ def _cmd_evaluate_cis(eng: Engine, args) -> int:
         load_query_file(args.query_file_location),
         confidence=args.confidence,
         output_csv=args.target_path,
+        ground_truth=_ground_truth(args),
     )
     print(
         f"n={summary['n_cells']} confidence={args.confidence} "
@@ -368,6 +401,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         ("evaluate_aqp_queries", _cmd_evaluate_aqp),
         ("evaluate_confidence_intervals", _cmd_evaluate_cis),
         ("generate_sampled_parquet", _cmd_generate_sampled),
+        ("generate_ground_truth", _cmd_generate_ground_truth),
         ("execute_query", _cmd_execute_query),
         ("update_ensemble", _cmd_update_ensemble),
     ]

@@ -36,24 +36,58 @@ def q_error(est: float, true: float) -> float:
     return float(max(e / t, t / e))
 
 
+def generate_ground_truth(
+    engine: Engine, queries: list[str], target_path: str
+) -> dict:
+    """Reference lifecycle parity (maqp.py --aqp_ground_truth /
+    --cardinalities_ground_truth generate pickled truths the
+    evaluations then reuse): run every query ONCE on the exact plane
+    and pickle {sql: [row dicts]}. Pass the pickle to the evaluate_*
+    harnesses as ``ground_truth`` to benchmark many
+    ensembles/configurations without re-executing the exact plane —
+    at 100 TB the truths are the expensive part."""
+    import pickle
+
+    truth = {}
+    for sql in queries:
+        q = engine.parse(sql)
+        truth[sql] = [r.asDict() for r in engine.query(q).collect()]
+    with open(target_path, "wb") as f:
+        pickle.dump(truth, f)
+    return truth
+
+
+def load_ground_truth(path: str) -> dict:
+    import pickle
+
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
 def evaluate_cardinalities(
     engine: Engine,
     queries: list[str],
     output_csv: str | None = None,
     max_variants: int = 1,
+    ground_truth: dict | None = None,
 ) -> dict:
     """Per-query model-plane estimate vs exact-plane truth. Returns
     summary stats; optionally writes the reference-style CSV
     (query, cardinality_predict, cardinality_true, latency_ms).
     ``max_variants`` averages several factorization variants for
-    queries needing the multi-SPN path (reference --max_variants)."""
+    queries needing the multi-SPN path (reference --max_variants);
+    ``ground_truth`` (from generate_ground_truth) skips the exact
+    plane entirely."""
     results: list[CardinalityResult] = []
     for sql in queries:
         q = engine.parse(sql)
         t0 = time.perf_counter()
         est = float(engine.ensemble.cardinality(q, max_variants=max_variants))
         latency = (time.perf_counter() - t0) * 1000
-        truth = int(engine.query(q).collect()[0][0])
+        if ground_truth is not None:
+            truth = int(next(iter(ground_truth[sql][0].values())))
+        else:
+            truth = int(engine.query(q).collect()[0][0])
         results.append(
             CardinalityResult(sql, est, truth, q_error(est, truth), latency)
         )
@@ -82,6 +116,7 @@ def evaluate_confidence_intervals(
     queries: list[str],
     confidence: float = 0.95,
     output_csv: str | None = None,
+    ground_truth: dict | None = None,
 ) -> dict:
     """CI calibration harness (reference:
     evaluation/confidence_interval_evaluation.py — SURVEY.md §5.1):
@@ -98,7 +133,10 @@ def evaluate_confidence_intervals(
     for sql in queries:
         q = engine.parse(sql)
         ci_rows = engine.ensemble.confidence_interval(q, confidence=confidence)
-        exact_rows = [r.asDict() for r in engine.query(q).collect()]
+        if ground_truth is not None:
+            exact_rows = ground_truth[sql]
+        else:
+            exact_rows = [r.asDict() for r in engine.query(q).collect()]
         gb = [c for _t, c in q.group_bys]
 
         def key_exact(r: dict):
@@ -156,7 +194,10 @@ def evaluate_confidence_intervals(
 
 
 def evaluate_aqp(
-    engine: Engine, queries: list[str], output_csv: str | None = None
+    engine: Engine,
+    queries: list[str],
+    output_csv: str | None = None,
+    ground_truth: dict | None = None,
 ) -> dict:
     """Relative error of model-plane aggregates vs exact answers
     (reference: aqp_evaluation.py). Group-by queries compare per-group;
@@ -178,7 +219,10 @@ def evaluate_aqp(
             skipped.append(sql)
             continue
         latency = (time.perf_counter() - t0) * 1000
-        exact_rows = [r.asDict() for r in engine.query(q).collect()]
+        if ground_truth is not None:
+            exact_rows = ground_truth[sql]
+        else:
+            exact_rows = [r.asDict() for r in engine.query(q).collect()]
         gb = [c for _t, c in q.group_bys]
 
         def key(r: dict):

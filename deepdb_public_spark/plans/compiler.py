@@ -47,8 +47,18 @@ def condition_to_column(cond: Condition) -> Column:
         return col >= F.lit(cond.value)
     if cond.op == "BETWEEN":
         return col.between(F.lit(cond.value[0]), F.lit(cond.value[1]))
+    if cond.op == "NOT_BETWEEN":
+        # SQL three-valued logic: NULL rows fail both branches either
+        # way, so plain negation matches engine semantics
+        return ~col.between(F.lit(cond.value[0]), F.lit(cond.value[1]))
     if cond.op == "IN":
         return col.isin(list(cond.value))
+    if cond.op == "NOT_IN":
+        return ~col.isin(list(cond.value))
+    if cond.op == "LIKE":
+        return col.like(cond.value)
+    if cond.op == "NOT_LIKE":
+        return ~col.like(cond.value)
     if cond.op == "IS_NULL":
         return col.isNull()
     if cond.op == "IS_NOT_NULL":

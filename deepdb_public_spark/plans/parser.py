@@ -42,10 +42,15 @@ from .schema import SchemaGraph
 _JOIN_RE = re.compile(r"^(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)$")
 _PRED_RE = re.compile(r"^(\w+)\.(\w+)\s*(<=|>=|<>|!=|=|<|>)\s*(.+)$", re.DOTALL)
 _BETWEEN_RE = re.compile(
-    r"^(\w+)\.(\w+)\s+BETWEEN\s+(.+)\s+AND\s+(.+)$", re.IGNORECASE
+    r"^(\w+)\.(\w+)\s+(NOT\s+)?BETWEEN\s+(.+)\s+AND\s+(.+)$", re.IGNORECASE
 )
-_IN_RE = re.compile(r"^(\w+)\.(\w+)\s+IN\s*\((.+)\)$", re.IGNORECASE | re.DOTALL)
+_IN_RE = re.compile(
+    r"^(\w+)\.(\w+)\s+(NOT\s+)?IN\s*\((.+)\)$", re.IGNORECASE | re.DOTALL
+)
 _NULL_RE = re.compile(r"^(\w+)\.(\w+)\s+IS\s+(NOT\s+)?NULL$", re.IGNORECASE)
+_LIKE_RE = re.compile(
+    r"^(\w+)\.(\w+)\s+(NOT\s+)?LIKE\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
 _AGG_RE = re.compile(r"^(SUM|AVG|COUNT)\s*\((.+)\)$", re.IGNORECASE | re.DOTALL)
 
 # cross-column OR groups expand to 2^k - 1 inclusion-exclusion terms
@@ -260,17 +265,18 @@ def _match_predicate(
     (same length). Returns None when nothing matches."""
     bm = _BETWEEN_RE.match(conj_masked)
     if bm:
-        t, c = bm.group(1), bm.group(2)
-        lo = conjunct[bm.start(3): bm.end(3)]
-        hi = conjunct[bm.start(4): bm.end(4)]
+        t, c, neg = bm.group(1), bm.group(2), bm.group(3)
+        lo = conjunct[bm.start(4): bm.end(4)]
+        hi = conjunct[bm.start(5): bm.end(5)]
         return Condition(
-            _resolve(alias_map, t), c, "BETWEEN",
+            _resolve(alias_map, t), c,
+            "NOT_BETWEEN" if neg else "BETWEEN",
             (_parse_literal(lo), _parse_literal(hi)),
         )
     im = _IN_RE.match(conj_masked)
     if im:
-        t, c = im.group(1), im.group(2)
-        vals = conjunct[im.start(3): im.end(3)]
+        t, c, neg = im.group(1), im.group(2), im.group(3)
+        vals = conjunct[im.start(4): im.end(4)]
         vm = _mask_string_literals(vals)
         cuts = [0] + [i for i, ch in enumerate(vm) if ch == ","] + [len(vals)]
         items = [
@@ -278,7 +284,8 @@ def _match_predicate(
             for a, b in zip(cuts, cuts[1:])
         ]
         return Condition(
-            _resolve(alias_map, t), c, "IN",
+            _resolve(alias_map, t), c,
+            "NOT_IN" if neg else "IN",
             [_parse_literal(v) for v in items],
         )
     nm = _NULL_RE.match(conj_masked)
@@ -287,6 +294,17 @@ def _match_predicate(
         return Condition(
             _resolve(alias_map, t), c,
             "IS_NOT_NULL" if notnull else "IS_NULL",
+        )
+    lm = _LIKE_RE.match(conj_masked)
+    if lm:
+        t, c, neg = lm.group(1), lm.group(2), lm.group(3)
+        pat = _parse_literal(conjunct[lm.start(4): lm.end(4)])
+        if not isinstance(pat, str):
+            raise ValueError(f"LIKE pattern must be a string literal: {conjunct!r}")
+        return Condition(
+            _resolve(alias_map, t), c,
+            "NOT_LIKE" if neg else "LIKE",
+            pat,
         )
     pm = _PRED_RE.match(conj_masked)
     if pm:
@@ -411,8 +429,15 @@ def parse_query(sql: str, schema: SchemaGraph) -> Query:
                     "must be parenthesized groups, e.g. "
                     "(t.c < 5 OR t.c > 45)"
                 )
-        if re.search(r"\bNOT\b(?!\s+NULL)", masked, re.IGNORECASE):
-            raise ValueError("NOT is only supported as IS NOT NULL")
+        if re.search(
+            r"\bNOT\b(?!\s+(?:NULL|IN\b|BETWEEN\b|LIKE\b))",
+            masked,
+            re.IGNORECASE,
+        ):
+            raise ValueError(
+                "NOT is only supported as IS NOT NULL / NOT IN / "
+                "NOT BETWEEN / NOT LIKE"
+            )
         for conjunct, conj_masked in _split_conjuncts(where, masked):
             # match grammar on the MASKED conjunct (operators/keywords
             # inside literals can't trigger); slice literal values out

@@ -50,11 +50,16 @@ class Condition:
     def __str__(self) -> str:
         if self.op == "OR":
             return "(" + " OR ".join(str(c) for c in self.value) + ")"
-        if self.op == "BETWEEN":
-            return f"{self.table}.{self.column} BETWEEN {self.value[0]} AND {self.value[1]}"
-        if self.op == "IN":
+        if self.op in ("BETWEEN", "NOT_BETWEEN"):
+            kw = "NOT BETWEEN" if self.op == "NOT_BETWEEN" else "BETWEEN"
+            return f"{self.table}.{self.column} {kw} {self.value[0]} AND {self.value[1]}"
+        if self.op in ("IN", "NOT_IN"):
+            kw = "NOT IN" if self.op == "NOT_IN" else "IN"
             vals = ", ".join(repr(v) for v in self.value)
-            return f"{self.table}.{self.column} IN ({vals})"
+            return f"{self.table}.{self.column} {kw} ({vals})"
+        if self.op in ("LIKE", "NOT_LIKE"):
+            kw = "NOT LIKE" if self.op == "NOT_LIKE" else "LIKE"
+            return f"{self.table}.{self.column} {kw} {self.value!r}"
         if self.op == "IS_NULL":
             return f"{self.table}.{self.column} IS NULL"
         if self.op == "IS_NOT_NULL":

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import math as _math
+import re as _re
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -57,6 +58,20 @@ from .ranges import (
     range_key,
     value_admitted,
 )
+
+
+def _like_to_regex(pattern: str) -> "_re.Pattern":
+    """SQL LIKE -> compiled regex: % = any run, _ = any char, all else
+    literal (no ESCAPE clause — outside the supported grammar)."""
+    out = []
+    for ch in pattern:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return _re.compile("".join(out), _re.DOTALL)
 
 
 def _inv_max1(x: np.ndarray) -> np.ndarray:
@@ -188,10 +203,69 @@ class SPNModel:
         if cond.op == "IN":
             codes = [self._literal(col, v) for v in cond.value]
             return NominalRange([c for c in codes if c is not None])
+        if cond.op == "NOT_IN":
+            if cm.kind == "categorical":
+                codes = {
+                    int(c)
+                    for c in (self._literal(col, v) for v in cond.value)
+                    if c is not None
+                }
+                return NominalRange(
+                    [c for c in range(cm.n_distinct) if c not in codes]
+                )
+            # numeric: complement of the point set — open intervals
+            # between consecutive excluded values
+            pts = sorted(
+                {float(self._literal(col, v)) for v in cond.value}
+            )
+            bounds = [-np.inf] + pts + [np.inf]
+            return NumericRange(
+                [
+                    (a, b, a == -np.inf, b == np.inf)
+                    for a, b in zip(bounds, bounds[1:])
+                    if a != b
+                ]
+            )
         if cond.op == "BETWEEN":
             lo, lo_incl = self._range_bound(cm, col, cond.value[0], "lo", True)
             hi, hi_incl = self._range_bound(cm, col, cond.value[1], "hi", True)
             return NumericRange([(lo, hi, lo_incl, hi_incl)])
+        if cond.op == "NOT_BETWEEN":
+            # NOT (lo <= x <= hi) == x < lo OR x > hi: reuse the
+            # translated single-sided ranges and union them (absent
+            # categorical literals keep their bisection semantics)
+            left = self._condition_to_range(
+                Condition(cond.table, col, "<", cond.value[0])
+            )
+            right = self._condition_to_range(
+                Condition(cond.table, col, ">", cond.value[1])
+            )
+            return union_ranges(left, right)
+        if cond.op in ("LIKE", "NOT_LIKE"):
+            # dictionary pattern matching: a LIKE predicate over an
+            # encoded categorical column is just a code-set membership
+            # — the dictionary is complete, so this is EXACT (an
+            # extension the reference cannot express; its grammar has
+            # no pattern predicates)
+            if cm.kind != "categorical":
+                raise ValueError(
+                    f"LIKE on non-categorical column '{col}' is outside "
+                    "the model plane; use the exact plane"
+                )
+            if cm.value_to_code is None:
+                self._literal(col, "")  # raises the loud capped-dict error
+            rx = _like_to_regex(cond.value)
+            codes = [
+                code
+                for v, code in cm.value_to_code.items()
+                if v is not None and rx.fullmatch(v) is not None
+            ]
+            if cond.op == "NOT_LIKE":
+                keep = set(codes)
+                codes = [
+                    c for c in range(cm.n_distinct) if c not in keep
+                ]
+            return NominalRange(sorted(codes))
         if cond.op in ("<", "<=", ">", ">="):
             incl = cond.op in ("<=", ">=")
             side = "hi" if cond.op[0] == "<" else "lo"
@@ -253,8 +327,19 @@ class SPNModel:
             admitted = [cond.value] if cond.value in mapping else []
         elif cond.op == "IN":
             admitted = [v for v in cond.value if v in mapping]
+        elif cond.op == "NOT_IN":
+            excluded = set(cond.value)
+            admitted = [v for v in mapping if v not in excluded]
         elif cond.op == "<>":
             admitted = [v for v in mapping if v != cond.value]
+        elif cond.op in ("LIKE", "NOT_LIKE"):
+            rx = _like_to_regex(cond.value)
+            admitted = [
+                v
+                for v in mapping
+                if v is not None
+                and (rx.fullmatch(v) is not None) == (cond.op == "LIKE")
+            ]
         elif cond.op == "IS_NOT_NULL":
             admitted = [v for v in mapping if v is not None]
         else:

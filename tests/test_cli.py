@@ -327,3 +327,32 @@ def test_update_ensemble_requires_one_delta_source(spark, tmp_path):
             ],
             spark=spark,
         )
+
+
+def test_ground_truth_lifecycle(spark, ensemble_path, tmp_path, capsys):
+    """--generate_ground_truth pickles exact answers once; the
+    evaluations then run with --ground_truth_path and produce the
+    SAME summary as the inline-truth path (reference's separate
+    ground-truth lifecycle)."""
+    qf = _write_queries(tmp_path)
+    gt = str(tmp_path / "truth.pkl")
+    rc = main(
+        ["--data_dir", SF_SMOKE, "--generate_ground_truth",
+         "--query_file_location", qf, "--target_path", gt],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "2 ground truths" in capsys.readouterr().out
+
+    args = [
+        "--data_dir", SF_SMOKE, "--evaluate_cardinalities",
+        "--ensemble_path", ensemble_path,
+        "--query_file_location", qf,
+        "--target_path", str(tmp_path / "card.csv"),
+    ]
+    assert main(args, spark=spark) == 0
+    inline = capsys.readouterr().out
+    assert main(args + ["--ground_truth_path", gt], spark=spark) == 0
+    cached = capsys.readouterr().out
+    # identical q-error stats; latency line differs
+    assert inline.split("mean_latency")[0] == cached.split("mean_latency")[0]

@@ -1,0 +1,127 @@
+"""NOT IN / NOT BETWEEN / LIKE / NOT LIKE — grammar extensions beyond
+the reference's conjunctive =/range/IN fragment (SURVEY.md §2 table E:
+"Subqueries, OR, NOT, disjunctive predicates — absent").
+
+The model-plane trick: a LIKE over an encoded categorical column is a
+code-set membership computed by matching the pattern against the
+complete driver-side dictionary — EXACT, no approximation beyond the
+histogram itself.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from deepdb_public_spark.engine import Engine
+from deepdb_public_spark.plans.parser import parse_query
+from deepdb_public_spark.plans.schema import tpch_like_schema
+from deepdb_public_spark.spn.model import _like_to_regex
+from tests.conftest import SF_SMOKE
+
+
+def test_like_to_regex():
+    rx = _like_to_regex("1-%")
+    assert rx.fullmatch("1-URGENT") and not rx.fullmatch("21-URGENT")
+    rx = _like_to_regex("B_ILDING")
+    assert rx.fullmatch("BUILDING") and not rx.fullmatch("BILDING")
+    rx = _like_to_regex("50%")  # literal escape of regex chars
+    assert rx.fullmatch("50x") and not rx.fullmatch("x50")
+    rx = _like_to_regex("a.b")
+    assert rx.fullmatch("a.b") and not rx.fullmatch("axb")
+
+
+def test_parser_not_variants():
+    sch = tpch_like_schema()
+    ops = {}
+    for sql, op in [
+        ("SELECT COUNT(*) FROM lineitem WHERE lineitem.l_returnflag NOT IN ('A')", "NOT_IN"),
+        ("SELECT COUNT(*) FROM lineitem WHERE lineitem.l_quantity NOT BETWEEN 5 AND 45", "NOT_BETWEEN"),
+        ("SELECT COUNT(*) FROM orders WHERE orders.o_orderpriority LIKE '1-%'", "LIKE"),
+        ("SELECT COUNT(*) FROM orders WHERE orders.o_orderpriority NOT LIKE '1-%'", "NOT_LIKE"),
+    ]:
+        (cond,) = parse_query(sql, sch).conditions
+        ops[op] = cond.op
+    assert all(k == v for k, v in ops.items())
+    with pytest.raises(ValueError, match="NOT is only supported"):
+        parse_query(
+            "SELECT COUNT(*) FROM lineitem WHERE NOT lineitem.l_quantity = 5",
+            sch,
+        )
+
+
+EXACT_CASES = [
+    "SELECT COUNT(*) AS cnt FROM lineitem WHERE lineitem.l_returnflag NOT IN ('A', 'R')",
+    "SELECT COUNT(*) AS cnt FROM lineitem WHERE lineitem.l_quantity NOT BETWEEN 5 AND 45",
+    "SELECT COUNT(*) AS cnt FROM orders WHERE orders.o_orderpriority LIKE '%URGENT%'",
+    "SELECT COUNT(*) AS cnt FROM orders WHERE orders.o_orderpriority NOT LIKE '1-%'",
+    "SELECT COUNT(*) AS cnt FROM orders, lineitem "
+    "WHERE orders.o_orderkey = lineitem.l_orderkey "
+    "AND orders.o_orderpriority LIKE '_-_IGH' AND lineitem.l_quantity NOT BETWEEN 2 AND 48",
+    "SELECT COUNT(*) AS cnt FROM lineitem WHERE "
+    "(lineitem.l_returnflag LIKE 'A%' OR lineitem.l_quantity NOT BETWEEN 2 AND 48)",
+]
+
+
+@pytest.mark.parametrize("sql", EXACT_CASES)
+def test_exact_plane_matches_duckdb(spark, duck, sql):
+    eng = Engine(spark, SF_SMOKE)
+    got = eng.query(sql).collect()[0][0]
+    want = duck[SF_SMOKE].execute(sql).fetchone()[0]
+    assert got == want, sql
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    from deepdb_public_spark.spn.ensemble import SPNEnsemble
+    from deepdb_public_spark.spn.trainer import train_spn_model
+
+    eng = Engine(spark, SF_SMOKE)
+    eng.ensemble = SPNEnsemble(eng.schema)
+    eng.ensemble.add_model(
+        train_spn_model(eng.catalog, eng.schema, {"lineitem"}, 60_000)
+    )
+    eng.ensemble.add_model(
+        train_spn_model(eng.catalog, eng.schema, {"orders"}, 60_000)
+    )
+    return eng
+
+
+MODEL_CASES = [
+    "SELECT COUNT(*) AS cnt FROM lineitem WHERE lineitem.l_returnflag NOT IN ('A', 'R')",
+    "SELECT COUNT(*) AS cnt FROM lineitem WHERE lineitem.l_quantity NOT BETWEEN 5 AND 45",
+    "SELECT COUNT(*) AS cnt FROM orders WHERE orders.o_orderpriority LIKE '%URGENT%'",
+    "SELECT COUNT(*) AS cnt FROM orders WHERE orders.o_orderpriority NOT LIKE '1-%'",
+    "SELECT COUNT(*) AS cnt FROM orders WHERE orders.o_orderstatus NOT IN ('F')",
+]
+
+
+def test_model_plane_within_budget(engines):
+    eng = engines
+    for sql in MODEL_CASES:
+        q = eng.parse(sql)
+        est = float(eng.ensemble.cardinality(q))
+        true = int(eng.query(q).collect()[0][0])
+        qerr = max(est / max(true, 1), true / max(est, 1e-9))
+        assert qerr < 1.5, (sql, est, true)
+
+
+def test_model_plane_like_is_dictionary_exact(engines):
+    """With sample fraction 1 at this scale, LIKE code-set translation
+    makes the estimate match the exact count almost exactly."""
+    eng = engines
+    q = eng.parse(
+        "SELECT COUNT(*) AS cnt FROM orders WHERE orders.o_orderpriority LIKE '_-HIGH'"
+    )
+    est = float(eng.ensemble.cardinality(q))
+    true = int(eng.query(q).collect()[0][0])
+    assert est == pytest.approx(true, rel=0.02)
+
+
+def test_model_plane_like_numeric_rejected(engines):
+    eng = engines
+    from deepdb_public_spark.plans.query import Condition, Query
+
+    q = Query(table_set={"lineitem"})
+    q.add_where_condition(Condition("lineitem", "l_quantity", "LIKE", "4%"))
+    with pytest.raises(ValueError, match="non-categorical"):
+        eng.ensemble.cardinality(q)
