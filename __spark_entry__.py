@@ -1102,6 +1102,46 @@ def _m_incremental_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _m_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-side COUNT(DISTINCT) estimation (reference B9:
+    group_by_combination.py, exposed as a user capability the
+    reference grammar never surfaces): count combination-grid cells
+    with nonzero probability, one batch pass (B8), without touching
+    the data. Output (did, true_distinct, ok) is oracle-checked: true
+    distincts from DuckDB, ok = estimate within a 1.3 q-error budget
+    (low/mid-cardinality domains are covered by the sample, so the
+    estimates here are exact or near-exact)."""
+    eng = _engine(spark, sf_dir)
+    _ensure_models(eng, [({"lineitem"}, 60_000)])
+    from deepdb_public_spark.plans.query import Query
+
+    cases = [
+        ("d1", ["l_returnflag"], None),
+        ("d2", ["l_returnflag", "l_linestatus"], None),
+        ("d3", ["l_quantity"], "lineitem.l_quantity < 25"),
+    ]
+    out = []
+    for did, cols, pred in cases:
+        q = Query(table_set={"lineitem"})
+        sql_pred = ""
+        if pred:
+            q = eng.parse(f"SELECT COUNT(*) AS c FROM lineitem WHERE {pred}")
+            sql_pred = " WHERE " + pred.replace("lineitem.", "")
+        est = float(eng.ensemble.distinct_count(q, cols))
+        true = (
+            eng.catalog["lineitem"]
+            .filter(pred.replace("lineitem.", "") if pred else "true")
+            .select(*cols)
+            .distinct()
+            .count()
+        )
+        qerr = max(est / max(true, 1), true / max(est, 1e-9))
+        out.append((did, true, bool(qerr < 1.3)))
+    return spark.createDataFrame(
+        out, "did string, true_distinct long, ok boolean"
+    )
+
+
 def _m_aqp_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-plane grouped AQP (reference B9/B12 + batch B8): grouped
     COUNT/SUM/AVG answered from the RSPN without touching data.
@@ -1269,6 +1309,22 @@ _PREP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
         """,
     ),
     "m03_multi_spn": (_m_multi_spn, _card_oracle(_M03_CASES)),
+    "m08_distinct_estimate": (
+        _m_distinct,
+        """
+        SELECT 'd1' AS did,
+               (SELECT COUNT(DISTINCT l_returnflag) FROM lineitem) AS true_distinct,
+               TRUE AS ok
+        UNION ALL
+        SELECT 'd2',
+               (SELECT COUNT(*) FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)),
+               TRUE
+        UNION ALL
+        SELECT 'd3',
+               (SELECT COUNT(DISTINCT l_quantity) FROM lineitem WHERE l_quantity < 25),
+               TRUE
+        """,
+    ),
     "m07_incremental_delete": (
         _m_incremental_delete,
         """
@@ -2105,6 +2161,7 @@ _PRIORITY_HEAD = [
     "m03_multi_spn",
     "m02_incremental_insert",
     "m07_incremental_delete",
+    "m08_distinct_estimate",
     "m04_aqp_groupby",
     "m05_confidence_intervals",
     "m06_aqp_join_groupby",

@@ -135,9 +135,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="exact: Spark SQL on the data; model: RSPN estimate "
                    "(needs --ensemble_path)")
     q.add_argument("--explain", action="store_true",
-                   help="model plane: also print the factor decomposition "
+                   help="model plane: print the factor decomposition "
                    "(anchor + per-edge factors whose product is the "
-                   "estimate; reference verbose output)")
+                   "estimate; reference verbose output). exact plane: "
+                   "print the formatted physical plan")
     return p
 
 
@@ -337,7 +338,16 @@ def _cmd_execute_query(eng: Engine, args) -> int:
                 print(f)
         print(eng.estimate(args.execute_query))
         return 0
-    for row in eng.query(args.execute_query).collect():
+    df = eng.query(args.execute_query)
+    if args.explain:
+        # formatted physical plan (the exact-plane twin of the model
+        # plane's factor trace): shows PushedFilters / join strategy
+        jvm = df.sparkSession._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        print(df._jdf.queryExecution().explainString(mode))
+    for row in df.collect():
         print(row)
     return 0
 

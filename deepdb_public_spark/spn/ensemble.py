@@ -533,6 +533,20 @@ class SPNEnsemble:
             rows.append(row)
         return rows
 
+    def distinct_count(self, query: Query, cols: list[str]) -> float:
+        """COUNT(DISTINCT cols) estimate from the covering model (B9
+        exposed — see SPNModel.distinct_count). ``query`` carries the
+        table scope and optional conditions. Cross-column OR groups
+        expand via inclusion-exclusion — valid here because distinct
+        sets obey |D(A or B)| = |D(A)| + |D(B)| - |D(A and B)|."""
+        if self._complex_or_index(query) is not None:
+            total = sum(
+                s * self.distinct_count(q, cols)
+                for s, q in self._ie_terms(query)
+            )
+            return max(total, 0.0)
+        return self.select_model(query).distinct_count(cols, query)
+
     def confidence_interval(self, query: Query, confidence: float = 0.95):
         if self._complex_or_index(query) is not None:
             from .model import ModelPlaneUnsupported

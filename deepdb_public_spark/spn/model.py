@@ -517,6 +517,38 @@ class SPNModel:
             out[i] = intersect_ranges(out[i], nn) if i in out else nn
         return out
 
+    def distinct_count(
+        self, cols: list[str], query: Query | None = None
+    ) -> float:
+        """Model-side COUNT(DISTINCT cols) estimate — B9 (reference:
+        aqp_spn/group_by_combination.py::group_by_combinations, the
+        internal distinct-enumeration behind GROUP BY) exposed as a
+        user capability the reference's grammar never surfaces: count
+        the combination-grid cells with nonzero probability under the
+        query's conditions, in ONE batch tree pass (B8). The estimate
+        is the number of distinct combinations OBSERVED by the model's
+        sample-backed histograms — exact for columns whose domain the
+        sample covers (low/mid cardinality), a lower bound otherwise
+        (combinations absent from the sample cannot be counted)."""
+        idx = [self._col_index(c) for c in cols]
+        cond = dict(self.conditions_to_ranges(query)) if query else {}
+        axes: dict[int, np.ndarray] = {}
+        for i in idx:
+            dom = distinct_values(self.root, i)
+            rng = cond.pop(i, None)
+            if rng is not None:
+                dom = np.array([v for v in dom if value_admitted(rng, v)])
+            axes[i] = dom
+        n_cells = _math.prod(len(a) for a in axes.values())
+        if n_cells > MAX_GROUPBY_CELLS:
+            raise GroupByExplosion(
+                f"distinct grid has {n_cells} cells (> {MAX_GROUPBY_CELLS})"
+            )
+        if n_cells == 0:
+            return 0.0
+        grid = evaluate_groupby(self.root, cond, {}, axes)
+        return float((grid > 0).sum())
+
     def aqp(self, query: Query) -> list[dict]:
         """Approximate aggregate answer; one dict per output row
         (reference: spn_ensemble.py::evaluate_query, B12)."""

@@ -125,3 +125,39 @@ def test_model_plane_like_numeric_rejected(engines):
     q.add_where_condition(Condition("lineitem", "l_quantity", "LIKE", "4%"))
     with pytest.raises(ValueError, match="non-categorical"):
         eng.ensemble.cardinality(q)
+
+
+def test_model_distinct_count(engines):
+    """B9 exposed: COUNT(DISTINCT) from the model, optionally under
+    conditions and cross-column OR groups (set-algebra inclusion-
+    exclusion is exact for distinct sets)."""
+    from deepdb_public_spark.plans.query import Query
+
+    eng = engines
+    base = eng.catalog["lineitem"]
+
+    q = Query(table_set={"lineitem"})
+    est = eng.ensemble.distinct_count(q, ["l_returnflag"])
+    assert est == base.select("l_returnflag").distinct().count()
+
+    est2 = eng.ensemble.distinct_count(q, ["l_returnflag", "l_linestatus"])
+    true2 = base.select("l_returnflag", "l_linestatus").distinct().count()
+    assert est2 == pytest.approx(true2, abs=1)
+
+    qc = eng.parse(
+        "SELECT COUNT(*) AS c FROM lineitem WHERE lineitem.l_quantity < 25"
+    )
+    est3 = eng.ensemble.distinct_count(qc, ["l_quantity"])
+    true3 = base.filter("l_quantity < 25").select("l_quantity").distinct().count()
+    assert est3 == pytest.approx(true3, rel=0.1)
+
+    q_or = eng.parse(
+        "SELECT COUNT(*) AS c FROM lineitem WHERE "
+        "(lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)"
+    )
+    est4 = eng.ensemble.distinct_count(q_or, ["l_quantity"])
+    true4 = (
+        base.filter("l_quantity < 10 OR l_discount > 0.08")
+        .select("l_quantity").distinct().count()
+    )
+    assert est4 == pytest.approx(true4, rel=0.1)
