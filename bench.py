@@ -61,15 +61,18 @@ def main() -> None:
     # model-plane estimate latency (the reference's headline: answer
     # without touching the data). The m-entries above left trained
     # models in the shared engine; time pure ensemble.cardinality
-    # calls over the m01 case list. Factor caches are invalidated by
-    # using fresh parses each pass — the number reported is warm-model
-    # (not warm-cache-per-query) latency.
+    # calls over the m01 case list. SPNModel._eval memoizes by
+    # canonical range (B13), so every model's cache is explicitly
+    # invalidated before each pass — the number reported is COLD
+    # per-estimate latency (true tree-walk cost), not cache-hit time.
     est_ms = None
     if getattr(eng, "ensemble", None) is not None:
         cases = [sql for _qid, sql in entry_mod._M01_CASES]
         n = 0
         t0 = time.perf_counter()
         for _ in range(20):
+            for m in eng.ensemble.models:
+                m.invalidate_cache()
             for sql in cases:
                 eng.ensemble.cardinality(eng.parse(sql))
                 n += 1

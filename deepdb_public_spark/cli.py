@@ -123,7 +123,7 @@ def build_parser() -> argparse.ArgumentParser:
     u.add_argument("--delta_filter",
                    help="SQL boolean expression selecting the delta "
                    "rows inside <data_dir>/<table>.parquet, e.g. "
-                   "\"l_orderkey % 10 < 3\"; or pass --delta_dir")
+                   "\"l_orderkey %% 10 < 3\"; or pass --delta_dir")
     u.add_argument("--delta_dir",
                    help="directory holding <table>.parquet with ONLY "
                    "the delta rows (alternative to --delta_filter)")

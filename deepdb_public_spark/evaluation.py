@@ -129,10 +129,22 @@ def evaluate_confidence_intervals(
     Group-by queries are checked per (group, aggregate) cell; cells
     the model fails to enumerate count as misses.
     """
+    from .spn.model import GroupByExplosion, ModelPlaneUnsupported
+
     rows = []  # (query, group, agg, truth, lo, hi, hit, rel_halfwidth)
+    skipped: list[str] = []
     for sql in queries:
         q = engine.parse(sql)
-        ci_rows = engine.ensemble.confidence_interval(q, confidence=confidence)
+        try:
+            ci_rows = engine.ensemble.confidence_interval(
+                q, confidence=confidence
+            )
+        except (GroupByExplosion, ModelPlaneUnsupported):
+            # e.g. cross-column OR groups: legal grammar the CI path
+            # does not serve — record and keep evaluating (the AQP
+            # harness sets the precedent with skipped_queries)
+            skipped.append(sql)
+            continue
         if ground_truth is not None:
             exact_rows = ground_truth[sql]
         else:
@@ -190,6 +202,7 @@ def evaluate_confidence_intervals(
         "coverage": float(np.mean(hits)) if hits else 0.0,
         "mean_rel_halfwidth": float(np.mean(wlist)) if wlist else 0.0,
         "rows": rows,
+        "skipped_queries": skipped,
     }
 
 

@@ -26,13 +26,19 @@ from .query import (
 from .schema import SchemaGraph
 
 
-def condition_to_column(cond: Condition) -> Column:
+def condition_to_column(cond: Condition, resolver=None) -> Column:
+    """Compile one condition to a boolean Column. ``resolver`` is an
+    optional callable(Condition) -> Column that binds each leaf
+    condition's column reference through a specific DataFrame's
+    lineage (scans[table][column]) — required for post-join
+    cross-table OR filters, where a bare F.col(name) would be
+    ambiguous the moment two joined tables share a column name."""
     if cond.op == "OR":
-        out = condition_to_column(cond.value[0])
+        out = condition_to_column(cond.value[0], resolver)
         for sub in cond.value[1:]:
-            out = out | condition_to_column(sub)
+            out = out | condition_to_column(sub, resolver)
         return out
-    col = F.col(cond.column)
+    col = resolver(cond) if resolver is not None else F.col(cond.column)
     if cond.op == "=":
         return col == F.lit(cond.value)
     if cond.op == "<>":
@@ -213,10 +219,17 @@ class ExactCompiler:
         # columns of several scans, so they cannot be pushed into any
         # single _scan — apply them once the join tree is complete
         # (Catalyst still prunes columns; the filter just can't reach
-        # one parquet scan, which is inherent to the predicate)
+        # one parquet scan, which is inherent to the predicate). Each
+        # leaf reference binds through its owning scan's lineage so
+        # shared column names across tables stay unambiguous.
         for cond in query.conditions:
             if cond.table is None:
-                df = df.filter(condition_to_column(cond))
+                df = df.filter(
+                    condition_to_column(
+                        cond,
+                        resolver=lambda sub: scans[sub.table][sub.column],
+                    )
+                )
 
         group_cols = [c for _, c in query.group_bys]
         agg_cols = build_agg_columns(query.aggregations)

@@ -310,6 +310,18 @@ def _match_predicate(
     if pm:
         t, c, op = pm.group(1), pm.group(2), pm.group(3)
         val = conjunct[pm.start(4): pm.end(4)]
+        masked_val = conj_masked[pm.start(4): pm.end(4)].strip()
+        # a bare table.column on the RHS is a join-shaped predicate
+        # reaching the literal matcher (possible only inside
+        # disjunction groups — the conjunct path matches joins first);
+        # parsing it as the string 't2.b' would silently match nothing
+        if (
+            re.fullmatch(r"\w+\.\w+", masked_val)
+            and not masked_val[0].isdigit()
+        ):
+            raise ValueError(
+                f"join predicates are not allowed here: {conjunct!r}"
+            )
         if op == "!=":
             op = "<>"
         return Condition(_resolve(alias_map, t), c, op, _parse_literal(val))
@@ -340,6 +352,18 @@ def _parse_or_group(
     subs: list[Condition] = []
     for a, b in zip(bounds[::2], bounds[1::2]):
         raw, msk = inner_raw[a:b].strip(), inner_masked[a:b].strip()
+        # a disjunct containing a top-level AND that is NOT the AND of
+        # a BETWEEN is a nested conjunction — outside the grammar;
+        # without this check the greedy comparison matcher would
+        # swallow "1 AND t.b = 2" as a string literal
+        if (
+            re.search(r"\s+AND\s+", msk, re.IGNORECASE)
+            and not _BETWEEN_RE.match(msk)
+        ):
+            raise ValueError(
+                f"conjunctions inside disjunction groups are outside "
+                f"the grammar: {raw!r}"
+            )
         cond = _match_predicate(raw, msk, alias_map)
         if cond is None:
             raise ValueError(f"cannot parse disjunct: {raw!r}")
@@ -438,7 +462,7 @@ def parse_query(sql: str, schema: SchemaGraph) -> Query:
                 "NOT is only supported as IS NOT NULL / NOT IN / "
                 "NOT BETWEEN / NOT LIKE"
             )
-        for conjunct, conj_masked in _split_conjuncts(where, masked):
+        def process(conjunct: str, conj_masked: str) -> None:
             # match grammar on the MASKED conjunct (operators/keywords
             # inside literals can't trigger); slice literal values out
             # of the RAW conjunct by match span (same length)
@@ -447,10 +471,28 @@ def parse_query(sql: str, schema: SchemaGraph) -> Query:
                 # only treat as a group if the outer parens wrap the
                 # WHOLE conjunct (depth stays >= 1 until the end)
                 if min(cdepth[:-1] or [1]) >= 1:
-                    query.add_where_condition(
-                        _parse_or_group(conjunct, conj_masked, alias_map)
+                    inner_raw = conjunct[1:-1].strip()
+                    inner_masked = conj_masked[1:-1].strip()
+                    d = _paren_depth(inner_masked)
+                    has_or = any(
+                        d[om.start()] == 0
+                        for om in re.finditer(
+                            r"\bOR\b", inner_masked, re.IGNORECASE
+                        )
                     )
-                    continue
+                    if has_or:
+                        query.add_where_condition(
+                            _parse_or_group(conjunct, conj_masked, alias_map)
+                        )
+                        return
+                    # redundant parens around a conjunction (or a
+                    # single predicate): recurse into the inner
+                    # conjunct list — "(t.a = 1 AND t.b = 2)" must
+                    # parse as two conjuncts, never fall through to
+                    # the greedy literal matcher
+                    for sub, subm in _split_conjuncts(inner_raw, inner_masked):
+                        process(sub, subm)
+                    return
             jm = _JOIN_RE.match(conj_masked)
             if jm:
                 t1, a1, t2, a2 = jm.groups()
@@ -463,7 +505,7 @@ def parse_query(sql: str, schema: SchemaGraph) -> Query:
                             f"join {conjunct!r} is not a declared FK edge"
                         )
                     query.add_join_condition(rel.identifier)
-                    continue
+                    return
                 if not (t1[0].isdigit() or t2[0].isdigit()):
                     # col = col with an unknown/typo'd alias: falling
                     # through would silently parse the RHS as a string
@@ -476,6 +518,9 @@ def parse_query(sql: str, schema: SchemaGraph) -> Query:
             if cond is None:
                 raise ValueError(f"cannot parse predicate: {conjunct!r}")
             query.add_where_condition(cond)
+
+        for conjunct, conj_masked in _split_conjuncts(where, masked):
+            process(conjunct, conj_masked)
 
     if len(query.table_set) > 1 and len(query.relationship_set) < len(query.table_set) - 1:
         raise ValueError("FROM lists multiple tables but joins do not connect them")

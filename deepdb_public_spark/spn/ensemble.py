@@ -351,7 +351,7 @@ class SPNEnsemble:
                     "kind": "ie_term",
                     "sign": s,
                     "conditions": [str(c) for c in q.conditions],
-                    "value": self.cardinality(q),
+                    "value": self.cardinality(q, max_variants),
                     "variant": 0,
                 }
                 for s, q in self._ie_terms(query)

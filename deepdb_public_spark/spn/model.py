@@ -524,12 +524,17 @@ class SPNModel:
         aqp_spn/group_by_combination.py::group_by_combinations, the
         internal distinct-enumeration behind GROUP BY) exposed as a
         user capability the reference's grammar never surfaces: count
-        the combination-grid cells with nonzero probability under the
-        query's conditions, in ONE batch tree pass (B8). The estimate
-        is the number of distinct combinations OBSERVED by the model's
-        sample-backed histograms — exact for columns whose domain the
-        sample covers (low/mid cardinality), a lower bound otherwise
-        (combinations absent from the sample cannot be counted)."""
+        the combination-grid cells whose EXPECTED ROW COUNT is at
+        least 0.5 under the query's conditions, in ONE batch tree
+        pass (B8). Two error sources, in opposite directions: single
+        columns and co-modeled groups are near-exact when the sample
+        covers the domain, but multi-column requests whose columns
+        fall in INDEPENDENT factors (Product split) see the outer
+        product of marginals — combinations that never co-occur still
+        get mass p_a*p_b, an overestimate that the expected-rows
+        threshold only partially prunes. Columns absent from the
+        sample bias the count low. Same trust model as every other
+        estimate here: budget-tested, not exact."""
         idx = [self._col_index(c) for c in cols]
         cond = dict(self.conditions_to_ranges(query)) if query else {}
         axes: dict[int, np.ndarray] = {}
@@ -547,7 +552,10 @@ class SPNModel:
         if n_cells == 0:
             return 0.0
         grid = evaluate_groupby(self.root, cond, {}, axes)
-        return float((grid > 0).sum())
+        # expected-rows threshold (matches aqp's count>=0.5 group
+        # pruning): a strict p>0 would count 1e-300 Sum-node residues
+        # and every independence-product cross combination
+        return float((self.full_join_size * grid >= 0.5).sum())
 
     def aqp(self, query: Query) -> list[dict]:
         """Approximate aggregate answer; one dict per output row

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from deepdb_public_spark.engine import Engine
 from deepdb_public_spark.plans.parser import parse_query
@@ -379,3 +380,103 @@ def test_explain_factors_ie_terms(li_engine):
     assert [t["kind"] for t in trace] == ["ie_term"] * 3
     signed = sum(t["sign"] * t["value"] for t in trace)
     assert signed == pytest.approx(eng.ensemble.cardinality(q), rel=1e-9)
+
+
+# ------------------------------------------- review-fix regressions
+
+
+def test_parenthesized_conjunction_parses_as_conjuncts():
+    """(t.a = 1 AND t.b = 2) — redundant parens must parse as TWO
+    conjuncts, never as a literal '1 AND t.b = 2'."""
+    sch = tpch_like_schema()
+    q = parse_query(
+        "SELECT COUNT(*) FROM lineitem WHERE "
+        "(lineitem.l_quantity < 5 AND lineitem.l_discount <= 0.05)",
+        sch,
+    )
+    assert len(q.conditions) == 2
+    assert {c.op for c in q.conditions} == {"<", "<="}
+    # nested: (a AND (b OR c))
+    q2 = parse_query(
+        "SELECT COUNT(*) FROM lineitem WHERE "
+        "(lineitem.l_tax < 0.05 AND "
+        "(lineitem.l_quantity < 5 OR lineitem.l_quantity > 45))",
+        sch,
+    )
+    assert len(q2.conditions) == 2
+    assert sorted(c.op for c in q2.conditions) == ["<", "OR"]
+
+
+def test_join_shaped_disjunct_rejected():
+    sch = tpch_like_schema()
+    with pytest.raises(ValueError, match="join predicates"):
+        parse_query(
+            "SELECT COUNT(*) FROM orders, lineitem WHERE "
+            "orders.o_orderkey = lineitem.l_orderkey AND "
+            "(lineitem.l_quantity = 5 OR lineitem.l_orderkey = orders.o_orderkey)",
+            sch,
+        )
+
+
+def test_conjunction_inside_or_group_rejected():
+    sch = tpch_like_schema()
+    with pytest.raises(ValueError, match="conjunctions inside"):
+        parse_query(
+            "SELECT COUNT(*) FROM lineitem WHERE "
+            "(lineitem.l_quantity < 5 AND lineitem.l_tax < 0.05 "
+            "OR lineitem.l_quantity > 45)",
+            sch,
+        )
+
+
+def test_cross_table_or_with_shared_column_names(spark):
+    """Post-join OR filters bind through scan lineage, so two tables
+    sharing a column name stay unambiguous."""
+    from deepdb_public_spark.plans.compiler import ExactCompiler
+    from deepdb_public_spark.plans.query import Condition, Query
+    from deepdb_public_spark.plans.schema import SchemaGraph, Table
+
+    a = spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], "id int, status int"
+    )
+    b = spark.createDataFrame(
+        [(i, i % 3, i % 5) for i in range(300)], "bid int, aid int, status int"
+    )
+    g = SchemaGraph()
+    g.add_table(Table("ta", ["id"]))
+    g.add_table(Table("tb", ["bid"]))
+    rel = g.add_relationship("tb", "aid", "ta", "id")
+    comp = ExactCompiler(g, {"ta": a, "tb": b})
+    q = Query(
+        table_set={"ta", "tb"},
+        relationship_set={rel.identifier},
+        conditions=[
+            Condition(
+                None, None, "OR",
+                [Condition("ta", "status", "=", 2),
+                 Condition("tb", "status", "=", 1)],
+            )
+        ],
+    )
+    got = comp.compile(q).collect()[0][0]
+    want = (
+        b.alias("b").join(a.alias("a"), F.col("b.aid") == F.col("a.id"))
+        .filter("a.status = 2 OR b.status = 1").count()
+    )
+    assert got == want
+
+
+def test_ci_harness_skips_cross_column_or(li_engine):
+    from deepdb_public_spark.evaluation import evaluate_confidence_intervals
+
+    eng = li_engine
+    summary = evaluate_confidence_intervals(
+        eng,
+        [
+            "SELECT COUNT(*) AS cnt FROM lineitem WHERE lineitem.l_quantity < 25",
+            "SELECT COUNT(*) AS cnt FROM lineitem WHERE "
+            "(lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)",
+        ],
+    )
+    assert len(summary["skipped_queries"]) == 1
+    assert summary["n_cells"] >= 1
