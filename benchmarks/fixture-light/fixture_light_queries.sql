@@ -68,3 +68,15 @@ SELECT COUNT(*) FROM part, supplier, lineitem, orders WHERE lineitem.l_partkey =
 SELECT COUNT(*) FROM lineitem WHERE lineitem.l_quantity = 1 AND lineitem.l_returnflag = 'N'
 SELECT COUNT(*) FROM orders, lineitem, customer WHERE orders.o_orderkey = lineitem.l_orderkey AND customer.c_custkey = orders.o_custkey AND customer.c_acctbal >= 9000 AND lineitem.l_discount = 0.00
 SELECT COUNT(*) FROM nation, customer, orders WHERE customer.c_nationkey = nation.n_nationkey AND orders.o_custkey = customer.c_custkey AND nation.n_name <> 'NATION_0' AND orders.o_totalprice >= 300000
+SELECT COUNT(*) FROM lineitem WHERE (lineitem.l_quantity < 5 OR lineitem.l_quantity > 45)
+SELECT COUNT(*) FROM lineitem WHERE (lineitem.l_returnflag = 'A' OR lineitem.l_returnflag = 'R') AND lineitem.l_discount <= 0.05
+SELECT COUNT(*) FROM orders, lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND (lineitem.l_quantity BETWEEN 1 AND 5 OR lineitem.l_quantity BETWEEN 40 AND 50)
+SELECT COUNT(*) FROM lineitem WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)
+SELECT COUNT(*) FROM orders, lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND (orders.o_totalprice > 200000 OR lineitem.l_quantity > 45)
+SELECT COUNT(*) FROM customer, orders WHERE customer.c_custkey = orders.o_custkey AND (customer.c_mktsegment = 'BUILDING' OR orders.o_orderstatus = 'P')
+SELECT COUNT(*) FROM lineitem WHERE lineitem.l_returnflag NOT IN ('A', 'R')
+SELECT COUNT(*) FROM lineitem WHERE lineitem.l_quantity NOT BETWEEN 5 AND 45
+SELECT COUNT(*) FROM orders WHERE orders.o_orderpriority LIKE '%URGENT%'
+SELECT COUNT(*) FROM orders WHERE orders.o_orderpriority NOT LIKE '1-%'
+SELECT COUNT(*) FROM orders, lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND orders.o_orderpriority NOT LIKE '1-%' AND lineitem.l_quantity NOT BETWEEN 5 AND 45
+SELECT COUNT(*) FROM lineitem WHERE (lineitem.l_quantity < 5 AND lineitem.l_discount <= 0.05)
