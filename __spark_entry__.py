@@ -1142,6 +1142,53 @@ def _m_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _m_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-plane quantiles (beyond the reference: its aggregates
+    stop at COUNT/SUM/AVG and the paper names median as unsupported):
+    leaf histograms hold the full per-value distribution, so quantiles
+    are CDF inversion over one batch grid pass (B8). Output
+    (qid, true_q, ok) is oracle-checked: true values are DuckDB's
+    quantile_disc (we invert over observed values, the disc variant's
+    contract) and ok = estimate within 10% relative error."""
+    eng = _engine(spark, sf_dir)
+    _ensure_models(eng, [({"lineitem"}, 60_000)])
+    from deepdb_public_spark.plans.query import Query
+
+    cases = [
+        ("p50_qty", "l_quantity", 0.5, None, "l_quantity"),
+        ("p90_price", "l_extendedprice", 0.9, None, "l_extendedprice"),
+        (
+            "p50_price_cond",
+            "l_extendedprice",
+            0.5,
+            "lineitem.l_discount <= 0.05",
+            "l_extendedprice",
+        ),
+    ]
+    out = []
+    for qid, col, frac, pred, spark_col in cases:
+        q = (
+            eng.parse(f"SELECT COUNT(*) AS c FROM lineitem WHERE {pred}")
+            if pred
+            else Query(table_set={"lineitem"})
+        )
+        (est,) = eng.ensemble.quantile(q, col, [frac])
+        base = eng.catalog["lineitem"]
+        if pred:
+            base = base.filter(pred.replace("lineitem.", ""))
+        # exact interpolated percentile, rounded so the float is
+        # hash-comparable against DuckDB's quantile_cont (both use
+        # standard linear interpolation)
+        true = float(
+            base.selectExpr(
+                f"ROUND(percentile({spark_col}, {frac}), 4)"
+            ).collect()[0][0]
+        )
+        ok = abs(est - true) <= 0.10 * max(abs(true), 1e-9)
+        out.append((qid, true, bool(ok)))
+    return spark.createDataFrame(out, "qid string, true_q double, ok boolean")
+
+
 def _m_aqp_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-plane grouped AQP (reference B9/B12 + batch B8): grouped
     COUNT/SUM/AVG answered from the RSPN without touching data.
@@ -1309,6 +1356,23 @@ _PREP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
         """,
     ),
     "m03_multi_spn": (_m_multi_spn, _card_oracle(_M03_CASES)),
+    "m09_model_quantiles": (
+        _m_quantiles,
+        """
+        SELECT 'p50_qty' AS qid,
+               (SELECT ROUND(quantile_cont(l_quantity, 0.5), 4) FROM lineitem) AS true_q,
+               TRUE AS ok
+        UNION ALL
+        SELECT 'p90_price',
+               (SELECT ROUND(quantile_cont(l_extendedprice, 0.9), 4) FROM lineitem),
+               TRUE
+        UNION ALL
+        SELECT 'p50_price_cond',
+               (SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 4)
+                FROM lineitem WHERE l_discount <= 0.05),
+               TRUE
+        """,
+    ),
     "m08_distinct_estimate": (
         _m_distinct,
         """
@@ -2162,6 +2226,7 @@ _PRIORITY_HEAD = [
     "m02_incremental_insert",
     "m07_incremental_delete",
     "m08_distinct_estimate",
+    "m09_model_quantiles",
     "m04_aqp_groupby",
     "m05_confidence_intervals",
     "m06_aqp_join_groupby",

@@ -547,6 +547,63 @@ class SPNEnsemble:
             return max(total, 0.0)
         return self.select_model(query).distinct_count(cols, query)
 
+    def quantile(
+        self, query: Query, col: str, qs: list[float]
+    ) -> list[float]:
+        """Model-plane quantiles (see SPNModel.quantile). Cross-column
+        OR groups combine per-term value masses by signed sums —
+        P(col = v AND (A or B)) is linear in the indicator, so
+        inclusion-exclusion applies pointwise; negative residue from
+        approximation error clamps at zero."""
+        import numpy as np
+
+        if self._complex_or_index(query) is None:
+            return self.select_model(query).quantile(col, qs, query)
+        acc: dict[float, float] = {}
+        model = None
+        for s, q in self._ie_terms(query):
+            model = self.select_model(q)
+            dom, masses = model._value_masses(col, q)
+            for v, m in zip(dom, masses):
+                acc[float(v)] = acc.get(float(v), 0.0) + s * float(m)
+        cm = model.meta.columns[col]
+        if cm.kind == "categorical":
+            raise ValueError(
+                f"quantiles need a numeric column; '{col}' is categorical"
+            )
+        items = sorted((v, max(m, 0.0)) for v, m in acc.items())
+        total = sum(m for _, m in items)
+        if not items or total <= 0:
+            return [float("nan")] * len(qs)
+        vals = np.array([v for v, _ in items])
+        cdf = np.cumsum([m for _, m in items]) / total
+        return [
+            float(vals[min(int(np.searchsorted(cdf, q, side="left")), len(vals) - 1)])
+            for q in qs
+        ]
+
+    def topk_groups(
+        self, query: Query, k: int, by: str | None = None
+    ) -> list[dict]:
+        """Approximate top-k groups WITHOUT scanning the data: the
+        grouped AQP grid (B8/B9) sorted by one output aggregate
+        (default: the first) and truncated to k — the model-plane
+        answer to 'which groups dominate?' that a 100 TB exact
+        group-by would need a full shuffle to give."""
+        rows = self.aqp(query)
+        if not rows:
+            return rows
+        gb = {c for _t, c in query.group_bys}
+        agg_keys = [c for c in rows[0] if c not in gb]
+        key = by or (agg_keys[0] if agg_keys else None)
+        if key is None:
+            raise ValueError("query has no aggregate output to rank by")
+        return sorted(
+            rows,
+            key=lambda r: (r[key] is not None, r[key] if r[key] is not None else 0.0),
+            reverse=True,
+        )[:k]
+
     def confidence_interval(self, query: Query, confidence: float = 0.95):
         if self._complex_or_index(query) is not None:
             from .model import ModelPlaneUnsupported

@@ -557,6 +557,50 @@ class SPNModel:
         # and every independence-product cross combination
         return float((self.full_join_size * grid >= 0.5).sum())
 
+    def _value_masses(
+        self, col: str, query: Query | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(domain values, P(col = v AND conditions)) in one batch
+        grid pass — the building block for model-side quantiles."""
+        i = self._col_index(col)
+        cond = dict(self.conditions_to_ranges(query)) if query else {}
+        rng = cond.pop(i, None)
+        dom = distinct_values(self.root, i)
+        if rng is not None:
+            dom = np.array([v for v in dom if value_admitted(rng, v)])
+        if len(dom) == 0:
+            return dom, np.array([])
+        masses = evaluate_groupby(self.root, cond, {}, {i: dom})
+        return dom, np.asarray(masses, dtype=np.float64).reshape(-1)
+
+    def quantile(
+        self, col: str, qs: list[float], query: Query | None = None
+    ) -> list[float]:
+        """Model-plane quantiles of a NUMERIC column under optional
+        conditions — an extension the reference grammar cannot express
+        (its aggregates stop at COUNT/SUM/AVG; the paper names
+        MIN/MAX/median as unsupported): leaf histograms store the full
+        per-value distribution, so P(col = v AND conds) for every
+        domain value comes from ONE batch pass (B8) and quantiles are
+        CDF inversion over the sorted domain. Accuracy is bounded by
+        sample coverage of the tails — same trust model as every
+        estimate here (budget-tested, not exact)."""
+        cm = self.meta.columns[col]
+        if cm.kind == "categorical":
+            raise ValueError(
+                f"quantiles need a numeric column; '{col}' is "
+                "categorical (codes are ranks, not magnitudes)"
+            )
+        dom, masses = self._value_masses(col, query)
+        if len(dom) == 0 or masses.sum() <= 0:
+            return [float("nan")] * len(qs)
+        cdf = np.cumsum(masses) / masses.sum()
+        out = []
+        for q in qs:
+            j = int(np.searchsorted(cdf, q, side="left"))
+            out.append(float(dom[min(j, len(dom) - 1)]))
+        return out
+
     def aqp(self, query: Query) -> list[dict]:
         """Approximate aggregate answer; one dict per output row
         (reference: spn_ensemble.py::evaluate_query, B12)."""
