@@ -93,6 +93,14 @@ _IR_QUERIES: dict[str, str] = {
         "AND lineitem.l_quantity NOT BETWEEN 5 AND 45 "
         "AND lineitem.l_returnflag NOT IN ('A')"
     ),
+    # grammar EXTENSION: COUNT(DISTINCT t.c) through the IR path —
+    # exact plane compiles countDistinct; the model-plane twin routes
+    # to the B9 combination grid (tests/test_pattern_predicates.py)
+    "q38_count_distinct_ir": (
+        "SELECT COUNT(DISTINCT lineitem.l_quantity) AS d FROM "
+        "orders, lineitem WHERE orders.o_orderkey = lineitem.l_orderkey "
+        "AND orders.o_orderstatus = 'F' AND lineitem.l_discount <= 0.05"
+    ),
     # A4 + A6 + A15: 4-way join, range + IN predicates
     "q18_join4_card": (
         "SELECT COUNT(*) AS cnt FROM part, lineitem, orders, customer "

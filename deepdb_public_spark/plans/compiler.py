@@ -74,6 +74,8 @@ def condition_to_column(cond: Condition, resolver=None) -> Column:
 
 def _agg_column(op: AggOperation) -> Column:
     if op.agg_type is AggregationType.COUNT:
+        if op.distinct:
+            return F.countDistinct(F.col(op.operands[0][1]))
         if op.operands:  # COUNT(col): NULLs don't count (SQL semantics)
             return F.count(F.col(op.operands[0][1]))
         return F.count(F.lit(1))

@@ -235,11 +235,28 @@ def _parse_select_list(
                 raise ValueError(f"cannot parse select item: {item!r}")
             agg_type = AggregationType[m.group(1).upper()]
             inner = m.group(2).strip()
+            distinct = False
+            dm = re.match(r"^DISTINCT\s+(.+)$", inner, re.IGNORECASE | re.DOTALL)
+            if dm:
+                # COUNT(DISTINCT t.c) — extension; single column only
+                # (DISTINCT over products/lists is outside the grammar)
+                if agg_type is not AggregationType.COUNT:
+                    raise ValueError(
+                        f"DISTINCT is only supported inside COUNT: {item!r}"
+                    )
+                distinct = True
+                inner = dm.group(1).strip()
+                if "*" in inner or "," in inner:
+                    raise ValueError(
+                        f"COUNT(DISTINCT ...) takes one column: {item!r}"
+                    )
             operands: list[tuple[str, str]] = []
             if not (agg_type is AggregationType.COUNT and inner == "*"):
                 operands = _parse_operand_product(inner, alias_map, default_table)
             query.aggregations.append(
-                AggOperation(op_type, agg_type, operands, alias=alias)
+                AggOperation(
+                    op_type, agg_type, operands, alias=alias, distinct=distinct
+                )
             )
             query.query_type = QueryType.AQP
             op_type = AggregationOperationType.AGGREGATION

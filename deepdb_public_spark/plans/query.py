@@ -81,6 +81,10 @@ class AggOperation:
     # columns inside the aggregate (reference A12: SUM(a*b)).
     operands: list[tuple[str, str]] = field(default_factory=list)
     alias: str | None = None
+    # COUNT(DISTINCT t.c) — grammar extension: exact plane compiles
+    # countDistinct, model plane answers via the B9 combination grid
+    # (SPNModel.distinct_count)
+    distinct: bool = False
 
 
 @dataclass

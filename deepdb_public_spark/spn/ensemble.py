@@ -456,7 +456,7 @@ class SPNEnsemble:
         terms = self._ie_terms(query)
         gb_cols = [c for _t, c in query.group_bys]
 
-        def per_term(q, agg_type, operands) -> list[dict]:
+        def per_term(q, agg_type, operands, distinct=False) -> list[dict]:
             q1 = Query(
                 query_type=q.query_type,
                 table_set=set(q.table_set),
@@ -469,6 +469,7 @@ class SPNEnsemble:
                         agg_type,
                         list(operands),
                         alias="v",
+                        distinct=distinct,
                     )
                 ],
             )
@@ -482,12 +483,15 @@ class SPNEnsemble:
         visible: set[tuple] = set() if gb_cols else {()}
         collect_visible = bool(gb_cols)
 
-        def signed(agg_type, operands) -> dict[tuple, float]:
-            """group key tuple -> signed sum (key = () when ungrouped)."""
+        def signed(agg_type, operands, distinct=False) -> dict[tuple, float]:
+            """group key tuple -> signed sum (key = () when ungrouped).
+            Valid for COUNT/SUM (linear in the indicator) AND for
+            COUNT(DISTINCT) — distinct sets obey the same
+            inclusion-exclusion identity."""
             nonlocal collect_visible
             total: dict[tuple, float] = {}
             for sign, q in terms:
-                for row in per_term(q, agg_type, operands):
+                for row in per_term(q, agg_type, operands, distinct):
                     key = tuple(row[c] for c in gb_cols)
                     total[key] = total.get(key, 0.0) + sign * row["v"]
                     if collect_visible and sign > 0:
@@ -513,7 +517,7 @@ class SPNEnsemble:
                     for k in visible
                 }
             else:
-                val = signed(op.agg_type, op.operands)
+                val = signed(op.agg_type, op.operands, op.distinct)
             if op.op_type is AggregationOperationType.AGGREGATION:
                 if acc is not None:
                     outputs.append((alias or f"agg_{len(outputs)}", acc))

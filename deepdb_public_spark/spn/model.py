@@ -483,8 +483,14 @@ class SPNModel:
 
     def _agg_value(self, query: Query, op_aggs, cond, features) -> float:
         """One AGGREGATION step: COUNT/SUM/AVG with operand features."""
-        agg_type, operands = op_aggs
+        agg_type, operands = op_aggs[0], op_aggs[1]
+        distinct = op_aggs[2] if len(op_aggs) > 2 else False
         feats = dict(features)
+        if agg_type is AggregationType.COUNT and distinct:
+            # COUNT(DISTINCT c) routes to the B9 combination grid;
+            # membership in the admitted set doesn't scale with join
+            # fanout, so no multiplier features apply
+            return self.distinct_count([operands[0][1]], query)
         if agg_type is AggregationType.COUNT:
             if operands:
                 # COUNT(col): SQL semantics skip NULLs in col
@@ -614,7 +620,10 @@ class SPNModel:
             alias = None
             for i, op in enumerate(query.aggregations):
                 val = self._agg_value(
-                    query, (op.agg_type, op.operands), cond, features
+                    query,
+                    (op.agg_type, op.operands, op.distinct),
+                    cond,
+                    features,
                 )
                 if op.op_type is AggregationOperationType.AGGREGATION:
                     if acc is not None:
@@ -667,6 +676,31 @@ class SPNModel:
 
         def agg_grid(op) -> np.ndarray:
             feats = dict(features)
+            if op.agg_type is AggregationType.COUNT and op.distinct:
+                # grouped COUNT(DISTINCT c): extend the group grid by
+                # the c-axis, then count cells with expected rows
+                # >= 0.5 along it (group axes themselves are distinct
+                # by construction: a group's own value contributes 1)
+                ci = self._col_index(op.operands[0][1])
+                if ci in axes:
+                    return (count_grid > 0).astype(np.float64)
+                cond2 = dict(cond_rest)
+                rng = cond2.pop(ci, None)
+                dom = distinct_values(self.root, ci)
+                if rng is not None:
+                    dom = np.array(
+                        [v for v in dom if value_admitted(rng, v)]
+                    )
+                if len(dom) == 0:
+                    return np.zeros_like(count_grid)
+                axes2 = dict(axes)
+                axes2[ci] = dom
+                g2 = evaluate_groupby(self.root, cond2, {}, axes2)
+                return (
+                    (self.full_join_size * g2 >= 0.5)
+                    .sum(axis=-1)
+                    .astype(np.float64)
+                )
             if op.agg_type is AggregationType.COUNT:
                 if not op.operands:
                     return count_grid
@@ -824,6 +858,12 @@ class SPNModel:
         for op in query.aggregations:
             if op.op_type is not AggregationOperationType.AGGREGATION:
                 continue
+            if getattr(op, "distinct", False):
+                raise ModelPlaneUnsupported(
+                    "confidence intervals for COUNT(DISTINCT) are not "
+                    "supported (the grid-cell count has no CLT-style "
+                    "variance here); use the exact plane"
+                )
             if op.agg_type is AggregationType.COUNT:
                 est = N * p
                 half = z * N * float(np.sqrt(max(var_p, 0.0)))

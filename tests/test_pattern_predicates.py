@@ -161,3 +161,74 @@ def test_model_distinct_count(engines):
         .select("l_quantity").distinct().count()
     )
     assert est4 == pytest.approx(true4, rel=0.1)
+
+
+def test_count_distinct_parses_and_compiles(spark, duck):
+    """COUNT(DISTINCT t.c) through parser + IR + exact compiler."""
+    sch = tpch_like_schema()
+    q = parse_query(
+        "SELECT COUNT(DISTINCT lineitem.l_returnflag) AS d FROM lineitem "
+        "WHERE lineitem.l_quantity < 25",
+        sch,
+    )
+    (agg,) = q.aggregations
+    assert agg.distinct and agg.agg_type.name == "COUNT"
+    eng = Engine(spark, SF_SMOKE)
+    sql = (
+        "SELECT COUNT(DISTINCT lineitem.l_quantity) AS d FROM lineitem "
+        "WHERE lineitem.l_discount <= 0.05"
+    )
+    got = eng.query(sql).collect()[0][0]
+    want = duck[SF_SMOKE].execute(sql).fetchone()[0]
+    assert got == want
+    with pytest.raises(ValueError, match="one column"):
+        parse_query(
+            "SELECT COUNT(DISTINCT lineitem.l_quantity * lineitem.l_tax) "
+            "FROM lineitem", sch,
+        )
+    with pytest.raises(ValueError, match="only supported inside COUNT"):
+        parse_query(
+            "SELECT SUM(DISTINCT lineitem.l_quantity) FROM lineitem", sch
+        )
+
+
+def test_count_distinct_model_plane(engines):
+    eng = engines
+    for sql in [
+        "SELECT COUNT(DISTINCT lineitem.l_quantity) AS d FROM lineitem "
+        "WHERE lineitem.l_discount <= 0.05",
+        "SELECT COUNT(DISTINCT lineitem.l_returnflag) AS d FROM lineitem",
+    ]:
+        q = eng.parse(sql)
+        (row,) = eng.ensemble.aqp(q)
+        true = eng.query(q).collect()[0][0]
+        qerr = max(row["d"] / max(true, 1), true / max(row["d"], 1e-9))
+        assert qerr < 1.2, (sql, row, true)
+
+
+def test_count_distinct_grouped_model_plane(engines):
+    eng = engines
+    sql = (
+        "SELECT lineitem.l_returnflag, "
+        "COUNT(DISTINCT lineitem.l_quantity) AS d, COUNT(*) AS cnt "
+        "FROM lineitem WHERE lineitem.l_discount <= 0.05 "
+        "GROUP BY lineitem.l_returnflag"
+    )
+    q = eng.parse(sql)
+    est = {r["l_returnflag"]: r for r in eng.ensemble.aqp(q)}
+    exact = {r["l_returnflag"]: r.asDict() for r in eng.query(q).collect()}
+    assert set(est) == set(exact)
+    for g, truth in exact.items():
+        assert est[g]["d"] == pytest.approx(truth["d"], rel=0.15), g
+        assert est[g]["cnt"] == pytest.approx(truth["cnt"], rel=0.25), g
+
+
+def test_count_distinct_ci_rejected(engines):
+    from deepdb_public_spark.spn.model import ModelPlaneUnsupported
+
+    eng = engines
+    q = eng.parse(
+        "SELECT COUNT(DISTINCT lineitem.l_quantity) AS d FROM lineitem"
+    )
+    with pytest.raises(ModelPlaneUnsupported):
+        eng.ensemble.confidence_interval(q)
