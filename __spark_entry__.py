@@ -101,6 +101,17 @@ _IR_QUERIES: dict[str, str] = {
         "orders, lineitem WHERE orders.o_orderkey = lineitem.l_orderkey "
         "AND orders.o_orderstatus = 'F' AND lineitem.l_discount <= 0.05"
     ),
+    # grammar EXTENSION: HAVING on aggregate aliases through the IR
+    # path (reference grammar has none; q14 covers the SQL plane) —
+    # the model-plane twin filters estimated rows
+    # (tests/test_pattern_predicates.py)
+    "q39_having_ir": (
+        "SELECT lineitem.l_returnflag, COUNT(*) AS cnt, "
+        "SUM(lineitem.l_quantity) AS sq FROM orders, lineitem "
+        "WHERE orders.o_orderkey = lineitem.l_orderkey "
+        "AND orders.o_orderstatus = 'F' "
+        "GROUP BY lineitem.l_returnflag HAVING cnt > 1000"
+    ),
     # A4 + A6 + A15: 4-way join, range + IN predicates
     "q18_join4_card": (
         "SELECT COUNT(*) AS cnt FROM part, lineitem, orders, customer "

@@ -237,6 +237,16 @@ class ExactCompiler:
         agg_cols = build_agg_columns(query.aggregations)
         if not agg_cols:
             agg_cols = [F.count(F.lit(1)).alias("count")]
-        if group_cols:
-            return df.groupBy(*group_cols).agg(*agg_cols)
-        return df.agg(*agg_cols)
+        out = (
+            df.groupBy(*group_cols).agg(*agg_cols)
+            if group_cols
+            else df.agg(*agg_cols)
+        )
+        # HAVING extension: post-aggregation filters on output aliases
+        # (Catalyst keeps this a filter above the final aggregate —
+        # no extra shuffle)
+        for alias, op, lit in query.having:
+            out = out.filter(
+                condition_to_column(Condition("", alias, op, lit))
+            )
+        return out

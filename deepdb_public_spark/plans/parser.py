@@ -417,7 +417,8 @@ def parse_query(sql: str, schema: SchemaGraph) -> Query:
     masked_sql = _mask_string_literals(sql)
     m = re.match(
         r"^SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<from>.+?)"
-        r"(?:\s+WHERE\s+(?P<where>.+?))?(?:\s+GROUP\s+BY\s+(?P<group>.+?))?$",
+        r"(?:\s+WHERE\s+(?P<where>.+?))?(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
+        r"(?:\s+HAVING\s+(?P<having>.+?))?$",
         masked_sql,
         re.IGNORECASE | re.DOTALL,
     )
@@ -444,7 +445,8 @@ def parse_query(sql: str, schema: SchemaGraph) -> Query:
         query.table_set.add(tname)
 
     if m.group("group"):
-        for gb in _raw("group").split(","):
+        group_raw = _raw("group")
+        for gb in group_raw.split(","):
             t, c = gb.strip().split(".")
             query.add_group_by(_resolve(alias_map, t), c)
 
@@ -453,6 +455,36 @@ def parse_query(sql: str, schema: SchemaGraph) -> Query:
     # parsed IR (and model-plane answers) irreproducible across runs
     default_table = sorted(query.table_set)[0]
     _parse_select_list(_raw("select"), alias_map, default_table, query)
+
+    if m.group("having"):
+        # HAVING extension (reference grammar has none): conjunctive
+        # comparisons on aggregate output ALIASES — `HAVING cnt > 100
+        # AND rev <= 5.5`. Aliases keep the predicate unambiguous in
+        # the IR without re-parsing aggregate expressions; the exact
+        # plane filters after the aggregate, the model plane filters
+        # its estimated rows (approximate group membership).
+        if not m.group("group"):
+            raise ValueError("HAVING requires GROUP BY")
+        known = {op.alias for op in query.aggregations if op.alias}
+        having_raw = _raw("having")
+        for part, part_masked in _split_conjuncts(
+            having_raw, _mask_string_literals(having_raw)
+        ):
+            hm = re.match(
+                r"^(\w+)\s*(<=|>=|<>|!=|=|<|>)\s*(.+)$", part_masked, re.DOTALL
+            )
+            if not hm:
+                raise ValueError(f"cannot parse HAVING predicate: {part!r}")
+            alias, op = hm.group(1), hm.group(2)
+            if alias not in known:
+                raise ValueError(
+                    f"HAVING references {alias!r}, which is not an "
+                    f"aggregate alias in the SELECT list ({sorted(known)})"
+                )
+            lit = _parse_literal(part[hm.start(3): hm.end(3)])
+            if op == "!=":
+                op = "<>"
+            query.having.append((alias, op, lit))
 
     if m.group("where"):
         where = _raw("where")

@@ -97,6 +97,12 @@ class Query:
     conditions: list[Condition] = field(default_factory=list)
     group_bys: list[tuple[str, str]] = field(default_factory=list)
     aggregations: list[AggOperation] = field(default_factory=list)
+    # HAVING extension (reference grammar has none): conjunctive
+    # post-aggregation predicates referencing output ALIASES —
+    # [(alias, op, literal), ...] with op in {=,<>,<,<=,>,>=}. The
+    # exact plane filters after the aggregate; the model plane
+    # filters its estimated rows (approximate group membership).
+    having: list[tuple[str, str, object]] = field(default_factory=list)
 
     def add_join_condition(self, relationship_identifier: str) -> None:
         self.relationship_set.add(relationship_identifier)

@@ -535,7 +535,9 @@ class SPNEnsemble:
             for name, val in outputs:
                 row[name] = val.get(key, 0.0)
             rows.append(row)
-        return rows
+        from .model import _apply_having
+
+        return _apply_having(rows, query.having)
 
     def distinct_count(self, query: Query, cols: list[str]) -> float:
         """COUNT(DISTINCT cols) estimate from the covering model (B9

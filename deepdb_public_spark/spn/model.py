@@ -60,6 +60,36 @@ from .ranges import (
 )
 
 
+_HAVING_OPS = {
+    "=": lambda a, b: a == b,
+    "<>": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+def _apply_having(rows: list[dict], having) -> list[dict]:
+    """Post-aggregation alias filters (the HAVING grammar extension):
+    on the model plane group membership is decided on ESTIMATED
+    aggregates, so groups near the threshold can flip — same
+    approximation class as the estimates themselves."""
+    if not having:
+        return rows
+    out = []
+    for r in rows:
+        keep = True
+        for alias, op, lit in having:
+            v = r.get(alias)
+            if v is None or not _HAVING_OPS[op](v, lit):
+                keep = False
+                break
+        if keep:
+            out.append(r)
+    return out
+
+
 def _like_to_regex(pattern: str) -> "_re.Pattern":
     """SQL LIKE -> compiled regex: % = any run, _ = any char, all else
     literal (no ESCAPE clause — outside the supported grammar)."""
@@ -638,7 +668,7 @@ class SPNModel:
             return row
 
         if not query.group_bys:
-            return [eval_aggs(base_cond)]
+            return _apply_having([eval_aggs(base_cond)], query.having)
 
         # group-by (reference B9 + B8): the model-side distinct combos
         # form a grid; evaluate_groupby computes EVERY combination in
@@ -772,7 +802,7 @@ class SPNModel:
             for name, g in agg_outputs:
                 row[name] = float(g[tuple(idx)])
             out.append(row)
-        return out
+        return _apply_having(out, query.having)
 
     # -- confidence intervals (reference B10, simplified) --------------
     def confidence_interval(
@@ -863,6 +893,12 @@ class SPNModel:
                     "confidence intervals for COUNT(DISTINCT) are not "
                     "supported (the grid-cell count has no CLT-style "
                     "variance here); use the exact plane"
+                )
+            if query.having:
+                raise ModelPlaneUnsupported(
+                    "confidence intervals with HAVING are not supported "
+                    "(group membership under an estimated threshold is "
+                    "itself uncertain); use the exact plane"
                 )
             if op.agg_type is AggregationType.COUNT:
                 est = N * p

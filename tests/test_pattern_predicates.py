@@ -232,3 +232,54 @@ def test_count_distinct_ci_rejected(engines):
     )
     with pytest.raises(ModelPlaneUnsupported):
         eng.ensemble.confidence_interval(q)
+
+
+# ------------------------------------------------------------- HAVING
+
+
+def test_having_parses_and_matches_duckdb(spark, duck):
+    sch = tpch_like_schema()
+    sql = (
+        "SELECT lineitem.l_returnflag, COUNT(*) AS cnt, "
+        "SUM(lineitem.l_quantity) AS sq FROM lineitem "
+        "WHERE lineitem.l_discount <= 0.05 "
+        "GROUP BY lineitem.l_returnflag HAVING cnt > 500 AND sq <= 50000"
+    )
+    q = parse_query(sql, sch)
+    assert q.having == [("cnt", ">", 500), ("sq", "<=", 50000)]
+    eng = Engine(spark, SF_SMOKE)
+    got = sorted(tuple(r) for r in eng.query(q).collect())
+    want = sorted(duck[SF_SMOKE].execute(sql).fetchall())
+    assert got == want
+
+
+def test_having_requires_group_by_and_known_alias():
+    sch = tpch_like_schema()
+    with pytest.raises(ValueError, match="requires GROUP BY"):
+        parse_query(
+            "SELECT COUNT(*) AS cnt FROM lineitem HAVING cnt > 5", sch
+        )
+    with pytest.raises(ValueError, match="not an .*alias"):
+        parse_query(
+            "SELECT lineitem.l_returnflag, COUNT(*) AS cnt FROM lineitem "
+            "GROUP BY lineitem.l_returnflag HAVING nope > 5",
+            sch,
+        )
+
+
+def test_having_model_plane_filters_groups(engines):
+    eng = engines
+    sql = (
+        "SELECT lineitem.l_returnflag, COUNT(*) AS cnt FROM lineitem "
+        "GROUP BY lineitem.l_returnflag HAVING cnt > 1500"
+    )
+    q = eng.parse(sql)
+    est = {r["l_returnflag"] for r in eng.ensemble.aqp(q)}
+    exact = {r["l_returnflag"] for r in eng.query(q).collect()}
+    # thresholds far from any group's count: membership must agree
+    assert est == exact
+
+    from deepdb_public_spark.spn.model import ModelPlaneUnsupported
+
+    with pytest.raises(ModelPlaneUnsupported):
+        eng.ensemble.confidence_interval(q)
