@@ -1166,9 +1166,13 @@ def _m_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop at COUNT/SUM/AVG and the paper names median as unsupported):
     leaf histograms hold the full per-value distribution, so quantiles
     are CDF inversion over one batch grid pass (B8). Output
-    (qid, true_q, ok) is oracle-checked: true values are DuckDB's
-    quantile_disc (we invert over observed values, the disc variant's
-    contract) and ok = estimate within 10% relative error."""
+    (qid, true_q, ok) is oracle-checked: true values are Spark's
+    exact interpolated percentile() vs DuckDB's quantile_cont — both
+    standard linear interpolation, ROUNDed to 4 decimals on BOTH
+    sides so the hash compare tolerates last-ulp arithmetic drift —
+    and ok = the model estimate within 10% relative error (the model
+    inverts over observed values, so it is disc-flavored; the
+    cont-vs-disc gap at 600k rows is far inside the budget)."""
     eng = _engine(spark, sf_dir)
     _ensure_models(eng, [({"lineitem"}, 60_000)])
     from deepdb_public_spark.plans.query import Query

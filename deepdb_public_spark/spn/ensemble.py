@@ -485,9 +485,12 @@ class SPNEnsemble:
 
         def signed(agg_type, operands, distinct=False) -> dict[tuple, float]:
             """group key tuple -> signed sum (key = () when ungrouped).
-            Valid for COUNT/SUM (linear in the indicator) AND for
-            COUNT(DISTINCT) — distinct sets obey the same
-            inclusion-exclusion identity."""
+            Valid for COUNT/SUM — linear in the row indicator. NOT
+            valid for per-term THRESHOLDED distinct counts (a value
+            can satisfy different disjuncts on different rows), so
+            COUNT(DISTINCT) never routes here: ungrouped goes through
+            _ie_distinct_count (signed per-value masses), grouped
+            raises and falls back to the exact plane."""
             nonlocal collect_visible
             total: dict[tuple, float] = {}
             for sign, q in terms:
@@ -516,6 +519,18 @@ class SPNEnsemble:
                     else float("nan")
                     for k in visible
                 }
+            elif op.distinct:
+                from .model import ModelPlaneUnsupported
+
+                if gb_cols:
+                    raise ModelPlaneUnsupported(
+                        "grouped COUNT(DISTINCT) under cross-column OR: "
+                        "use the exact plane (signed per-term counts "
+                        "are not valid set algebra for distinct rows)"
+                    )
+                val = {
+                    (): self._ie_distinct_count(query, op.operands[0][1])
+                }
             else:
                 val = signed(op.agg_type, op.operands, op.distinct)
             if op.op_type is AggregationOperationType.AGGREGATION:
@@ -539,18 +554,40 @@ class SPNEnsemble:
 
         return _apply_having(rows, query.having)
 
+    def _ie_distinct_count(self, query: Query, col: str) -> float:
+        """Distinct count under cross-column OR: inclusion-exclusion
+        applies to the per-value MASSES (P(col=v AND ·) is linear in
+        the indicator), and the expected-rows threshold is taken on
+        the combined mass. Signing thresholded per-term COUNTS would
+        be wrong: a value can satisfy A on one row and B on another
+        without any row satisfying A AND B, so distinct SETS do not
+        obey |D(A or B)| = |D(A)| + |D(B)| - |D(A and B)|."""
+        acc: dict[float, float] = {}
+        model = None
+        for s, q in self._ie_terms(query):
+            model = self.select_model(q)
+            dom, masses = model._value_masses(col, q)
+            for v, m in zip(dom, masses):
+                acc[float(v)] = acc.get(float(v), 0.0) + s * float(m)
+        fjs = model.full_join_size
+        return float(sum(1 for m in acc.values() if fjs * m >= 0.5))
+
     def distinct_count(self, query: Query, cols: list[str]) -> float:
         """COUNT(DISTINCT cols) estimate from the covering model (B9
         exposed — see SPNModel.distinct_count). ``query`` carries the
         table scope and optional conditions. Cross-column OR groups
-        expand via inclusion-exclusion — valid here because distinct
-        sets obey |D(A or B)| = |D(A)| + |D(B)| - |D(A and B)|."""
+        combine per-VALUE masses by signed sums (single column only —
+        a multi-column distinct grid under OR would need the signed
+        combination over the full cross grid; use the exact plane)."""
         if self._complex_or_index(query) is not None:
-            total = sum(
-                s * self.distinct_count(q, cols)
-                for s, q in self._ie_terms(query)
-            )
-            return max(total, 0.0)
+            if len(cols) != 1:
+                from .model import ModelPlaneUnsupported
+
+                raise ModelPlaneUnsupported(
+                    "multi-column DISTINCT under cross-column OR: use "
+                    "the exact plane"
+                )
+            return self._ie_distinct_count(query, cols[0])
         return self.select_model(query).distinct_count(cols, query)
 
     def quantile(

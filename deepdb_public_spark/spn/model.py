@@ -572,7 +572,16 @@ class SPNModel:
         sample bias the count low. Same trust model as every other
         estimate here: budget-tested, not exact."""
         idx = [self._col_index(c) for c in cols]
-        cond = dict(self.conditions_to_ranges(query)) if query else {}
+        cond: dict = {}
+        features: dict = {}
+        if query is not None:
+            cond = dict(self.conditions_to_ranges(query))
+            # join-scope corrections as in cardinality/aqp: nn ranges
+            # exclude dangling outer-join rows, inverse multipliers
+            # de-weight fanout — expected-rows thresholds then refer
+            # to the query's sub-scope, not the replicated join
+            extra, features = self.correction_factors(query)
+            cond.update(extra)
         axes: dict[int, np.ndarray] = {}
         for i in idx:
             dom = distinct_values(self.root, i)
@@ -587,7 +596,7 @@ class SPNModel:
             )
         if n_cells == 0:
             return 0.0
-        grid = evaluate_groupby(self.root, cond, {}, axes)
+        grid = evaluate_groupby(self.root, cond, features, axes)
         # expected-rows threshold (matches aqp's count>=0.5 group
         # pruning): a strict p>0 would count 1e-300 Sum-node residues
         # and every independence-product cross combination
@@ -596,17 +605,27 @@ class SPNModel:
     def _value_masses(
         self, col: str, query: Query | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
-        """(domain values, P(col = v AND conditions)) in one batch
-        grid pass — the building block for model-side quantiles."""
+        """(domain values, E[corrections · 1(col = v AND conditions)])
+        in one batch grid pass — the building block for model-side
+        quantiles and distinct counts. Join-scope corrections apply
+        exactly as in cardinality/aqp: null-indicator ranges exclude
+        dangling outer-join rows and inverse-multiplier features
+        de-weight fanout replication, so full_join_size * mass is the
+        expected SUB-SCOPE row count at that value."""
         i = self._col_index(col)
-        cond = dict(self.conditions_to_ranges(query)) if query else {}
+        cond: dict = {}
+        features: dict = {}
+        if query is not None:
+            cond = dict(self.conditions_to_ranges(query))
+            extra, features = self.correction_factors(query)
+            cond.update(extra)
         rng = cond.pop(i, None)
         dom = distinct_values(self.root, i)
         if rng is not None:
             dom = np.array([v for v in dom if value_admitted(rng, v)])
         if len(dom) == 0:
             return dom, np.array([])
-        masses = evaluate_groupby(self.root, cond, {}, {i: dom})
+        masses = evaluate_groupby(self.root, cond, features, {i: dom})
         return dom, np.asarray(masses, dtype=np.float64).reshape(-1)
 
     def quantile(
@@ -723,9 +742,19 @@ class SPNModel:
                     )
                 if len(dom) == 0:
                     return np.zeros_like(count_grid)
+                # the extended grid multiplies the group grid by the
+                # distinct domain — re-check the cell cap (the group
+                # grid alone passing it is not enough)
+                ext_cells = n_cells * len(dom)
+                if ext_cells > MAX_GROUPBY_CELLS:
+                    raise GroupByExplosion(
+                        f"grouped COUNT(DISTINCT) grid has {ext_cells} "
+                        f"cells (> {MAX_GROUPBY_CELLS}); use the exact "
+                        "plane"
+                    )
                 axes2 = dict(axes)
                 axes2[ci] = dom
-                g2 = evaluate_groupby(self.root, cond2, {}, axes2)
+                g2 = evaluate_groupby(self.root, cond2, features, axes2)
                 return (
                     (self.full_join_size * g2 >= 0.5)
                     .sum(axis=-1)

@@ -41,12 +41,9 @@ def maintain_model_stream(
     if mode not in ("insert", "delete"):
         raise ValueError(f"mode must be insert|delete, got {mode!r}")
     apply_fn = absorb_delta if mode == "insert" else remove_delta
-    applied: list[int] = []
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        n = apply_fn(model, batch, sample_budget=sample_budget)
-        if n:
-            applied.append(n)
+        apply_fn(model, batch, sample_budget=sample_budget)
 
     writer = (
         stream_df.writeStream.foreachBatch(handle)

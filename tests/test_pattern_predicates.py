@@ -283,3 +283,92 @@ def test_having_model_plane_filters_groups(engines):
 
     with pytest.raises(ModelPlaneUnsupported):
         eng.ensemble.confidence_interval(q)
+
+
+# ----------------------------- join-scope corrections (review fixes)
+
+
+@pytest.fixture(scope="module")
+def joint_engine(spark):
+    from deepdb_public_spark.spn.ensemble import SPNEnsemble
+    from deepdb_public_spark.spn.trainer import train_spn_model
+
+    eng = Engine(spark, SF_SMOKE)
+    eng.ensemble = SPNEnsemble(eng.schema)
+    eng.ensemble.add_model(
+        train_spn_model(eng.catalog, eng.schema, {"orders", "lineitem"}, 80_000)
+    )
+    return eng
+
+
+def test_join_scope_count_distinct_applies_corrections(joint_engine):
+    """COUNT(DISTINCT orders.o_orderpriority) over the JOIN scope from
+    a joint model: dangling orders (no lineitem) must not contribute,
+    and fanout replication must not distort the expected-row
+    threshold — the ungrouped path now applies the same corrections
+    as the grouped one."""
+    eng = joint_engine
+    sql = (
+        "SELECT COUNT(DISTINCT orders.o_orderpriority) AS d "
+        "FROM orders, lineitem "
+        "WHERE orders.o_orderkey = lineitem.l_orderkey "
+        "AND lineitem.l_quantity < 5"
+    )
+    q = eng.parse(sql)
+    (row,) = eng.ensemble.aqp(q)
+    true = eng.query(q).collect()[0][0]
+    qerr = max(row["d"] / max(true, 1), true / max(row["d"], 1e-9))
+    assert qerr < 1.5, (row, true)
+
+
+def test_join_scope_quantile_applies_corrections(joint_engine):
+    """Quantile of a parent-side column under a join-scoped query:
+    inverse-multiplier de-weighting keeps the percentile in the
+    parent measure instead of the fanout-replicated join measure."""
+    eng = joint_engine
+    q = eng.parse(
+        "SELECT COUNT(*) AS c FROM orders, lineitem "
+        "WHERE orders.o_orderkey = lineitem.l_orderkey "
+        "AND lineitem.l_quantity < 25"
+    )
+    (med,) = eng.ensemble.quantile(q, "o_totalprice", [0.5])
+    true = (
+        eng.sql(
+            "SELECT percentile(o_totalprice, 0.5) FROM orders o "
+            "JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+            "WHERE l.l_quantity < 25"
+        ).collect()[0][0]
+    )
+    assert med == pytest.approx(true, rel=0.10)
+
+
+def test_grouped_count_distinct_or_raises(engines):
+    from deepdb_public_spark.spn.model import ModelPlaneUnsupported
+
+    eng = engines
+    sql = (
+        "SELECT lineitem.l_returnflag, "
+        "COUNT(DISTINCT lineitem.l_quantity) AS d FROM lineitem "
+        "WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08) "
+        "GROUP BY lineitem.l_returnflag"
+    )
+    with pytest.raises(ModelPlaneUnsupported):
+        eng.ensemble.aqp(eng.parse(sql))
+    # Engine.estimate falls back to the exact plane
+    rows = eng.estimate(sql)
+    exact = {r["l_returnflag"]: r["d"] for r in
+             (x.asDict() for x in eng.query(sql).collect())}
+    assert {r["l_returnflag"]: r["d"] for r in rows} == exact
+
+
+def test_ungrouped_count_distinct_or_signed_masses(engines):
+    eng = engines
+    sql = (
+        "SELECT COUNT(DISTINCT lineitem.l_quantity) AS d FROM lineitem "
+        "WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)"
+    )
+    q = eng.parse(sql)
+    (row,) = eng.ensemble.aqp(q)
+    true = eng.query(q).collect()[0][0]
+    qerr = max(row["d"] / max(true, 1), true / max(row["d"], 1e-9))
+    assert qerr < 1.2, (row, true)
