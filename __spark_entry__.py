@@ -259,6 +259,18 @@ _SQL_QUERIES: dict[str, str] = {
     # aggregates the model plane cannot serve (paper-stated DeepDB
     # limitation); the exact plane gets them from Spark's hash agg +
     # interpolated MEDIAN (portable: DuckDB's MEDIAN is quantile_cont)
+    # beyond reference (SURVEY §2 E): statistical co-moment aggregates
+    # (CORR/COVAR/STDDEV/VAR) — one partial-aggregate pass, identical
+    # SQL in Spark and DuckDB; ROUND bounds cross-engine accumulation
+    # noise (both use streaming co-moment updates, agreement ~1e-12)
+    "q40_corr_stats": """
+        SELECT l_returnflag,
+               ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qp,
+               ROUND(COVAR_SAMP(l_quantity, l_extendedprice) / 1000, 6) AS cov_qp_k,
+               ROUND(STDDEV_SAMP(l_discount), 6) AS sd_disc,
+               ROUND(VAR_SAMP(l_quantity), 6) AS var_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "q26_minmax_median": """
         SELECT l_returnflag,
                ROUND(MIN(l_extendedprice), 6) AS min_price,
@@ -860,6 +872,54 @@ def _x_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         new, "text", "doc_id", bands, sets, threshold=0.8,
         n_hashes=64, n_bands=16, use_char_ngrams=True, ngram=5,
     ).selectExpr("new_id", "index_id", "round(jaccard, 6) AS jaccard")
+
+
+def _x_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (keyword extraction, a
+    training-data curation staple). IDF is computed over the FULL
+    corpus; output is bounded to the doc_id % 25 == 0 slice. Portable
+    tokenization + deterministic tie-break => hash-checkable."""
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.operators.textstats import tfidf_top_terms
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    return tfidf_top_terms(docs, "text", "doc_id", k=3, min_len=2).filter(
+        F.col("doc_id") % 25 == 0
+    )
+
+
+def _x_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (size 400, stride 300):
+    the preprocessing step before tokenize-and-pack. Chunk windows are
+    defined portably (1-based starts every ``stride`` chars), so the
+    DuckDB oracle reproduces the exact chunk set via generate_series;
+    chunk content is hash-checked through chunk_md5."""
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.operators.chunking import chunk_documents
+
+    docs = _engine(spark, sf_dir).catalog["documents"].filter(
+        F.col("doc_id") % 25 == 0
+    )
+    return chunk_documents(docs, "text", "doc_id", size=400, stride=300)
+
+
+def _x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (keep items with no
+    cosine-similar earlier item): the embedding analogue of exact
+    dedup's keep-first rule. Brute-force pair generation on the
+    deterministic 1k slice makes the output oracle-checkable; the
+    LSH-bucketed scale path is equivalence-tested in
+    tests/test_extensions.py."""
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.operators.dedup import semantic_dedup
+
+    emb = _engine(spark, sf_dir).catalog["embeddings"].filter(F.col("vec_id") < 1000)
+    return semantic_dedup(
+        emb, "embedding", "vec_id", threshold=0.8, brute_force=True
+    )
 
 
 def _x_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1904,6 +1964,71 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
                ROUND(quantile_cont(l_quantity, 0.9), 6) AS q90,
                TRUE AS p50_ok
         FROM lineitem GROUP BY l_returnflag
+        """,
+    ),
+    "x39_tfidf_topterms": (
+        _x_tfidf_topterms,
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf FROM toks
+          WHERE length(token) >= 2 GROUP BY doc_id, token
+        ),
+        dfreq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT doc_id, token, ROUND(score, 6) AS tfidf, rnk FROM (
+          SELECT tf.doc_id, tf.token,
+                 tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.dfreq) AS score,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.dfreq) DESC,
+                            tf.token ASC
+                 ) AS rnk
+          FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+        ) WHERE rnk <= 3 AND doc_id % 25 = 0
+        """,
+    ),
+    "x40_chunk_windows": (
+        _x_chunk_windows,
+        """
+        WITH c AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(1, length(text), 300)) AS chunk_start
+          FROM documents
+          WHERE doc_id % 25 = 0 AND text IS NOT NULL AND length(text) > 0
+        )
+        SELECT doc_id,
+               CAST((chunk_start - 1) / 300 AS INT) AS chunk_id,
+               CAST(chunk_start AS INT) AS chunk_start,
+               CAST(length(substr(text, CAST(chunk_start AS INT), 400)) AS INT)
+                 AS chunk_len,
+               md5(substr(text, CAST(chunk_start AS INT), 400)) AS chunk_md5
+        FROM c
+        """,
+    ),
+    "x41_semdedup": (
+        _x_semdedup,
+        """
+        WITH pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM (SELECT * FROM embeddings WHERE vec_id < 1000) a
+          JOIN (SELECT * FROM embeddings WHERE vec_id < 1000) b ON a.vec_id < b.vec_id
+          CROSS JOIN generate_series(1, 64) AS g(i)
+          GROUP BY a.vec_id, b.vec_id
+          HAVING SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE))
+                 / (SQRT(SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(a.embedding[g.i] AS DOUBLE)))
+                    * SQRT(SUM(CAST(b.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)))) >= 0.8
+        ),
+        reps AS (SELECT id_b AS vec_id, MIN(id_a) AS rep FROM pairs GROUP BY id_b)
+        SELECT v.vec_id,
+               r.rep IS NULL AS kept,
+               COALESCE(r.rep, v.vec_id) AS rep_id
+        FROM (SELECT vec_id FROM embeddings WHERE vec_id < 1000) v
+        LEFT JOIN reps r ON v.vec_id = r.vec_id
         """,
     ),
     "x38_unigram_logprob": (

@@ -974,3 +974,59 @@ def embedding_neardup_pairs(
             )
         )
     return pairs.distinct().filter(F.col("cos") >= threshold)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    n_planes: int = 8,
+    seed: int = 42,
+    brute_force: bool = False,
+    max_bucket_size: int = 256,
+    chain_width: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning over an embedding column ->
+    (id, kept, rep_id): drop every item that is cosine-similar
+    (>= ``threshold``) to an EARLIER item (smaller id); survivors are
+    their own representative, pruned items point at their smallest
+    similar predecessor.
+
+    The keep rule ("no earlier neighbor") is deliberately local and
+    deterministic: it needs only the near-dup pair list — one
+    aggregation + one left anti-style join past ``embedding_neardup_
+    pairs`` — so it scales exactly as the pair generation does and any
+    engine reproduces it from the same pairs. (Greedy one-per-cluster
+    selection in id order differs on chains a~b, b~c, !a~c: greedy
+    keeps {a, c}, this rule keeps {a}. For training-data pruning the
+    stricter rule errs toward dropping more near-duplicates.)
+
+    Scale shape: pair generation is LSH-bucketed (``brute_force=True``
+    only for oracle baselines); the keep decision adds one groupBy on
+    the pruned id and one outer join back to the id universe.
+    """
+    pairs = embedding_neardup_pairs(
+        df,
+        vec_col,
+        id_col,
+        threshold=threshold,
+        n_planes=n_planes,
+        seed=seed,
+        brute_force=brute_force,
+        max_bucket_size=max_bucket_size,
+        chain_width=chain_width,
+    )
+    # pairs have id_a < id_b: id_b always has an earlier neighbor
+    reps = pairs.groupBy(F.col("id_b").alias("id")).agg(
+        F.min("id_a").alias("rep")
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(reps, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("rep").isNull().alias("kept"),
+            F.coalesce("rep", "id").alias("rep_id"),
+        )
+    )

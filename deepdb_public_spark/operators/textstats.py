@@ -120,3 +120,64 @@ def contamination_report(
         .join(train, "fp")
         .select(id_col, "fp", "n_train_dups")
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    min_len: int = 2,
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms -> (id, token, tfidf, rnk).
+
+    score = tf(doc, token) * ln(N / df(token)) with the same portable
+    tokenization as term_frequencies (lowercased [a-z0-9] runs), so
+    any engine reproduces it bit-for-bit. Ties break on token asc
+    (identical (tf, df) pairs produce identical doubles, so the
+    tie-break is engine-stable).
+
+    Scale shape: explode -> groupBy (id, token) for TF (one shuffle),
+    token-level re-aggregate for DF (second shuffle over the
+    vocabulary-sized TF table, not the corpus), broadcast the scalar N,
+    then one window per doc for the top-k. No collects; the window
+    partitions by doc id, so state per task is one document's
+    vocabulary."""
+    from pyspark.sql.window import Window
+
+    toks = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")).alias(
+                "token"
+            ),
+        )
+        .filter(F.length("token") >= min_len)
+    )
+    tf = toks.groupBy("__id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf is already distinct per (doc, token): plain count == countDistinct
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "__id",
+            "token",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("dfreq"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("__id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("__id").alias(id_col),
+            "token",
+            F.round("score", 6).alias("tfidf"),
+            "rnk",
+        )
+    )

@@ -1,0 +1,148 @@
+"""Round-4 operators: TF-IDF top terms, chunk windows, semantic dedup.
+
+Each new driver entry is hash-checked against DuckDB by
+oracle_check.py; these tests cover the operator properties the oracle
+cannot see (LSH-vs-brute equivalence, chunk coverage invariants,
+score semantics on a hand-built corpus).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- tfidf
+
+
+def test_tfidf_matches_hand_computation(spark):
+    from deepdb_public_spark.operators.textstats import tfidf_top_terms
+
+    rows = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "cherry cherry durian"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        (r["id"], r["token"]): r["tfidf"]
+        for r in tfidf_top_terms(df, "text", "id", k=10).collect()
+    }
+    n = 3
+    # apple: tf 2 in doc 1, df 1
+    assert out[(1, "apple")] == round(2 * math.log(n / 1), 6)
+    # banana: df 2
+    assert out[(1, "banana")] == round(1 * math.log(n / 2), 6)
+    # cherry in doc 3: tf 2, df 2
+    assert out[(3, "cherry")] == round(2 * math.log(n / 2), 6)
+    # durian: unique to doc 3
+    assert out[(3, "durian")] == round(1 * math.log(n / 1), 6)
+
+
+def test_tfidf_topk_bound_and_order(spark):
+    from deepdb_public_spark.operators.textstats import tfidf_top_terms
+
+    out = tfidf_top_terms(_docs(spark), "text", "doc_id", k=3).toPandas()
+    per_doc = out.groupby("doc_id")
+    assert (per_doc.size() <= 3).all()
+    for _, g in per_doc:
+        g = g.sort_values("rnk")
+        # rnk is 1..k and scores are non-increasing in rnk
+        assert list(g["rnk"]) == list(range(1, len(g) + 1))
+        assert (g["tfidf"].diff().dropna() <= 1e-9).all()
+
+
+# ------------------------------------------------------------- chunking
+
+
+def test_chunks_cover_and_reconstruct(spark):
+    from deepdb_public_spark.operators.chunking import chunk_documents
+
+    docs = _docs(spark).limit(50)
+    size, stride = 100, 70
+    chunks = chunk_documents(docs, "text", "doc_id", size=size, stride=stride)
+    joined = chunks.join(docs, "doc_id").select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        "chunk_len",
+        "chunk_md5",
+        F.length("text").alias("n"),
+        F.md5(F.substring(F.col("text"), F.col("chunk_start"), size)).alias(
+            "md5_again"
+        ),
+    )
+    pdf = joined.toPandas()
+    assert len(pdf) > 0
+    # md5 recomputes identically (chunk content == substring slice)
+    assert (pdf["chunk_md5"] == pdf["md5_again"]).all()
+    # starts advance by exactly stride, 1-based, first chunk at 1
+    for _, g in pdf.groupby("doc_id"):
+        g = g.sort_values("chunk_id")
+        starts = list(g["chunk_start"])
+        assert starts[0] == 1
+        assert all(b - a == stride for a, b in zip(starts, starts[1:]))
+        n = g["n"].iloc[0]
+        # last start still inside the doc; one more stride would not be
+        assert starts[-1] <= n < starts[-1] + stride
+        # every char position is covered (overlap >= 0 since stride<size)
+        assert all(ln == min(size, n - st + 1) for st, ln in zip(g["chunk_start"], g["chunk_len"]))
+
+
+def test_chunks_skip_empty_docs(spark):
+    from deepdb_public_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, None)], "id long, text string"
+    )
+    out = chunk_documents(df, "text", "id", size=2, stride=1).collect()
+    assert {r["id"] for r in out} == {1}
+
+
+# ------------------------------------------------------- semantic dedup
+
+
+def test_semdedup_lsh_matches_brute(spark):
+    from deepdb_public_spark.operators.dedup import semantic_dedup
+
+    emb = _emb(spark)
+    brute = semantic_dedup(
+        emb, "embedding", "vec_id", threshold=0.8, brute_force=True
+    )
+    lsh = semantic_dedup(
+        emb, "embedding", "vec_id", threshold=0.8, n_planes=4
+    )
+    b = {tuple(r) for r in brute.collect()}
+    l = {tuple(r) for r in lsh.collect()}
+    # multi-plane LSH at 4 bits on this corpus reaches recall 1 at
+    # cosine >= 0.8 (same property x08 relies on); decisions must agree
+    assert b == l
+
+
+def test_semdedup_keep_rule(spark):
+    from deepdb_public_spark.operators.dedup import semantic_dedup
+
+    emb = _emb(spark)
+    out = semantic_dedup(
+        emb, "embedding", "vec_id", threshold=0.8, brute_force=True
+    ).toPandas()
+    assert len(out) == emb.count()  # one decision per input row
+    kept = out[out["kept"]]
+    pruned = out[~out["kept"]]
+    # survivors are their own representative
+    assert (kept["rep_id"] == kept["vec_id"]).all()
+    # pruned rows point at an EARLIER kept-or-pruned item
+    assert (pruned["rep_id"] < pruned["vec_id"]).all()
+    # representatives are real ids
+    assert set(pruned["rep_id"]).issubset(set(out["vec_id"]))
