@@ -1181,6 +1181,90 @@ def _m_incremental_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _m_update_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental UPDATE support — beyond the reference (D5 covers
+    inserts; deletes and updates are listed as future work): an UPDATE
+    is a remove_delta of the old rows plus an absorb_delta of the
+    transformed rows, both Spark-side with bounded samples. The update
+    (l_orderkey % 10 < 2 => l_quantity += 25) shifts 20% of the rows
+    into a value region the training data never saw, so this also
+    exercises numeric-leaf domain extension. Output
+    (pid, true_cnt, qerr_ok) is oracle-checked against DuckDB counts
+    over the same CASE-updated table."""
+    import copy
+
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.spn.incremental import absorb_delta, remove_delta
+
+    eng = _engine(spark, sf_dir)
+    _ensure_models(eng, [({"lineitem"}, 60_000)])
+    model = copy.deepcopy(
+        next(m for m in eng.ensemble.models if m.table_set == {"lineitem"})
+    )
+    base = eng.catalog["lineitem"]
+    old = base.filter((F.col("l_orderkey") % 10) < 2)
+    new = old.withColumn("l_quantity", F.col("l_quantity") + 25)
+    remove_delta(model, old, sample_budget=60_000)
+    absorb_delta(model, new, sample_budget=60_000)
+    updated = base.filter((F.col("l_orderkey") % 10) >= 2).unionByName(new)
+    out = []
+    for pid, pred, sql_pred in [
+        ("u1", "l_quantity < 25", "lineitem.l_quantity < 25"),
+        ("u2", "l_quantity >= 50", "lineitem.l_quantity >= 50"),
+        ("u3", "l_returnflag = 'A'", "lineitem.l_returnflag = 'A'"),
+    ]:
+        q = eng.parse(f"SELECT COUNT(*) AS cnt FROM lineitem WHERE {sql_pred}")
+        est = float(model.cardinality(q))
+        true = updated.filter(pred).count()
+        qerr = max(est / max(true, 1), true / max(est, 1e-9))
+        out.append((pid, true, bool(qerr < _MODEL_QERR_BUDGET)))
+    return spark.createDataFrame(
+        out, "pid string, true_cnt long, qerr_ok boolean"
+    )
+
+
+_M11_CASES = [
+    ("e1", "SELECT COUNT(*) AS cnt FROM events WHERE events.value <= 50"),
+    ("e2", "SELECT COUNT(*) AS cnt FROM events "
+           "WHERE events.event_type = 'click' AND events.value > 20"),
+    ("e3", "SELECT COUNT(*) AS cnt FROM events "
+           "WHERE events.ts >= DATE '2024-01-15'"),
+    ("e4", "SELECT COUNT(*) AS cnt FROM events "
+           "WHERE events.event_type IN ('view', 'signup')"),
+]
+
+
+def _m_events_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-dataset model plane: a single-table RSPN over `events`
+    (timestamp + categorical + numeric scope; `props` excluded like
+    the reference's irrelevant_attributes). Demonstrates the schema
+    graph / trainer / estimator generalize beyond the TPC-H-style
+    tables — the reference ships per-dataset schema builders
+    (schemas/<dataset>/schema.py) for exactly this reason. Output
+    (qid, true_cnt, qerr_ok) is oracle-checked like m01."""
+    from deepdb_public_spark.spn.trainer import train_spn_model
+
+    eng = _engine(spark, sf_dir)
+    from deepdb_public_spark.spn.ensemble import SPNEnsemble
+
+    if eng.ensemble is None:
+        eng.ensemble = SPNEnsemble(eng.schema)
+    if {"events"} not in [m.table_set for m in eng.ensemble.models]:
+        eng.ensemble.add_model(
+            train_spn_model(
+                eng.catalog,
+                eng.schema,
+                {"events"},
+                40_000,
+                exclude_columns={"props"},
+            )
+        )
+    return spark.createDataFrame(
+        _qerr_rows(eng, _M11_CASES), "qid string, true_cnt long, qerr_ok boolean"
+    )
+
+
 def _m_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-side COUNT(DISTINCT) estimation (reference B9:
     group_by_combination.py, exposed as a user capability the
@@ -1487,6 +1571,29 @@ _PREP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
                TRUE
         """,
     ),
+    "m10_update_in_place": (
+        _m_update_in_place,
+        """
+        WITH updated AS (
+            SELECT CASE WHEN l_orderkey % 10 < 2 THEN l_quantity + 25
+                        ELSE l_quantity END AS l_quantity,
+                   l_returnflag
+            FROM lineitem
+        )
+        SELECT 'u1' AS pid,
+               (SELECT COUNT(*) FROM updated WHERE l_quantity < 25) AS true_cnt,
+               TRUE AS qerr_ok
+        UNION ALL
+        SELECT 'u2',
+               (SELECT COUNT(*) FROM updated WHERE l_quantity >= 50),
+               TRUE
+        UNION ALL
+        SELECT 'u3',
+               (SELECT COUNT(*) FROM updated WHERE l_returnflag = 'A'),
+               TRUE
+        """,
+    ),
+    "m11_events_model": (_m_events_model, _card_oracle(_M11_CASES)),
     "m04_aqp_groupby": (
         _m_aqp_groupby,
         """
@@ -2375,6 +2482,8 @@ _PRIORITY_HEAD = [
     "m07_incremental_delete",
     "m08_distinct_estimate",
     "m09_model_quantiles",
+    "m10_update_in_place",
+    "m11_events_model",
     "m04_aqp_groupby",
     "m05_confidence_intervals",
     "m06_aqp_join_groupby",

@@ -146,3 +146,62 @@ def test_semdedup_keep_rule(spark):
     assert (pruned["rep_id"] < pruned["vec_id"]).all()
     # representatives are real ids
     assert set(pruned["rep_id"]).issubset(set(out["vec_id"]))
+
+
+# ------------------------------------------------------ model plane r4
+
+
+def test_update_in_place_tracks_distribution_shift(spark):
+    import copy
+
+    from deepdb_public_spark.engine import Engine
+    from deepdb_public_spark.spn.incremental import absorb_delta, remove_delta
+    from deepdb_public_spark.spn.nodes import validate
+    from deepdb_public_spark.spn.trainer import train_spn_model
+
+    eng = Engine(spark, SF_SMOKE)
+    model = train_spn_model(eng.catalog, eng.schema, {"lineitem"}, 20_000)
+    base = eng.catalog["lineitem"]
+    old = base.filter((F.col("l_orderkey") % 10) < 2)
+    new = old.withColumn("l_quantity", F.col("l_quantity") + 25)
+    updated = copy.deepcopy(model)
+    remove_delta(updated, old, sample_budget=20_000)
+    absorb_delta(updated, new, sample_budget=20_000)
+    validate(updated.root)
+    truth_df = base.filter((F.col("l_orderkey") % 10) >= 2).unionByName(new)
+    for pred, sql_pred in [
+        ("l_quantity < 25", "lineitem.l_quantity < 25"),
+        ("l_quantity >= 50", "lineitem.l_quantity >= 50"),
+    ]:
+        q = eng.parse(f"SELECT COUNT(*) AS cnt FROM lineitem WHERE {sql_pred}")
+        est = float(updated.cardinality(q))
+        true = truth_df.filter(pred).count()
+        qerr = max(est / max(true, 1), true / max(est, 1e-9))
+        assert qerr < 3.0, (pred, est, true)
+    # the un-updated model must NOT see the shifted region (>= 51 was
+    # outside the original quantity domain entirely)
+    q = eng.parse("SELECT COUNT(*) AS cnt FROM lineitem WHERE lineitem.l_quantity >= 51")
+    assert float(model.cardinality(q)) == 0.0
+    assert float(updated.cardinality(q)) > 0.0
+
+
+def test_events_model_budget(spark):
+    from deepdb_public_spark.engine import Engine
+    from deepdb_public_spark.spn.trainer import train_spn_model
+
+    eng = Engine(spark, SF_SMOKE)
+    model = train_spn_model(
+        eng.catalog, eng.schema, {"events"}, 20_000, exclude_columns={"props"}
+    )
+    assert set(model.column_names) >= {"ts", "event_type", "value"}
+    assert "props" not in model.column_names
+    for sql in [
+        "SELECT COUNT(*) AS cnt FROM events WHERE events.value <= 50",
+        "SELECT COUNT(*) AS cnt FROM events WHERE events.event_type = 'click'",
+        "SELECT COUNT(*) AS cnt FROM events WHERE events.ts >= DATE '2024-01-15'",
+    ]:
+        q = eng.parse(sql)
+        est = float(model.cardinality(q))
+        true = int(eng.query(q).collect()[0][0])
+        qerr = max(est / max(true, 1), true / max(est, 1e-9))
+        assert qerr < 2.0, (sql, est, true)
