@@ -20,6 +20,8 @@ Five dedup families, each with an explicit scale story:
 
 from __future__ import annotations
 
+import math as _math
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -684,32 +686,61 @@ def minhash_lsh_pairs(
     cand = capped_bucket_pairs(
         banded, ["band", "key"], max_bucket_size, chain_width
     )
-    sh = sigs.select("id", "sh")
-    vocab = sh.select(F.explode("sh").alias("t")).distinct()
-    n_vocab = vocab.count()
-    if n_vocab <= _DENSE_VOCAB_MAX:
-        from pyspark.sql.window import Window
-
-        n_words = max(1, (n_vocab + 63) // 64)
-        vocab = vocab.withColumn("pos", F.row_number().over(Window.orderBy("t")) - 1)
-        rep_pairs = _bitmap_verify(
-            cand, _dense_bitmaps(sh, vocab, n_words), n_words
-        ).filter(F.col("jaccard") >= threshold)
-    else:
-        rep_pairs = (
+    # Signature prefilter before the exact verify: band buckets admit
+    # any pair agreeing on ONE band, so on shingle-dense corpora the
+    # candidate set can be orders of magnitude larger than the true
+    # pair set (measured 221k candidates for 238 true pairs at sf0.1).
+    # The full signatures are already joined-sized data, and the
+    # fraction of agreeing minhashes is an unbiased Jaccard estimate,
+    # so requiring agreement >= threshold - 0.3 drops ~all junk while
+    # losing a TRUE pair only on a >=0.3 downward estimate deviation
+    # (~6 sigma at 64 hashes, ~1e-9 — far below the banding miss rate
+    # the verify step already tolerates). The surviving candidates are
+    # ~true-pair count, so the exact verify joins shingle sets
+    # directly — no bitmap construction (jaccard_pairs_exact keeps the
+    # dense-bitmap machinery for its all-pairs oracle path).
+    min_match = int(_math.ceil(max(0.0, threshold - 0.3) * n_hashes))
+    if min_match > 0:
+        sg = sigs.select("id", "sig")
+        cand = (
             cand.join(
-                sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"),
+                sg.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
                 "id_a",
             )
             .join(
-                sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"),
+                sg.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
                 "id_b",
             )
-            .select(
-                "id_a", "id_b", _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
+            .withColumn(
+                "__match",
+                F.aggregate(
+                    F.zip_with(
+                        "sig_a",
+                        "sig_b",
+                        lambda a, b: F.when(a == b, 1).otherwise(0),
+                    ),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ),
             )
-            .filter(F.col("jaccard") >= threshold)
+            .filter(F.col("__match") >= min_match)
+            .select("id_a", "id_b")
         )
+    sh = sigs.select("id", "sh")
+    rep_pairs = (
+        cand.join(
+            sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b", _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
     return _expand_rep_pairs(groups, rep_pairs)
 
 

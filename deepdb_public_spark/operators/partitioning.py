@@ -33,4 +33,16 @@ def spread_small_input(df: DataFrame) -> DataFrame:
         return df
     if current >= target:
         return df
-    return df.repartition(target)
+    # The repartition alone is NOT enough: Catalyst pushes
+    # deterministic projections and filters below the round-robin
+    # exchange (measured: a filter on size(shingles) was rewritten to
+    # evaluate the full shingling expression UNDER the exchange — in
+    # the one-task scan stage — and again above it). A lazy
+    # localCheckpoint truncates the lineage at the exchange so
+    # downstream expression work genuinely runs on ``target``
+    # partitions. Materialization cost is bounded by definition: this
+    # branch only fires for inputs smaller than one split per core
+    # (at warehouse scale the function is a metadata-only no-op), and
+    # the blocks are freed by the ContextCleaner when the DataFrame
+    # goes out of scope.
+    return df.repartition(target).localCheckpoint(eager=False)
