@@ -1074,11 +1074,30 @@ def _ensure_models(eng, table_sets_budgets) -> None:
     if eng.ensemble is None:
         eng.ensemble = SPNEnsemble(eng.schema)
     have = [m.table_set for m in eng.ensemble.models]
-    for ts, budget in table_sets_budgets:
-        if set(ts) not in have:
-            eng.ensemble.add_model(
-                train_spn_model(eng.catalog, eng.schema, set(ts), budget)
-            )
+    missing = [
+        (set(ts), budget)
+        for ts, budget in table_sets_budgets
+        if set(ts) not in have
+    ]
+    if not missing:
+        return
+    if len(missing) == 1:
+        ts, budget = missing[0]
+        eng.ensemble.add_model(train_spn_model(eng.catalog, eng.schema, ts, budget))
+        return
+    # independent seeded trainings: submit concurrently so one model's
+    # Spark-side sampling overlaps the other's driver-side learn
+    # recursion (verified byte-identical to sequential training —
+    # thread scheduling never reaches the seeded numpy recursion)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(len(missing)) as ex:
+        futs = [
+            ex.submit(train_spn_model, eng.catalog, eng.schema, ts, budget)
+            for ts, budget in missing
+        ]
+        for f in futs:
+            eng.ensemble.add_model(f.result())
 
 
 def _m_multi_spn(spark: SparkSession, sf_dir: str) -> DataFrame:
