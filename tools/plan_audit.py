@@ -91,10 +91,41 @@ def main() -> None:
         "hash partitioning on the join key, no range cross-product.",
     )
 
+    add(
+        "x40_chunk_windows",
+        "Chunk explosion is a pure narrow pipeline: scan -> "
+        "posexplode(sequence) -> Project. ZERO Exchange operators "
+        "beyond the small-input spread; never a shuffle of chunk "
+        "rows.",
+    )
+    add(
+        "x39_tfidf_topterms",
+        "TF shuffle on (doc, token), DF re-aggregate over the "
+        "vocabulary-sized TF table, scalar N broadcast "
+        "(BroadcastExchange), top-k via a window partitioned by doc "
+        "id — no SinglePartition global sort.",
+    )
+
     from deepdb_public_spark.operators.dedup import (
         minhash_lsh_pairs,
         release_cached,
+        semantic_dedup,
     )
+
+    emb = entry._engine(spark, sf).catalog["embeddings"]
+    sd = semantic_dedup(emb, "embedding", "vec_id", threshold=0.8)
+    sections.append(
+        (
+            "semantic_dedup (x41 scale path)",
+            "Hyperplane-LSH buckets bound pair generation; the keep "
+            "rule adds one aggregate on the pruned id and one "
+            "left join back to the id universe — no CartesianProduct "
+            "(brute_force=True exists only as the quarantined oracle "
+            "baseline).",
+            _fmt(sd),
+        )
+    )
+    release_cached()
 
     docs = entry._engine(spark, sf).catalog["documents"]
     mh = minhash_lsh_pairs(
