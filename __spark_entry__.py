@@ -922,6 +922,56 @@ def _x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-ingestion dedup under Structured Streaming: the same 80%
+    corpus index as x35, but the 20% 'new crawl' arrives as parquet
+    micro-batches drained with availableNow; each batch matches the
+    static index inside foreachBatch (one definition, two execution
+    modes — streaming_index_dedup reuses dedup_against_index
+    verbatim). The drained output therefore equals the batch result,
+    so the entry shares x35's DuckDB oracle."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.operators.dedup import build_minhash_index
+    from deepdb_public_spark.streaming.windows import streaming_index_dedup
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    index = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    bands, sets = build_minhash_index(
+        index, "text", "doc_id", n_hashes=64, n_bands=16,
+        use_char_ngrams=True, ngram=5,
+    )
+    tmp = tempfile.mkdtemp(prefix="x42_stream_dedup_")
+    try:
+        src = f"{tmp}/incoming"
+        new.select("doc_id", "text").repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        out = f"{tmp}/pairs"
+        streaming_index_dedup(
+            stream, "text", "doc_id", bands, sets,
+            out_path=out, checkpoint=f"{tmp}/ckpt", threshold=0.8,
+            n_hashes=64, n_bands=16, use_char_ngrams=True, ngram=5,
+        )
+        result = (
+            spark.read.parquet(out)
+            .selectExpr("new_id", "index_id", "round(jaccard, 6) AS jaccard")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        result or [], "new_id long, index_id long, jaccard double"
+    )
+
+
 def _x_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of `orders` (C2 metadata surface as an
     operator): one aggregate pass, per-column stats rows."""
@@ -1951,6 +2001,19 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     ),
     "x35_dedup_index": (
         _x_dedup_index,
+        f"""
+        WITH ws AS (SELECT doc_id, {_CHAR_NGRAM_DUCK} AS w FROM documents)
+        SELECT a.doc_id AS new_id, b.doc_id AS index_id,
+               ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                     / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))), 6) AS jaccard
+        FROM (SELECT * FROM ws WHERE doc_id % 5 = 0) a
+        JOIN (SELECT * FROM ws WHERE doc_id % 5 <> 0) b ON TRUE
+        WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+              / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
+        """,
+    ),
+    "x42_stream_dedup": (
+        _x_stream_dedup,
         f"""
         WITH ws AS (SELECT doc_id, {_CHAR_NGRAM_DUCK} AS w FROM documents)
         SELECT a.doc_id AS new_id, b.doc_id AS index_id,
