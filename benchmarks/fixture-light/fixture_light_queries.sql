@@ -80,3 +80,13 @@ SELECT COUNT(*) FROM orders WHERE orders.o_orderpriority LIKE '%URGENT%'
 SELECT COUNT(*) FROM orders WHERE orders.o_orderpriority NOT LIKE '1-%'
 SELECT COUNT(*) FROM orders, lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND orders.o_orderpriority NOT LIKE '1-%' AND lineitem.l_quantity NOT BETWEEN 5 AND 45
 SELECT COUNT(*) FROM lineitem WHERE (lineitem.l_quantity < 5 AND lineitem.l_discount <= 0.05)
+SELECT COUNT(*) FROM events WHERE events.value <= 50
+SELECT COUNT(*) FROM events WHERE events.event_type = 'click' AND events.value > 20
+SELECT COUNT(*) FROM events WHERE events.event_type IN ('view', 'signup')
+SELECT COUNT(*) FROM events WHERE events.ts >= DATE '2024-01-15'
+SELECT COUNT(*) FROM events WHERE events.value BETWEEN 10 AND 30 AND events.event_type <> 'error'
+SELECT COUNT(*) FROM events, customer WHERE events.user_id = customer.c_custkey AND customer.c_mktsegment = 'BUILDING'
+SELECT COUNT(*) FROM events, customer WHERE events.user_id = customer.c_custkey AND events.event_type = 'purchase' AND customer.c_acctbal > 5000
+SELECT COUNT(*) FROM events, customer, nation WHERE events.user_id = customer.c_custkey AND customer.c_nationkey = nation.n_nationkey AND nation.n_name = 'NATION_19'
+SELECT COUNT(*) FROM events WHERE events.ts BETWEEN DATE '2024-01-05' AND DATE '2024-01-10' AND events.value < 100
+SELECT COUNT(*) FROM events, customer WHERE events.user_id = customer.c_custkey AND (events.event_type = 'click' OR events.event_type = 'view')

@@ -3,11 +3,14 @@ JOB-light queries + true-cardinality CSV that are the reference's
 correctness yardstick, SURVEY.md §5.1).
 
 `benchmarks/fixture-light/` plays that role for the fixture schema:
-70 reference-grammar COUNT(*) queries (JOB-light-sized) over 1–5-way
+92 reference-grammar COUNT(*) queries (JOB-light-sized) over 1–5-way
 FK joins — supplier/nation/region dimension chains, 4-table stars,
-IN / <> / IS NOT NULL / BETWEEN / date predicates — with golden
-counts at sf0.01. The 3+-table queries have no dedicated join model
-in the test ensemble, so they exercise multi-SPN factorization.
+IN / <> / IS NOT NULL / BETWEEN / date predicates, disjunction/NOT/
+LIKE grammar extensions, and events-table queries (timestamp +
+categorical + numeric predicates, events⋈customer⋈nation chains) —
+with golden counts at sf0.01. The 3+-table queries have no dedicated
+join model in the test ensemble, so they exercise multi-SPN
+factorization.
 """
 
 from __future__ import annotations

@@ -123,7 +123,12 @@ def tpch_like_schema() -> SchemaGraph:
     # leave table_size unset so the compiler never broadcasts them
     g.add_table(Table("orders", ["o_orderkey"]))
     g.add_table(Table("lineitem", ["l_orderkey", "l_linenumber"]))
-    g.add_table(Table("events", ["event_id"]))
+    g.add_table(
+        # props is a free-form JSON payload: declared irrelevant for
+        # modeling (reference C1 irrelevant_attributes), still fully
+        # queryable on the exact plane (x16_json_extract)
+        Table("events", ["event_id"], irrelevant_attributes=["props"])
+    )
     g.add_table(Table("documents", ["doc_id"], table_size=500))
     g.add_table(Table("embeddings", ["vec_id"], table_size=500))
 

@@ -181,6 +181,9 @@ def train_spn_model(
         exclude |= {rel.start_attr, rel.end_attr}
     for t in table_set:
         exclude |= set(schema.tables[t].primary_key)
+        # schema-declared irrelevant_attributes (reference C1:
+        # prepare_single_tables.py drops them before modeling)
+        exclude |= set(schema.tables[t].irrelevant_attributes)
         for r in schema.relationships.values():
             if r.start == t:
                 exclude.add(r.start_attr)

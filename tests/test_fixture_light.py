@@ -39,6 +39,7 @@ def test_model_plane_qerror_on_corpus(engine):
         {"supplier"},
         {"nation"},
         {"region"},
+        {"events"},
         {"orders", "lineitem"},
         {"customer", "orders"},
         {"part", "lineitem"},
