@@ -908,10 +908,11 @@ def _x_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic pruning (keep items with no
     cosine-similar earlier item): the embedding analogue of exact
-    dedup's keep-first rule. Brute-force pair generation on the
-    deterministic 1k slice makes the output oracle-checkable; the
-    LSH-bucketed scale path is equivalence-tested in
-    tests/test_extensions.py."""
+    dedup's keep-first rule. Brute-force pair generation (the vec_id
+    < 1000 guard is a no-op on the 500-row embeddings fixture but
+    keeps the oracle cost bounded if the fixture grows) makes the
+    output oracle-checkable; the LSH-bucketed scale path is
+    equivalence-tested in tests/test_round4_ops.py."""
     from pyspark.sql import functions as F
 
     from deepdb_public_spark.operators.dedup import semantic_dedup
@@ -945,8 +946,17 @@ def _x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         index, "text", "doc_id", n_hashes=64, n_bands=16,
         use_char_ngrams=True, ngram=5,
     )
+    # materialize the index ONCE before the stream starts: the band
+    # table and shingle sets are lazy plans, and without this every
+    # micro-batch's foreachBatch job would re-shingle and re-sign the
+    # whole corpus (production writes both to parquet, per
+    # build_minhash_index's docstring; persist is the in-session
+    # equivalent)
+    bands = bands.persist()
+    sets = sets.persist()
     tmp = tempfile.mkdtemp(prefix="x42_stream_dedup_")
     try:
+        bands.count(), sets.count()
         src = f"{tmp}/incoming"
         new.select("doc_id", "text").repartition(4).write.parquet(src)
         stream = (
@@ -960,13 +970,21 @@ def _x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             out_path=out, checkpoint=f"{tmp}/ckpt", threshold=0.8,
             n_hashes=64, n_bands=16, use_char_ngrams=True, ngram=5,
         )
+        # explicit schema: an all-empty-batch run leaves only _SUCCESS
+        # markers, and schema inference would raise instead of
+        # returning the empty frame
         result = (
-            spark.read.parquet(out)
+            spark.read.schema(
+                "new_id long, index_id long, jaccard double, batch_id int"
+            )
+            .parquet(out)
             .selectExpr("new_id", "index_id", "round(jaccard, 6) AS jaccard")
             .collect()
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+        bands.unpersist()
+        sets.unpersist()
     return spark.createDataFrame(
         result or [], "new_id long, index_id long, jaccard double"
     )
@@ -1311,24 +1329,11 @@ def _m_events_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph / trainer / estimator generalize beyond the TPC-H-style
     tables — the reference ships per-dataset schema builders
     (schemas/<dataset>/schema.py) for exactly this reason. Output
-    (qid, true_cnt, qerr_ok) is oracle-checked like m01."""
-    from deepdb_public_spark.spn.trainer import train_spn_model
-
+    (qid, true_cnt, qerr_ok) is oracle-checked like m01. `props` is
+    excluded from model scope by the schema declaration
+    (Table.irrelevant_attributes, consumed by the trainer)."""
     eng = _engine(spark, sf_dir)
-    from deepdb_public_spark.spn.ensemble import SPNEnsemble
-
-    if eng.ensemble is None:
-        eng.ensemble = SPNEnsemble(eng.schema)
-    if {"events"} not in [m.table_set for m in eng.ensemble.models]:
-        eng.ensemble.add_model(
-            train_spn_model(
-                eng.catalog,
-                eng.schema,
-                {"events"},
-                40_000,
-                exclude_columns={"props"},
-            )
-        )
+    _ensure_models(eng, [({"events"}, 40_000)])
     return spark.createDataFrame(
         _qerr_rows(eng, _M11_CASES), "qid string, true_cnt long, qerr_ok boolean"
     )

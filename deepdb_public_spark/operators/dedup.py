@@ -631,10 +631,12 @@ def minhash_lsh_pairs(
     max_bucket_size: int = 256,
     chain_width: int = 4,
 ) -> DataFrame:
-    """Scale path: MinHash signatures -> LSH band buckets -> candidate
-    pairs -> exact-Jaccard verification. Returns (id_a, id_b, jaccard)
-    with jaccard >= threshold (verified exactly, so no false
-    positives; recall is the standard LSH S-curve in n_bands/rows).
+    """Scale path: MinHash signatures -> LSH band buckets ->
+    signature-prefiltered candidate pairs -> exact-Jaccard
+    verification. Returns (id_a, id_b, jaccard) with jaccard >=
+    threshold (verified exactly, so no false positives; recall is the
+    LSH S-curve in n_bands/rows times the prefilter's negligible
+    additional miss term, below).
 
     Shuffle profile: one explode+groupBy on band keys (candidate
     generation) and one join back for verification — never O(N²).
@@ -645,9 +647,7 @@ def minhash_lsh_pairs(
     signatures (one groupBy): duplicate-heavy corpora compute one
     signature per distinct set, buckets hold representatives, and
     exact-duplicate pairs (Jaccard 1) are emitted directly — recall
-    on identical documents is 1.0 regardless of banding. Verification
-    reuses the corpus-adaptive bitmap path from jaccard_pairs_exact
-    when the shingle vocabulary is dense.
+    on identical documents is 1.0 regardless of banding.
     """
     df = spread_small_input(df)
     if n_bands <= 0 or n_hashes % n_bands != 0:
@@ -692,14 +692,20 @@ def minhash_lsh_pairs(
     # pair set (measured 221k candidates for 238 true pairs at sf0.1).
     # The full signatures are already joined-sized data, and the
     # fraction of agreeing minhashes is an unbiased Jaccard estimate,
-    # so requiring agreement >= threshold - 0.3 drops ~all junk while
-    # losing a TRUE pair only on a >=0.3 downward estimate deviation
-    # (~6 sigma at 64 hashes, ~1e-9 — far below the banding miss rate
-    # the verify step already tolerates). The surviving candidates are
-    # ~true-pair count, so the exact verify joins shingle sets
-    # directly — no bitmap construction (jaccard_pairs_exact keeps the
-    # dense-bitmap machinery for its all-pairs oracle path).
-    min_match = int(_math.ceil(max(0.0, threshold - 0.3) * n_hashes))
+    # so requiring agreement >= threshold - margin drops ~all junk
+    # while losing a TRUE pair only on a >= margin downward estimate
+    # deviation. The margin scales with the signature length so the
+    # miss rate stays negligible at ANY n_hashes: the estimate's
+    # worst-case sd is sqrt(0.25/n), and margin = max(0.3, 6*sd) keeps
+    # misses at the ~6-sigma level (~1e-9 at 64 hashes; at short
+    # signatures the margin widens until the filter is effectively
+    # off) — far below the banding miss rate the verify step already
+    # tolerates. The surviving candidates are ~true-pair count, so the
+    # exact verify joins shingle sets directly — no bitmap
+    # construction (jaccard_pairs_exact keeps the dense-bitmap
+    # machinery for its all-pairs oracle path).
+    margin = max(0.3, 6.0 * _math.sqrt(0.25 / n_hashes))
+    min_match = int(_math.ceil(max(0.0, threshold - margin) * n_hashes))
     if min_match > 0:
         sg = sigs.select("id", "sig")
         cand = (

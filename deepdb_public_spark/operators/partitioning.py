@@ -40,9 +40,15 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     # the one-task scan stage — and again above it). A lazy
     # localCheckpoint truncates the lineage at the exchange so
     # downstream expression work genuinely runs on ``target``
-    # partitions. Materialization cost is bounded by definition: this
-    # branch only fires for inputs smaller than one split per core
-    # (at warehouse scale the function is a metadata-only no-op), and
-    # the blocks are freed by the ContextCleaner when the DataFrame
-    # goes out of scope.
+    # partitions.
+    #
+    # Trade-offs, accepted deliberately for THIS branch only (inputs
+    # smaller than one split per core; at warehouse scale the
+    # function is a metadata-only no-op): the checkpoint blocks are
+    # unreplicated, so losing an executor mid-pipeline fails later
+    # actions instead of recomputing (retry the operator — its input
+    # is small); and blocks are freed by the ContextCleaner only once
+    # the driver garbage-collects the underlying RDD, so a long-lived
+    # session briefly holds one small-input copy per operator call
+    # rather than releasing it at scope exit.
     return df.repartition(target).localCheckpoint(eager=False)

@@ -146,7 +146,8 @@ def tfidf_top_terms(
     from pyspark.sql.window import Window
 
     toks = (
-        df.select(
+        spread_small_input(df)
+        .select(
             F.col(id_col).alias("__id"),
             F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")).alias(
                 "token"
