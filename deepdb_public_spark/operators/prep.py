@@ -342,6 +342,11 @@ def generate_join_sample(
         }
     rels = [schema.relationships[i] for i in sorted(relationship_set)]
     if not rels:
+        if not table_set:
+            # next(iter(...)) on an empty set would leak a raw
+            # StopIteration (silently truncating any enclosing
+            # generator) — fail with the contract instead
+            raise ValueError("generate_join_sample: empty table_set")
         df = catalog[next(iter(table_set))]
         return df.sample(sample_fraction, seed=seed) if sample_fraction else df
 

@@ -21,7 +21,7 @@ from deepdb_public_spark.engine import Engine
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem",
+    "orders", "lineitem", "events",
 ]
 
 # join graph (start.attr = end.attr), mirroring tpch_like_schema
@@ -33,6 +33,7 @@ EDGES = [
     ("customer", "c_nationkey", "nation", "n_nationkey"),
     ("supplier", "s_nationkey", "nation", "n_nationkey"),
     ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("events", "user_id", "customer", "c_custkey"),
 ]
 
 CATEGORICAL = {
@@ -44,6 +45,7 @@ CATEGORICAL = {
     ("part", "p_brand"): ["Brand#%d" % i for i in range(1, 21)],
     ("customer", "c_mktsegment"): ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
     ("region", "r_name"): ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
+    ("events", "event_type"): ["click", "view", "purchase", "signup", "error"],
 }
 
 NUMERIC = {
@@ -53,11 +55,13 @@ NUMERIC = {
     ("orders", "o_totalprice"): (1000, 500000, 0),
     ("part", "p_size"): (1, 50, 0),
     ("customer", "c_acctbal"): (-900, 9950, 0),
+    ("events", "value"): (0.0, 490.0, 1),
 }
 
 DATE = {
     ("orders", "o_orderdate"): ("1995-01-01", "1998-08-01"),
     ("lineitem", "l_shipdate"): ("1995-01-01", "1998-12-01"),
+    ("events", "ts"): ("2024-01-03", "2024-01-28"),
 }
 
 SUMMABLE = {
@@ -65,6 +69,7 @@ SUMMABLE = {
     "orders": ["o_totalprice"],
     "part": ["p_retailprice", "p_size"],
     "customer": ["c_acctbal"],
+    "events": ["value"],
 }
 
 GROUPABLE = {k: v for k, v in CATEGORICAL.items() if len(v) <= 6}
@@ -336,6 +341,16 @@ def test_fuzzed_query_matches_duckdb_extended(eng, duck, seed):
     """Second fuzz band: the generator also emits IS [NOT] NULL and
     date BETWEEN predicates (same-column conjunct intersections arise
     by chance in both bands)."""
+    _run_fuzz_case(eng, duck, seed)
+
+
+@pytest.mark.parametrize("seed", range(420, 470))
+def test_fuzzed_query_matches_duckdb_events(eng, duck, seed):
+    """Third fuzz band, run with the events table in the pool: random
+    walks now cross the events->customer FK edge, mixing timestamp
+    BETWEEN, categorical event_type, and numeric value predicates
+    into the same combinatorial space (m11's second-dataset surface
+    under fuzz instead of hand-picked cases)."""
     _run_fuzz_case(eng, duck, seed)
 
 
