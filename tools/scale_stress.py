@@ -36,8 +36,10 @@ def main() -> None:
         minhash_lsh_pairs,
         release_cached,
     )
+    from deepdb_public_spark.operators.chunking import chunk_documents
+    from deepdb_public_spark.operators.dedup import semantic_dedup
     from deepdb_public_spark.operators.filters import repetition_stats
-    from deepdb_public_spark.operators.textstats import doc_profile
+    from deepdb_public_spark.operators.textstats import doc_profile, tfidf_top_terms
 
     base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     n_base = base.count()
@@ -73,6 +75,12 @@ def main() -> None:
             use_char_ngrams=True, ngram=5,
         ).count(),
         "dedup_against_index (80/20)": lambda d: _index_dedup(d),
+        "chunk_documents (narrow explode)": lambda d: chunk_documents(
+            d, "text", "doc_id", size=400, stride=300
+        ).count(),
+        "tfidf_top_terms (2 shuffles + window)": lambda d: tfidf_top_terms(
+            d, "text", "doc_id", k=3
+        ).count(),
     }
 
     def _index_dedup(d):
@@ -86,6 +94,34 @@ def main() -> None:
             new, "text", "doc_id", bands, sets, threshold=0.8,
             n_hashes=64, n_bands=16, use_char_ngrams=True, ngram=5,
         ).count()
+
+    emb_base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+
+    def emb_corpus(k: int):
+        parts = [emb_base]
+        for r in range(1, k):
+            parts.append(
+                emb_base.select(
+                    (F.col("vec_id") + r * 1_000_000).alias("vec_id"),
+                    # perturb one dimension so replicas are near- (not
+                    # exact-) duplicates of their source vector
+                    F.transform(
+                        "embedding",
+                        lambda x, i: x + F.when(i == 0, 0.01 * r).otherwise(0.0),
+                    ).alias("embedding"),
+                    "label",
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    OPS_EMB = {
+        "semantic_dedup (hyperplane LSH)": lambda d: semantic_dedup(
+            d, "embedding", "vec_id", threshold=0.9
+        ).count(),
+    }
 
     # warmup: run every op once untimed (JVM/codegen warm, parquet
     # footers cached) so the 1x timings measure the operator, not the
@@ -113,6 +149,18 @@ def main() -> None:
             results[name].append((n, best, out_n))
             print(f"{k}x {name}: {best:.2f}s ({out_n} rows)", flush=True)
         d.unpersist()
+        e = emb_corpus(k).persist()
+        e.count()
+        for name, fn in OPS_EMB.items():
+            best, out_n = float("inf"), 0
+            for _rep in range(2):
+                t0 = time.perf_counter()
+                out_n = fn(e)
+                best = min(best, time.perf_counter() - t0)
+                release_cached()
+            results.setdefault(name, []).append((e.count(), best, out_n))
+            print(f"{k}x {name}: {best:.2f}s ({out_n} rows)", flush=True)
+        e.unpersist()
 
     with open(os.path.join(REPO, "SCALING.md"), "w") as f:
         f.write(
