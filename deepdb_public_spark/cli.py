@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--data_dir", required=True, help="directory of <table>.parquet files")
     p.add_argument("--cpus", default="*", help="local[] core count for a new session")
+    p.add_argument("--schema_json",
+                   help="dataset declaration (tables, PKs, FK edges, "
+                        "irrelevant attributes) as JSON — the reference's "
+                        "per-dataset schemas/<dataset>/schema.py, declared "
+                        "instead of coded; default: the fixture schema")
 
     act = p.add_argument_group("actions (exactly one)")
     act.add_argument("--generate_ensemble", action="store_true")
@@ -422,7 +427,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             + ", ".join(f"--{n}" for n, _ in actions)
         )
     spark = spark or default_session(cpus=args.cpus)
-    eng = Engine(spark, args.data_dir)
+    schema = None
+    if args.schema_json:
+        from .plans.schema import load_schema_json
+
+        schema = load_schema_json(args.schema_json)
+    eng = Engine(spark, args.data_dir, schema=schema)
     return chosen[0][1](eng, args)
 
 

@@ -82,7 +82,10 @@ class Engine:
         except Exception:
             pass
         self.schema = schema or tpch_like_schema()
-        self.catalog = load_tables(spark, sf_dir)
+        # load exactly the schema's declared tables so a custom
+        # dataset (Engine(schema=...) or CLI --schema_json) works
+        # against any parquet directory, not just the fixture layout
+        self.catalog = load_tables(spark, sf_dir, tables=sorted(self.schema.tables))
         self.compiler = ExactCompiler(self.schema, self.catalog)
         self.ensemble = None  # set by spn.train / spn.ensemble loaders
 

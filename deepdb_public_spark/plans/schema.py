@@ -141,3 +141,66 @@ def tpch_like_schema() -> SchemaGraph:
     g.add_relationship("nation", "n_regionkey", "region", "r_regionkey")
     g.add_relationship("events", "user_id", "customer", "c_custkey")
     return g
+
+
+def schema_to_json(g: SchemaGraph) -> dict:
+    """Serializable form of a SchemaGraph — the rebuild's analogue of
+    the reference's per-dataset ``schemas/<dataset>/schema.py``
+    builders: a dataset is DECLARED (tables, keys, FK edges,
+    irrelevant attributes), not coded. Round-trips through
+    schema_from_json; consumed by the CLI's ``--schema_json``."""
+    return {
+        "tables": [
+            {
+                "name": t.table_name,
+                "primary_key": list(t.primary_key),
+                "irrelevant_attributes": list(t.irrelevant_attributes),
+                "table_size": t.table_size,
+                "sample_rate": t.sample_rate,
+            }
+            for t in g.tables.values()
+        ],
+        "relationships": [
+            {
+                "start": r.start,
+                "start_attr": r.start_attr,
+                "end": r.end,
+                "end_attr": r.end_attr,
+            }
+            for r in g.relationships.values()
+        ],
+    }
+
+
+def schema_from_json(d: dict) -> SchemaGraph:
+    """Build a SchemaGraph from the schema_to_json dict. Validates
+    that every relationship endpoint names a declared table (a typo'd
+    edge would otherwise surface much later as a KeyError inside the
+    trainer or compiler)."""
+    g = SchemaGraph()
+    for t in d.get("tables", []):
+        g.add_table(
+            Table(
+                t["name"],
+                list(t.get("primary_key", [])),
+                irrelevant_attributes=list(t.get("irrelevant_attributes", [])),
+                table_size=t.get("table_size"),
+                sample_rate=float(t.get("sample_rate", 1.0)),
+            )
+        )
+    for r in d.get("relationships", []):
+        for side in ("start", "end"):
+            if r[side] not in g.tables:
+                raise ValueError(
+                    f"relationship {r} references undeclared table "
+                    f"'{r[side]}' — declare it under 'tables'"
+                )
+        g.add_relationship(r["start"], r["start_attr"], r["end"], r["end_attr"])
+    return g
+
+
+def load_schema_json(path: str) -> SchemaGraph:
+    import json
+
+    with open(path) as f:
+        return schema_from_json(json.load(f))
