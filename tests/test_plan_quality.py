@@ -214,3 +214,43 @@ def test_estimate_driven_join_order(engine):
     anchor = with_est[0]
     rest = with_est[1:]
     assert rest.index("part") < rest.index("orders") or anchor == "part"
+
+
+def test_chunking_is_narrow_pipeline(engine):
+    """chunk_documents: scan -> explode -> project, ZERO Exchange
+    (beyond the small-input spread, which sits below the checkpoint
+    and is invisible to this plan)."""
+    from deepdb_public_spark.operators.chunking import chunk_documents
+
+    plan = _plan(
+        chunk_documents(engine.catalog["documents"], "text", "doc_id")
+    )
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode
+
+
+def test_tfidf_has_no_global_sort(engine):
+    """tfidf_top_terms: window partitions by doc id — a SinglePartition
+    global sort would serialize the whole corpus through one task."""
+    from deepdb_public_spark.operators.textstats import tfidf_top_terms
+
+    plan = _plan(tfidf_top_terms(engine.catalog["documents"], "text", "doc_id"))
+    # the top-k window shuffles on the doc id, not a global sort (the
+    # plan's only SinglePartition exchange is the one-row corpus-count
+    # aggregate feeding the broadcast, which is fine)
+    assert "hashpartitioning(__id" in plan
+    assert "CartesianProduct" not in plan
+    # the scalar corpus-size side joins as a broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_semantic_dedup_scale_path_no_cross_join(engine):
+    """semantic_dedup's LSH path: bucketed candidates only — the
+    quadratic join exists solely behind brute_force=True."""
+    from deepdb_public_spark.operators.dedup import release_cached, semantic_dedup
+
+    plan = _plan(
+        semantic_dedup(engine.catalog["embeddings"], "embedding", "vec_id")
+    )
+    release_cached()
+    assert "CartesianProduct" not in plan
