@@ -87,6 +87,40 @@ class IvfIndex:
         index is retired (Spark's CacheManager never auto-evicts)."""
         self.assigned.unpersist()
 
+    def save(self, path: str) -> None:
+        """Persist the index: corpus rows partitioned BY CELL (so a
+        probe's ``cell IN (...)`` filter becomes partition pruning —
+        the scan reads nprobe/n_cells of the files, the FAISS-IVF
+        cost model re-expressed as a parquet layout) plus the
+        MB-scale centroid matrix as its own parquet table."""
+        self.assigned.write.partitionBy("cell").mode("overwrite").parquet(
+            f"{path}/cells"
+        )
+        spark = self.assigned.sparkSession
+        rows = [
+            (int(i), [float(x) for x in c]) for i, c in enumerate(self.centroids)
+        ]
+        spark.createDataFrame(
+            rows, "cell int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+    @classmethod
+    def load(
+        cls, spark, path: str, vec_col: str = "v", id_col: str = "id"
+    ) -> "IvfIndex":
+        """Open a saved index WITHOUT materializing it: the cells
+        table stays a lazy parquet scan, so each probe plans a fresh
+        partition-pruned read (verified in
+        tests/test_round4_ops.py::test_ivf_saved_probe_prunes)."""
+        cent = (
+            spark.read.parquet(f"{path}/centroids")
+            .orderBy("cell")
+            .collect()
+        )
+        centroids = np.array([r["centroid"] for r in cent])
+        assigned = spark.read.parquet(f"{path}/cells").select("id", "v", "cell")
+        return cls(assigned, centroids, vec_col, id_col)
+
     def topk(self, query_vec: list[float], k: int = 10, nprobe: int = 4) -> DataFrame:
         """Probe the nprobe cells whose centroids are most cosine-
         similar to the query; exact rerank inside them. The cell list

@@ -205,3 +205,33 @@ def test_events_model_budget(spark):
         true = int(eng.query(q).collect()[0][0])
         qerr = max(est / max(true, 1), true / max(est, 1e-9))
         assert qerr < 2.0, (sql, est, true)
+
+
+# ----------------------------------------------------- IVF persistence
+
+
+def test_ivf_saved_probe_prunes(spark, tmp_path):
+    """A probe against the SAVED index reads only the probed cells'
+    parquet partitions (partition pruning on the cell directory
+    layout) and returns the same top-k as the in-memory index."""
+    from deepdb_public_spark.operators.similarity import IvfIndex
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    idx = IvfIndex.build(emb, "embedding", "vec_id", n_cells=8)
+    path = str(tmp_path / "ivf")
+    idx.save(path)
+    loaded = IvfIndex.load(spark, path)
+
+    qv = [float(x) for x in emb.first()["embedding"]]
+    mem = [(r["id"], round(r["cos"], 6)) for r in idx.topk(qv, k=5, nprobe=3).collect()]
+    disk_df = loaded.topk(qv, k=5, nprobe=3)
+    disk = [(r["id"], round(r["cos"], 6)) for r in disk_df.collect()]
+    idx.release()
+    assert mem == disk
+    # pruning evidence: the probe's parquet scan node carries the cell
+    # membership as a PARTITION filter (cell is a directory column, so
+    # Spark prunes whole directories; inputFiles() can't show this —
+    # it reports pre-pruning metadata)
+    plan = disk_df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan_lines and any("cell" in l and "IN (" in l for l in scan_lines), plan
