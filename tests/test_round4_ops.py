@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
@@ -235,3 +236,71 @@ def test_ivf_saved_probe_prunes(spark, tmp_path):
     plan = disk_df._jdf.queryExecution().executedPlan().toString()
     scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert scan_lines and any("cell" in l and "IN (" in l for l in scan_lines), plan
+
+
+# ------------------------------------------------------ z-order layout
+
+
+def test_zorder_stats_selective_on_both_columns(spark, tmp_path):
+    """write_zordered_parquet: per-file min/max spans on BOTH z-order
+    columns must be materially narrower than the global range (that
+    narrowness IS multi-column data skipping — parquet prunes files
+    whose stats exclude the filter), and a single-column sorted layout
+    must NOT have that property on its scattered column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from deepdb_public_spark.sources.writers import (
+        write_sorted_parquet,
+        write_zordered_parquet,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+
+    def mean_span_fraction(path, col):
+        lo_g, hi_g = None, None
+        spans = []
+        for f in glob.glob(path + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                los.append(st.min)
+                his.append(st.max)
+            lo, hi = min(los), max(his)
+            spans.append(hi - lo)
+            lo_g = lo if lo_g is None else min(lo_g, lo)
+            hi_g = hi if hi_g is None else max(hi_g, hi)
+        return (sum(spans) / len(spans)) / max(hi_g - lo_g, 1)
+
+    z_out = str(tmp_path / "z")
+    s_out = str(tmp_path / "s")
+    write_zordered_parquet(df, z_out, ["l_orderkey", "l_partkey"], n_files=16)
+    write_sorted_parquet(df, s_out, ["l_orderkey"], n_files=16)
+
+    # z-order: BOTH columns' per-file spans shrink well below the
+    # global range (16 files -> ideal ~1/4 per axis on a 2-D curve)
+    assert mean_span_fraction(z_out, "l_orderkey") < 0.5
+    assert mean_span_fraction(z_out, "l_partkey") < 0.5
+    # single-key sort: the second column's spans stay ~global
+    assert mean_span_fraction(s_out, "l_orderkey") < 0.2
+    assert mean_span_fraction(s_out, "l_partkey") > 0.8
+
+    # row fidelity: layout changes nothing about the data
+    back = spark.read.parquet(z_out)
+    assert back.count() == df.count()
+    a = back.agg(F.sum("l_extendedprice")).first()[0]
+    b = df.agg(F.sum("l_extendedprice")).first()[0]
+    assert abs(a - b) < 1e-6 * max(abs(b), 1)
+
+
+def test_zorder_rejects_too_many_columns(spark):
+    from deepdb_public_spark.sources.writers import write_zordered_parquet
+
+    df = spark.range(10)
+    with pytest.raises(ValueError):
+        write_zordered_parquet(df, "/tmp/unused", ["id"] * 5, bits=16)
