@@ -84,3 +84,25 @@ def test_learned_spn_mass_and_marginals(seed):
     p = evaluate(root, {0: NumericRange([(0, 3, True, True)])})
     truth = ((data[:, 0] >= 0) & (data[:, 0] <= 3)).mean()
     assert abs(p - truth) < 0.05
+
+
+@given(
+    vals=st.lists(st.integers(0, 20), min_size=2, max_size=200),
+    extra=st.lists(st.integers(0, 20), min_size=1, max_size=50),
+)
+@settings(max_examples=50, deadline=None)
+def test_leaf_absorb_then_remove_is_identity(vals, extra):
+    """DELETE undoes INSERT exactly (m10's update = delete+insert rests
+    on this): absorbing a delta and then removing the same delta with
+    negative weight restores the original histogram bit-for-bit up to
+    float roundoff — including when the delta introduced values the
+    original never had (their mass must clamp back to zero and the
+    value drop out)."""
+    a = np.array(vals, dtype=float)
+    b = np.array(extra, dtype=float)
+    leaf = Leaf.fit(0, a)
+    orig_vals, orig_probs = leaf.values.copy(), leaf.probs.copy()
+    leaf.absorb(b, prior_n=len(a))
+    leaf.absorb(b, prior_n=len(a) + len(b), weight=-1.0)
+    assert np.array_equal(leaf.values, orig_vals)
+    assert np.allclose(leaf.probs, orig_probs)
