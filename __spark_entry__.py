@@ -1560,6 +1560,36 @@ def _m_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _m_grouped_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED confidence intervals (reference B10 as exercised by
+    confidence_interval_evaluation over grouped AQP queries): one
+    (group, true_avg, hit) row per l_returnflag group, true values
+    DECIMAL-deterministic so they hash-match DuckDB, and every 0.99 CI
+    must contain its group's true AVG."""
+    eng = _engine(spark, sf_dir)
+    _ensure_models(eng, [({"lineitem"}, 60_000)])
+    model = next(m for m in eng.ensemble.models if m.table_set == {"lineitem"})
+    q = eng.parse(
+        "SELECT AVG(lineitem.l_quantity) AS avg_qty FROM lineitem "
+        "WHERE lineitem.l_discount <= 0.06 GROUP BY lineitem.l_returnflag"
+    )
+    cis = model.confidence_interval(q, confidence=0.99)
+    trues = {
+        r["grp"]: float(r["t"])
+        for r in eng.sql(
+            "SELECT l_returnflag AS grp, "
+            "CAST(AVG(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS t "
+            "FROM lineitem WHERE l_discount <= 0.06 GROUP BY l_returnflag"
+        ).collect()
+    }
+    out = []
+    for ci in cis:
+        grp = ci["l_returnflag"]
+        true = trues[grp]
+        out.append((grp, round(true, 6), bool(ci["lo"] <= true <= ci["hi"])))
+    return spark.createDataFrame(out, "grp string, true_avg double, hit boolean")
+
+
 def _x_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch surface (Spark-native analogue of the checklist's
     approx_count_distinct row). Output (exact_parts, exact_orders,
@@ -1696,6 +1726,16 @@ _PREP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
             f"SELECT '{cid}' AS cid, ({true_sql}) AS true_val, TRUE AS hit"
             for cid, _sql, true_sql in _M05_CASES
         ),
+    ),
+    "m12_grouped_ci": (
+        _m_grouped_ci,
+        """
+        SELECT l_returnflag AS grp,
+               ROUND(CAST(AVG(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6)
+                 AS true_avg,
+               TRUE AS hit
+        FROM lineitem WHERE l_discount <= 0.06 GROUP BY l_returnflag
+        """,
     ),
     "x19_sketch_distinct": (
         _x_sketch,
@@ -2549,6 +2589,7 @@ _PRIORITY_TAIL = [
     # driver's 50-entry window keeps every MODEL-plane entry (m04-m06
     # are core DeepDB AQP/CI capabilities) ahead of decorative scalars
     "q31_pivot",
+    "q32_math_scalars",
     "q33_date_arith",
     "q34_window_lag",
     "q29_grouping_sets",
@@ -2582,6 +2623,7 @@ _PRIORITY_HEAD = [
     "m09_model_quantiles",
     "m10_update_in_place",
     "m11_events_model",
+    "m12_grouped_ci",
     "m04_aqp_groupby",
     "m05_confidence_intervals",
     "m06_aqp_join_groupby",
