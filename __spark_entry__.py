@@ -1590,6 +1590,26 @@ def _m_grouped_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "grp string, true_avg double, hit boolean")
 
 
+_X43_QUERIES = [
+    (1, "hash join spark"),
+    (2, "window stream batch"),
+    (3, "filter scan column"),
+    (4, "customer order line"),
+]
+
+
+def _x_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the corpus for a fixed query batch
+    (decontamination-probe / hard-negative-mining shape). Scores are
+    deterministic closed-form doubles, so the entry hash-checks
+    against DuckDB running the identical formula."""
+    from deepdb_public_spark.operators.textstats import bm25_topk
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    qdf = spark.createDataFrame(_X43_QUERIES, "qid int, qtext string")
+    return bm25_topk(docs, qdf, "text", "doc_id", k=5)
+
+
 def _x_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch surface (Spark-native analogue of the checklist's
     approx_count_distinct row). Output (exact_parts, exact_orders,
@@ -1735,6 +1755,54 @@ _PREP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
                  AS true_avg,
                TRUE AS hit
         FROM lineitem WHERE l_discount <= 0.06 GROUP BY l_returnflag
+        """,
+    ),
+    "x43_bm25_topk": (
+        _x_bm25,
+        """
+        WITH q(qid, qtext) AS (VALUES
+            (1, 'hash join spark'), (2, 'window stream batch'),
+            (3, 'filter scan column'), (4, 'customer order line')),
+        toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM toks
+          WHERE length(term) >= 2 GROUP BY doc_id, term
+        ),
+        dl AS (
+          SELECT doc_id, COUNT(*) AS dl FROM toks
+          WHERE length(term) >= 2 GROUP BY doc_id
+        ),
+        dfq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term),
+        st AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                      (SELECT AVG(dl) FROM dl) AS avgdl),
+        qt AS (
+          SELECT qid,
+                 unnest(list_distinct(string_split_regex(lower(qtext), '[^a-z0-9]+'))) AS term
+          FROM q
+        ),
+        scored AS (
+          SELECT qt.qid, tf.doc_id,
+                 SUM(ln(1.0 + (st.n_docs - dfq.dfreq + 0.5) / (dfq.dfreq + 0.5))
+                     * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS score
+          FROM qt
+          JOIN tf ON qt.term = tf.term
+          JOIN dfq ON qt.term = dfq.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN st
+          WHERE length(qt.term) >= 2
+          GROUP BY qt.qid, tf.doc_id
+        )
+        SELECT qid, doc_id, ROUND(score, 6) AS score, rnk FROM (
+          SELECT qid, doc_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, doc_id ASC) AS rnk
+          FROM scored
+        ) WHERE rnk <= 5
         """,
     ),
     "x19_sketch_distinct": (

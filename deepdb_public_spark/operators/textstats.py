@@ -182,3 +182,98 @@ def tfidf_top_terms(
             "rnk",
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str,
+    id_col: str,
+    qid_col: str = "qid",
+    qtext_col: str = "qtext",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    min_len: int = 2,
+) -> DataFrame:
+    """BM25 retrieval: top-``k`` documents per query ->
+    (qid, doc_id, score, rnk). The retrieval primitive a training-data
+    pipeline uses for decontamination probes, nearest-document audits,
+    and hard-negative mining — full-corpus scoring as three joins, no
+    per-query scans.
+
+    Lucene-style BM25: idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    tf-part = tf*(k1+1) / (tf + k1*(1 - b + b*|d|/avgdl)). Same
+    portable tokenization as term_frequencies; ties break (score
+    desc, doc asc) and duplicate query terms count once.
+
+    Scale shape: corpus side = one TF shuffle on (doc, term) + one
+    vocabulary-sized DF aggregate (both corpus-proportional, done
+    ONCE for the whole query batch); query side joins through the
+    term column — queries-per-batch scales freely because the big
+    side never re-scans per query. Top-k via a window partitioned by
+    qid."""
+    from pyspark.sql.window import Window
+
+    toks = (
+        spread_small_input(docs)
+        .select(
+            F.col(id_col).alias("__doc"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")).alias(
+                "term"
+            ),
+        )
+        .filter(F.length("term") >= min_len)
+    )
+    tf = toks.groupBy("__doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = toks.groupBy("__doc").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    stats = docs.crossJoin(doclen.agg(F.avg("dl").alias("avgdl"))).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.first("avgdl").alias("avgdl")
+    )
+    qterms = (
+        queries.select(
+            F.col(qid_col).alias("__qid"),
+            F.explode(
+                F.array_distinct(
+                    F.split(F.lower(F.col(qtext_col)), r"[^a-z0-9]+")
+                )
+            ).alias("term"),
+        )
+        .filter(F.length("term") >= min_len)
+    )
+    scored = (
+        qterms.join(tf, "term")
+        .join(dfreq, "term")
+        .join(doclen, "__doc")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "__qid",
+            "__doc",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("dfreq") + 0.5)
+                    / (F.col("dfreq") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+        .groupBy("__qid", "__doc")
+        .agg(F.sum("part").alias("score"))
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("score"), F.asc("__doc"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("__qid").alias(qid_col),
+            F.col("__doc").alias(id_col),
+            F.round("score", 6).alias("score"),
+            "rnk",
+        )
+    )

@@ -304,3 +304,51 @@ def test_zorder_rejects_too_many_columns(spark):
     df = spark.range(10)
     with pytest.raises(ValueError):
         write_zordered_parquet(df, "/tmp/unused", ["id"] * 5, bits=16)
+
+
+# ---------------------------------------------------------------- bm25
+
+
+def test_bm25_ranking_properties(spark):
+    from deepdb_public_spark.operators.textstats import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join hash join"),          # 2 query terms, tf(join)=2
+            (2, "spark join"),                    # 2 query terms
+            (3, "spark only here"),               # 1 query term
+            (4, "nothing relevant at all"),       # 0 query terms
+            (5, "join join join join join join"), # high tf, longer doc
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(1, "spark join")], "qid int, qtext string")
+    out = bm25_topk(docs, q, "text", "doc_id", k=10).collect()
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rnk"])]
+    # docs with no query term never appear
+    assert 4 not in ranked
+    # both-terms docs beat the single-term doc
+    assert ranked.index(1) < ranked.index(3)
+    assert ranked.index(2) < ranked.index(3)
+    # scores strictly ordered with rnk
+    scores = [r["score"] for r in sorted(out, key=lambda r: r["rnk"])]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_query_batch_independent(spark):
+    """Each query's result is independent of what else is in the
+    batch (the corpus statistics are query-independent)."""
+    from deepdb_public_spark.operators.textstats import bm25_topk
+
+    docs = _docs(spark)
+    one = spark.createDataFrame([(7, "hash join")], "qid int, qtext string")
+    two = spark.createDataFrame(
+        [(7, "hash join"), (8, "window stream")], "qid int, qtext string"
+    )
+    a = {(r["qid"], r["doc_id"], r["rnk"]) for r in bm25_topk(docs, one, "text", "doc_id").collect()}
+    b = {
+        (r["qid"], r["doc_id"], r["rnk"])
+        for r in bm25_topk(docs, two, "text", "doc_id").collect()
+        if r["qid"] == 7
+    }
+    assert a == b
