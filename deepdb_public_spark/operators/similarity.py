@@ -104,6 +104,54 @@ class IvfIndex:
             rows, "cell int, centroid array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
+    def assign(self, df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+        """Route new vectors to their nearest EXISTING centroid (the
+        standard IVF insert: no retrain, cells drift only as much as
+        the data does) -> (id, v, cell).
+
+        JVM-side: centroids broadcast as a tiny (cell, centroid)
+        table, squared-L2 per (vector, centroid) via one zip_with
+        aggregate, argmin via the min_by aggregate — one narrow
+        crossJoin with an n_cells-row broadcast, no Python."""
+        spark = df.sparkSession
+        cent_rows = [
+            (int(i), [float(x) for x in c]) for i, c in enumerate(self.centroids)
+        ]
+        cent = F.broadcast(
+            spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
+        )
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("v").cast("array<double>"),
+                F.col("centroid"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            spread_small_input(df)
+            .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .crossJoin(cent)
+            .withColumn("__d", dist)
+            .groupBy("id")
+            .agg(
+                F.first("v").alias("v"),
+                F.min_by("cell", "__d").alias("cell"),
+            )
+        )
+
+    def append_to_saved(
+        self, path: str, df: DataFrame, vec_col: str, id_col: str
+    ) -> None:
+        """Append a new batch to a SAVED index: nearest-centroid
+        assignment + partition-append into the cell layout. Probes
+        pick the rows up with no index rebuild — the ingestion loop
+        shape (mirrors dedup's append_to_minhash_index)."""
+        self.assign(df, vec_col, id_col).write.mode("append").partitionBy(
+            "cell"
+        ).parquet(f"{path}/cells")
+
     @classmethod
     def load(
         cls, spark, path: str, vec_col: str = "v", id_col: str = "id"

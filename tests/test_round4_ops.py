@@ -352,3 +352,34 @@ def test_bm25_query_batch_independent(spark):
         if r["qid"] == 7
     }
     assert a == b
+
+
+def test_ivf_append_to_saved(spark, tmp_path):
+    """IVF ingestion loop: new vectors route to their nearest existing
+    centroid (numpy-verified), land in the saved cell layout, and are
+    immediately findable by a probe — no rebuild."""
+    import numpy as np
+
+    from deepdb_public_spark.operators.similarity import IvfIndex
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    idx = IvfIndex.build(old, "embedding", "vec_id", n_cells=8)
+    path = str(tmp_path / "ivf")
+    idx.save(path)
+
+    # assignments match brute-force nearest centroid
+    assigned = idx.assign(new, "embedding", "vec_id").collect()
+    for r in assigned:
+        d = ((idx.centroids - np.array(r["v"], dtype=float)) ** 2).sum(axis=1)
+        assert int(np.argmin(d)) == r["cell"], r["id"]
+
+    idx.append_to_saved(path, new, "embedding", "vec_id")
+    idx.release()
+    loaded = IvfIndex.load(spark, path)
+    assert loaded.assigned.count() == emb.count()
+    # an appended vector is its own nearest neighbor under a probe
+    probe = new.first()
+    got = loaded.topk([float(x) for x in probe["embedding"]], k=1, nprobe=2)
+    assert got.first()["id"] == probe["vec_id"]
