@@ -1573,20 +1573,26 @@ def _m_grouped_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT AVG(lineitem.l_quantity) AS avg_qty FROM lineitem "
         "WHERE lineitem.l_discount <= 0.06 GROUP BY lineitem.l_returnflag"
     )
-    cis = model.confidence_interval(q, confidence=0.99)
-    trues = {
-        r["grp"]: float(r["t"])
-        for r in eng.sql(
-            "SELECT l_returnflag AS grp, "
-            "CAST(AVG(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS t "
-            "FROM lineitem WHERE l_discount <= 0.06 GROUP BY l_returnflag"
-        ).collect()
+    cis = {
+        ci["l_returnflag"]: ci
+        for ci in model.confidence_interval(q, confidence=0.99)
     }
+    # ROUND in Spark SQL (half-up, matching DuckDB's ROUND) — Python
+    # round() is banker's rounding and could flake on a .5 boundary.
+    # Iterate the ORACLE's groups: a model-emitted group the exact
+    # query lacks must not crash (and an exact group the model missed
+    # records hit=False instead of dropping the row).
+    trues = eng.sql(
+        "SELECT l_returnflag AS grp, "
+        "CAST(AVG(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS t, "
+        "ROUND(CAST(AVG(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6) AS t6 "
+        "FROM lineitem WHERE l_discount <= 0.06 GROUP BY l_returnflag"
+    ).collect()
     out = []
-    for ci in cis:
-        grp = ci["l_returnflag"]
-        true = trues[grp]
-        out.append((grp, round(true, 6), bool(ci["lo"] <= true <= ci["hi"])))
+    for r in trues:
+        ci = cis.get(r["grp"])
+        hit = ci is not None and ci["lo"] <= float(r["t"]) <= ci["hi"]
+        out.append((r["grp"], float(r["t6"]), bool(hit)))
     return spark.createDataFrame(out, "grp string, true_avg double, hit boolean")
 
 

@@ -347,7 +347,16 @@ def generate_join_sample(
             # StopIteration (silently truncating any enclosing
             # generator) — fail with the contract instead
             raise ValueError("generate_join_sample: empty table_set")
-        df = catalog[next(iter(table_set))]
+        if len(table_set) > 1:
+            # an explicit empty relationship_set over several tables
+            # would silently sample ONE arbitrary table and drop the
+            # rest — same silent-contract-violation class as above
+            raise ValueError(
+                f"generate_join_sample: {sorted(table_set)} with no "
+                "connecting relationships — pass relationship_set=None "
+                "to derive the edges from the schema"
+            )
+        df = catalog[next(iter(sorted(table_set)))]
         return df.sample(sample_fraction, seed=seed) if sample_fraction else df
 
     # Column names must be unique ACROSS the table set: the joined

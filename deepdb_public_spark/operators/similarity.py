@@ -129,16 +129,19 @@ class IvfIndex:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+        # min_by over the (v, cell) STRUCT keeps vector and cell from
+        # the same candidate row; duplicate ids (at-least-once
+        # ingestion retries) therefore collapse to ONE self-consistent
+        # (vector, nearest-cell) pair instead of pairing one row's
+        # vector with another row's cell
         return (
             spread_small_input(df)
             .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
             .crossJoin(cent)
             .withColumn("__d", dist)
             .groupBy("id")
-            .agg(
-                F.first("v").alias("v"),
-                F.min_by("cell", "__d").alias("cell"),
-            )
+            .agg(F.min_by(F.struct("v", "cell"), "__d").alias("__s"))
+            .select("id", F.col("__s.v").alias("v"), F.col("__s.cell").alias("cell"))
         )
 
     def append_to_saved(

@@ -53,6 +53,22 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _explode_tokens(
+    df: DataFrame, text_col: str, id_col: str | None, min_len: int
+) -> DataFrame:
+    """Shared portable tokenization: lowercased maximal [a-z0-9] runs,
+    exploded one row per token. EVERY DuckDB oracle replicates this
+    exact regex (string_split_regex) — keep the three consumers
+    (term_frequencies, tfidf_top_terms, bm25_topk) on this single
+    definition so a tokenization change cannot silently break oracle
+    parity for a subset of them. ``id_col=None`` drops the id."""
+    tok = F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")).alias(
+        "token"
+    )
+    cols = ([F.col(id_col).alias("__id")] if id_col else []) + [tok]
+    return df.select(*cols).filter(F.length("token") >= min_len)
+
+
 def term_frequencies(
     df: DataFrame, text_col: str, k: int = 20, min_len: int = 1
 ) -> DataFrame:
@@ -66,12 +82,8 @@ def term_frequencies(
     TakeOrdered for the top-k (no global sort). The token domain is
     vocabulary-sized (millions), not corpus-sized, so the aggregate
     state stays small; partial aggregation happens map-side."""
-    toks = F.explode(
-        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
-    ).alias("token")
     return (
-        df.select(toks)
-        .filter(F.length("token") >= min_len)
+        _explode_tokens(df, text_col, None, min_len)
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("token"))
@@ -145,16 +157,7 @@ def tfidf_top_terms(
     vocabulary."""
     from pyspark.sql.window import Window
 
-    toks = (
-        spread_small_input(df)
-        .select(
-            F.col(id_col).alias("__id"),
-            F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")).alias(
-                "token"
-            ),
-        )
-        .filter(F.length("token") >= min_len)
-    )
+    toks = _explode_tokens(spread_small_input(df), text_col, id_col, min_len)
     tf = toks.groupBy("__id", "token").agg(F.count(F.lit(1)).alias("tf"))
     # tf is already distinct per (doc, token): plain count == countDistinct
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
@@ -216,20 +219,18 @@ def bm25_topk(
     from pyspark.sql.window import Window
 
     toks = (
-        spread_small_input(docs)
-        .select(
-            F.col(id_col).alias("__doc"),
-            F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")).alias(
-                "term"
-            ),
-        )
-        .filter(F.length("term") >= min_len)
+        _explode_tokens(spread_small_input(docs), text_col, id_col, min_len)
+        .withColumnRenamed("__id", "__doc")
+        .withColumnRenamed("token", "term")
     )
     tf = toks.groupBy("__doc", "term").agg(F.count(F.lit(1)).alias("tf"))
     doclen = toks.groupBy("__doc").agg(F.count(F.lit(1)).alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
-    stats = docs.crossJoin(doclen.agg(F.avg("dl").alias("avgdl"))).agg(
-        F.count(F.lit(1)).alias("n_docs"), F.first("avgdl").alias("avgdl")
+    # aggregate each side to one row FIRST; the previous form routed
+    # every corpus row through a nested-loop join just to count them
+    stats = (
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(doclen.agg(F.avg("dl").alias("avgdl")))
     )
     qterms = (
         queries.select(

@@ -178,6 +178,15 @@ def schema_from_json(d: dict) -> SchemaGraph:
     edge would otherwise surface much later as a KeyError inside the
     trainer or compiler)."""
     g = SchemaGraph()
+    if not d.get("tables"):
+        # an empty/mis-keyed declaration would otherwise fall through
+        # to the fixture TABLE_NAMES default inside load_tables
+        # (`tables or TABLE_NAMES`) and silently run on tables the
+        # user never declared
+        raise ValueError(
+            "schema declaration has no 'tables' — declare at least one "
+            "table (keys: tables, relationships)"
+        )
     for t in d.get("tables", []):
         g.add_table(
             Table(

@@ -162,10 +162,10 @@ def write_zordered_parquet(
     """
     from pyspark.sql.window import Window
 
-    if not zorder_cols or bits * len(zorder_cols) > 63:
+    if bits <= 0 or not zorder_cols or bits * len(zorder_cols) > 63:
         raise ValueError(
-            f"need 1..{63 // max(bits, 1)} z-order columns at {bits} bits "
-            f"(got {len(zorder_cols)})"
+            f"need bits >= 1 and 1..{63 // max(bits, 1)} z-order columns "
+            f"at {bits} bits (got {len(zorder_cols)} cols, bits={bits})"
         )
     work = df
     rank_cols = []

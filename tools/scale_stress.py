@@ -132,6 +132,12 @@ def main() -> None:
         fn(warm)
         release_cached()
     warm.unpersist()
+    warm_e = emb_corpus(1).persist()
+    warm_e.count()
+    for fn in OPS_EMB.values():
+        fn(warm_e)
+        release_cached()
+    warm_e.unpersist()
 
     scales = [1, 2, 4]
     results: dict[str, list[tuple[int, float, int]]] = {k: [] for k in OPS}
