@@ -1,0 +1,18 @@
+SELECT COUNT(*) FROM lineitem WHERE lineitem.l_discount <= 0.06
+SELECT SUM(lineitem.l_extendedprice) FROM lineitem WHERE lineitem.l_quantity < 25
+SELECT AVG(lineitem.l_quantity) FROM lineitem WHERE lineitem.l_discount BETWEEN 0.02 AND 0.08
+SELECT COUNT(*) FROM orders WHERE orders.o_totalprice > 150000
+SELECT SUM(orders.o_totalprice) FROM orders WHERE orders.o_orderstatus = 'F'
+SELECT AVG(orders.o_totalprice) FROM orders WHERE orders.o_orderpriority = '1-URGENT'
+SELECT COUNT(*), AVG(lineitem.l_quantity) FROM lineitem WHERE lineitem.l_returnflag = 'A' GROUP BY lineitem.l_linestatus
+SELECT SUM(lineitem.l_extendedprice) FROM lineitem WHERE lineitem.l_discount <= 0.05 GROUP BY lineitem.l_returnflag
+SELECT AVG(lineitem.l_extendedprice) FROM lineitem GROUP BY lineitem.l_returnflag
+SELECT COUNT(*) FROM orders, lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND orders.o_orderstatus = 'F' AND lineitem.l_quantity < 30
+SELECT SUM(lineitem.l_quantity) FROM orders, lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND orders.o_orderpriority = '1-URGENT'
+SELECT AVG(lineitem.l_extendedprice) FROM orders, lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND orders.o_totalprice > 100000
+SELECT COUNT(*) FROM events WHERE events.value <= 100
+SELECT SUM(events.value) FROM events WHERE events.event_type = 'purchase'
+SELECT AVG(events.value) FROM events WHERE events.event_type = 'click' GROUP BY events.event_type
+SELECT SUM(lineitem.l_extendedprice * lineitem.l_discount) FROM lineitem WHERE lineitem.l_quantity < 25
+SELECT COUNT(*) FROM customer, orders WHERE customer.c_custkey = orders.o_custkey AND customer.c_mktsegment = 'BUILDING' GROUP BY orders.o_orderstatus
+SELECT AVG(orders.o_totalprice) FROM customer, orders WHERE customer.c_custkey = orders.o_custkey AND customer.c_acctbal > 0 GROUP BY customer.c_mktsegment
