@@ -1596,6 +1596,49 @@ def _m_grouped_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "grp string, true_avg double, hit boolean")
 
 
+_M13_QUERY_IDS = [0, 7, 31]
+
+
+def _m_sim_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-predicate cardinality — |{x : cos(x, q) >= 0.3}| —
+    the estimation problem of the learned-similarity-cardinality line
+    of work (PAPERS.md: SIGMOD'20/'21, ICDE'23), answered with the
+    exact scan-aggregate (hash-checked against DuckDB's
+    list_cosine_similarity) and a 256-bit hyperplane-sketch estimate
+    whose q-error must land inside the documented budget (the sketch
+    scan reads ~8x less I/O; operators/similarity.py
+    similarity_selectivity has the honest accuracy discussion)."""
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.operators.similarity import (
+        build_sim_sketches,
+        similarity_selectivity,
+    )
+
+    emb = _engine(spark, sf_dir).catalog["embeddings"]
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(_M13_QUERY_IDS)).collect()
+    }
+    sk, planes = build_sim_sketches(emb, "embedding", "vec_id", n_bits=256)
+    sk = sk.persist()
+    out = []
+    try:
+        for qid in _M13_QUERY_IDS:
+            exact = similarity_selectivity(
+                emb, "embedding", "vec_id", qvecs[qid], 0.3
+            )["estimate"]
+            est = similarity_selectivity(
+                emb, "embedding", "vec_id", qvecs[qid], 0.3,
+                method="sketch", sketches=sk, planes=planes,
+            )["estimate"]
+            qerr = max(est / max(exact, 1.0), exact / max(est, 1e-9))
+            out.append((qid, int(exact), bool(qerr < 10.0)))
+    finally:
+        sk.unpersist()
+    return spark.createDataFrame(out, "qid long, true_cnt long, qerr_ok boolean")
+
+
 _X43_QUERIES = [
     (1, "hash join spark"),
     (2, "window stream batch"),
@@ -1761,6 +1804,18 @@ _PREP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
                  AS true_avg,
                TRUE AS hit
         FROM lineitem WHERE l_discount <= 0.06 GROUP BY l_returnflag
+        """,
+    ),
+    "m13_sim_selectivity": (
+        _m_sim_selectivity,
+        """
+        SELECT q.vec_id AS qid,
+               (SELECT COUNT(*) FROM embeddings b
+                WHERE list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                             CAST(q.embedding AS DOUBLE[])) >= 0.3)
+                 AS true_cnt,
+               TRUE AS qerr_ok
+        FROM embeddings q WHERE q.vec_id IN (0, 7, 31)
         """,
     ),
     "x43_bm25_topk": (
@@ -2662,6 +2717,8 @@ _PRIORITY_TAIL = [
     # E-table extras verified in the full artifact; parked here so the
     # driver's 50-entry window keeps every MODEL-plane entry (m04-m06
     # are core DeepDB AQP/CI capabilities) ahead of decorative scalars
+    "q22_string_case",
+    "q23_date_extract",
     "q31_pivot",
     "q32_math_scalars",
     "q33_date_arith",
@@ -2698,6 +2755,7 @@ _PRIORITY_HEAD = [
     "m10_update_in_place",
     "m11_events_model",
     "m12_grouped_ci",
+    "m13_sim_selectivity",
     "m04_aqp_groupby",
     "m05_confidence_intervals",
     "m06_aqp_join_groupby",

@@ -324,3 +324,128 @@ def knn_join(
     )
     w = Window.partitionBy("lid").orderBy(F.desc("cos"), F.asc("rid"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def build_sim_sketches(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_bits: int = 256,
+    seed: int = 42,
+) -> tuple[DataFrame, np.ndarray]:
+    """Offline side of sketch-based similarity selectivity: per-vector
+    multi-word hyperplane sketches (n_bits/8 bytes each — a 64-dim
+    float vector compresses 8x at 256 bits). Returns (sketch frame,
+    planes); persist the frame (or write it as parquet) and reuse it
+    for every query. The planes matrix is MB-scale driver state, like
+    an SPN model."""
+    from ..functions.vectors import hyperplane_sketch
+
+    probe = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if probe is None:
+        empty = df.sparkSession.createDataFrame([], "id long, sk array<bigint>")
+        return empty, np.zeros((n_bits, 1))
+    dim = len(probe[vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+    sk = spread_small_input(df).select(
+        F.col(id_col).alias("id"),
+        hyperplane_sketch(F.col(vec_col), planes.tolist()).alias("sk"),
+    )
+    return sk, planes
+
+
+def similarity_selectivity(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    threshold: float,
+    method: str = "exact",
+    sample_fraction: float = 0.25,
+    seed: int = 42,
+    sketches: DataFrame | None = None,
+    planes: np.ndarray | None = None,
+    confidence: float = 0.95,
+) -> dict:
+    """Cardinality of a similarity predicate — |{x : cos(x, q) >=
+    t}| — the estimation problem of the learned-similarity-cardinality
+    line of work (SIGMOD'20/'21, ICDE'23), served with three honest
+    Spark-native methods instead of a learned model:
+
+    - ``exact``: one columnar scan-aggregate (cosine is a zip_with
+      fold, no shuffle). At 100 TB this reads every vector once —
+      the truth, at full-scan cost.
+    - ``sample``: exact cosine over a seeded Bernoulli sample,
+      Horvitz-Thompson scale-up, Binomial normal-approx CI at
+      ``confidence`` (the DeepDB-style bounded answer). Reads
+      ``sample_fraction`` of the data.
+    - ``sketch``: Hamming histogram against precomputed hyperplane
+      sketches (``build_sim_sketches``), angle-threshold indicator
+      cos(pi*h/n_bits) >= t. Reads ~n_bits/8 bytes per vector
+      (8-30x less I/O); accuracy depends on how much corpus mass
+      sits near the query's threshold ring — on the spread fixture,
+      measured median q-error ~3 at 256 bits (tests/test_round4_ops
+      records the budget). No false guarantees: use exact/sample
+      when the answer feeds a decision, sketch when triaging many
+      queries cheaply.
+
+    Returns {"estimate": float, "lo": float, "hi": float} (lo == hi ==
+    estimate for exact; sketch CIs are the indicator count, no bound).
+    """
+    from ..functions.vectors import cosine as _cosine
+    from ..functions.vectors import sketch_hamming
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    if method == "exact":
+        n = (
+            spread_small_input(df)
+            .filter(_cosine(F.col(vec_col), q) >= threshold)
+            .count()
+        )
+        return {"estimate": float(n), "lo": float(n), "hi": float(n)}
+    if method == "sample":
+        from math import sqrt
+
+        hits = (
+            spread_small_input(df)
+            .sample(fraction=sample_fraction, seed=seed)
+            .filter(_cosine(F.col(vec_col), q) >= threshold)
+            .count()
+        )
+        est = hits / sample_fraction
+        # Binomial CI on the sampled hit count, scaled up
+        z = {0.9: 1.645, 0.95: 1.96, 0.99: 2.576}.get(round(confidence, 2), 1.96)
+        sd = sqrt(max(hits, 1.0)) / sample_fraction
+        return {
+            "estimate": est,
+            "lo": max(0.0, est - z * sd),
+            "hi": est + z * sd,
+        }
+    if method == "sketch":
+        if sketches is None or planes is None:
+            raise ValueError("sketch method needs build_sim_sketches output")
+        n_bits = planes.shape[0]
+        qv = np.asarray(query_vec, dtype=float)
+        qbits = (planes @ qv) > 0
+        qwords = []
+        for w in range(0, n_bits, 64):
+            key = 0
+            for b in qbits[w : w + 64]:
+                key = ((key << 1) | int(b)) & 0xFFFFFFFFFFFFFFFF
+            # reinterpret as signed 64-bit (Spark bigint)
+            qwords.append(key - (1 << 64) if key >= (1 << 63) else key)
+        qsk = F.array(*[F.lit(w).cast("long") for w in qwords])
+        # hamming histogram: one aggregate over the sketch table
+        hist = (
+            sketches.select(sketch_hamming(F.col("sk"), qsk).alias("h"))
+            .groupBy("h")
+            .count()
+            .collect()
+        )
+        est = 0.0
+        for r in hist:
+            if np.cos(np.pi * r["h"] / n_bits) >= threshold:
+                est += r["count"]
+        return {"estimate": est, "lo": est, "hi": est}
+    raise ValueError(f"unknown method {method!r}")

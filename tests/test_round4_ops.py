@@ -383,3 +383,70 @@ def test_ivf_append_to_saved(spark, tmp_path):
     probe = new.first()
     got = loaded.topk([float(x) for x in probe["embedding"]], k=1, nprobe=2)
     assert got.first()["id"] == probe["vec_id"]
+
+
+# ----------------------------------------------- similarity selectivity
+
+
+def test_similarity_selectivity_methods(spark):
+    """Similarity-predicate cardinality (the learned-similarity-
+    cardinality problem, served with honest estimators): exact matches
+    numpy brute force; sampling is HT-unbiased with a CI that covers;
+    the sketch scan lands within its documented budget and is
+    monotone in the threshold."""
+    import numpy as np
+
+    from deepdb_public_spark.operators.similarity import (
+        build_sim_sketches,
+        similarity_selectivity,
+    )
+
+    emb = _emb(spark)
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    V = np.array([r["embedding"] for r in rows], dtype=float)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sk, planes = build_sim_sketches(emb, "embedding", "vec_id", n_bits=256)
+    sk = sk.persist()
+    sk.count()
+
+    t = 0.3
+    qerrs = []
+    covered = 0
+    queries = [0, 7, 31]
+    for qi in queries:
+        q = [float(x) for x in rows[qi]["embedding"]]
+        true = int((Vn @ (np.array(q) / np.linalg.norm(q)) >= t).sum())
+
+        exact = similarity_selectivity(emb, "embedding", "vec_id", q, t)
+        assert exact["estimate"] == true
+
+        samp = similarity_selectivity(
+            emb, "embedding", "vec_id", q, t,
+            method="sample", sample_fraction=0.5, confidence=0.99,
+        )
+        covered += int(samp["lo"] <= true <= samp["hi"])
+
+        sketch = similarity_selectivity(
+            emb, "embedding", "vec_id", q, t,
+            method="sketch", sketches=sk, planes=planes,
+        )
+        est = max(sketch["estimate"], 1e-9)
+        qerrs.append(max(est / max(true, 1), true / est))
+    sk.unpersist()
+    # 0.99 CIs on 3 seeded queries: all should cover
+    assert covered == len(queries)
+    # documented sketch budget at 256 bits on the spread fixture
+    assert float(np.median(qerrs)) <= 8.0, qerrs
+
+    # monotone: higher threshold never admits more mass
+    q = [float(x) for x in rows[0]["embedding"]]
+    sk2, planes2 = build_sim_sketches(emb, "embedding", "vec_id", n_bits=128)
+    lo_t = similarity_selectivity(
+        emb, "embedding", "vec_id", q, 0.2, method="sketch",
+        sketches=sk2, planes=planes2,
+    )["estimate"]
+    hi_t = similarity_selectivity(
+        emb, "embedding", "vec_id", q, 0.6, method="sketch",
+        sketches=sk2, planes=planes2,
+    )["estimate"]
+    assert hi_t <= lo_t
