@@ -348,9 +348,37 @@ def build_sim_sketches(
     dim = len(probe[vec_col])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bits, dim))
+    if n_bits % 64 != 0:
+        raise ValueError(f"n_bits ({n_bits}) must be a multiple of 64")
+    # Arrow-batched pandas UDF, not the literal-expression form
+    # (functions/vectors.hyperplane_sketch): at 256 bits x 64 dims the
+    # expression tree carries ~16k literals — plan compile time alone
+    # dominated the operator (measured ~20s at sf0.1). One numpy
+    # matmul per Arrow batch + packbits is the textbook vectorized-UDF
+    # case; packing is MSB-first per 64-bit word, matching the
+    # query-side packing in similarity_selectivity.
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bc = df.sparkSession.sparkContext.broadcast(planes)
+
+    def _sketch_fn(vs):
+        P = bc.value
+        M = np.stack([np.asarray(v, dtype=float) for v in vs])
+        bits = (M @ P.T) > 0  # (n, n_bits)
+        words = (
+            np.packbits(bits, axis=1).reshape(len(M), -1, 8).view(">i8")
+        )
+        return pd.Series([w.ravel().tolist() for w in words])
+
+    # real class annotations (the module-wide `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf's
+    # signature inference rejects)
+    _sketch_fn.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    _sketch = pandas_udf(_sketch_fn, "array<long>")
+
     sk = spread_small_input(df).select(
-        F.col(id_col).alias("id"),
-        hyperplane_sketch(F.col(vec_col), planes.tolist()).alias("sk"),
+        F.col(id_col).alias("id"), _sketch(F.col(vec_col)).alias("sk")
     )
     return sk, planes
 
