@@ -858,6 +858,10 @@ def dedup_against_index(
     new_bands, new_sets = build_minhash_index(
         new_df, text_col, id_col, n_hashes, n_bands, use_char_ngrams, ngram
     )
+    # the batch band table feeds TWO consumers (the probe-key
+    # broadcast and the candidate join); without a persist the batch
+    # is re-shingled and re-signed once per consumer
+    new_bands = _persist(new_bands)
     from pyspark.sql.window import Window
 
     # restrict the index to buckets the batch actually probes BEFORE
