@@ -99,6 +99,15 @@ def main() -> None:
         "rows.",
     )
     add(
+        "x43_bm25_topk",
+        "BM25 over a query batch: corpus-side TF/DF/doclen aggregates "
+        "shuffle on (doc, term)/term once for the WHOLE batch; the "
+        "4-row query side and the 1-row stats frame broadcast "
+        "(BroadcastExchange / BroadcastNestedLoopJoin on the scalar); "
+        "top-k window partitions by qid — no per-query corpus scan, "
+        "no CartesianProduct over data rows.",
+    )
+    add(
         "x39_tfidf_topterms",
         "TF shuffle on (doc, token), DF re-aggregate over the "
         "vocabulary-sized TF table, scalar N broadcast "
