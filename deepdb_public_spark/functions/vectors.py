@@ -54,25 +54,6 @@ def hyperplane_sign_bits(vec: Column, planes: list[list[float]]) -> Column:
     return key
 
 
-def hyperplane_sketch(vec: Column, planes: list[list[float]]) -> Column:
-    """Multi-word random-hyperplane sketch -> array<bigint>: one sign
-    bit per plane, packed 64 per word (extends hyperplane_sign_bits
-    past 64 planes). Angle between two vectors is estimated from the
-    Hamming distance of their sketches: E[hamming] = n_planes * θ/π —
-    the basis of sketch-scan similarity selectivity estimation, where
-    a corpus pass reads ~n_planes/8 bytes per vector instead of the
-    full float vector."""
-    words = []
-    for w in range(0, len(planes), 64):
-        key = F.lit(0).cast("long")
-        for plane in planes[w : w + 64]:
-            p = F.array(*[F.lit(float(x)) for x in plane])
-            bit = F.when(dot(vec, p) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-            key = F.shiftleft(key, 1).bitwiseOR(bit)
-        words.append(key)
-    return F.array(*words)
-
-
 def sketch_hamming(a: Column, b: Column) -> Column:
     """Hamming distance between two multi-word sketches."""
     return F.aggregate(

@@ -18,7 +18,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, hyperplane_sign_bits
+from ..functions.vectors import cosine, hyperplane_sign_bits  # noqa: F401 (sign_bits used by lsh_topk)
 
 
 from .partitioning import spread_small_input
@@ -339,19 +339,19 @@ def build_sim_sketches(
     planes); persist the frame (or write it as parquet) and reuse it
     for every query. The planes matrix is MB-scale driver state, like
     an SPN model."""
-    from ..functions.vectors import hyperplane_sketch
-
+    if n_bits % 64 != 0:
+        raise ValueError(f"n_bits ({n_bits}) must be a multiple of 64")
     probe = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
     if probe is None:
+        # empty corpus: zero-column planes — the sketch query path
+        # guards on planes.size and returns estimate 0 without a matmul
         empty = df.sparkSession.createDataFrame([], "id long, sk array<bigint>")
-        return empty, np.zeros((n_bits, 1))
+        return empty, np.zeros((n_bits, 0))
     dim = len(probe[vec_col])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bits, dim))
-    if n_bits % 64 != 0:
-        raise ValueError(f"n_bits ({n_bits}) must be a multiple of 64")
-    # Arrow-batched pandas UDF, not the literal-expression form
-    # (functions/vectors.hyperplane_sketch): at 256 bits x 64 dims the
+    # Arrow-batched pandas UDF, not a literal-expression projection:
+    # at 256 bits x 64 dims the
     # expression tree carries ~16k literals — plan compile time alone
     # dominated the operator (measured ~20s at sf0.1). One numpy
     # matmul per Arrow batch + packbits is the textbook vectorized-UDF
@@ -377,8 +377,13 @@ def build_sim_sketches(
     _sketch_fn.__annotations__ = {"vs": pd.Series, "return": pd.Series}
     _sketch = pandas_udf(_sketch_fn, "array<long>")
 
-    sk = spread_small_input(df).select(
-        F.col(id_col).alias("id"), _sketch(F.col(vec_col)).alias("sk")
+    # NULL vectors would reach the UDF as None and break np.stack —
+    # drop them here, matching the exact/sample methods (cosine of
+    # NULL is NULL and never passes the threshold)
+    sk = (
+        spread_small_input(df)
+        .filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), _sketch(F.col(vec_col)).alias("sk"))
     )
     return sk, planes
 
@@ -454,6 +459,14 @@ def similarity_selectivity(
         if sketches is None or planes is None:
             raise ValueError("sketch method needs build_sim_sketches output")
         n_bits = planes.shape[0]
+        if planes.size == 0:  # empty-corpus index
+            return {"estimate": 0.0, "lo": 0.0, "hi": 0.0}
+        row = sketches.select(F.size("sk").alias("n")).first()
+        if row is not None and row["n"] * 64 != n_bits:
+            raise ValueError(
+                f"sketches carry {row['n'] * 64} bits but planes define "
+                f"{n_bits} — mixed build_sim_sketches outputs"
+            )
         qv = np.asarray(query_vec, dtype=float)
         qbits = (planes @ qv) > 0
         qwords = []
@@ -464,16 +477,12 @@ def similarity_selectivity(
             # reinterpret as signed 64-bit (Spark bigint)
             qwords.append(key - (1 << 64) if key >= (1 << 63) else key)
         qsk = F.array(*[F.lit(w).cast("long") for w in qwords])
-        # hamming histogram: one aggregate over the sketch table
-        hist = (
-            sketches.select(sketch_hamming(F.col("sk"), qsk).alias("h"))
-            .groupBy("h")
-            .count()
-            .collect()
+        # cos(pi*h/n_bits) >= t  <=>  h <= n_bits*arccos(t)/pi: the
+        # indicator is one filter-count over the sketch table, no
+        # histogram shuffle or driver-side loop
+        h_max = int(np.floor(n_bits * np.arccos(threshold) / np.pi + 1e-9))
+        est = float(
+            sketches.filter(sketch_hamming(F.col("sk"), qsk) <= h_max).count()
         )
-        est = 0.0
-        for r in hist:
-            if np.cos(np.pi * r["h"] / n_bits) >= threshold:
-                est += r["count"]
         return {"estimate": est, "lo": est, "hi": est}
     raise ValueError(f"unknown method {method!r}")

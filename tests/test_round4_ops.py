@@ -450,3 +450,41 @@ def test_similarity_selectivity_methods(spark):
         sketches=sk2, planes=planes2,
     )["estimate"]
     assert hi_t <= lo_t
+
+
+def test_sketch_selectivity_guards(spark):
+    """Sketch-path guard rails: NULL vectors are dropped at build (not
+    crashed on), an empty-corpus index estimates 0, and mixing
+    sketches/planes from different n_bits fails loudly."""
+    import pytest as _pytest
+
+    from deepdb_public_spark.operators.similarity import (
+        build_sim_sketches,
+        similarity_selectivity,
+    )
+
+    with_null = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    sk, planes = build_sim_sketches(with_null, "embedding", "vec_id", n_bits=64)
+    assert sk.count() == 2  # NULL row dropped, no crash
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    sk0, planes0 = build_sim_sketches(empty, "embedding", "vec_id", n_bits=64)
+    out = similarity_selectivity(
+        empty, "embedding", "vec_id", [1.0, 0.0], 0.5,
+        method="sketch", sketches=sk0, planes=planes0,
+    )
+    assert out["estimate"] == 0.0
+
+    sk128, planes128 = build_sim_sketches(
+        with_null, "embedding", "vec_id", n_bits=128
+    )
+    with _pytest.raises(ValueError, match="bits"):
+        similarity_selectivity(
+            with_null, "embedding", "vec_id", [1.0, 0.0], 0.5,
+            method="sketch", sketches=sk, planes=planes128,
+        )
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        build_sim_sketches(with_null, "embedding", "vec_id", n_bits=100)
