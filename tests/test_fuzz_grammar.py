@@ -400,3 +400,47 @@ def test_fuzzed_or_groups_match_duckdb(eng, duck, seed):
     got = _rows(eng.query(sql))
     want = _duck_rows(duck, sql)
     assert got == want, sql
+
+
+@pytest.fixture(scope="module")
+def events_model_eng(spark):
+    """Engine with a single-table events model (m11's surface) for
+    second-dataset model-plane fuzzing."""
+    from deepdb_public_spark.spn.ensemble import SPNEnsemble
+    from deepdb_public_spark.spn.trainer import train_spn_model
+
+    eng = Engine(spark, SF_DIR)
+    ens = SPNEnsemble(eng.schema)
+    ens.add_model(train_spn_model(eng.catalog, eng.schema, {"events"}, 40_000))
+    eng.ensemble = ens
+    return eng
+
+
+def gen_events_model_query(seed: int) -> str:
+    """Random cardinality query over events: 0-2 predicates drawn from
+    the shared pools (timestamp BETWEEN / categorical / numeric)."""
+    rng = random.Random(seed)
+    preds = []
+    for _ in range(rng.choice([0, 1, 1, 2])):
+        p = _rand_pred(["events"], rng)
+        if p:
+            preds.append(p)
+    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+    return f"SELECT COUNT(*) AS cnt FROM events{where}"
+
+
+@pytest.mark.parametrize("seed", range(940, 970))
+def test_fuzzed_events_model_estimate(events_model_eng, seed):
+    """Second-dataset model-plane fuzz: the events RSPN estimate must
+    stay within budget across random timestamp/categorical/numeric
+    predicate mixes — the same budgets as the {orders, lineitem}
+    band."""
+    sql = gen_events_model_query(seed)
+    q = events_model_eng.parse(sql)
+    est = float(events_model_eng.ensemble.cardinality(q))
+    true = int(events_model_eng.query(q).collect()[0][0])
+    if true < 50:
+        assert abs(est - true) <= 500, f"{sql}: est {est} vs {true}"
+    else:
+        qerr = max(est / true, true / max(est, 1e-9))
+        assert qerr <= 6.0, f"{sql}: est {est} vs {true} (qerr {qerr:.2f})"
