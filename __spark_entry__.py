@@ -1434,6 +1434,43 @@ def _m_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "qid string, true_q double, ok boolean")
 
 
+def _m_events_aqp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped AQP on the SECOND dataset (events): COUNT/SUM/AVG of
+    `value` per event_type from the m11 events model — B9/B12/B8 over
+    a timestamp/categorical/numeric scope with nothing TPC-H about
+    it. Output (grp, true_cnt, cnt_ok, sum_ok, avg_ok) is
+    oracle-checked like m04 (exact counts hash-equal, estimates
+    within a 25% relative-error budget)."""
+    eng = _engine(spark, sf_dir)
+    _ensure_models(eng, [({"events"}, 40_000)])
+    sql = (
+        "SELECT events.event_type, COUNT(*) AS cnt, "
+        "SUM(events.value) AS sv, AVG(events.value) AS av "
+        "FROM events WHERE events.value <= 200 "
+        "GROUP BY events.event_type"
+    )
+    q = eng.parse(sql)
+    est_rows = {r["event_type"]: r for r in eng.ensemble.aqp(q)}
+    exact = {r["event_type"]: r for r in eng.query(q).collect()}
+    budget = 0.25
+    rel = lambda a, b: abs(a - b) / max(abs(b), 1e-9)  # noqa: E731
+    out = []
+    for key in sorted(exact):
+        e, t = est_rows.get(key), exact[key]
+        out.append(
+            (
+                key,
+                int(t["cnt"]),
+                bool(e and rel(e["cnt"], t["cnt"]) < budget),
+                bool(e and rel(e["sv"], t["sv"]) < budget),
+                bool(e and rel(e["av"], t["av"]) < budget),
+            )
+        )
+    return spark.createDataFrame(
+        out, "grp string, true_cnt long, cnt_ok boolean, sum_ok boolean, avg_ok boolean"
+    )
+
+
 def _m_aqp_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-plane grouped AQP (reference B9/B12 + batch B8): grouped
     COUNT/SUM/AVG answered from the RSPN without touching data.
@@ -1795,6 +1832,14 @@ _PREP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
             f"SELECT '{cid}' AS cid, ({true_sql}) AS true_val, TRUE AS hit"
             for cid, _sql, true_sql in _M05_CASES
         ),
+    ),
+    "m14_events_aqp": (
+        _m_events_aqp,
+        """
+        SELECT event_type AS grp, COUNT(*) AS true_cnt,
+               TRUE AS cnt_ok, TRUE AS sum_ok, TRUE AS avg_ok
+        FROM events WHERE value <= 200 GROUP BY event_type
+        """,
     ),
     "m12_grouped_ci": (
         _m_grouped_ci,
@@ -2756,6 +2801,7 @@ _PRIORITY_HEAD = [
     "m11_events_model",
     "m12_grouped_ci",
     "m13_sim_selectivity",
+    "m14_events_aqp",
     "m04_aqp_groupby",
     "m05_confidence_intervals",
     "m06_aqp_join_groupby",
