@@ -1189,6 +1189,36 @@ def _m_multi_spn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _m_multi_spn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-variant factorization (reference --max_variants: average
+    several alternative anchor decompositions): with {orders,lineitem},
+    {customer,orders} and {customer} models available, the 3-table
+    cases admit more than one factorization; estimates here average
+    TWO variants (cardinality(..., max_variants=2)). Output
+    (qid, true_cnt, qerr_ok) is oracle-checked like m03 — the truth is
+    identical, the estimator path is the variant-averaging one
+    (explain_factors traces each variant)."""
+    eng = _engine(spark, sf_dir)
+    _ensure_models(
+        eng,
+        [
+            ({"orders", "lineitem"}, 80_000),
+            ({"customer", "orders"}, 60_000),
+            ({"customer"}, 60_000),
+        ],
+    )
+    rows = []
+    for qid, sql in _M03_CASES:
+        q = eng.parse(sql)
+        est = float(eng.ensemble.cardinality(q, max_variants=2))
+        true = int(eng.query(q).collect()[0][0])
+        qerr = max(est / max(true, 1), true / max(est, 1e-9))
+        rows.append((qid, true, bool(qerr < _MODEL_QERR_BUDGET)))
+    return spark.createDataFrame(
+        rows, "qid string, true_cnt long, qerr_ok boolean"
+    )
+
+
 def _m_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental insert support (reference D5: AQPSPN.add_dataset),
     distributed: REUSE the engine's cached {lineitem} model (no
@@ -1833,6 +1863,7 @@ _PREP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
             for cid, _sql, true_sql in _M05_CASES
         ),
     ),
+    "m15_multi_spn_variants": (_m_multi_spn_variants, _card_oracle(_M03_CASES)),
     "m14_events_aqp": (
         _m_events_aqp,
         """
@@ -2762,6 +2793,8 @@ _PRIORITY_TAIL = [
     # E-table extras verified in the full artifact; parked here so the
     # driver's 50-entry window keeps every MODEL-plane entry (m04-m06
     # are core DeepDB AQP/CI capabilities) ahead of decorative scalars
+    "q19_intersect",
+    "q20_except",
     "q22_string_case",
     "q23_date_extract",
     "q31_pivot",
@@ -2802,6 +2835,7 @@ _PRIORITY_HEAD = [
     "m12_grouped_ci",
     "m13_sim_selectivity",
     "m14_events_aqp",
+    "m15_multi_spn_variants",
     "m04_aqp_groupby",
     "m05_confidence_intervals",
     "m06_aqp_join_groupby",
