@@ -994,6 +994,46 @@ def _x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-connector parity: the documents table exported as
+    gzipped JSONL (the interchange format training corpora actually
+    ship in) and re-ingested with a declared schema + corrupt-record
+    routing — the per-language aggregate over the round-tripped data
+    must hash-match DuckDB reading the ORIGINAL parquet, proving the
+    writer/reader pair is lossless."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.sources.catalog import read_jsonl
+    from deepdb_public_spark.sources.writers import write_jsonl
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    tmp = tempfile.mkdtemp(prefix="x44_jsonl_")
+    try:
+        path = f"{tmp}/docs_jsonl"
+        write_jsonl(docs.select("doc_id", "text", "lang", "n_chars"), path)
+        back = read_jsonl(
+            spark, path, schema="doc_id long, text string, lang string, n_chars long"
+        )
+        rows = (
+            back.filter(F.col("_corrupt_record").isNull())
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.sum(F.length("text")).alias("sum_text_len"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "lang string, n_docs long, sum_chars long, sum_text_len long"
+    )
+
+
 def _x_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of `orders` (C2 metadata surface as an
     operator): one aggregate pass, per-column stats rows."""
@@ -2278,6 +2318,15 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
         JOIN (SELECT * FROM ws WHERE doc_id % 5 <> 0) b ON TRUE
         WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
               / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
+        """,
+    ),
+    "x44_jsonl_roundtrip": (
+        _x_jsonl_roundtrip,
+        """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+        FROM documents GROUP BY lang
         """,
     ),
     "x36_table_profile": (
