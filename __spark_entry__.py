@@ -912,7 +912,9 @@ def _x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     < 1000 guard is a no-op on the 500-row embeddings fixture but
     keeps the oracle cost bounded if the fixture grows) makes the
     output oracle-checkable; the LSH-bucketed scale path is
-    equivalence-tested in tests/test_round4_ops.py."""
+    equivalence-tested in tests/test_round4_ops.py. rep_id chains are
+    resolved to the kept root (oracle: recursive CTE over the raw
+    pointers), so every representative is a survivor."""
     from pyspark.sql import functions as F
 
     from deepdb_public_spark.operators.dedup import semantic_dedup
@@ -2506,7 +2508,7 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "x41_semdedup": (
         _x_semdedup,
         """
-        WITH pairs AS (
+        WITH RECURSIVE pairs AS (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b
           FROM (SELECT * FROM embeddings WHERE vec_id < 1000) a
           JOIN (SELECT * FROM embeddings WHERE vec_id < 1000) b ON a.vec_id < b.vec_id
@@ -2516,12 +2518,20 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
                  / (SQRT(SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(a.embedding[g.i] AS DOUBLE)))
                     * SQRT(SUM(CAST(b.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)))) >= 0.8
         ),
-        reps AS (SELECT id_b AS vec_id, MIN(id_a) AS rep FROM pairs GROUP BY id_b)
+        reps AS (SELECT id_b AS vec_id, MIN(id_a) AS rep FROM pairs GROUP BY id_b),
+        -- resolve pointer chains to the KEPT root: start from pruned
+        -- items whose rep is a survivor, walk outward
+        roots AS (
+          SELECT vec_id, rep FROM reps
+          WHERE rep NOT IN (SELECT vec_id FROM reps)
+          UNION ALL
+          SELECT p.vec_id, r.rep FROM reps p JOIN roots r ON p.rep = r.vec_id
+        )
         SELECT v.vec_id,
                r.rep IS NULL AS kept,
                COALESCE(r.rep, v.vec_id) AS rep_id
         FROM (SELECT vec_id FROM embeddings WHERE vec_id < 1000) v
-        LEFT JOIN reps r ON v.vec_id = r.vec_id
+        LEFT JOIN roots r ON v.vec_id = r.vec_id
         """,
     ),
     "x38_unigram_logprob": (

@@ -2,6 +2,12 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
 ONE JSON line. The driver records this as BENCH_r{N}.json.
 
+The full JSON is ALSO written to $SPARK_GRAFT_BENCH_OUT (default
+BENCH_full.json next to this script) so the artifact survives even if
+the driver's stdout-tail window clips the printed line (observed in
+round 4: the 103-key line got front-clipped). Commit a per-round copy
+(BENCH_full_r{N}.json) for auditable round-over-round comparison.
+
 Timing = full query wall time (plan + execute + collect), cache warm
 (tables loaded + counted once first so parquet footers/JVM are warm,
 as a cluster's second query would see)."""
@@ -79,19 +85,28 @@ def main() -> None:
         est_ms = round((time.perf_counter() - t0) / n * 1000, 3)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_queries": len(timings),
-                "estimate_ms_mean": est_ms,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "estimate_ms_mean": est_ms,
+    }
+    line = json.dumps(payload)
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"),
     )
+    # durable artifact first: the driver only keeps a tail of stdout,
+    # which clipped the 103-key line in round 4
+    try:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    except OSError as exc:
+        print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
+    print(line, flush=True)
     spark.stop()
 
 

@@ -51,13 +51,19 @@ def _persist(df: DataFrame) -> DataFrame:
 
 
 def release_cached() -> None:
-    """Unpersist every intermediate cached by dedup operators."""
+    """Unpersist every intermediate cached by dedup operators, plus
+    any localCheckpoint blocks left by spread_small_input / pointer
+    jumping (call only after results are materialized — checkpoint
+    lineage is truncated, so pending consumers cannot recompute)."""
     while _CACHED:
         df = _CACHED.pop()
         try:
             df.unpersist()
         except Exception:
             pass
+    from .partitioning import release_local_checkpoints
+
+    release_local_checkpoints()
 
 
 def capped_bucket_pairs(
@@ -630,6 +636,8 @@ def minhash_lsh_pairs(
     ngram: int = 5,
     max_bucket_size: int = 256,
     chain_width: int = 4,
+    prefilter: bool | None = None,
+    prefilter_min_candidates: int = 20000,
 ) -> DataFrame:
     """Scale path: MinHash signatures -> LSH band buckets ->
     signature-prefiltered candidate pairs -> exact-Jaccard
@@ -637,6 +645,16 @@ def minhash_lsh_pairs(
     threshold (verified exactly, so no false positives; recall is the
     LSH S-curve in n_bands/rows times the prefilter's negligible
     additional miss term, below).
+
+    ``prefilter`` controls the signature-agreement prefilter:
+    ``None`` (default) is ADAPTIVE — the candidate set is persisted
+    and counted, and the prefilter only runs when candidates >=
+    ``prefilter_min_candidates`` (below that, the exact verify on the
+    raw candidates is cheaper than the two signature joins the
+    prefilter costs — the regime a small corpus sits in). ``False``
+    disables it entirely, restoring the strict no-probabilistic-
+    prefilter recall guarantee (every band-bucket candidate is
+    exact-verified); ``True`` forces it regardless of size.
 
     Shuffle profile: one explode+groupBy on band keys (candidate
     generation) and one join back for verification — never O(N²).
@@ -706,7 +724,15 @@ def minhash_lsh_pairs(
     # machinery for its all-pairs oracle path).
     margin = max(0.3, 6.0 * _math.sqrt(0.25 / n_hashes))
     min_match = int(_math.ceil(max(0.0, threshold - margin) * n_hashes))
-    if min_match > 0:
+    apply_prefilter = prefilter is not False and min_match > 0
+    if apply_prefilter and prefilter is None:
+        # Adaptive: the prefilter's two signature joins only amortize
+        # when the candidate set dwarfs the true-pair set. Persist the
+        # candidates (the verify join reuses them either way) and gate
+        # on their count.
+        cand = _persist(cand)
+        apply_prefilter = cand.count() >= prefilter_min_candidates
+    if apply_prefilter:
         sg = sigs.select("id", "sig")
         cand = (
             cand.join(
@@ -1027,12 +1053,22 @@ def semantic_dedup(
     brute_force: bool = False,
     max_bucket_size: int = 256,
     chain_width: int = 4,
+    resolve_reps: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic pruning over an embedding column ->
     (id, kept, rep_id): drop every item that is cosine-similar
     (>= ``threshold``) to an EARLIER item (smaller id); survivors are
-    their own representative, pruned items point at their smallest
-    similar predecessor.
+    their own representative.
+
+    With ``resolve_reps=True`` (default) a pruned item's ``rep_id`` is
+    resolved along the predecessor chain to a KEPT survivor (chain
+    a~b~c: c's raw pointer is b, but b was itself pruned to a — the
+    resolved rep is a), so callers substituting pruned rows with their
+    representative always reference retained data. Resolution is
+    pointer-doubling over the rep table: O(log chain-depth) self-joins,
+    each a single equi-join shuffle on id. ``resolve_reps=False``
+    returns the raw smallest-similar-predecessor pointer, which may
+    itself be pruned.
 
     The keep rule ("no earlier neighbor") is deliberately local and
     deterministic: it needs only the near-dup pair list — one
@@ -1062,6 +1098,29 @@ def semantic_dedup(
     reps = pairs.groupBy(F.col("id_b").alias("id")).agg(
         F.min("id_a").alias("rep")
     )
+    if resolve_reps:
+        # Pointer doubling: rep <- rep's rep while rep is itself pruned.
+        # Chain depth halves per round, so rounds = O(log depth); each
+        # round is one equi-join. localCheckpoint truncates the lineage
+        # so the plan doesn't grow exponentially with rounds.
+        reps = reps.localCheckpoint(eager=True)
+        while True:
+            parent = reps.select(
+                F.col("id").alias("p_id"), F.col("rep").alias("p_rep")
+            )
+            stepped = (
+                reps.join(parent, reps["rep"] == parent["p_id"], "left")
+                .select(
+                    "id",
+                    F.coalesce("p_rep", "rep").alias("rep"),
+                    F.col("p_rep").isNotNull().alias("moved"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            moved = stepped.filter("moved").count()
+            reps = stepped.drop("moved")
+            if moved == 0:
+                break
     return (
         df.select(F.col(id_col).alias("id"))
         .join(reps, "id", "left")

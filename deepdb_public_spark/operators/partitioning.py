@@ -50,5 +50,39 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     # is small); and blocks are freed by the ContextCleaner only once
     # the driver garbage-collects the underlying RDD, so a long-lived
     # session briefly holds one small-input copy per operator call
-    # rather than releasing it at scope exit.
+    # rather than releasing it at scope exit. Long-lived sessions can
+    # free the blocks deterministically via release_local_checkpoints()
+    # (wired into dedup.release_cached()).
     return df.repartition(target).localCheckpoint(eager=False)
+
+
+def release_local_checkpoints(spark=None) -> int:
+    """Drop the storage blocks of every locally-checkpointed RDD in the
+    session; returns how many were unpersisted.
+
+    Call ONLY between pipelines, after results are materialized:
+    localCheckpoint truncates lineage, so a not-yet-collected result
+    that still references a released checkpoint cannot be recomputed.
+    This is the deterministic counterpart to waiting for the driver's
+    ContextCleaner GC — the same contract as dedup.release_cached(),
+    which calls this.
+    """
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        return 0
+    released = 0
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            rdd = jrdd.rdd()
+            if rdd.isLocallyCheckpointed():
+                rdd.unpersist(False)
+                released += 1
+    except Exception:
+        # py4j internals shifted (non-classic Spark runtime): fall back
+        # to ContextCleaner GC semantics rather than fail hygiene
+        return released
+    return released

@@ -447,9 +447,17 @@ def similarity_selectivity(
             .count()
         )
         est = hits / sample_fraction
-        # Binomial CI on the sampled hit count, scaled up
-        z = {0.9: 1.645, 0.95: 1.96, 0.99: 2.576}.get(round(confidence, 2), 1.96)
-        sd = sqrt(max(hits, 1.0)) / sample_fraction
+        # Binomial CI on the sampled hit count, scaled up. The
+        # (1 - fraction) factor is the finite-sampling correction: at
+        # fraction→1 the estimate is exact and the interval collapses
+        # (the Poisson sqrt(hits)/f approximation over-covers ~41% at
+        # f=0.5).
+        z = {0.9: 1.645, 0.95: 1.96, 0.99: 2.576}.get(round(confidence, 2))
+        if z is None:
+            from statistics import NormalDist
+
+            z = NormalDist().inv_cdf(0.5 + confidence / 2.0)
+        sd = sqrt(max(hits, 1.0) * (1.0 - sample_fraction)) / sample_fraction
         return {
             "estimate": est,
             "lo": max(0.0, est - z * sd),

@@ -191,6 +191,17 @@ class SPNEnsemble:
         out.sort(key=lambda t: t[0], reverse=True)
         return out
 
+    @staticmethod
+    def _subq_key(q: Query) -> tuple:
+        """Canonical identity of a sub-query for factor cancellation:
+        two sub-queries with the same key evaluate identically on the
+        same model."""
+        return (
+            frozenset(q.table_set),
+            frozenset(q.relationship_set),
+            tuple(sorted(str(c) for c in q.conditions)),
+        )
+
     def _expand_factors(
         self,
         query: Query,
@@ -201,20 +212,59 @@ class SPNEnsemble:
         """Evaluate one factorization variant: the first model answers
         its piece, then each frontier FK edge multiplies in a
         conditional factor (reference: evaluate_factors). ``trace``
-        collects one dict per factor (explain_factors)."""
+        collects one dict per factor (explain_factors).
+
+        Factors are collected SYMBOLICALLY first — each step
+        contributes nominator/denominator terms keyed by (model, kind,
+        canonical sub-query) — and algebraically-identical
+        nominator/denominator pairs are cancelled across steps before
+        anything is evaluated (reference: spn_ensemble.py::
+        merge_indicator_exp). Cancellation is exact when the term is
+        nonzero (identical expressions evaluate identically, so the
+        product is unchanged) and strictly better when it is zero:
+        the chain anchor reappearing in a later denominator used to
+        turn the whole product into 0 * (0/0-guard) = 0, while the
+        cancelled form keeps the meaningful remainder. It also skips
+        the cancelled evaluations entirely."""
         q_tables = set(query.table_set)
         cond_tables = {c.table for c in query.conditions}
         q_rels, component, sub_query = self._query_graph(query)
-        est = first.cardinality(sub_query(covered))
-        if trace is not None:
-            trace.append(
-                {
+
+        # symbolic factor accumulation: (key, thunk) terms
+        mi_of = {id(m): i for i, m in enumerate(self.models)}
+        mi_of[id(first)] = mi_of.get(id(first), -1)
+
+        def card_term(m: SPNModel, subq: Query):
+            return (
+                ("card", mi_of.get(id(m), -1), self._subq_key(subq)),
+                lambda: m.cardinality(subq),
+            )
+
+        def wexp_term(m: SPNModel, subq: Query, rel, with_conds: bool):
+            return (
+                (
+                    "wexp",
+                    mi_of.get(id(m), -1),
+                    self._subq_key(subq),
+                    rel.identifier,
+                    with_conds,
+                ),
+                lambda: m._weighted_expectation(subq, rel, with_conds),
+            )
+
+        anchor_q = sub_query(covered)
+        steps: list[dict] = [
+            {
+                "noms": [card_term(first, anchor_q)],
+                "dens": [],
+                "const": 1.0,
+                "trace": {
                     "kind": "anchor",
                     "model": sorted(first.table_set),
                     "tables": sorted(covered),
-                    "value": est,
-                }
-            )
+                },
+            }
+        ]
         # which (model, piece) covered each table — needed to fanout-
         # weight the covered side when expanding toward a child table
         piece_of = {t: (first, frozenset(covered)) for t in covered}
@@ -270,66 +320,154 @@ class SPNEnsemble:
             cands.sort(key=lambda t: t[:6], reverse=True)
             usable, _nc, _no, _nd, _sz, mi, D, overlap = cands[0]
             m = self.models[mi]
+            noms: list = []
+            dens: list = []
+            const = 1.0
             if parent_new:
                 if usable:
                     # fanout-weighted P(conds over D | parent
                     # referenced [, overlap conds])
-                    factor = m.fanout_conditional_factor(
-                        sub_query(D | overlap),
-                        edge,
-                        sub_query({new_t} | overlap, cond_tables=overlap),
+                    noms.append(wexp_term(m, sub_query(D | overlap), edge, True))
+                    dens.append(
+                        wexp_term(
+                            m,
+                            sub_query({new_t} | overlap, cond_tables=overlap),
+                            edge,
+                            True,
+                        )
                     )
                 else:  # no multiplier column: unweighted fraction
-                    nom = m.cardinality(sub_query(D | overlap))
-                    den = m.cardinality(
-                        sub_query(D | overlap, cond_tables=overlap)
+                    noms.append(card_term(m, sub_query(D | overlap)))
+                    dens.append(
+                        card_term(
+                            m, sub_query(D | overlap, cond_tables=overlap)
+                        )
                     )
-                    factor = nom / den if den > 0 else 0.0
             else:
                 if usable:
                     # qualifying child-side tuples per qualifying
                     # parent (parent + overlap conditions in BOTH)
-                    nom = m.cardinality(sub_query(D | {edge.end} | overlap))
-                    den = m.cardinality(sub_query({edge.end} | overlap))
-                    factor = nom / den if den > 0 else 0.0
+                    noms.append(card_term(m, sub_query(D | {edge.end} | overlap)))
+                    dens.append(card_term(m, sub_query({edge.end} | overlap)))
                 else:
                     mp, piece = piece_of.get(edge.end, (None, None))
                     has_mul = (
                         mp is not None
                         and edge.multiplier_attribute_name in mp.column_names
                     )
-                    nom = m.cardinality(sub_query(D))
                     # per CHILD ROW (not per D-tuple): divides out only
                     # the new_t count so D's further fanout survives
-                    den_nc = m.cardinality(sub_query({new_t}, with_conds=False))
-                    if has_mul and den_nc > 0:
+                    if has_mul:
                         # (avg child fanout per qualifying covered
                         # tuple — captures fanout <-> predicate
                         # correlation) x (qualifying D-join tuples per
-                        # child row)
+                        # child row). fan_den = card(piece)/fjs becomes
+                        # a denominator card term and a fjs constant —
+                        # the term that cancels against the ANCHOR when
+                        # piece == the anchor piece (merge_indicator_exp
+                        # chain case).
                         pq = sub_query(set(piece))
-                        fan_nom = mp._weighted_expectation(pq, edge, True)
-                        fan_den = mp.cardinality(pq) / mp.full_join_size
-                        fan = fan_nom / fan_den if fan_den > 0 else 0.0
-                        factor = fan * (nom / den_nc)
+                        noms.append(wexp_term(mp, pq, edge, True))
+                        noms.append(card_term(m, sub_query(D)))
+                        dens.append(card_term(mp, pq))
+                        dens.append(
+                            card_term(m, sub_query({new_t}, with_conds=False))
+                        )
+                        const = mp.full_join_size
                     else:  # assume children uniform over parents
-                        den = self.cardinality(Query(table_set={edge.end}))
-                        factor = nom / den if den > 0 else 0.0
-            est *= factor
-            if trace is not None:
-                trace.append(
-                    {
+                        end_q = Query(table_set={edge.end})
+                        noms.append(card_term(m, sub_query(D)))
+                        dens.append(
+                            (
+                                ("ens_card", self._subq_key(end_q)),
+                                lambda end_q=end_q: self.cardinality(end_q),
+                            )
+                        )
+            steps.append(
+                {
+                    "noms": noms,
+                    "dens": dens,
+                    "const": const,
+                    "trace": {
                         "kind": "parent_factor" if parent_new else "child_factor",
                         "model": sorted(m.table_set),
                         "edge": edge.identifier,
                         "new_tables": sorted(D),
                         "overlap": sorted(overlap),
-                        "value": factor,
-                    }
-                )
+                    },
+                }
+            )
             covered |= D
             for t in D:
                 piece_of[t] = (m, frozenset(D))
+        return self._evaluate_steps(steps, trace)
+
+    @staticmethod
+    def _evaluate_steps(steps: list[dict], trace: list | None) -> float:
+        """Cancel identical nominator/denominator terms across steps,
+        then evaluate the survivors (reference: spn_ensemble.py::
+        merge_indicator_exp). Each evaluated key is computed once and
+        memoized here, on top of the per-model B13 cache."""
+        from collections import Counter
+
+        nom_counts = Counter(k for s in steps for k, _ in s["noms"])
+        den_counts = Counter(k for s in steps for k, _ in s["dens"])
+        cancel = {
+            k: min(nom_counts[k], den_counts[k])
+            for k in nom_counts.keys() & den_counts.keys()
+        }
+        cancelled_pairs = sum(cancel.values())
+
+        values: dict = {}
+
+        def ev(key, fn) -> float:
+            if key not in values:
+                values[key] = float(fn())
+            return values[key]
+
+        nom_budget = dict(cancel)  # how many of each key to skip
+        den_budget = dict(cancel)
+        est = 1.0
+        for s in steps:
+            est *= s["const"]
+            for k, fn in s["noms"]:
+                if nom_budget.get(k, 0) > 0:
+                    nom_budget[k] -= 1
+                    continue
+                est *= ev(k, fn)
+            for k, fn in s["dens"]:
+                if den_budget.get(k, 0) > 0:
+                    den_budget[k] -= 1
+                    continue
+                d = ev(k, fn)
+                if d <= 0:
+                    est = 0.0
+                    break
+                est /= d
+            if est == 0.0:
+                break
+        if trace is not None:
+            for s in steps:
+                nom_v = 1.0
+                for k, fn in s["noms"]:
+                    nom_v *= ev(k, fn)
+                den_v = 1.0
+                for k, fn in s["dens"]:
+                    den_v *= ev(k, fn)
+                t = dict(s["trace"])
+                t["value"] = s["const"] * nom_v / den_v if den_v > 0 else 0.0
+                trace.append(t)
+            if cancelled_pairs:
+                trace.append(
+                    {
+                        "kind": "cancellation",
+                        "cancelled_pairs": cancelled_pairs,
+                        # multiplicatively neutral: the product-of-
+                        # values == estimate invariant must survive
+                        # this informational entry
+                        "value": 1.0,
+                    }
+                )
         return est
 
     def explain_factors(self, query: Query, max_variants: int = 1) -> list[dict]:

@@ -147,6 +147,38 @@ def test_semdedup_keep_rule(spark):
     assert (pruned["rep_id"] < pruned["vec_id"]).all()
     # representatives are real ids
     assert set(pruned["rep_id"]).issubset(set(out["vec_id"]))
+    # resolve_reps (default): every representative is a KEPT survivor
+    assert set(pruned["rep_id"]).issubset(set(kept["vec_id"]))
+
+
+def test_semdedup_rep_chain_resolves_to_kept_root(spark):
+    """Chain a~b, b~c, !a~c: c's raw pointer is b (pruned); the
+    resolved representative must be the kept root a."""
+    from deepdb_public_spark.operators.dedup import semantic_dedup
+
+    # 2-d unit vectors at angles 0deg, 30deg, 60deg with threshold
+    # cos(37deg)=0.8: a~b (cos30=.866), b~c (cos30), a!~c (cos60=.5)
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [math.cos(math.pi / 6), math.sin(math.pi / 6)]),
+        (2, [math.cos(math.pi / 3), math.sin(math.pi / 3)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    resolved = {
+        r["vec_id"]: (r["kept"], r["rep_id"])
+        for r in semantic_dedup(
+            df, "embedding", "vec_id", threshold=0.8, brute_force=True
+        ).collect()
+    }
+    assert resolved == {0: (True, 0), 1: (False, 0), 2: (False, 0)}
+    raw = {
+        r["vec_id"]: (r["kept"], r["rep_id"])
+        for r in semantic_dedup(
+            df, "embedding", "vec_id", threshold=0.8, brute_force=True,
+            resolve_reps=False,
+        ).collect()
+    }
+    assert raw == {0: (True, 0), 1: (False, 0), 2: (False, 1)}
 
 
 # ------------------------------------------------------ model plane r4
