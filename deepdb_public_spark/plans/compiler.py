@@ -121,12 +121,26 @@ class ExactCompiler:
 
     BROADCAST_ROW_THRESHOLD = 500_000
 
+    # join-order DP is exact and cheap up to here (2^n masks; the
+    # grammar's FK-join queries are ≤6 tables); beyond it, fall back
+    # to the greedy attach order rather than blow up plan time
+    JOIN_DP_MAX_TABLES = 12
+
     def __init__(self, schema: SchemaGraph, catalog: dict[str, DataFrame]) -> None:
         self.schema = schema
         self.catalog = catalog
         # callable(table_name, query) -> estimated filtered row count,
         # or None when the model plane cannot answer
         self.cardinality_estimator = None
+        # callable(frozenset[table], query) -> estimated rows of the
+        # INTERMEDIATE join over that table subset (conditions + FK
+        # edges restricted to the subset), or None. When set, compile()
+        # runs a Selinger-style left-deep DP over connected subsets and
+        # joins in the optimal order — DeepDB's optimizer pitch
+        # (reference: learned cardinalities feeding the join-order
+        # search) realized as: the model plane prices every candidate
+        # intermediate, the DataFrame join order IS the join tree.
+        self.join_cardinality_estimator = None
 
     def _scan(self, table: str, query: Query, joined_tables: int) -> DataFrame:
         """Scan one table with its filters applied pre-join (explicit
@@ -148,11 +162,86 @@ class ExactCompiler:
                 return F.broadcast(df)
         return df
 
+    def _join_order_dp(self, query: Query, rels: list) -> list[str] | None:
+        """Selinger-style left-deep join-order search priced by the
+        learned estimator: minimize the SUM of estimated intermediate
+        sizes over all prefixes (the classic cost of a left-deep
+        pipeline — every intermediate is shuffled/probed once).
+
+        Only connected subsets are enumerated (an FK-join query's
+        intermediates must stay connected, and the estimator would
+        reject a cross product anyway). Returns the optimal table
+        order, or None when the estimator is absent/fails or the
+        query exceeds JOIN_DP_MAX_TABLES — callers fall back to the
+        greedy most-selective-first attach."""
+        est_fn = self.join_cardinality_estimator
+        tables = sorted(query.table_set)
+        n = len(tables)
+        if est_fn is None or n < 3 or n > self.JOIN_DP_MAX_TABLES:
+            return None
+        idx = {t: i for i, t in enumerate(tables)}
+        # adjacency bitmask per table over the query's edges
+        adj = [0] * n
+        for r in rels:
+            if r.start in idx and r.end in idx:
+                adj[idx[r.start]] |= 1 << idx[r.end]
+                adj[idx[r.end]] |= 1 << idx[r.start]
+
+        card_cache: dict[int, float] = {}
+
+        def card(mask: int) -> float | None:
+            if mask not in card_cache:
+                subset = frozenset(
+                    t for i, t in enumerate(tables) if mask & (1 << i)
+                )
+                card_cache[mask] = est_fn(subset, query)
+            return card_cache[mask]
+
+        # dp[mask] = (total intermediate cost, order) for connected mask
+        dp: dict[int, tuple[float, list[str]]] = {
+            1 << i: (0.0, [t]) for i, t in enumerate(tables)
+        }
+        frontier = list(dp)
+        for _ in range(n - 1):
+            nxt: dict[int, tuple[float, list[str]]] = {}
+            for mask in frontier:
+                cost, order = dp[mask]
+                reach = 0
+                for i in range(n):
+                    if mask & (1 << i):
+                        reach |= adj[i]
+                reach &= ~mask
+                for i in range(n):
+                    if not reach & (1 << i):
+                        continue
+                    m2 = mask | (1 << i)
+                    c2 = card(m2)
+                    if c2 is None:
+                        return None  # estimator can't price it: greedy
+                    total = cost + c2
+                    # each round extends popcount-k masks to k+1, so
+                    # m2 can only collide within this round's nxt
+                    if m2 not in nxt or total < nxt[m2][0]:
+                        nxt[m2] = (total, order + [tables[i]])
+            dp.update(nxt)
+            frontier = list(nxt)
+        full = (1 << n) - 1
+        if full not in dp:
+            return None  # disconnected — compile() raises later
+        return dp[full][1]
+
     def compile(self, query: Query) -> DataFrame:
         rels = [self.schema.relationships[r] for r in sorted(query.relationship_set)]
+        dp_order = self._join_order_dp(query, rels) if rels else None
+        dp_rank = (
+            {t: i for i, t in enumerate(dp_order)} if dp_order else None
+        )
         # Join along the schema-graph path: start anywhere, repeatedly
         # attach an edge with exactly one side already joined.
-        start = rels[0].start if rels else next(iter(sorted(query.table_set)))
+        if dp_order:
+            start = dp_order[0]
+        else:
+            start = rels[0].start if rels else next(iter(sorted(query.table_set)))
         # keep each table's scan DataFrame: join conditions reference
         # columns through their owning scan (lineage-bound), so shared
         # column names across tables can't make the condition ambiguous
@@ -201,12 +290,23 @@ class ExactCompiler:
                 if pending:
                     raise ValueError(f"join graph is disconnected: {pending}")
                 break
-            rel = min(
-                attachable,
-                key=lambda r: _attach_cost(
-                    r.end if r.start in joined else r.start
-                ),
-            )
+            if dp_rank is not None:
+                # follow the DP-optimal left-deep order; the cycle-
+                # closing `done` handling above still applies extra
+                # edges as filters
+                rel = min(
+                    attachable,
+                    key=lambda r: dp_rank[
+                        r.end if r.start in joined else r.start
+                    ],
+                )
+            else:
+                rel = min(
+                    attachable,
+                    key=lambda r: _attach_cost(
+                        r.end if r.start in joined else r.start
+                    ),
+                )
             other = rel.end if rel.start in joined else rel.start
             scans[other] = self._scan(other, query, len(joined))
             df = df.join(

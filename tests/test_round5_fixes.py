@@ -215,3 +215,175 @@ def test_factor_cancellation_chain_shrinks_and_preserves_estimate(spark):
     assert calls.count(frozenset({"customer", "orders"})) == 0, (
         "cancelled anchor/denominator pair must not be evaluated"
     )
+
+
+# --------------------- estimate-driven join-tree search (left-deep DP)
+
+
+def test_join_order_dp_flips_greedy_order(spark):
+    """A fake intermediate-size estimator where the per-table greedy
+    choice (part first: 10 filtered rows) is wrong — the {lineitem,
+    orders} intermediate is far smaller than {part, lineitem}. The DP
+    must start on the lineitem-orders edge and attach part LAST."""
+    from deepdb_public_spark.engine import Engine
+
+    engine = Engine(spark, SF_SMOKE)
+    order: list[str] = []
+    comp = engine.compiler
+    orig_scan = comp._scan
+
+    def spy(table, query, joined_tables):
+        order.append(table)
+        return orig_scan(table, query, joined_tables)
+
+    inter = {
+        frozenset({"lineitem", "orders"}): 100.0,
+        frozenset({"part", "lineitem"}): 1e6,
+        frozenset({"orders", "customer"}): 500.0,
+        frozenset({"lineitem", "orders", "customer"}): 200.0,
+        frozenset({"part", "lineitem", "orders"}): 8e5,
+        frozenset({"part", "lineitem", "orders", "customer"}): 1000.0,
+        frozenset({"customer", "lineitem"}): None,  # not an edge
+    }
+    sql = (
+        "SELECT COUNT(*) AS c FROM part, lineitem, orders, customer "
+        "WHERE lineitem.l_partkey = part.p_partkey "
+        "AND orders.o_orderkey = lineitem.l_orderkey "
+        "AND customer.c_custkey = orders.o_custkey"
+    )
+    try:
+        comp._scan = spy
+        # greedy signal says part is tiniest -> greedy would go part-first
+        comp.cardinality_estimator = lambda t, q: {"part": 10.0}.get(t)
+        engine.query(sql)
+        greedy_order = list(order)
+        order.clear()
+        comp.join_cardinality_estimator = lambda ts, q: inter.get(ts, 1e9)
+        engine.query(sql)
+        dp_order = list(order)
+    finally:
+        comp._scan = orig_scan
+        comp.cardinality_estimator = None
+        comp.join_cardinality_estimator = None
+    assert greedy_order[0] == "part" or greedy_order[1] == "part"
+    assert set(dp_order[:2]) == {"lineitem", "orders"}
+    assert dp_order[-1] == "part"
+
+
+def test_join_order_dp_learned_correlated_predicate(spark):
+    """4-table star with a PLANTED fanout<->predicate correlation:
+    p3 is the tiniest table (greedy attaches it first, reducing
+    nothing), while the p2 predicate — mid-sized per-table — joins
+    to almost no fact rows. Trained RSPNs price the intermediates and
+    the DP attaches p2 first. Result equality vs Spark SQL guards the
+    reorder's correctness."""
+    from deepdb_public_spark.plans.compiler import ExactCompiler
+    from deepdb_public_spark.plans.query import Condition, Query
+    from deepdb_public_spark.plans.schema import SchemaGraph, Table
+    from deepdb_public_spark.spn.ensemble import SPNEnsemble
+    from deepdb_public_spark.spn.learn import LearnParams
+    from deepdb_public_spark.spn.trainer import train_spn_model
+
+    p1 = [(i, "A" if i < 500 else "B") for i in range(1000)]
+    p2 = [(i, "X" if i < 400 else "Y") for i in range(1000)]
+    p3 = [(i, float(i % 5)) for i in range(100)]
+    fact = []
+    cid = 0
+    for pid, g in p1:
+        for _ in range(10 if g == "A" else 2):
+            # anti-correlated: only every 30th fact row joins an 'X'
+            # p2 parent
+            pid2 = (cid % 400) if cid % 30 == 0 else 400 + (cid % 600)
+            fact.append((cid, pid, pid2, cid % 100))
+            cid += 1
+    p1df = spark.createDataFrame(p1, "pid1 int, g1 string")
+    p2df = spark.createDataFrame(p2, "pid2 int, g2 string")
+    p3df = spark.createDataFrame(p3, "pid3 int, v3 double")
+    cdf = spark.createDataFrame(fact, "cid int, fk1 int, fk2 int, fk3 int")
+
+    g = SchemaGraph()
+    g.add_table(Table("p1", ["pid1"], table_size=1000))
+    g.add_table(Table("p2", ["pid2"], table_size=1000))
+    g.add_table(Table("p3", ["pid3"], table_size=100))
+    g.add_table(Table("c", ["cid"], table_size=len(fact)))
+    r1 = g.add_relationship("c", "fk1", "p1", "pid1")
+    r2 = g.add_relationship("c", "fk2", "p2", "pid2")
+    r3 = g.add_relationship("c", "fk3", "p3", "pid3")
+    catalog = {"p1": p1df, "p2": p2df, "p3": p3df, "c": cdf}
+    params = LearnParams(min_instances_slice=200)
+
+    ens = SPNEnsemble(g)
+    for ts in ({"c", "p1"}, {"c", "p2"}, {"c", "p3"}):
+        ens.add_model(train_spn_model(catalog, g, ts, 50_000, params))
+
+    comp = ExactCompiler(g, catalog)
+    q = Query(
+        table_set={"c", "p1", "p2", "p3"},
+        relationship_set={r1.identifier, r2.identifier, r3.identifier},
+        conditions=[
+            Condition("p1", "g1", "=", "A"),
+            Condition("p2", "g2", "=", "X"),
+        ],
+    )
+
+    order: list[str] = []
+    orig_scan = comp._scan
+
+    def spy(table, query, joined_tables):
+        order.append(table)
+        return orig_scan(table, query, joined_tables)
+
+    comp._scan = spy
+    try:
+        # greedy baseline: cheapest single table is p3 (100 rows)
+        comp.cardinality_estimator = (
+            lambda t, query: ens.cardinality(
+                Query(
+                    table_set={t},
+                    conditions=[c for c in query.conditions if c.table == t],
+                )
+            )
+        )
+        comp.compile(q)
+        greedy_order = list(order)
+        order.clear()
+
+        def join_est(tables, query):
+            rel_ids = {
+                rid
+                for rid in query.relationship_set
+                if g.relationships[rid].start in tables
+                and g.relationships[rid].end in tables
+            }
+            try:
+                return ens.cardinality(
+                    Query(
+                        table_set=set(tables),
+                        relationship_set=rel_ids,
+                        conditions=[
+                            c for c in query.conditions if c.table in tables
+                        ],
+                    )
+                )
+            except (ValueError, KeyError):
+                return None
+
+        comp.join_cardinality_estimator = join_est
+        out = comp.compile(q)
+        dp_order = list(order)
+    finally:
+        comp._scan = orig_scan
+
+    assert greedy_order[1] == "p3", greedy_order  # the wrong choice
+    # learned intermediates flip it: the ~selective p2 edge goes first
+    assert "p2" in dp_order[:2], dp_order
+    assert dp_order.index("p2") < dp_order.index("p3")
+    # and the reordered plan is still the same query
+    true = (
+        cdf.join(p1df, cdf.fk1 == p1df.pid1)
+        .join(p2df, cdf.fk2 == p2df.pid2)
+        .join(p3df, cdf.fk3 == p3df.pid3)
+        .filter((p1df.g1 == "A") & (p2df.g2 == "X"))
+        .count()
+    )
+    assert out.collect()[0][0] == true
