@@ -35,6 +35,7 @@ def _mllib_top_split(
     sample_budget: int,
     params: LearnParams,
     seed: int,
+    timings: dict | None = None,
 ):
     """Top-level Sum split with pyspark.ml KMeans (SURVEY §7.3 / D3
     scale path): when one SPN's sample budget exceeds driver memory,
@@ -43,10 +44,18 @@ def _mllib_top_split(
     the numpy recursion continues underneath. Cluster centers are
     stored in the same min-max-scaled space scale_minmax uses, so
     incremental-insert routing (D5) works identically."""
+    import time as _time
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import functions as F
 
+    def _mark(key, t0):
+        if timings is not None:
+            timings[key] = round(_time.perf_counter() - t0, 3)
+        return _time.perf_counter()
+
+    t0 = _time.perf_counter()
     stats = encoded.agg(
         *[F.min(c).alias(f"lo_{c}") for c in model_cols],
         *[F.max(c).alias(f"hi_{c}") for c in model_cols],
@@ -57,6 +66,7 @@ def _mllib_top_split(
     hi = np.array([float(stats[f"hi_{c}"] or 0.0) for c in model_cols])
     mu = [float(stats[f"mu_{c}"] or 0.0) for c in model_cols]
     span = hi - lo
+    t0 = _mark("scan_minmax_stats", t0)
 
     # mirror scale_minmax: (x - lo)/span when span > 0 else 0; NULL ->
     # column mean (then scaled)
@@ -70,12 +80,14 @@ def _mllib_top_split(
     feat = encoded.withColumn("__f", array_to_vector(F.array(*scaled)))
     km = KMeans(k=params.n_clusters, seed=seed, maxIter=20, featuresCol="__f")
     kmodel = km.fit(feat)
+    t0 = _mark("kmeans_fit", t0)
     assigned = kmodel.transform(feat).withColumnRenamed("prediction", "__c")
     sizes = {
         r["__c"]: r["cnt"]
         for r in assigned.groupBy("__c").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     total = sum(sizes.values())
+    t0 = _mark("assign_cluster_sizes", t0)
     frac = min(1.0, sample_budget / max(total, 1))
     children, weights, n_sampled = [], [], 0
     centers = np.array(kmodel.clusterCenters())
@@ -98,6 +110,7 @@ def _mllib_top_split(
         weights.append(sizes[c] / total)
         kept_centers.append(centers[c])
         n_sampled += len(data)
+    _mark("per_cluster_sample_and_learn", t0)
     if len(children) == 1:
         return children[0], n_sampled
     wsum = sum(weights)
@@ -225,9 +238,17 @@ def train_spn_model(
     # join re-executes per action (measurable at m01 scale)
     joined = joined.select(*keep).persist()
     params = params or LearnParams()
+    import time as _time
+
+    timings: dict = {}
+    _t = _time.perf_counter()
     try:
         observed_size = joined.count()
+        timings["join_materialize_count"] = round(_time.perf_counter() - _t, 3)
+        _t = _time.perf_counter()
         encoded, meta = encode_table(joined, "+".join(sorted(table_set)))
+        timings["encode_dictionaries"] = round(_time.perf_counter() - _t, 3)
+        _t = _time.perf_counter()
         # beyond-dict-cap categoricals (value_to_code None) leave model
         # scope entirely: their literals are untranslatable, so keeping
         # them would let predicates silently estimate 0 (the reference
@@ -244,8 +265,10 @@ def train_spn_model(
 
         if sample_budget > driver_row_limit and observed_size > driver_row_limit:
             root, n_sample = _mllib_top_split(
-                encoded.select(*model_cols), model_cols, sample_budget, params, seed
+                encoded.select(*model_cols), model_cols, sample_budget, params,
+                seed, timings,
             )
+            timings["top_split_total"] = round(_time.perf_counter() - _t, 3)
         else:
             # sample FIRST, then apply the dictionary mapping joins
             # (broadcast, row-wise) to the sample only — the
@@ -273,6 +296,9 @@ def train_spn_model(
             data = pdf.to_numpy(dtype=np.float64, na_value=np.nan)
             root = learn_spn(data, list(range(len(model_cols))), params)
             n_sample = len(data)
+            timings["driver_sample_and_learn"] = round(
+                _time.perf_counter() - _t, 3
+            )
     finally:
         joined.unpersist()
 
@@ -304,4 +330,7 @@ def train_spn_model(
         boundary_rels=boundary_rels,
         fd_maps=fd_maps,
     )
+    # phase wall times of THIS training run (not persisted state, a
+    # diagnostic: tools/train_at_scale.py and SCALING.md consume it)
+    model.train_timings = timings
     return model

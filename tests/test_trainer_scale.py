@@ -62,6 +62,14 @@ def test_mllib_top_split_trains_and_estimates(spark):
         true = eng.catalog["lineitem"].filter(pred).count()
         assert _qerr(est, true) < 1.2, f"{pred}: est={est} true={true}"
 
+    # phase timings are captured for the scale artifact
+    # (tools/train_at_scale.py / TRAIN_AT_SCALE.json)
+    tm = getattr(model, "train_timings", {})
+    for key in ("join_materialize_count", "encode_dictionaries",
+                "kmeans_fit", "per_cluster_sample_and_learn",
+                "top_split_total"):
+        assert key in tm and tm[key] >= 0.0, tm
+
     # incremental routing still works against MLlib centers (D5)
     import numpy as np
 
