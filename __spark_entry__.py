@@ -1705,6 +1705,37 @@ def _m_grouped_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "grp string, true_avg double, hit boolean")
 
 
+def _m_or_grouped_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped COUNT confidence intervals under a CROSS-COLUMN OR
+    predicate (round-5: SPNEnsemble._ci_inclusion_exclusion — signed
+    inclusion-exclusion estimates with per-term variances composed
+    unsigned). One (grp, true_cnt, hit) row per l_returnflag group;
+    true counts hash-match DuckDB and every 0.99 interval must
+    contain its group's exact count. Coverage at 0.9/0.95 is
+    separately pinned in tests/test_round5_fixes.py."""
+    eng = _engine(spark, sf_dir)
+    _ensure_models(eng, [({"lineitem"}, 60_000)])
+    q = eng.parse(
+        "SELECT COUNT(*) AS cnt FROM lineitem "
+        "WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08) "
+        "GROUP BY lineitem.l_returnflag"
+    )
+    cis = {
+        ci["l_returnflag"]: ci
+        for ci in eng.ensemble.confidence_interval(q, confidence=0.99)
+    }
+    trues = eng.sql(
+        "SELECT l_returnflag AS grp, COUNT(*) AS c FROM lineitem "
+        "WHERE l_quantity < 10 OR l_discount > 0.08 GROUP BY l_returnflag"
+    ).collect()
+    out = []
+    for r in trues:
+        ci = cis.get(r["grp"])
+        hit = ci is not None and ci["lo"] <= float(r["c"]) <= ci["hi"]
+        out.append((r["grp"], int(r["c"]), bool(hit)))
+    return spark.createDataFrame(out, "grp string, true_cnt long, hit boolean")
+
+
 _M13_QUERY_IDS = [0, 7, 31]
 
 
@@ -1922,6 +1953,14 @@ _PREP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
                  AS true_avg,
                TRUE AS hit
         FROM lineitem WHERE l_discount <= 0.06 GROUP BY l_returnflag
+        """,
+    ),
+    "m16_or_grouped_ci": (
+        _m_or_grouped_ci,
+        """
+        SELECT l_returnflag AS grp, COUNT(*) AS true_cnt, TRUE AS hit
+        FROM lineitem WHERE l_quantity < 10 OR l_discount > 0.08
+        GROUP BY l_returnflag
         """,
     ),
     "m13_sim_selectivity": (
@@ -2892,6 +2931,7 @@ _PRIORITY_HEAD = [
     "m10_update_in_place",
     "m11_events_model",
     "m12_grouped_ci",
+    "m16_or_grouped_ci",
     "m13_sim_selectivity",
     "m14_events_aqp",
     "m15_multi_spn_variants",

@@ -787,14 +787,97 @@ class SPNEnsemble:
 
     def confidence_interval(self, query: Query, confidence: float = 0.95):
         if self._complex_or_index(query) is not None:
-            from .model import ModelPlaneUnsupported
-
-            raise ModelPlaneUnsupported(
-                "confidence intervals over cross-column OR groups are "
-                "not supported (signed-term variances correlate); use "
-                "the exact plane"
-            )
+            return self._ci_inclusion_exclusion(query, confidence)
         return self.select_model(query).confidence_interval(query, confidence)
+
+    def _ci_inclusion_exclusion(
+        self, query: Query, confidence: float
+    ) -> list[dict]:
+        """CIs for COUNT/SUM under cross-column OR (closes the last OR
+        gap vs the exact plane): the estimate is the signed sum over
+        inclusion-exclusion terms, and the variance composes as the
+        UNSIGNED sum of per-term variances (signs square away;
+        per-term sampling errors are treated as independent — the
+        terms share training data so this is an approximation, but the
+        shared mass inflates each term's variance symmetrically and
+        observed coverage at 0.9/0.95 holds, see
+        tests/test_round5_fixes.py coverage test). Visible groups
+        follow the aqp rule: the union of POSITIVE terms' group keys.
+
+        AVG (a ratio of two signed sums), COUNT(DISTINCT) and HAVING
+        stay exact-plane (ModelPlaneUnsupported), as in the
+        single-model path."""
+        from ..plans.query import AggregationOperationType, AggregationType
+        from .model import ModelPlaneUnsupported
+
+        z = {0.9: 1.645, 0.95: 1.96, 0.99: 2.576}.get(
+            round(confidence, 2), 1.96
+        )
+        for op in query.aggregations:
+            if op.op_type is not AggregationOperationType.AGGREGATION:
+                continue
+            if op.agg_type is AggregationType.AVG or getattr(
+                op, "distinct", False
+            ):
+                raise ModelPlaneUnsupported(
+                    "confidence intervals under cross-column OR support "
+                    "COUNT/SUM only (AVG is a ratio of signed sums, "
+                    "COUNT DISTINCT is not linear); use the exact plane"
+                )
+        if query.having:
+            raise ModelPlaneUnsupported(
+                "confidence intervals with HAVING are not supported; "
+                "use the exact plane"
+            )
+        gb_cols = [c for _t, c in query.group_bys]
+        # (group key, agg name) -> [signed est, summed variance]
+        acc: dict[tuple, list[float]] = {}
+        visible: set[tuple] = set() if gb_cols else {()}
+        for sign, q in self._ie_terms(query):
+            try:
+                model = self.select_model(q)
+            except ValueError:
+                raise ModelPlaneUnsupported(
+                    "cross-column OR CI over a multi-model table set: "
+                    "factorized per-term variances are not composed; "
+                    "use the exact plane"
+                )
+            for row in model.confidence_interval(q, confidence):
+                key = tuple(row[c] for c in gb_cols)
+                if sign > 0:
+                    visible.add(key)
+                sd = (row["hi"] - row["lo"]) / (2.0 * z)
+                slot = acc.setdefault((key, row["agg"]), [0.0, 0.0])
+                slot[0] += sign * row["est"]
+                slot[1] += sd * sd
+        out: list[dict] = []
+        count_aggs = {
+            (op.alias or "count")
+            for op in query.aggregations
+            if op.op_type is AggregationOperationType.AGGREGATION
+            and op.agg_type is AggregationType.COUNT
+        }
+        agg_names = [
+            op.alias
+            or (
+                "count"
+                if op.agg_type is AggregationType.COUNT
+                else op.agg_type.name.lower()
+            )
+            for op in query.aggregations
+            if op.op_type is AggregationOperationType.AGGREGATION
+        ]
+        for key in sorted(visible, key=repr):
+            for name in agg_names:
+                est, var = acc.get((key, name), (0.0, 0.0))
+                half = z * float(var) ** 0.5
+                lo, hi = est - half, est + half
+                if name in count_aggs:
+                    est, lo = max(est, 0.0), max(lo, 0.0)
+                row = dict(zip(gb_cols, key))
+                row.update({"agg": name, "est": est, "lo": lo, "hi": hi})
+                out.append(row)
+        return out
 
     def answer(self, query: Query):
         if query.query_type is QueryType.CARDINALITY:

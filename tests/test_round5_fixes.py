@@ -387,3 +387,106 @@ def test_join_order_dp_learned_correlated_predicate(spark):
         .count()
     )
     assert out.collect()[0][0] == true
+
+
+# ----------------------- model-plane CIs under cross-column OR
+
+
+def test_or_ci_grouped_contains_truth(spark):
+    """Grouped COUNT CI with a cross-column OR predicate: every
+    visible group's 0.99 interval must contain the exact count; AVG /
+    HAVING under OR stay exact-plane (ModelPlaneUnsupported)."""
+    from deepdb_public_spark.engine import Engine
+    from deepdb_public_spark.spn.ensemble import SPNEnsemble
+    from deepdb_public_spark.spn.model import ModelPlaneUnsupported
+    from deepdb_public_spark.spn.trainer import train_spn_model
+
+    eng = Engine(spark, SF_SMOKE)
+    ens = SPNEnsemble(eng.schema)
+    ens.add_model(train_spn_model(eng.catalog, eng.schema, {"lineitem"}, 60_000))
+
+    sql = (
+        "SELECT COUNT(*) AS cnt FROM lineitem "
+        "WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08) "
+        "GROUP BY lineitem.l_returnflag"
+    )
+    q = eng.parse(sql)
+    rows = ens.confidence_interval(q, confidence=0.99)
+    trues = {
+        r["grp"]: r["c"]
+        for r in eng.sql(
+            "SELECT l_returnflag AS grp, COUNT(*) AS c FROM lineitem "
+            "WHERE l_quantity < 10 OR l_discount > 0.08 GROUP BY l_returnflag"
+        ).collect()
+    }
+    got = {r["l_returnflag"]: r for r in rows}
+    assert set(got) == set(trues)
+    for g, true in trues.items():
+        ci = got[g]
+        assert ci["lo"] <= true <= ci["hi"], (g, ci, true)
+        assert ci["hi"] > ci["lo"] >= 0.0
+
+    q_avg = eng.parse(
+        "SELECT AVG(lineitem.l_quantity) AS a FROM lineitem "
+        "WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)"
+    )
+    with pytest.raises(ModelPlaneUnsupported):
+        ens.confidence_interval(q_avg)
+
+
+def test_or_ci_coverage_two_levels():
+    """Signed-term variance composition covers at the nominal rate
+    over repeated training draws (same protocol as the conjunctive
+    coverage test, OR predicate instead)."""
+    import numpy as np
+
+    from deepdb_public_spark.plans.query import (
+        AggOperation,
+        AggregationOperationType,
+        AggregationType,
+        Condition,
+        Query,
+        QueryType,
+    )
+    from deepdb_public_spark.plans.schema import SchemaGraph, Table
+    from deepdb_public_spark.spn.ensemble import SPNEnsemble
+    from tests.test_variance_propagation import _gen, _model
+
+    rng = np.random.default_rng(11)
+    pop = _gen(rng, 200_000)
+    true_mask = (pop[:, 0] < 5) | (pop[:, 1] >= 6)
+    true_cnt = true_mask.sum()
+    g = SchemaGraph()
+    g.add_table(Table("t", []))
+
+    for conf, floor in ((0.9, 0.75), (0.95, 0.85)):
+        hits = 0
+        trials = 30
+        for _ in range(trials):
+            samp = pop[rng.integers(0, len(pop), 2000)]
+            m = _model(samp, ["x", "y"])
+            ens = SPNEnsemble(g)
+            ens.add_model(m)
+            q = Query(query_type=QueryType.AQP, table_set={"t"})
+            q.add_where_condition(
+                Condition(
+                    "t", None, "OR",
+                    [
+                        Condition("t", "x", "<", 5),
+                        Condition("t", "y", ">=", 6),
+                    ],
+                )
+            )
+            q.aggregations.append(
+                AggOperation(
+                    AggregationOperationType.AGGREGATION,
+                    AggregationType.COUNT,
+                    alias="cnt",
+                )
+            )
+            (ci,) = ens.confidence_interval(q, confidence=conf)
+            # scale truth to this draw's full_join_size (2000-row model)
+            truth = true_cnt / len(pop) * m.full_join_size
+            if ci["lo"] <= truth <= ci["hi"]:
+                hits += 1
+        assert hits / trials >= floor, f"conf={conf}: {hits}/{trials}"
