@@ -16,3 +16,13 @@ SELECT AVG(events.value) FROM events WHERE events.event_type = 'click' GROUP BY 
 SELECT SUM(lineitem.l_extendedprice * lineitem.l_discount) FROM lineitem WHERE lineitem.l_quantity < 25
 SELECT COUNT(*) FROM customer, orders WHERE customer.c_custkey = orders.o_custkey AND customer.c_mktsegment = 'BUILDING' GROUP BY orders.o_orderstatus
 SELECT AVG(orders.o_totalprice) FROM customer, orders WHERE customer.c_custkey = orders.o_custkey AND customer.c_acctbal > 0 GROUP BY customer.c_mktsegment
+SELECT COUNT(DISTINCT lineitem.l_quantity) FROM lineitem WHERE lineitem.l_discount <= 0.05
+SELECT COUNT(DISTINCT orders.o_orderpriority) FROM orders WHERE orders.o_totalprice > 100000
+SELECT COUNT(DISTINCT events.event_type) FROM events WHERE events.value > 50
+SELECT COUNT(*) FROM lineitem WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08) GROUP BY lineitem.l_returnflag
+SELECT SUM(lineitem.l_extendedprice) FROM lineitem WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)
+SELECT COUNT(*) FROM events WHERE (events.event_type = 'purchase' OR events.value > 150) GROUP BY events.event_type
+SELECT COUNT(*) AS cnt FROM orders GROUP BY orders.o_orderstatus HAVING cnt >= 1000
+SELECT SUM(lineitem.l_quantity) AS sq FROM lineitem GROUP BY lineitem.l_returnflag HAVING sq > 100000
+SELECT COUNT(*) AS cnt FROM events WHERE events.value <= 150 GROUP BY events.event_type HAVING cnt >= 500
+SELECT AVG(orders.o_totalprice) FROM orders WHERE (orders.o_orderstatus = 'F' OR orders.o_totalprice > 200000) GROUP BY orders.o_orderpriority

@@ -90,3 +90,34 @@ SELECT COUNT(*) FROM events, customer WHERE events.user_id = customer.c_custkey 
 SELECT COUNT(*) FROM events, customer, nation WHERE events.user_id = customer.c_custkey AND customer.c_nationkey = nation.n_nationkey AND nation.n_name = 'NATION_19'
 SELECT COUNT(*) FROM events WHERE events.ts BETWEEN DATE '2024-01-05' AND DATE '2024-01-10' AND events.value < 100
 SELECT COUNT(*) FROM events, customer WHERE events.user_id = customer.c_custkey AND (events.event_type = 'click' OR events.event_type = 'view')
+SELECT COUNT(*) FROM part WHERE part.p_brand LIKE 'Brand#1%'
+SELECT COUNT(*) FROM part WHERE part.p_type NOT LIKE 'S%'
+SELECT COUNT(*) FROM part, lineitem WHERE lineitem.l_partkey = part.p_partkey AND part.p_brand LIKE 'Brand#2%' AND lineitem.l_quantity < 20
+SELECT COUNT(*) FROM part WHERE (part.p_size < 5 OR part.p_size > 45)
+SELECT COUNT(*) FROM part WHERE (part.p_type = 'STANDARD' OR part.p_type = 'PROMO' OR part.p_type = 'ECONOMY')
+SELECT COUNT(*) FROM part, lineitem WHERE lineitem.l_partkey = part.p_partkey AND (part.p_size < 10 OR lineitem.l_discount > 0.07)
+SELECT COUNT(*) FROM orders WHERE (orders.o_orderpriority LIKE '1-%' OR orders.o_orderpriority LIKE '2-%')
+SELECT COUNT(*) FROM orders WHERE orders.o_orderstatus IN ('O', 'P') AND orders.o_totalprice NOT BETWEEN 50000 AND 250000
+SELECT COUNT(*) FROM customer WHERE customer.c_mktsegment NOT IN ('BUILDING', 'MACHINERY') AND customer.c_acctbal > 2500
+SELECT COUNT(*) FROM customer, orders WHERE customer.c_custkey = orders.o_custkey AND (customer.c_acctbal < 1000 OR orders.o_totalprice > 250000)
+SELECT COUNT(*) FROM supplier WHERE supplier.s_acctbal NOT BETWEEN 0 AND 5000
+SELECT COUNT(*) FROM supplier, lineitem WHERE lineitem.l_suppkey = supplier.s_suppkey AND (supplier.s_acctbal > 8000 OR lineitem.l_quantity > 45)
+SELECT COUNT(*) FROM nation WHERE nation.n_name LIKE 'NATION_1%'
+SELECT COUNT(*) FROM nation, customer WHERE customer.c_nationkey = nation.n_nationkey AND nation.n_name NOT LIKE 'NATION_1%'
+SELECT COUNT(*) FROM events WHERE (events.event_type = 'click' OR events.event_type = 'view' OR events.event_type = 'signup')
+SELECT COUNT(*) FROM events WHERE (events.value < 20 OR events.value > 180)
+SELECT COUNT(*) FROM events WHERE (events.event_type = 'purchase' OR events.value > 150)
+SELECT COUNT(*) FROM events, customer WHERE events.user_id = customer.c_custkey AND (customer.c_acctbal < 0 OR events.value >= 100)
+SELECT COUNT(*) FROM events, customer, nation WHERE events.user_id = customer.c_custkey AND customer.c_nationkey = nation.n_nationkey AND nation.n_name LIKE 'NATION_2%' AND events.event_type <> 'error'
+SELECT COUNT(*) FROM events WHERE events.ts NOT BETWEEN DATE '2024-01-05' AND DATE '2024-01-20'
+SELECT COUNT(*) FROM orders, lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND (orders.o_orderstatus = 'F' OR orders.o_orderstatus = 'P') AND lineitem.l_returnflag <> 'N'
+SELECT COUNT(*) FROM customer, orders, lineitem WHERE customer.c_custkey = orders.o_custkey AND orders.o_orderkey = lineitem.l_orderkey AND (customer.c_mktsegment = 'AUTOMOBILE' OR lineitem.l_quantity < 5)
+SELECT COUNT(*) FROM part, lineitem, orders WHERE lineitem.l_partkey = part.p_partkey AND orders.o_orderkey = lineitem.l_orderkey AND part.p_type LIKE 'M%' AND orders.o_totalprice > 150000
+SELECT COUNT(*) FROM region, nation, customer WHERE nation.n_regionkey = region.r_regionkey AND customer.c_nationkey = nation.n_nationkey AND region.r_name <> 'AFRICA'
+SELECT COUNT(*) FROM region, nation, supplier WHERE nation.n_regionkey = region.r_regionkey AND supplier.s_nationkey = nation.n_nationkey AND (supplier.s_acctbal < 2000 OR supplier.s_acctbal > 8000)
+SELECT COUNT(*) FROM lineitem WHERE lineitem.l_returnflag NOT LIKE 'N%'
+SELECT COUNT(*) FROM orders WHERE orders.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') AND orders.o_orderstatus <> 'O'
+SELECT COUNT(*) FROM events, customer WHERE events.user_id = customer.c_custkey AND customer.c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AND (events.value < 50 OR events.value > 150)
+SELECT COUNT(*) FROM customer, orders WHERE customer.c_custkey = orders.o_custkey AND customer.c_mktsegment LIKE 'B%' AND orders.o_orderpriority LIKE '%HIGH%'
+SELECT COUNT(*) FROM part, lineitem, orders, customer WHERE lineitem.l_partkey = part.p_partkey AND orders.o_orderkey = lineitem.l_orderkey AND customer.c_custkey = orders.o_custkey AND (part.p_size > 40 OR customer.c_acctbal < 500)
+SELECT COUNT(*) FROM customer WHERE customer.c_mktsegment <> 'NO_SUCH_SEGMENT' AND customer.c_acctbal >= 0

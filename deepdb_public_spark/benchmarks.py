@@ -3,10 +3,12 @@ JOB-light queries + true-cardinality CSV that are the reference's
 correctness yardstick, SURVEY.md §5.1).
 
 `benchmarks/fixture-light/` plays that role for the fixture schema:
-92 reference-grammar COUNT(*) queries (JOB-light-sized) over 1–5-way
+123 reference-grammar COUNT(*) queries (JOB-light-sized) over 1–5-way
 FK joins — supplier/nation/region dimension chains, 4-table stars,
-IN / <> / IS NOT NULL / BETWEEN / date predicates, disjunction/NOT/
-LIKE grammar extensions, and events-table queries (timestamp +
+IN / <> / IS NOT NULL / BETWEEN / date predicates, a round-5
+extension sweep (same- and cross-column OR incl. 3-disjunct groups,
+LIKE / NOT LIKE on brands/types/priorities, NOT IN / NOT BETWEEN,
+out-of-dictionary literals), and events-table queries (timestamp +
 categorical + numeric predicates, events⋈customer⋈nation chains) —
 with golden counts at sf0.01. The 3+-table queries have no dedicated
 join model in the test ensemble, so they exercise multi-SPN

@@ -156,6 +156,78 @@ class IvfIndex:
         ).parquet(f"{path}/cells")
 
     @classmethod
+    def maintain_saved(
+        cls,
+        spark,
+        path: str,
+        max_cell_rows: int,
+        split_k: int = 2,
+        seed: int = 42,
+    ) -> dict:
+        """Drift handling for a saved index (the FAISS re-train story
+        re-expressed as partition surgery): ingestion appends route to
+        the NEAREST EXISTING centroid, so a drifting corpus piles into
+        a few hot cells and probe cost degrades toward a full scan.
+        Any cell over ``max_cell_rows`` is re-clustered with KMeans
+        (k=``split_k``) on ITS ROWS ONLY; sub-cluster 0 keeps the old
+        cell id (its partition is rewritten via dynamic partition
+        overwrite), the rest get fresh ids appended — untouched cells'
+        files are never rewritten, so maintenance is O(hot cells), not
+        O(index). The centroid table is overwritten in place
+        (MB-scale). Returns {"split_cells", "n_cells"}.
+
+        Recall after 3x drifted appends + maintain stays within the
+        fresh-rebuild budget (tests/test_round5_fixes.py)."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        idx = cls.load(spark, path)
+        sizes = idx.assigned.groupBy("cell").count().collect()
+        hot = sorted(r["cell"] for r in sizes if r["count"] > max_cell_rows)
+        centroids = [[float(x) for x in c] for c in idx.centroids]
+        if not hot:
+            return {"split_cells": [], "n_cells": len(centroids)}
+        next_id = len(centroids)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            for cell in hot:
+                # localCheckpoint truncates the lineage so the write
+                # below isn't "overwriting a path being read from";
+                # one hot cell is bounded (that's why it's being split)
+                rows = (
+                    idx.assigned.filter(F.col("cell") == cell)
+                    .select("id", "v")
+                    .localCheckpoint()
+                    .withColumn(
+                        "features",
+                        array_to_vector(F.col("v").cast("array<double>")),
+                    )
+                )
+                km = KMeans(k=split_k, seed=seed, maxIter=20).fit(rows)
+                subc = km.clusterCenters()
+                ids = [cell] + list(range(next_id, next_id + split_k - 1))
+                next_id += split_k - 1
+                cell_of = F.element_at(
+                    F.array(*[F.lit(i) for i in ids]), F.col("prediction") + 1
+                )
+                km.transform(rows).select(
+                    "id", "v", cell_of.cast("int").alias("cell")
+                ).write.mode("overwrite").partitionBy("cell").parquet(
+                    f"{path}/cells"
+                )
+                centroids[cell] = [float(x) for x in subc[0]]
+                for j in range(1, split_k):
+                    centroids.append([float(x) for x in subc[j]])
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        return {"split_cells": hot, "n_cells": len(centroids)}
+
+    @classmethod
     def load(
         cls, spark, path: str, vec_col: str = "v", id_col: str = "id"
     ) -> "IvfIndex":

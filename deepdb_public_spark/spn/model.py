@@ -305,6 +305,13 @@ class SPNModel:
             return NumericRange([(v, np.inf, incl, True)])
         v = self._literal(col, cond.value)
         if v is None:
+            # unseen categorical literal. The dictionary is complete,
+            # so '=' matches nothing — but '<>' excludes nothing and
+            # must keep EVERY code (round-5 fix: this returned the
+            # empty range for both ops, estimating 0 for a predicate
+            # that matches the whole table)
+            if cond.op == "<>":
+                return NominalRange(list(range(cm.n_distinct)))
             return NominalRange([])
         if cond.op == "=":
             if cm.kind == "categorical":

@@ -345,7 +345,9 @@ def test_grouped_cross_column_or_signed_grids(li_engine):
         assert est[g]["ap"] == pytest.approx(truth["ap"], rel=0.3), g
 
 
-def test_cross_column_or_ci_falls_back(li_engine):
+def test_cross_column_or_ci_supported_count_sum_only(li_engine):
+    """Round 5: COUNT/SUM CIs compose over the signed IE terms and the
+    interval must contain the exact count; AVG stays exact-plane."""
     from deepdb_public_spark.spn.model import ModelPlaneUnsupported
 
     eng = li_engine
@@ -353,8 +355,15 @@ def test_cross_column_or_ci_falls_back(li_engine):
         "SELECT COUNT(*) AS cnt FROM lineitem WHERE "
         "(lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)"
     )
+    (ci,) = eng.ensemble.confidence_interval(q, confidence=0.99)
+    true = eng.query(q).collect()[0][0]
+    assert ci["lo"] <= true <= ci["hi"]
+    q_avg = eng.parse(
+        "SELECT AVG(lineitem.l_quantity) AS a FROM lineitem WHERE "
+        "(lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)"
+    )
     with pytest.raises(ModelPlaneUnsupported):
-        eng.ensemble.confidence_interval(q)
+        eng.ensemble.confidence_interval(q_avg)
 
 
 def test_single_model_rejects_cross_column_or(li_engine):
@@ -466,7 +475,9 @@ def test_cross_table_or_with_shared_column_names(spark):
     assert got == want
 
 
-def test_ci_harness_skips_cross_column_or(li_engine):
+def test_ci_harness_covers_cross_column_or(li_engine):
+    """Round 5: OR COUNT CIs are model-plane now, so the harness
+    evaluates (not skips) them; AVG-over-OR is still skipped."""
     from deepdb_public_spark.evaluation import evaluate_confidence_intervals
 
     eng = li_engine
@@ -476,7 +487,9 @@ def test_ci_harness_skips_cross_column_or(li_engine):
             "SELECT COUNT(*) AS cnt FROM lineitem WHERE lineitem.l_quantity < 25",
             "SELECT COUNT(*) AS cnt FROM lineitem WHERE "
             "(lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)",
+            "SELECT AVG(lineitem.l_quantity) AS a FROM lineitem WHERE "
+            "(lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)",
         ],
     )
-    assert len(summary["skipped_queries"]) == 1
-    assert summary["n_cells"] >= 1
+    assert len(summary["skipped_queries"]) == 1  # only the AVG one
+    assert summary["n_cells"] >= 2

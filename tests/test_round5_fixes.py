@@ -490,3 +490,78 @@ def test_or_ci_coverage_two_levels():
             if ci["lo"] <= truth <= ci["hi"]:
                 hits += 1
         assert hits / trials >= floor, f"conf={conf}: {hits}/{trials}"
+
+
+# ----------------------------------- IVF drift maintenance (hot cells)
+
+
+def test_ivf_maintain_after_drifted_appends_recovers_recall(spark, tmp_path):
+    """Build on 1/4 of the corpus, append the other 3/4 in three
+    batches (nearest-existing-centroid routing => hot cells), then
+    maintain_saved splits the oversized cells. Recall@10 of the
+    maintained index must be within 5% of a FRESH index built on the
+    full corpus, at the same nprobe/n_cells budget."""
+    from deepdb_public_spark.operators.similarity import (
+        IvfIndex,
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    n = emb.count()
+    first = emb.filter(F.col("vec_id") % 4 == 0)
+    path = str(tmp_path / "ivf")
+    idx = IvfIndex.build(first, "embedding", "vec_id", n_cells=8, seed=7)
+    idx.save(path)
+    idx.release()
+    for b in (1, 2, 3):
+        batch = emb.filter(F.col("vec_id") % 4 == b)
+        saved = IvfIndex.load(spark, path)
+        saved.append_to_saved(path, batch, "embedding", "vec_id")
+
+    stats = IvfIndex.maintain_saved(
+        spark, path, max_cell_rows=int(n / 8), split_k=2, seed=7
+    )
+    assert stats["split_cells"], "drifted appends must create hot cells"
+    assert stats["n_cells"] > 8
+
+    maintained = IvfIndex.load(spark, path)
+    assert maintained.assigned.count() == n  # no rows lost or duplicated
+    fresh = IvfIndex.build(emb, "embedding", "vec_id", n_cells=stats["n_cells"], seed=7)
+
+    queries = [r["embedding"] for r in emb.filter(F.col("vec_id") % 31 == 3).collect()][:16]
+    rec_m, rec_f = [], []
+    for qv in queries:
+        truth = {r["id"] for r in brute_force_topk(emb, "embedding", "vec_id", qv, k=10).collect()}
+        got_m = {r["id"] for r in maintained.topk(qv, k=10, nprobe=4).collect()}
+        got_f = {r["id"] for r in fresh.topk(qv, k=10, nprobe=4).collect()}
+        rec_m.append(len(truth & got_m) / 10)
+        rec_f.append(len(truth & got_f) / 10)
+    fresh.release()
+    import numpy as np
+
+    assert np.mean(rec_m) >= np.mean(rec_f) - 0.05, (rec_m, rec_f)
+
+
+# --------------------- '<>' with an out-of-dictionary literal
+
+
+def test_neq_unseen_literal_estimates_full_count(spark):
+    """'<>' against a literal absent from the complete dictionary
+    excludes nothing; it used to translate to the EMPTY range and
+    estimate 0 for a predicate matching the whole table."""
+    from deepdb_public_spark.engine import Engine
+    from deepdb_public_spark.spn.trainer import train_spn_model
+
+    eng = Engine(spark, SF_SMOKE)
+    m = train_spn_model(eng.catalog, eng.schema, {"customer"}, 50_000)
+    q_all = eng.parse(
+        "SELECT COUNT(*) FROM customer "
+        "WHERE customer.c_mktsegment <> 'NO_SUCH_SEGMENT'"
+    )
+    q_none = eng.parse(
+        "SELECT COUNT(*) FROM customer "
+        "WHERE customer.c_mktsegment = 'NO_SUCH_SEGMENT'"
+    )
+    n = eng.catalog["customer"].count()
+    assert m.cardinality(q_all) == pytest.approx(n, rel=0.01)
+    assert m.cardinality(q_none) == 0.0
