@@ -1036,6 +1036,63 @@ def _x_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-connector parity for ORC (Spark-native columnar format
+    Hive-centric consumers expect): orders exported partitioned by
+    o_orderstatus, re-ingested, aggregated per status — hash-matched
+    against DuckDB on the ORIGINAL parquet, proving the ORC
+    writer/reader pair is lossless incl. the partition column
+    round-trip (values move into directory names and back). min/max
+    on doubles avoid float-accumulation drift; the summed column is
+    integral."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.sources.catalog import read_orc_table
+    from deepdb_public_spark.sources.writers import write_orc
+
+    orders = _engine(spark, sf_dir).catalog["orders"]
+    tmp = tempfile.mkdtemp(prefix="x45_orc_")
+    try:
+        path = f"{tmp}/orders_orc"
+        write_orc(
+            orders.select(
+                "o_orderkey", "o_orderstatus", "o_totalprice"
+            ),
+            path,
+            partition_by=["o_orderstatus"],
+        )
+        back = read_orc_table(spark, path)
+        rows = (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_orderkey").alias("sum_key"),
+                F.min("o_totalprice").alias("min_price"),
+                F.max("o_totalprice").alias("max_price"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                r["o_orderstatus"],
+                int(r["n"]),
+                int(r["sum_key"]),
+                float(r["min_price"]),
+                float(r["max_price"]),
+            )
+            for r in rows
+        ],
+        "o_orderstatus string, n long, sum_key long, "
+        "min_price double, max_price double",
+    )
+
+
 def _x_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of `orders` (C2 metadata surface as an
     operator): one aggregate pass, per-column stats rows."""
@@ -2368,6 +2425,16 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
         FROM documents GROUP BY lang
+        """,
+    ),
+    "x45_orc_roundtrip": (
+        _x_orc_roundtrip,
+        """
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+               CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+        FROM orders GROUP BY o_orderstatus
         """,
     ),
     "x36_table_profile": (

@@ -804,10 +804,18 @@ class SPNEnsemble:
         tests/test_round5_fixes.py coverage test). Visible groups
         follow the aqp rule: the union of POSITIVE terms' group keys.
 
-        AVG (a ratio of two signed sums), COUNT(DISTINCT) and HAVING
-        stay exact-plane (ModelPlaneUnsupported), as in the
-        single-model path."""
-        from ..plans.query import AggregationOperationType, AggregationType
+        AVG composes by the delta method over the two signed sums
+        (S = signed SUM moments, C = signed not-null-COUNT moments;
+        var ≈ var_S/C² + S²·var_C/C⁴ with the S,C covariance dropped —
+        the same independence the single-model AVG CI assumes).
+        COUNT(DISTINCT) and HAVING stay exact-plane
+        (ModelPlaneUnsupported), as in the single-model path."""
+        from ..plans.query import (
+            AggOperation,
+            AggregationOperationType,
+            AggregationType,
+            Condition,
+        )
         from .model import ModelPlaneUnsupported
 
         z = {0.9: 1.645, 0.95: 1.96, 0.99: 2.576}.get(
@@ -816,13 +824,11 @@ class SPNEnsemble:
         for op in query.aggregations:
             if op.op_type is not AggregationOperationType.AGGREGATION:
                 continue
-            if op.agg_type is AggregationType.AVG or getattr(
-                op, "distinct", False
-            ):
+            if getattr(op, "distinct", False):
                 raise ModelPlaneUnsupported(
-                    "confidence intervals under cross-column OR support "
-                    "COUNT/SUM only (AVG is a ratio of signed sums, "
-                    "COUNT DISTINCT is not linear); use the exact plane"
+                    "confidence intervals for COUNT(DISTINCT) under "
+                    "cross-column OR are not supported; use the exact "
+                    "plane"
                 )
         if query.having:
             raise ModelPlaneUnsupported(
@@ -830,49 +836,92 @@ class SPNEnsemble:
                 "use the exact plane"
             )
         gb_cols = [c for _t, c in query.group_bys]
-        # (group key, agg name) -> [signed est, summed variance]
-        acc: dict[tuple, list[float]] = {}
-        visible: set[tuple] = set() if gb_cols else {()}
+        terms = []
         for sign, q in self._ie_terms(query):
             try:
-                model = self.select_model(q)
+                terms.append((sign, q, self.select_model(q)))
             except ValueError:
                 raise ModelPlaneUnsupported(
                     "cross-column OR CI over a multi-model table set: "
                     "factorized per-term variances are not composed; "
                     "use the exact plane"
                 )
-            for row in model.confidence_interval(q, confidence):
-                key = tuple(row[c] for c in gb_cols)
-                if sign > 0:
-                    visible.add(key)
-                sd = (row["hi"] - row["lo"]) / (2.0 * z)
-                slot = acc.setdefault((key, row["agg"]), [0.0, 0.0])
-                slot[0] += sign * row["est"]
-                slot[1] += sd * sd
+        visible: set[tuple] = set() if gb_cols else {()}
+
+        def signed_moments(agg_type, operands, extra_cond=None):
+            """{group key: [signed est, summed variance]} for ONE
+            aggregate, evaluated per signed term; positive terms'
+            keys feed the shared `visible` set (the aqp rule)."""
+            acc: dict[tuple, list[float]] = {}
+            for sign, q, model in terms:
+                q1 = Query(
+                    query_type=q.query_type,
+                    table_set=set(q.table_set),
+                    relationship_set=set(q.relationship_set),
+                    conditions=list(q.conditions)
+                    + ([extra_cond] if extra_cond is not None else []),
+                    group_bys=list(q.group_bys),
+                    aggregations=[
+                        AggOperation(
+                            AggregationOperationType.AGGREGATION,
+                            agg_type,
+                            list(operands or []),
+                            alias="v",
+                        )
+                    ],
+                )
+                for row in model.confidence_interval(q1, confidence):
+                    key = tuple(row[c] for c in gb_cols)
+                    if sign > 0:
+                        visible.add(key)
+                    sd = (row["hi"] - row["lo"]) / (2.0 * z)
+                    slot = acc.setdefault(key, [0.0, 0.0])
+                    slot[0] += sign * row["est"]
+                    slot[1] += sd * sd
+            return acc
+
+        per_op: list[tuple[str, str, dict]] = []  # (name, kind, moments)
+        for op in query.aggregations:
+            if op.op_type is not AggregationOperationType.AGGREGATION:
+                continue
+            if op.agg_type is AggregationType.COUNT:
+                name = op.alias or "count"
+                per_op.append(
+                    (name, "count", signed_moments(op.agg_type, op.operands))
+                )
+            elif op.agg_type is AggregationType.SUM:
+                name = op.alias or "sum"
+                per_op.append(
+                    (name, "sum", signed_moments(op.agg_type, op.operands))
+                )
+            else:  # AVG = signed-SUM / signed-not-null-COUNT, delta method
+                name = op.alias or "avg"
+                t, c = op.operands[0]
+                s_m = signed_moments(AggregationType.SUM, op.operands)
+                c_m = signed_moments(
+                    AggregationType.COUNT,
+                    [],
+                    extra_cond=Condition(t, c, "IS_NOT_NULL"),
+                )
+                ratio: dict[tuple, list[float]] = {}
+                for key in set(s_m) | set(c_m):
+                    S, var_s = s_m.get(key, (0.0, 0.0))
+                    C, var_c = c_m.get(key, (0.0, 0.0))
+                    if C <= 0:
+                        ratio[key] = [float("nan"), 0.0]
+                        continue
+                    ratio[key] = [
+                        S / C,
+                        var_s / (C * C) + (S * S) * var_c / (C**4),
+                    ]
+                per_op.append((name, "avg", ratio))
         out: list[dict] = []
-        count_aggs = {
-            (op.alias or "count")
-            for op in query.aggregations
-            if op.op_type is AggregationOperationType.AGGREGATION
-            and op.agg_type is AggregationType.COUNT
-        }
-        agg_names = [
-            op.alias
-            or (
-                "count"
-                if op.agg_type is AggregationType.COUNT
-                else op.agg_type.name.lower()
-            )
-            for op in query.aggregations
-            if op.op_type is AggregationOperationType.AGGREGATION
-        ]
         for key in sorted(visible, key=repr):
-            for name in agg_names:
-                est, var = acc.get((key, name), (0.0, 0.0))
+            for name, kind, moments in per_op:
+                est, var = moments.get(key, (0.0, 0.0))
                 half = z * float(var) ** 0.5
                 lo, hi = est - half, est + half
-                if name in count_aggs:
+                if kind == "count":
                     est, lo = max(est, 0.0), max(lo, 0.0)
                 row = dict(zip(gb_cols, key))
                 row.update({"agg": name, "est": est, "lo": lo, "hi": hi})

@@ -358,12 +358,23 @@ def test_cross_column_or_ci_supported_count_sum_only(li_engine):
     (ci,) = eng.ensemble.confidence_interval(q, confidence=0.99)
     true = eng.query(q).collect()[0][0]
     assert ci["lo"] <= true <= ci["hi"]
+    # round 5b: AVG composes via the delta method over signed sums
     q_avg = eng.parse(
         "SELECT AVG(lineitem.l_quantity) AS a FROM lineitem WHERE "
         "(lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)"
     )
+    (ci_a,) = eng.ensemble.confidence_interval(q_avg, confidence=0.99)
+    true_avg = eng.sql(
+        "SELECT AVG(l_quantity) FROM lineitem "
+        "WHERE l_quantity < 10 OR l_discount > 0.08"
+    ).collect()[0][0]
+    assert ci_a["lo"] <= true_avg <= ci_a["hi"]
+    q_cd = eng.parse(
+        "SELECT COUNT(DISTINCT lineitem.l_returnflag) AS d FROM lineitem "
+        "WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)"
+    )
     with pytest.raises(ModelPlaneUnsupported):
-        eng.ensemble.confidence_interval(q_avg)
+        eng.ensemble.confidence_interval(q_cd)
 
 
 def test_single_model_rejects_cross_column_or(li_engine):
@@ -476,8 +487,8 @@ def test_cross_table_or_with_shared_column_names(spark):
 
 
 def test_ci_harness_covers_cross_column_or(li_engine):
-    """Round 5: OR COUNT CIs are model-plane now, so the harness
-    evaluates (not skips) them; AVG-over-OR is still skipped."""
+    """Round 5: COUNT/SUM/AVG CIs under OR are model-plane now, so the
+    harness evaluates them all; COUNT(DISTINCT)-over-OR is skipped."""
     from deepdb_public_spark.evaluation import evaluate_confidence_intervals
 
     eng = li_engine
@@ -489,7 +500,9 @@ def test_ci_harness_covers_cross_column_or(li_engine):
             "(lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)",
             "SELECT AVG(lineitem.l_quantity) AS a FROM lineitem WHERE "
             "(lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)",
+            "SELECT COUNT(DISTINCT lineitem.l_returnflag) AS d FROM lineitem "
+            "WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)",
         ],
     )
-    assert len(summary["skipped_queries"]) == 1  # only the AVG one
-    assert summary["n_cells"] >= 2
+    assert len(summary["skipped_queries"]) == 1  # only COUNT(DISTINCT)
+    assert summary["n_cells"] >= 3

@@ -426,12 +426,24 @@ def test_or_ci_grouped_contains_truth(spark):
         assert ci["lo"] <= true <= ci["hi"], (g, ci, true)
         assert ci["hi"] > ci["lo"] >= 0.0
 
+    # AVG under OR: delta method over the signed SUM / not-null-COUNT
     q_avg = eng.parse(
         "SELECT AVG(lineitem.l_quantity) AS a FROM lineitem "
         "WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)"
     )
+    (ci_avg,) = ens.confidence_interval(q_avg, confidence=0.99)
+    true_avg = eng.sql(
+        "SELECT AVG(l_quantity) FROM lineitem "
+        "WHERE l_quantity < 10 OR l_discount > 0.08"
+    ).collect()[0][0]
+    assert ci_avg["lo"] <= true_avg <= ci_avg["hi"]
+    # COUNT(DISTINCT) stays exact-plane
+    q_cd = eng.parse(
+        "SELECT COUNT(DISTINCT lineitem.l_returnflag) AS d FROM lineitem "
+        "WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)"
+    )
     with pytest.raises(ModelPlaneUnsupported):
-        ens.confidence_interval(q_avg)
+        ens.confidence_interval(q_cd)
 
 
 def test_or_ci_coverage_two_levels():
