@@ -35,7 +35,7 @@ from ..functions.hashing import (
 )
 from ..functions.text import char_ngrams, fingerprint_md5, word_tokens
 from ..functions.vectors import hyperplane_sign_bits
-from .partitioning import spread_small_input
+from .partitioning import spread_small_input, track_local_checkpoint
 
 # DataFrames persisted by dedup operators. A long-lived session that
 # runs many corpora should call release_cached() between them —
@@ -198,7 +198,9 @@ def duplicate_clusters(
             )
             .persist()
         )
-        labels = ids.withColumn("cluster", F.col("id")).localCheckpoint()
+        labels = track_local_checkpoint(
+            ids.withColumn("cluster", F.col("id")).localCheckpoint()
+        )
         try:
             changed = 0
             for _ in range(max_iter):
@@ -213,7 +215,10 @@ def duplicate_clusters(
                     F.least(
                         F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
                     ).alias("cluster"),
-                ).localCheckpoint()  # eager; truncates lineage
+                )
+                stepped = track_local_checkpoint(
+                    stepped.localCheckpoint()  # eager; truncates lineage
+                )
                 changed = stepped.filter(F.col("old") != F.col("cluster")).count()
                 labels = stepped.select("id", "cluster")
                 if changed == 0:
@@ -1103,7 +1108,7 @@ def semantic_dedup(
         # Chain depth halves per round, so rounds = O(log depth); each
         # round is one equi-join. localCheckpoint truncates the lineage
         # so the plan doesn't grow exponentially with rounds.
-        reps = reps.localCheckpoint(eager=True)
+        reps = track_local_checkpoint(reps.localCheckpoint(eager=True))
         while True:
             parent = reps.select(
                 F.col("id").alias("p_id"), F.col("rep").alias("p_rep")
@@ -1115,7 +1120,9 @@ def semantic_dedup(
                     F.coalesce("p_rep", "rep").alias("rep"),
                     F.col("p_rep").isNotNull().alias("moved"),
                 )
-                .localCheckpoint(eager=True)
+            )
+            stepped = track_local_checkpoint(
+                stepped.localCheckpoint(eager=True)
             )
             moved = stepped.filter("moved").count()
             reps = stepped.drop("moved")

@@ -16,6 +16,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# DataFrames whose localCheckpoint THIS package created. Only these
+# are touched by release_local_checkpoints(): a checkpoint created by
+# user code elsewhere in the session must never be swept (releasing a
+# checkpoint truncated lineage makes any not-yet-materialized result
+# built on it unrecomputable).
+_TRACKED: list[DataFrame] = []
+
+
+def track_local_checkpoint(df: DataFrame) -> DataFrame:
+    """Register a locally-checkpointed DataFrame for deterministic
+    release by release_local_checkpoints(). Call this on the result of
+    every ``df.localCheckpoint(...)`` this package creates."""
+    _TRACKED.append(df)
+    return df
+
 
 def spread_small_input(df: DataFrame) -> DataFrame:
     """Repartition ``df`` to the session's default parallelism when it
@@ -53,36 +68,43 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     # rather than releasing it at scope exit. Long-lived sessions can
     # free the blocks deterministically via release_local_checkpoints()
     # (wired into dedup.release_cached()).
-    return df.repartition(target).localCheckpoint(eager=False)
+    return track_local_checkpoint(
+        df.repartition(target).localCheckpoint(eager=False)
+    )
 
 
 def release_local_checkpoints(spark=None) -> int:
-    """Drop the storage blocks of every locally-checkpointed RDD in the
-    session; returns how many were unpersisted.
+    """Drop the storage blocks of the locally-checkpointed RDDs THIS
+    package created (everything registered via track_local_checkpoint);
+    returns how many were unpersisted. Checkpoints created by other
+    code in the session are never touched (round-5 advice: the old
+    session-wide getPersistentRDDs sweep could truncate an unrelated
+    pipeline's lineage out from under it).
 
     Call ONLY between pipelines, after results are materialized:
     localCheckpoint truncates lineage, so a not-yet-collected result
     that still references a released checkpoint cannot be recomputed.
     This is the deterministic counterpart to waiting for the driver's
     ContextCleaner GC — the same contract as dedup.release_cached(),
-    which calls this.
+    which calls this. The ``spark`` argument is accepted for backward
+    compatibility and ignored (tracking is per-package, not
+    per-session).
     """
-    if spark is None:
-        from pyspark.sql import SparkSession
-
-        spark = SparkSession.getActiveSession()
-    if spark is None:
-        return 0
     released = 0
-    try:
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        for jrdd in list(jmap.values()):
-            rdd = jrdd.rdd()
-            if rdd.isLocallyCheckpointed():
-                rdd.unpersist(False)
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            # the analyzed plan of a checkpointed DataFrame is the
+            # LogicalRDD wrapping the exact RDD localCheckpoint
+            # persisted (verified against Spark 4.x); unpersisting it
+            # frees the blocks without touching any other RDD
+            jrdd = df._jdf.queryExecution().analyzed().rdd()
+            if jrdd.isLocallyCheckpointed():
+                jrdd.unpersist(False)
                 released += 1
-    except Exception:
-        # py4j internals shifted (non-classic Spark runtime): fall back
-        # to ContextCleaner GC semantics rather than fail hygiene
-        return released
+        except Exception:
+            # py4j internals shifted (non-classic Spark runtime): fall
+            # back to ContextCleaner GC semantics rather than fail
+            # hygiene
+            continue
     return released

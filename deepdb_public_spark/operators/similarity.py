@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine, hyperplane_sign_bits  # noqa: F401 (sign_bits used by lsh_topk)
 
 
-from .partitioning import spread_small_input
+from .partitioning import spread_small_input, track_local_checkpoint
 
 
 def _query_vec_col(query_vec: list[float]):
@@ -192,13 +192,9 @@ class IvfIndex:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             for cell in hot:
-                # localCheckpoint truncates the lineage so the write
-                # below isn't "overwriting a path being read from";
-                # one hot cell is bounded (that's why it's being split)
                 rows = (
                     idx.assigned.filter(F.col("cell") == cell)
                     .select("id", "v")
-                    .localCheckpoint()
                     .withColumn(
                         "features",
                         array_to_vector(F.col("v").cast("array<double>")),
@@ -206,19 +202,64 @@ class IvfIndex:
                 )
                 km = KMeans(k=split_k, seed=seed, maxIter=20).fit(rows)
                 subc = km.clusterCenters()
-                ids = [cell] + list(range(next_id, next_id + split_k - 1))
-                next_id += split_k - 1
-                cell_of = F.element_at(
-                    F.array(*[F.lit(i) for i in ids]), F.col("prediction") + 1
+                # eager localCheckpoint materializes the assignment so
+                # the write below isn't "overwriting a path being read
+                # from"; one hot cell is bounded (that's why it's
+                # being split)
+                pred = track_local_checkpoint(
+                    km.transform(rows)
+                    .select("id", "v", "prediction")
+                    .localCheckpoint()
                 )
-                km.transform(rows).select(
+                counts = {
+                    r["prediction"]: r["count"]
+                    for r in pred.groupBy("prediction").count().collect()
+                }
+                # KMeans can leave a sub-cluster EMPTY (duplicate /
+                # degenerate vectors). The dynamic overwrite only
+                # replaces partitions present in the output, so the
+                # old cell id MUST map to a non-empty sub-cluster or
+                # its stale partition survives alongside the re-written
+                # rows (duplicated vectors + a stale centroid — round-5
+                # advice). Largest non-empty sub-cluster keeps the old
+                # id; only the other NON-EMPTY ones get fresh ids.
+                present = sorted(
+                    (p for p in range(split_k) if counts.get(p, 0) > 0),
+                    key=lambda p: (-counts[p], p),
+                )
+                if len(present) <= 1:
+                    # all rows landed in one sub-cluster: no split is
+                    # possible — rewrite the cell under its OLD id with
+                    # the refit centroid and move on
+                    pred.select(
+                        "id", "v", F.lit(int(cell)).cast("int").alias("cell")
+                    ).write.mode("overwrite").partitionBy("cell").parquet(
+                        f"{path}/cells"
+                    )
+                    centroids[cell] = [
+                        float(x) for x in subc[present[0] if present else 0]
+                    ]
+                    continue
+                ids = [cell] + list(
+                    range(next_id, next_id + len(present) - 1)
+                )
+                next_id += len(present) - 1
+                cell_of = None
+                for p, cid in zip(present, ids):
+                    cond = F.col("prediction") == int(p)
+                    cell_of = (
+                        F.when(cond, int(cid))
+                        if cell_of is None
+                        else cell_of.when(cond, int(cid))
+                    )
+                pred.select(
                     "id", "v", cell_of.cast("int").alias("cell")
                 ).write.mode("overwrite").partitionBy("cell").parquet(
                     f"{path}/cells"
                 )
-                centroids[cell] = [float(x) for x in subc[0]]
-                for j in range(1, split_k):
-                    centroids.append([float(x) for x in subc[j]])
+                centroids[cell] = [float(x) for x in subc[present[0]]]
+                for p in present[1:]:
+                    centroids.append([float(x) for x in subc[p]])
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         spark.createDataFrame(

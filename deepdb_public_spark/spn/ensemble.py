@@ -447,23 +447,44 @@ class SPNEnsemble:
             if est == 0.0:
                 break
         if trace is not None:
+            # per-step values are computed from the CANCELLED
+            # evaluation (fresh budgets, same skip rule as the
+            # estimate loop above) so product-of-trace-values ==
+            # estimate holds even in the zero-anchor case — the very
+            # case cancellation changes semantics (round-5 advice: the
+            # old uncancelled trace showed a 0 product while the
+            # returned estimate was nonzero)
+            t_nom_budget = dict(cancel)
+            t_den_budget = dict(cancel)
             for s in steps:
                 nom_v = 1.0
                 for k, fn in s["noms"]:
+                    if t_nom_budget.get(k, 0) > 0:
+                        t_nom_budget[k] -= 1
+                        continue
                     nom_v *= ev(k, fn)
                 den_v = 1.0
+                zero_den = False
                 for k, fn in s["dens"]:
-                    den_v *= ev(k, fn)
+                    if t_den_budget.get(k, 0) > 0:
+                        t_den_budget[k] -= 1
+                        continue
+                    d = ev(k, fn)
+                    if d <= 0:
+                        zero_den = True
+                        break
+                    den_v *= d
                 t = dict(s["trace"])
-                t["value"] = s["const"] * nom_v / den_v if den_v > 0 else 0.0
+                t["value"] = 0.0 if zero_den else s["const"] * nom_v / den_v
                 trace.append(t)
             if cancelled_pairs:
                 trace.append(
                     {
                         "kind": "cancellation",
                         "cancelled_pairs": cancelled_pairs,
-                        # multiplicatively neutral: the product-of-
-                        # values == estimate invariant must survive
+                        # multiplicatively neutral: with the cancelled
+                        # per-step values above, the product-of-values
+                        # == estimate invariant genuinely survives
                         # this informational entry
                         "value": 1.0,
                     }
@@ -818,9 +839,9 @@ class SPNEnsemble:
         )
         from .model import ModelPlaneUnsupported
 
-        z = {0.9: 1.645, 0.95: 1.96, 0.99: 2.576}.get(
-            round(confidence, 2), 1.96
-        )
+        from .model import z_value
+
+        z = z_value(confidence)
         for op in query.aggregations:
             if op.op_type is not AggregationOperationType.AGGREGATION:
                 continue
@@ -874,7 +895,14 @@ class SPNEnsemble:
                     key = tuple(row[c] for c in gb_cols)
                     if sign > 0:
                         visible.add(key)
-                    sd = (row["hi"] - row["lo"]) / (2.0 * z)
+                    # prefer the model's UNCLAMPED sd: the COUNT row's
+                    # lo is clamped at 0 for presentation, so
+                    # (hi-lo)/2z understates sd by up to 2x whenever
+                    # the clamp fired — exactly the small/noisy counts
+                    # where negative IE terms matter (round-5 advice)
+                    sd = row.get("sd")
+                    if sd is None:
+                        sd = (row["hi"] - row["lo"]) / (2.0 * z)
                     slot = acc.setdefault(key, [0.0, 0.0])
                     slot[0] += sign * row["est"]
                     slot[1] += sd * sd

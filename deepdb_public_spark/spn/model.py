@@ -128,6 +128,20 @@ _FEATURE_NAMES = {_inv_max1: "inv", _identity: "id", _square: "sq"}
 MAX_GROUPBY_CELLS = 2_000_000
 
 
+def z_value(confidence: float) -> float:
+    """Two-sided normal quantile for a confidence level. Common levels
+    come from the usual table; any other level is computed exactly via
+    the inverse normal CDF (round-5 advice: the old lookup silently
+    fell back to the 0.95 z, so e.g. confidence=0.98 returned
+    0.95-level intervals labeled 0.98)."""
+    z = {0.9: 1.645, 0.95: 1.96, 0.99: 2.576}.get(round(confidence, 2))
+    if z is None:
+        from statistics import NormalDist
+
+        z = NormalDist().inv_cdf(0.5 + confidence / 2.0)
+    return float(z)
+
+
 class GroupByExplosion(ValueError):
     """Model-side group-by grid exceeds MAX_GROUPBY_CELLS."""
 
@@ -856,7 +870,7 @@ class SPNModel:
         reference). GROUP BY queries return one row per (group,
         aggregate) with the group columns attached (reference:
         confidence_interval_evaluation over grouped AQP queries)."""
-        z = {0.9: 1.645, 0.95: 1.96, 0.99: 2.576}.get(round(confidence, 2), 1.96)
+        z = z_value(confidence)
         from .nodes import evaluate_with_variance
 
         cond = self.conditions_to_ranges(query)
@@ -939,9 +953,15 @@ class SPNModel:
             if op.agg_type is AggregationType.COUNT:
                 est = N * p
                 half = z * N * float(np.sqrt(max(var_p, 0.0)))
+                # "sd" is the UNCLAMPED standard deviation: the lo>=0
+                # clamp below is presentation only, and a composer
+                # (ensemble OR-CI) reconstructing sd from (hi-lo)/2z
+                # would understate it by up to 2x whenever the clamp
+                # fires (round-5 advice)
                 out.append(
                     {"agg": op.alias or "count", "est": est,
-                     "lo": max(est - half, 0.0), "hi": est + half}
+                     "lo": max(est - half, 0.0), "hi": est + half,
+                     "sd": half / z if z > 0 else 0.0}
                 )
                 continue
             feats1 = dict(features)
@@ -961,7 +981,8 @@ class SPNModel:
                 half = z * float(np.sqrt(max(g, 0.0)))
             out.append(
                 {"agg": op.alias or op.agg_type.name.lower(), "est": est,
-                 "lo": est - half, "hi": est + half}
+                 "lo": est - half, "hi": est + half,
+                 "sd": half / z if z > 0 else 0.0}
             )
         return out
 

@@ -1,0 +1,167 @@
+"""Round-6 fixes, driven by the round-5 advice list:
+
+- z_value computes exact quantiles for uncommon confidence levels
+  instead of silently falling back to the 0.95 z.
+- CI rows expose the UNCLAMPED sd so the ensemble's OR composition
+  never reconstructs an understated sd from a lo>=0-clamped interval.
+- release_local_checkpoints only touches checkpoints THIS package
+  created (no session-wide sweep of foreign checkpoints).
+- IvfIndex.maintain_saved survives a degenerate hot cell (duplicate
+  vectors -> KMeans leaves sub-clusters empty) without duplicating
+  rows or leaving a stale partition.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+# ----------------------------------------------- exact z quantiles
+
+
+def test_z_value_exact_for_uncommon_confidence():
+    from deepdb_public_spark.spn.model import z_value
+
+    assert z_value(0.95) == pytest.approx(1.96)
+    assert z_value(0.9) == pytest.approx(1.645)
+    # 0.98 used to silently return the 0.95 z (1.96)
+    assert z_value(0.98) == pytest.approx(2.326, abs=2e-3)
+    assert z_value(0.5) == pytest.approx(0.6745, abs=2e-3)
+
+
+def test_ensemble_or_ci_honors_uncommon_confidence(spark):
+    """A 0.98-confidence OR interval must be strictly wider than the
+    0.9 one (it used to collapse to the 0.95 width for both engines'
+    z-lookup fallbacks)."""
+    from deepdb_public_spark.engine import Engine
+    from deepdb_public_spark.spn.trainer import train_spn_model
+
+    eng = Engine(spark, SF_SMOKE)
+    from deepdb_public_spark.spn.ensemble import SPNEnsemble
+
+    ens = SPNEnsemble(eng.schema)
+    ens.add_model(train_spn_model(eng.catalog, eng.schema, {"lineitem"}, 50_000))
+    q = eng.parse(
+        "SELECT COUNT(*) AS cnt FROM lineitem "
+        "WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)"
+    )
+    (lo_conf,) = ens.confidence_interval(q, confidence=0.9)
+    (hi_conf,) = ens.confidence_interval(q, confidence=0.98)
+    assert (hi_conf["hi"] - hi_conf["lo"]) > (lo_conf["hi"] - lo_conf["lo"])
+
+
+# ------------------------------------------- unclamped sd in CI rows
+
+
+def test_ci_rows_carry_unclamped_sd(spark):
+    """Every CI row carries "sd", and it equals the UNCLAMPED
+    half-width over z — (hi - est)/z, which differs from (hi-lo)/(2z)
+    exactly when the COUNT lo>=0 clamp fires."""
+    from deepdb_public_spark.engine import Engine
+    from deepdb_public_spark.spn.model import z_value
+    from deepdb_public_spark.spn.trainer import train_spn_model
+
+    eng = Engine(spark, SF_SMOKE)
+    m = train_spn_model(eng.catalog, eng.schema, {"lineitem"}, 50_000)
+    z = z_value(0.95)
+    q = eng.parse(
+        "SELECT COUNT(*) AS cnt, SUM(lineitem.l_quantity) AS s, "
+        "AVG(lineitem.l_quantity) AS a FROM lineitem "
+        "WHERE lineitem.l_discount <= 0.06"
+    )
+    rows = m.confidence_interval(q, confidence=0.95)
+    assert len(rows) == 3
+    for row in rows:
+        assert "sd" in row
+        assert row["sd"] == pytest.approx((row["hi"] - row["est"]) / z, rel=1e-9)
+
+
+# --------------------------- tracked (not session-wide) checkpoint release
+
+
+def test_release_spares_foreign_local_checkpoints(spark):
+    """A localCheckpoint created by USER code must survive
+    release_local_checkpoints() — the round-5 advice scenario: an
+    unmaterialized foreign DataFrame whose lineage is truncated would
+    become unrecomputable if the package swept it."""
+    from deepdb_public_spark.operators.partitioning import (
+        release_local_checkpoints,
+        spread_small_input,
+    )
+
+    release_local_checkpoints()  # clean slate
+    foreign = spark.range(200).withColumn("x", F.col("id") * 2).localCheckpoint()
+    ours = spread_small_input(spark.range(100).coalesce(1))
+    ours.count()
+    assert release_local_checkpoints() >= 1
+    # the foreign checkpoint is untouched: still marked, still usable
+    assert foreign.count() == 200
+    jrdd = foreign._jdf.queryExecution().analyzed().rdd()
+    assert jrdd.isLocallyCheckpointed()
+    jrdd.unpersist(False)  # clean up after ourselves
+
+
+def test_release_covers_dedup_internal_checkpoints(spark):
+    """dup_clusters' label-propagation checkpoints are registered and
+    freed by release_cached(), leaving zero locally-checkpointed RDDs
+    created by the package behind."""
+    from deepdb_public_spark.operators.dedup import (
+        duplicate_clusters,
+        release_cached,
+    )
+    from deepdb_public_spark.operators.partitioning import (
+        release_local_checkpoints,
+    )
+
+    release_local_checkpoints()
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)] + [(1, 3), (5, 7)],
+        "id_a int, id_b int",
+    )
+    # driver_max_edges=0 forces the distributed label-propagation path,
+    # the one that creates localCheckpoints every round
+    duplicate_clusters(pairs, driver_max_edges=0).count()
+    release_cached()
+    # everything the package checkpointed was already freed
+    assert release_local_checkpoints() == 0
+
+
+# ----------------------- IVF maintenance with degenerate hot cells
+
+
+def test_ivf_maintain_degenerate_duplicate_vectors(spark, tmp_path):
+    """A hot cell made of IDENTICAL vectors: KMeans cannot split it
+    (every row lands in one sub-cluster). maintain_saved must keep the
+    rows under the OLD cell id — not duplicate them under fresh ids
+    while the stale partition survives (round-5 advice)."""
+    from deepdb_public_spark.operators.similarity import IvfIndex
+
+    dup = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(60)]
+    spread = [
+        (100 + j, [0.0, 1.0 + 0.01 * j, float(j % 3), 0.5 * (j % 5)])
+        for j in range(20)
+    ]
+    df = spark.createDataFrame(dup + spread, "id int, v array<double>")
+    path = str(tmp_path / "ivf_degenerate")
+    idx = IvfIndex.build(df, "v", "id", n_cells=2, seed=3)
+    idx.save(path)
+    idx.release()
+
+    stats = IvfIndex.maintain_saved(spark, path, max_cell_rows=30, split_k=2, seed=3)
+    assert stats["split_cells"], "the duplicate-vector cell is hot"
+
+    maintained = IvfIndex.load(spark, path)
+    got = maintained.assigned.groupBy("id").count().collect()
+    assert all(r["count"] == 1 for r in got), "rows were duplicated"
+    assert len(got) == 80, "rows were lost"
+    # centroid table and cell partitions stay consistent
+    cells_on_disk = {
+        r["cell"] for r in maintained.assigned.select("cell").distinct().collect()
+    }
+    assert cells_on_disk <= set(range(stats["n_cells"]))
+    # the duplicate rows still probe correctly to their (old) cell
+    hits = {r["id"] for r in maintained.topk([1.0, 0.0, 0.0, 0.0], k=5, nprobe=1).collect()}
+    assert hits <= set(range(60)) and len(hits) == 5
