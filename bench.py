@@ -10,7 +10,13 @@ round 4: the 103-key line got front-clipped). Commit a per-round copy
 
 Timing = full query wall time (plan + execute + collect), cache warm
 (tables loaded + counted once first so parquet footers/JVM are warm,
-as a cluster's second query would see)."""
+as a cluster's second query would see).
+
+Each entry is timed $SPARK_GRAFT_BENCH_REPS times (default 3) and the
+MEDIAN is reported (per-entry minima in "queries_min"): the round-5
+review found a single-sample run can show a 10x phantom regression
+(scheduler/GC noise) that no re-run reproduces — medians make the
+artifact comparable round-over-round."""
 
 from __future__ import annotations
 
@@ -54,15 +60,28 @@ def main() -> None:
 
     from deepdb_public_spark.operators.dedup import release_cached
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
+    timings_first: dict[str, float] = {}
     for name in sorted(queries):
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        # session hygiene between queries (outside the timer): drop
-        # operator-persisted intermediates so 55 queries don't compound
-        # executor-memory pressure into GC-driven timing noise
-        release_cached()
+        samples: list[float] = []
+        for _rep in range(reps):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+            # session hygiene between runs (outside the timer): drop
+            # operator-persisted intermediates so 105x3 runs don't
+            # compound executor-memory pressure into GC-driven noise
+            release_cached()
+        # model training / index builds happen in an entry's FIRST run
+        # (the engine memoizes them, as a long-lived cluster session
+        # would): "queries_first" keeps that cold cost visible while
+        # the median reports the steady state
+        timings_first[name] = round(samples[0], 4)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 4)
+        timings_min[name] = round(samples[0], 4)
 
     # model-plane estimate latency (the reference's headline: answer
     # without touching the data). The m-entries above left trained
@@ -90,8 +109,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
+        "queries_first": timings_first,
         "sf": sf,
         "n_queries": len(timings),
+        "bench_reps": reps,
         "estimate_ms_mean": est_ms,
     }
     line = json.dumps(payload)
