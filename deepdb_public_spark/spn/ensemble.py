@@ -679,17 +679,17 @@ class SPNEnsemble:
                     for k in visible
                 }
             elif op.distinct:
-                from .model import ModelPlaneUnsupported
-
                 if gb_cols:
-                    raise ModelPlaneUnsupported(
-                        "grouped COUNT(DISTINCT) under cross-column OR: "
-                        "use the exact plane (signed per-term counts "
-                        "are not valid set algebra for distinct rows)"
+                    val = self._ie_grouped_distinct_count(
+                        query, op.operands[0][1], gb_cols
                     )
-                val = {
-                    (): self._ie_distinct_count(query, op.operands[0][1])
-                }
+                    if collect_visible:
+                        visible.update(val.keys())
+                        collect_visible = False
+                else:
+                    val = {
+                        (): self._ie_distinct_count(query, op.operands[0][1])
+                    }
             else:
                 val = signed(op.agg_type, op.operands, op.distinct)
             if op.op_type is AggregationOperationType.AGGREGATION:
@@ -721,15 +721,57 @@ class SPNEnsemble:
         be wrong: a value can satisfy A on one row and B on another
         without any row satisfying A AND B, so distinct SETS do not
         obey |D(A or B)| = |D(A)| + |D(B)| - |D(A and B)|."""
-        acc: dict[float, float] = {}
-        model = None
+        # expected-row units per term (each term's own full_join_size)
+        # keyed by DECODED values: terms answered by different models
+        # must not mix probability masses over different denominators
+        # or per-model dictionary codes
+        acc: dict = {}
         for s, q in self._ie_terms(query):
             model = self.select_model(q)
+            fjs = model.full_join_size
             dom, masses = model._value_masses(col, q)
-            for v, m in zip(dom, masses):
-                acc[float(v)] = acc.get(float(v), 0.0) + s * float(m)
-        fjs = model.full_join_size
-        return float(sum(1 for m in acc.values() if fjs * m >= 0.5))
+            cm = model.meta.columns[col]
+            if cm.kind == "categorical" and cm.value_to_code:
+                inv = {code: k for k, code in cm.value_to_code.items()}
+                keys = [inv.get(int(v), float(v)) for v in dom]
+            else:
+                keys = [float(v) for v in dom]
+            for v, m in zip(keys, masses):
+                acc[v] = acc.get(v, 0.0) + s * fjs * float(m)
+        return float(sum(1 for rows in acc.values() if rows >= 0.5))
+
+    def _ie_grouped_distinct_count(
+        self, query: Query, col: str, gb_cols: list[str]
+    ) -> dict[tuple, float]:
+        """Grouped distinct count under cross-column OR: sign the
+        per-(group, value) MASSES across inclusion-exclusion terms
+        (P(gb=g AND col=v AND ·) is linear in the row indicator, so
+        IE applies cell-wise), then take the expected-rows threshold
+        per cell on the COMBINED mass and count surviving values per
+        group. Signing thresholded per-term counts would be wrong for
+        the same reason as the ungrouped case (_ie_distinct_count).
+        Visible groups follow the aqp rule: a group appears iff some
+        POSITIVE term gives it combined expected rows >= 0.5."""
+        # combine in EXPECTED-ROW units (each term's own
+        # full_join_size): terms answered by different models must not
+        # mix probability masses over different denominators
+        acc: dict[tuple, dict] = {}
+        pos_keys: set[tuple] = set()
+        for s, q in self._ie_terms(query):
+            model = self.select_model(q)
+            gm, fjs = model._grouped_value_masses(gb_cols, col, q)
+            for key, vm in gm.items():
+                if s > 0 and fjs * sum(vm.values()) >= 0.5:
+                    pos_keys.add(key)
+                slot = acc.setdefault(key, {})
+                for v, m in vm.items():
+                    slot[v] = slot.get(v, 0.0) + s * fjs * m
+        return {
+            key: float(
+                sum(1 for rows in acc.get(key, {}).values() if rows >= 0.5)
+            )
+            for key in pos_keys
+        }
 
     def distinct_count(self, query: Query, cols: list[str]) -> float:
         """COUNT(DISTINCT cols) estimate from the covering model (B9

@@ -649,6 +649,83 @@ class SPNModel:
         masses = evaluate_groupby(self.root, cond, features, {i: dom})
         return dom, np.asarray(masses, dtype=np.float64).reshape(-1)
 
+    def _grouped_value_masses(
+        self, gb_cols: list[str], col: str, query: Query | None = None
+    ) -> tuple[dict[tuple, dict], float]:
+        """({decoded group key tuple: {decoded col value: mass}},
+        full_join_size) in ONE batch grid pass over (group axes ×
+        col axis) — the per-group analogue of _value_masses and the
+        building block for the ensemble's grouped COUNT(DISTINCT)
+        under cross-column OR, where inclusion-exclusion must sign
+        these masses BEFORE the expected-rows threshold (signing
+        thresholded per-term counts is not valid set algebra). Keys
+        and values are DECODED so masses from different models (each
+        with its own dictionary) combine correctly. When ``col`` is
+        itself a group axis each group cell carries exactly its own
+        value. Same GroupByExplosion cap as every grid here."""
+        gb_idx = [self._col_index(c) for c in gb_cols]
+        ci = self._col_index(col)
+        cond: dict = {}
+        features: dict = {}
+        if query is not None:
+            cond = dict(self.conditions_to_ranges(query))
+            extra, features = self.correction_factors(query)
+            cond.update(extra)
+        axis_cols = list(gb_idx) + ([ci] if ci not in gb_idx else [])
+        axes: dict[int, np.ndarray] = {}
+        for i in axis_cols:
+            dom = distinct_values(self.root, i)
+            rng = cond.pop(i, None)
+            if rng is not None:
+                dom = np.array([v for v in dom if value_admitted(rng, v)])
+            axes[i] = dom
+        n_cells = _math.prod(len(a) for a in axes.values())
+        if n_cells > MAX_GROUPBY_CELLS:
+            raise GroupByExplosion(
+                f"grouped distinct grid has {n_cells} cells "
+                f"(> {MAX_GROUPBY_CELLS}); use the exact plane"
+            )
+        if n_cells == 0:
+            return {}, self.full_join_size
+        grid = np.asarray(
+            evaluate_groupby(self.root, cond, features, axes), dtype=np.float64
+        )
+
+        def _decoder(c: str):
+            cm = self.meta.columns[c]
+            if cm.kind == "categorical" and cm.value_to_code:
+                inv = {v: k for k, v in cm.value_to_code.items()}
+                return lambda code: inv.get(int(code), float(code))
+            return float
+
+        gb_dec = [_decoder(c) for c in gb_cols]
+        out: dict[tuple, dict] = {}
+        if ci in gb_idx:
+            pos = gb_idx.index(ci)
+            for idx in np.argwhere(grid != 0.0):
+                key = tuple(
+                    gb_dec[a](axes[i][j])
+                    for a, (i, j) in enumerate(zip(gb_idx, idx))
+                )
+                vm = out.setdefault(key, {})
+                vm[key[pos]] = vm.get(key[pos], 0.0) + float(grid[tuple(idx)])
+            return out, self.full_join_size
+        col_dec = _decoder(col)
+        dec_vals = [col_dec(v) for v in axes[ci]]
+        grid = grid.reshape([len(axes[i]) for i in gb_idx] + [len(axes[ci])])
+        for idx in np.ndindex(*(len(axes[i]) for i in gb_idx)):
+            vec = grid[idx]
+            if not np.any(vec):
+                continue
+            key = tuple(
+                gb_dec[a](axes[i][j]) for a, (i, j) in enumerate(zip(gb_idx, idx))
+            )
+            vm = out.setdefault(key, {})
+            for j in np.flatnonzero(vec):
+                dv = dec_vals[j]
+                vm[dv] = vm.get(dv, 0.0) + float(vec[j])
+        return out, self.full_join_size
+
     def quantile(
         self, col: str, qs: list[float], query: Query | None = None
     ) -> list[float]:

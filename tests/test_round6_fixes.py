@@ -165,3 +165,85 @@ def test_ivf_maintain_degenerate_duplicate_vectors(spark, tmp_path):
     # the duplicate rows still probe correctly to their (old) cell
     hits = {r["id"] for r in maintained.topk([1.0, 0.0, 0.0, 0.0], k=5, nprobe=1).collect()}
     assert hits <= set(range(60)) and len(hits) == 5
+
+
+# ----------------- grouped COUNT(DISTINCT) under cross-column OR
+
+
+@pytest.fixture(scope="module")
+def li_or_engine(spark):
+    from deepdb_public_spark.engine import Engine
+    from deepdb_public_spark.spn.ensemble import SPNEnsemble
+    from deepdb_public_spark.spn.trainer import train_spn_model
+
+    eng = Engine(spark, SF_SMOKE)
+    ens = SPNEnsemble(eng.schema)
+    ens.add_model(train_spn_model(eng.catalog, eng.schema, {"lineitem"}, 50_000))
+    eng.ensemble = ens
+    return eng
+
+
+def test_grouped_count_distinct_under_or(spark, li_or_engine):
+    """The model plane now answers grouped COUNT(DISTINCT) under a
+    cross-column OR (was ModelPlaneUnsupported): signed per-(group,
+    value) masses, threshold on the COMBINED mass. Checked per group
+    against the exact plane within a tight q-error budget."""
+    eng = li_or_engine
+    sql = (
+        "SELECT COUNT(DISTINCT lineitem.l_linestatus) AS dc FROM lineitem "
+        "WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08) "
+        "GROUP BY lineitem.l_returnflag"
+    )
+    q = eng.parse(sql)
+    est = {r["l_returnflag"]: r["dc"] for r in eng.ensemble.aqp(q)}
+    true = {
+        r["l_returnflag"]: r["dc"]
+        for r in eng.sql(
+            "SELECT l_returnflag, COUNT(DISTINCT l_linestatus) AS dc "
+            "FROM lineitem WHERE l_quantity < 10 OR l_discount > 0.08 "
+            "GROUP BY l_returnflag"
+        ).collect()
+    }
+    assert set(est) == set(true)
+    for g, t in true.items():
+        e = est[g]
+        qerr = max(e / max(t, 1e-9), t / max(e, 1e-9))
+        assert qerr <= 1.35, (g, e, t)
+
+
+def test_grouped_count_distinct_under_or_categorical_col(spark, li_or_engine):
+    """Distinct over a CATEGORICAL column (dictionary-coded) grouped
+    by another categorical axis — exercises the decoded-value keying."""
+    eng = li_or_engine
+    q = eng.parse(
+        "SELECT COUNT(DISTINCT lineitem.l_returnflag) AS dc FROM lineitem "
+        "WHERE (lineitem.l_quantity < 5 OR lineitem.l_discount > 0.09) "
+        "GROUP BY lineitem.l_linestatus"
+    )
+    est = {r["l_linestatus"]: r["dc"] for r in eng.ensemble.aqp(q)}
+    true = {
+        r["l_linestatus"]: r["dc"]
+        for r in eng.sql(
+            "SELECT l_linestatus, COUNT(DISTINCT l_returnflag) AS dc "
+            "FROM lineitem WHERE l_quantity < 5 OR l_discount > 0.09 "
+            "GROUP BY l_linestatus"
+        ).collect()
+    }
+    assert set(est) == set(true)
+    for g, t in true.items():
+        e = est[g]
+        qerr = max(e / max(t, 1e-9), t / max(e, 1e-9))
+        assert qerr <= 1.35, (g, e, t)
+
+
+def test_grouped_count_distinct_under_or_col_is_group_axis(spark, li_or_engine):
+    """COUNT(DISTINCT g) GROUP BY g is 1 for every visible group —
+    the degenerate case where the distinct column IS a group axis."""
+    eng = li_or_engine
+    q = eng.parse(
+        "SELECT COUNT(DISTINCT lineitem.l_returnflag) AS dc FROM lineitem "
+        "WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08) "
+        "GROUP BY lineitem.l_returnflag"
+    )
+    rows = eng.ensemble.aqp(q)
+    assert rows and all(r["dc"] == 1.0 for r in rows)
