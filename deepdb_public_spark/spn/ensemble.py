@@ -208,7 +208,8 @@ class SPNEnsemble:
         first: SPNModel,
         covered: set[str],
         trace: list | None = None,
-    ) -> float:
+        return_moments: bool = False,
+    ):
         """Evaluate one factorization variant: the first model answers
         its piece, then each frontier FK edge multiplies in a
         conditional factor (reference: evaluate_factors). ``trace``
@@ -235,12 +236,21 @@ class SPNEnsemble:
         mi_of[id(first)] = mi_of.get(id(first), -1)
 
         def card_term(m: SPNModel, subq: Query):
+            def rel_var() -> float:
+                p, v = m._card_moments(subq)
+                return v / (p * p) if p > 0 else 0.0
+
             return (
                 ("card", mi_of.get(id(m), -1), self._subq_key(subq)),
                 lambda: m.cardinality(subq),
+                rel_var,
             )
 
         def wexp_term(m: SPNModel, subq: Query, rel, with_conds: bool):
+            def rel_var() -> float:
+                p, v = m._weighted_expectation_moments(subq, rel, with_conds)
+                return v / (p * p) if p > 0 else 0.0
+
             return (
                 (
                     "wexp",
@@ -250,6 +260,7 @@ class SPNEnsemble:
                     with_conds,
                 ),
                 lambda: m._weighted_expectation(subq, rel, with_conds),
+                rel_var,
             )
 
         anchor_q = sub_query(covered)
@@ -381,6 +392,12 @@ class SPNEnsemble:
                             (
                                 ("ens_card", self._subq_key(end_q)),
                                 lambda end_q=end_q: self.cardinality(end_q),
+                                # no variance thunk: the uniform-
+                                # children fallback's denominator is a
+                                # (near-exact) base-table count whose
+                                # sampling variance is negligible next
+                                # to the conditioned nominators
+                                None,
                             )
                         )
             steps.append(
@@ -400,6 +417,11 @@ class SPNEnsemble:
             covered |= D
             for t in D:
                 piece_of[t] = (m, frozenset(D))
+        if return_moments:
+            return (
+                self._evaluate_steps(steps, trace),
+                self._steps_rel_variance(steps),
+            )
         return self._evaluate_steps(steps, trace)
 
     @staticmethod
@@ -410,8 +432,8 @@ class SPNEnsemble:
         memoized here, on top of the per-model B13 cache."""
         from collections import Counter
 
-        nom_counts = Counter(k for s in steps for k, _ in s["noms"])
-        den_counts = Counter(k for s in steps for k, _ in s["dens"])
+        nom_counts = Counter(k for s in steps for k, *_ in s["noms"])
+        den_counts = Counter(k for s in steps for k, *_ in s["dens"])
         cancel = {
             k: min(nom_counts[k], den_counts[k])
             for k in nom_counts.keys() & den_counts.keys()
@@ -430,12 +452,12 @@ class SPNEnsemble:
         est = 1.0
         for s in steps:
             est *= s["const"]
-            for k, fn in s["noms"]:
+            for k, fn, *_ in s["noms"]:
                 if nom_budget.get(k, 0) > 0:
                     nom_budget[k] -= 1
                     continue
                 est *= ev(k, fn)
-            for k, fn in s["dens"]:
+            for k, fn, *_ in s["dens"]:
                 if den_budget.get(k, 0) > 0:
                     den_budget[k] -= 1
                     continue
@@ -458,14 +480,14 @@ class SPNEnsemble:
             t_den_budget = dict(cancel)
             for s in steps:
                 nom_v = 1.0
-                for k, fn in s["noms"]:
+                for k, fn, *_ in s["noms"]:
                     if t_nom_budget.get(k, 0) > 0:
                         t_nom_budget[k] -= 1
                         continue
                     nom_v *= ev(k, fn)
                 den_v = 1.0
                 zero_den = False
-                for k, fn in s["dens"]:
+                for k, fn, *_ in s["dens"]:
                     if t_den_budget.get(k, 0) > 0:
                         t_den_budget[k] -= 1
                         continue
@@ -490,6 +512,78 @@ class SPNEnsemble:
                     }
                 )
         return est
+
+    @staticmethod
+    def _steps_rel_variance(steps: list[dict]) -> float:
+        """RELATIVE variance of the factor-chain product, delta-method
+        composed: for independent factors, rel-vars of nominators and
+        denominators ADD (var(xy)/xy² ≈ vx/x² + vy/y², same for
+        ratios). Cancelled nominator/denominator pairs contribute
+        zero (they cancel exactly, not just in expectation) and are
+        skipped with the same budgets as the value pass. Terms with no
+        variance thunk (the uniform-children ensemble denominator)
+        contribute zero."""
+        from collections import Counter
+
+        nom_counts = Counter(k for s in steps for k, *_ in s["noms"])
+        den_counts = Counter(k for s in steps for k, *_ in s["dens"])
+        cancel = {
+            k: min(nom_counts[k], den_counts[k])
+            for k in nom_counts.keys() & den_counts.keys()
+        }
+        nom_budget = dict(cancel)
+        den_budget = dict(cancel)
+        memo: dict = {}
+
+        def rv(key, var_fn) -> float:
+            if var_fn is None:
+                return 0.0
+            if key not in memo:
+                memo[key] = float(var_fn())
+            return memo[key]
+
+        total = 0.0
+        for s in steps:
+            for term in s["noms"]:
+                k, _fn, var_fn = term[0], term[1], (
+                    term[2] if len(term) > 2 else None
+                )
+                if nom_budget.get(k, 0) > 0:
+                    nom_budget[k] -= 1
+                    continue
+                total += rv(k, var_fn)
+            for term in s["dens"]:
+                k, _fn, var_fn = term[0], term[1], (
+                    term[2] if len(term) > 2 else None
+                )
+                if den_budget.get(k, 0) > 0:
+                    den_budget[k] -= 1
+                    continue
+                total += rv(k, var_fn)
+        return total
+
+    def _factorized_count_moments(self, query: Query) -> tuple[float, float]:
+        """(estimate, sd) for a COUNT over a table set no single model
+        covers: the best-anchor factorization's value plus its delta-
+        method variance through the factor chain (B10 ∘ B11 — closes
+        the multi-model OR-CI gap). Single-variant, like
+        cardinality(max_variants=1)."""
+        import math as _m
+
+        variants = self._rank_first_factors(query)
+        if not variants:
+            raise ValueError(
+                f"no model covers any of {sorted(query.table_set)}"
+            )
+        for _key, first, covered in variants:
+            try:
+                est, rel_var = self._expand_factors(
+                    query, first, set(covered), return_moments=True
+                )
+            except ValueError:
+                continue
+            return float(est), float(est) * _m.sqrt(max(rel_var, 0.0))
+        raise ValueError("query join graph is disconnected across models")
 
     def explain_factors(self, query: Query, max_variants: int = 1) -> list[dict]:
         """The factor decomposition a cardinality estimate would use
@@ -904,10 +998,20 @@ class SPNEnsemble:
             try:
                 terms.append((sign, q, self.select_model(q)))
             except ValueError:
+                # no single model covers the term's table set: the
+                # factorized chain supplies (est, sd) via the delta
+                # method over its factors (_factorized_count_moments)
+                terms.append((sign, q, None))
+        if any(m is None for _s, _q, m in terms):
+            if gb_cols or any(
+                op.agg_type is not AggregationType.COUNT
+                for op in query.aggregations
+                if op.op_type is AggregationOperationType.AGGREGATION
+            ):
                 raise ModelPlaneUnsupported(
-                    "cross-column OR CI over a multi-model table set: "
-                    "factorized per-term variances are not composed; "
-                    "use the exact plane"
+                    "cross-column OR CI over a multi-model table set "
+                    "supports ungrouped COUNT only (factorized SUM/AVG "
+                    "moments are not composed); use the exact plane"
                 )
         visible: set[tuple] = set() if gb_cols else {()}
 
@@ -933,6 +1037,15 @@ class SPNEnsemble:
                         )
                     ],
                 )
+                if model is None:
+                    est, sd = self._factorized_count_moments(q1)
+                    key = ()
+                    if sign > 0:
+                        visible.add(key)
+                    slot = acc.setdefault(key, [0.0, 0.0])
+                    slot[0] += sign * est
+                    slot[1] += sd * sd
+                    continue
                 for row in model.confidence_interval(q1, confidence):
                     key = tuple(row[c] for c in gb_cols)
                     if sign > 0:

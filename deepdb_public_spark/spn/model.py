@@ -476,17 +476,12 @@ class SPNModel:
         return ranges, features
 
     # -- multi-SPN factor support (B11) --------------------------------
-    def _weighted_expectation(
+    def _wexp_args(
         self, sub_query: Query, rel: Relationship, with_conditions: bool
-    ) -> float:
-        """E[ mul_rel * 1(conds of sub_query) * corr ] in the measure
-        of ``sub_query``'s table set — the building block of cross-
-        model factors (reference: ensemble_compilation/
-        probabilistic_query.py::IndicatorExpectation with nominator
-        multipliers). ``rel`` is the frontier edge whose parent this
-        model covers; each parent row is weighted by its child fanout
-        so the factor is conditioned on "referenced by a random
-        qualifying child"."""
+    ) -> tuple[dict, dict]:
+        """(cond, feats) for the fanout-weighted expectation — shared
+        by the value path (_weighted_expectation, memoized) and the
+        variance path (_weighted_expectation_moments, per-node)."""
         cond = self.conditions_to_ranges(sub_query) if with_conditions else {}
         extra, features = self.correction_factors(sub_query)
         for i, r in extra.items():
@@ -506,7 +501,45 @@ class SPNModel:
             )
         else:
             feats[mul_idx] = _identity
+        return cond, feats
+
+    def _weighted_expectation(
+        self, sub_query: Query, rel: Relationship, with_conditions: bool
+    ) -> float:
+        """E[ mul_rel * 1(conds of sub_query) * corr ] in the measure
+        of ``sub_query``'s table set — the building block of cross-
+        model factors (reference: ensemble_compilation/
+        probabilistic_query.py::IndicatorExpectation with nominator
+        multipliers). ``rel`` is the frontier edge whose parent this
+        model covers; each parent row is weighted by its child fanout
+        so the factor is conditioned on "referenced by a random
+        qualifying child"."""
+        cond, feats = self._wexp_args(sub_query, rel, with_conditions)
         return self._eval(cond, feats)
+
+    def _weighted_expectation_moments(
+        self, sub_query: Query, rel: Relationship, with_conditions: bool
+    ) -> tuple[float, float]:
+        """(value, sampling variance) of the fanout-weighted
+        expectation via the per-node variance pass — the B10 machinery
+        applied to a B11 factor term, so multi-model OR CIs can
+        propagate each factor's uncertainty through the product."""
+        from .nodes import evaluate_with_variance
+
+        cond, feats = self._wexp_args(sub_query, rel, with_conditions)
+        return evaluate_with_variance(self.root, cond, feats)
+
+    def _card_moments(self, query: Query) -> tuple[float, float]:
+        """(p, var_p) of the query's indicator expectation —
+        cardinality = full_join_size * p; var_p from the per-node
+        variance pass (B10). Relative variance var_p/p**2 is scale-
+        free, which is what factor-chain composition needs."""
+        from .nodes import evaluate_with_variance
+
+        cond = self.conditions_to_ranges(query)
+        extra, features = self.correction_factors(query)
+        cond.update(extra)
+        return evaluate_with_variance(self.root, cond, features)
 
     def fanout_conditional_factor(
         self, nom_query: Query, rel: Relationship, denom_query: Query

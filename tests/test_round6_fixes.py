@@ -247,3 +247,63 @@ def test_grouped_count_distinct_under_or_col_is_group_axis(spark, li_or_engine):
     )
     rows = eng.ensemble.aqp(q)
     assert rows and all(r["dc"] == 1.0 for r in rows)
+
+
+# ------------------- multi-model OR confidence-interval composition
+
+
+def test_multi_model_or_ci_composes_factor_variances(spark):
+    """A cross-column OR over {orders, lineitem} with models
+    {customer, orders} and {lineitem}: no single model covers a term,
+    so each term's (est, sd) comes from the factor chain with the
+    delta method over its factors (was ModelPlaneUnsupported). The
+    0.99 interval must contain the exact count; a higher confidence
+    must widen the interval."""
+    from deepdb_public_spark.engine import Engine
+    from deepdb_public_spark.spn.ensemble import SPNEnsemble
+    from deepdb_public_spark.spn.trainer import train_spn_model
+
+    eng = Engine(spark, SF_SMOKE)
+    ens = SPNEnsemble(eng.schema)
+    ens.add_model(
+        train_spn_model(eng.catalog, eng.schema, {"customer", "orders"}, 50_000)
+    )
+    ens.add_model(train_spn_model(eng.catalog, eng.schema, {"lineitem"}, 50_000))
+
+    sql = (
+        "SELECT COUNT(*) AS cnt FROM orders, lineitem "
+        "WHERE orders.o_orderkey = lineitem.l_orderkey "
+        "AND (orders.o_totalprice > 150000 OR lineitem.l_quantity > 30)"
+    )
+    q = eng.parse(sql)
+    (ci99,) = ens.confidence_interval(q, confidence=0.99)
+    (ci90,) = ens.confidence_interval(q, confidence=0.9)
+    true = float(eng.query(sql).collect()[0][0])
+    assert ci99["hi"] - ci99["lo"] > ci90["hi"] - ci90["lo"] > 0
+    assert ci99["lo"] <= true <= ci99["hi"], (ci99, true)
+    # the point estimate itself stays inside a sane q-error budget
+    est = ci99["est"]
+    assert max(est / max(true, 1.0), true / max(est, 1e-9)) < 2.0
+
+
+def test_multi_model_or_ci_sum_still_unsupported(spark):
+    """SUM under multi-model OR stays exact-plane (factorized SUM
+    moments are not composed) — the documented residual gap."""
+    from deepdb_public_spark.engine import Engine
+    from deepdb_public_spark.spn.ensemble import SPNEnsemble
+    from deepdb_public_spark.spn.model import ModelPlaneUnsupported
+    from deepdb_public_spark.spn.trainer import train_spn_model
+
+    eng = Engine(spark, SF_SMOKE)
+    ens = SPNEnsemble(eng.schema)
+    ens.add_model(
+        train_spn_model(eng.catalog, eng.schema, {"customer", "orders"}, 50_000)
+    )
+    ens.add_model(train_spn_model(eng.catalog, eng.schema, {"lineitem"}, 50_000))
+    q = eng.parse(
+        "SELECT SUM(lineitem.l_quantity) AS s FROM orders, lineitem "
+        "WHERE orders.o_orderkey = lineitem.l_orderkey "
+        "AND (orders.o_totalprice > 150000 OR lineitem.l_quantity > 30)"
+    )
+    with pytest.raises(ModelPlaneUnsupported):
+        ens.confidence_interval(q)
