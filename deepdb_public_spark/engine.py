@@ -182,3 +182,55 @@ class Engine:
                 return None
 
         self.compiler.join_cardinality_estimator = join_estimator
+
+        def _dp_sub_query(tables: frozenset, query: Query):
+            from .plans.query import Query as Q
+
+            rel_ids = {
+                rid
+                for rid in query.relationship_set
+                if self.schema.relationships[rid].start in tables
+                and self.schema.relationships[rid].end in tables
+            }
+            return Q(
+                table_set=set(tables),
+                relationship_set=rel_ids,
+                conditions=[c for c in query.conditions if c.table in tables],
+            )
+
+        def join_estimator_batch(subsets: list, query: Query):
+            """Batch twin of join_estimator: subsets routed to the
+            same single model are priced in ONE tree pass
+            (SPNModel.cardinality_many, B8 at plan time); factorized
+            or unanswerable subsets fall back to the scalar path
+            per subset."""
+            out: list = [None] * len(subsets)
+            groups: dict[int, tuple] = {}
+            for j, ts in enumerate(subsets):
+                sub = _dp_sub_query(ts, query)
+                try:
+                    m = self.ensemble.select_model(sub)
+                except ValueError:
+                    try:
+                        out[j] = self.ensemble.cardinality(sub)
+                    except (ValueError, KeyError):
+                        out[j] = None
+                    continue
+                groups.setdefault(id(m), (m, []))[1].append((j, sub))
+            for m, items in groups.values():
+                try:
+                    vals = m.cardinality_many([s for _j, s in items])
+                except (ValueError, KeyError):
+                    vals = None
+                if vals is None:
+                    for j, s in items:
+                        try:
+                            out[j] = self.ensemble.cardinality(s)
+                        except (ValueError, KeyError):
+                            out[j] = None
+                else:
+                    for (j, _s), v in zip(items, vals):
+                        out[j] = v
+            return out
+
+        self.compiler.join_cardinality_estimator_batch = join_estimator_batch

@@ -126,6 +126,12 @@ class ExactCompiler:
     # to the greedy attach order rather than blow up plan time
     JOIN_DP_MAX_TABLES = 12
 
+    # a DP step whose attached side BROADCASTS shuffles nothing: its
+    # intermediate is produced inside the same stage, so it is priced
+    # at a small fraction of its rows (nonzero so ties among all-
+    # broadcast orders still prefer smaller intermediates)
+    DP_BROADCAST_STEP_WEIGHT = 1e-6
+
     def __init__(self, schema: SchemaGraph, catalog: dict[str, DataFrame]) -> None:
         self.schema = schema
         self.catalog = catalog
@@ -141,6 +147,11 @@ class ExactCompiler:
         # search) realized as: the model plane prices every candidate
         # intermediate, the DataFrame join order IS the join tree.
         self.join_cardinality_estimator = None
+        # optional batch twin: callable(list[frozenset], query) ->
+        # list[float | None], pricing a whole DP search round in one
+        # tree pass per model (B8 at plan time); falls back to the
+        # scalar estimator per subset when absent
+        self.join_cardinality_estimator_batch = None
 
     def _scan(self, table: str, query: Query, joined_tables: int) -> DataFrame:
         """Scan one table with its filters applied pre-join (explicit
@@ -162,11 +173,31 @@ class ExactCompiler:
                 return F.broadcast(df)
         return df
 
+    def _dp_broadcastable(self, table: str, query: Query) -> bool:
+        """Mirror of _scan's broadcast rule, consulted by the join DP:
+        a declared-small dimension always broadcasts; a filtered table
+        broadcasts when the learned estimator predicts its filtered
+        rows under BROADCAST_ROW_THRESHOLD."""
+        meta = self.schema.tables.get(table)
+        if meta is not None and meta.is_dimension:
+            return True
+        if query.conditions_for(table) and self.cardinality_estimator is not None:
+            est = self.cardinality_estimator(table, query)
+            return est is not None and est < self.BROADCAST_ROW_THRESHOLD
+        return False
+
     def _join_order_dp(self, query: Query, rels: list) -> list[str] | None:
         """Selinger-style left-deep join-order search priced by the
         learned estimator: minimize the SUM of estimated intermediate
         sizes over all prefixes (the classic cost of a left-deep
-        pipeline — every intermediate is shuffled/probed once).
+        pipeline — every intermediate is shuffled/probed once), with
+        COST ASYMMETRY for broadcast steps: a step whose attached side
+        broadcasts (per _dp_broadcastable, the same rule _scan applies
+        when compiling) shuffles neither input, so its intermediate is
+        discounted to DP_BROADCAST_STEP_WEIGHT of its rows. A plan
+        that keeps a broadcastable side LATE can therefore beat a
+        smaller-intermediate order that forces a shuffle at its
+        biggest prefix.
 
         Only connected subsets are enumerated (an FK-join query's
         intermediates must stay connected, and the estimator would
@@ -187,6 +218,8 @@ class ExactCompiler:
                 adj[idx[r.start]] |= 1 << idx[r.end]
                 adj[idx[r.end]] |= 1 << idx[r.start]
 
+        bc = [self._dp_broadcastable(t, query) for t in tables]
+
         card_cache: dict[int, float] = {}
 
         def card(mask: int) -> float | None:
@@ -197,32 +230,59 @@ class ExactCompiler:
                 card_cache[mask] = est_fn(subset, query)
             return card_cache[mask]
 
+        def price_round(need: list[int]) -> None:
+            """Fill card_cache for this round's new masks — in ONE
+            batch call when the batch estimator is wired (B8 at plan
+            time: subsets sharing a model are one tree pass), else
+            lazily per mask via card()."""
+            batch_fn = self.join_cardinality_estimator_batch
+            if not need or batch_fn is None:
+                return
+            subsets = [
+                frozenset(
+                    t for i2, t in enumerate(tables) if m & (1 << i2)
+                )
+                for m in need
+            ]
+            vals = batch_fn(subsets, query)
+            if vals is not None and len(vals) == len(need):
+                for m, v in zip(need, vals):
+                    card_cache[m] = v
+
         # dp[mask] = (total intermediate cost, order) for connected mask
         dp: dict[int, tuple[float, list[str]]] = {
             1 << i: (0.0, [t]) for i, t in enumerate(tables)
         }
         frontier = list(dp)
         for _ in range(n - 1):
-            nxt: dict[int, tuple[float, list[str]]] = {}
+            # phase 1: discover every extension this round considers,
+            # so the new masks can be priced together
+            ext: list[tuple[int, int, int]] = []
             for mask in frontier:
-                cost, order = dp[mask]
                 reach = 0
                 for i in range(n):
                     if mask & (1 << i):
                         reach |= adj[i]
                 reach &= ~mask
                 for i in range(n):
-                    if not reach & (1 << i):
-                        continue
-                    m2 = mask | (1 << i)
-                    c2 = card(m2)
-                    if c2 is None:
-                        return None  # estimator can't price it: greedy
-                    total = cost + c2
-                    # each round extends popcount-k masks to k+1, so
-                    # m2 can only collide within this round's nxt
-                    if m2 not in nxt or total < nxt[m2][0]:
-                        nxt[m2] = (total, order + [tables[i]])
+                    if reach & (1 << i):
+                        ext.append((mask, i, mask | (1 << i)))
+            price_round(sorted({m2 for _m, _i, m2 in ext if m2 not in card_cache}))
+            # phase 2: relax
+            nxt: dict[int, tuple[float, list[str]]] = {}
+            for mask, i, m2 in ext:
+                cost, order = dp[mask]
+                c2 = card(m2)
+                if c2 is None:
+                    return None  # estimator can't price it: greedy
+                step = c2 * (
+                    self.DP_BROADCAST_STEP_WEIGHT if bc[i] else 1.0
+                )
+                total = cost + step
+                # each round extends popcount-k masks to k+1, so
+                # m2 can only collide within this round's nxt
+                if m2 not in nxt or total < nxt[m2][0]:
+                    nxt[m2] = (total, order + [tables[i]])
             dp.update(nxt)
             frontier = list(nxt)
         full = (1 << n) - 1

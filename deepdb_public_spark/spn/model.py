@@ -565,6 +565,23 @@ class SPNModel:
         cond.update(extra)
         return self.full_join_size * self._eval(cond, features)
 
+    def cardinality_many(self, queries: list[Query]) -> list[float]:
+        """Batch cardinality: all queries priced in ONE tree pass
+        (nodes.evaluate_many — B8 applied to plan-time pricing). Same
+        math as cardinality() per query; used by the join-order DP to
+        price a search round's connected subsets together instead of
+        walking the tree once per subset."""
+        from .nodes import evaluate_many
+
+        conds = []
+        for q in queries:
+            cond = self.conditions_to_ranges(q)
+            extra, features = self.correction_factors(q)
+            cond.update(extra)
+            conds.append((cond, features))
+        vec = evaluate_many(self.root, conds)
+        return [self.full_join_size * float(v) for v in vec]
+
     def _agg_value(self, query: Query, op_aggs, cond, features) -> float:
         """One AGGREGATION step: COUNT/SUM/AVG with operand features."""
         agg_type, operands = op_aggs[0], op_aggs[1]

@@ -76,6 +76,45 @@ def evaluate(
     )
 
 
+def evaluate_many(
+    node: Node,
+    conds: list[tuple[dict, dict]],
+) -> np.ndarray:
+    """ONE bottom-up pass evaluating MANY (cond, features) pairs at
+    once — B8 applied to plan-time pricing (the join-order DP prices
+    every connected subset its search round discovers; the sub-queries
+    share the model, so one traversal returns the whole price vector).
+    Each leaf contributes a length-B vector; Product/Sum combine
+    vectors elementwise, so the tree is walked once instead of B
+    times."""
+    B = len(conds)
+    if B == 0:
+        return np.array([])
+
+    def rec(n: Node) -> np.ndarray:
+        if isinstance(n, Leaf):
+            col = n.scope[0]
+            out = np.empty(B)
+            for b, (cond, feats) in enumerate(conds):
+                fn = (feats or {}).get(col)
+                rng = cond.get(col)
+                out[b] = n.expect(fn, rng) if fn is not None else n.prob(rng)
+            return out
+        if isinstance(n, Product):
+            out = None
+            for ch in n.children:
+                r = rec(ch)
+                out = r if out is None else out * r
+            return out
+        acc = None  # Sum
+        for w, ch in zip(n.weights, n.children):
+            r = w * rec(ch)
+            acc = r if acc is None else acc + r
+        return acc
+
+    return np.asarray(rec(node), dtype=np.float64).reshape(-1)
+
+
 def evaluate_groupby(
     node: Node,
     cond: dict[int, Range],

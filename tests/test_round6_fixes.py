@@ -307,3 +307,172 @@ def test_multi_model_or_ci_sum_still_unsupported(spark):
     )
     with pytest.raises(ModelPlaneUnsupported):
         ens.confidence_interval(q)
+
+
+# --------------------- broadcast-aware join-order DP cost asymmetry
+
+
+def test_join_dp_keeps_broadcastable_side_late(spark):
+    """Row-count-optimal vs cost-optimal orders DIFFER: joining the
+    dimension d first gives the smallest intermediates (10 rows), but
+    d broadcasts, so its step is nearly free wherever it lands — the
+    cost-aware DP instead shuffles s at the SMALL {f,s} prefix (100
+    rows) and keeps d last, while a pure row-count DP would shuffle s
+    at the full 5000-row prefix. The compiled plan must broadcast d."""
+    from deepdb_public_spark.plans.compiler import ExactCompiler
+    from deepdb_public_spark.plans.query import Query
+    from deepdb_public_spark.plans.schema import SchemaGraph, Table
+
+    f = spark.createDataFrame(
+        [(i, i % 50, i % 20) for i in range(1000)], "fid int, dk int, sk int"
+    )
+    d = spark.createDataFrame([(i, f"d{i}") for i in range(50)], "dk2 int, dv string")
+    s = spark.createDataFrame([(i, i * 2) for i in range(20)], "sk2 int, sv int")
+    g = SchemaGraph()
+    g.add_table(Table("f", ["fid"], table_size=2_000_000))   # fact: no broadcast
+    g.add_table(Table("d", ["dk2"], table_size=50))          # dimension: broadcasts
+    g.add_table(Table("s", ["sk2"], table_size=2_000_000))   # declared big: no broadcast
+    r1 = g.add_relationship("f", "dk", "d", "dk2")
+    r2 = g.add_relationship("f", "sk", "s", "sk2")
+    comp = ExactCompiler(g, {"f": f, "d": d, "s": s})
+
+    inter = {
+        frozenset({"f", "d"}): 10.0,     # tiniest intermediate
+        frozenset({"f", "s"}): 100.0,
+        frozenset({"f", "d", "s"}): 5000.0,
+        frozenset({"f"}): 1000.0,
+        frozenset({"d"}): 50.0,
+        frozenset({"s"}): 20.0,
+    }
+    comp.join_cardinality_estimator = lambda ts, q: inter.get(frozenset(ts))
+    q = Query(
+        table_set={"f", "d", "s"},
+        relationship_set={r1.identifier, r2.identifier},
+    )
+
+    order: list[str] = []
+    orig_scan = comp._scan
+
+    def spy(table, query, joined_tables):
+        order.append(table)
+        return orig_scan(table, query, joined_tables)
+
+    comp._scan = spy
+    try:
+        out = comp.compile(q)
+        cost_order = list(order)
+        order.clear()
+        # a pure row-count DP (broadcastability switched off) prefers
+        # the d-first order — proving the two cost models disagree
+        orig_bc = comp._dp_broadcastable
+        comp._dp_broadcastable = lambda t, query: False
+        comp.compile(q)
+        row_order = list(order)
+        comp._dp_broadcastable = orig_bc
+    finally:
+        comp._scan = orig_scan
+
+    assert cost_order == ["f", "s", "d"], cost_order
+    # row-count DP joins d before s (the 10-row {f,d} intermediate);
+    # the broadcast-aware order above flips that
+    assert row_order.index("d") < row_order.index("s"), row_order
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+
+
+# --------------------- batch cardinality pricing for the join DP
+
+
+def test_join_dp_batch_pricing_fewer_tree_passes(spark):
+    """A 6-table star priced by one covering model: the batch
+    estimator prices each DP search round in ONE tree pass
+    (cardinality_many), so total passes drop >=2x vs per-subset
+    scalar pricing — and the chosen order is IDENTICAL."""
+    from deepdb_public_spark.plans.compiler import ExactCompiler
+    from deepdb_public_spark.plans.query import Condition, Query
+    from deepdb_public_spark.plans.schema import SchemaGraph, Table
+    from deepdb_public_spark.spn.ensemble import SPNEnsemble
+    from deepdb_public_spark.spn.learn import LearnParams
+    from deepdb_public_spark.spn.model import SPNModel
+    from deepdb_public_spark.spn.trainer import train_spn_model
+
+    g = SchemaGraph()
+    catalog = {}
+    rels = []
+    fact_cols = "cid int"
+    for k in range(1, 6):
+        catalog[f"p{k}"] = spark.createDataFrame(
+            [(i, i % 7) for i in range(40)], f"pid{k} int, v{k} int"
+        )
+        g.add_table(Table(f"p{k}", [f"pid{k}"], table_size=40))
+        fact_cols += f", fk{k} int"
+    g.add_table(Table("c", ["cid"], table_size=1000))
+    catalog["c"] = spark.createDataFrame(
+        [tuple([i] + [(i * (k + 2)) % 40 for k in range(1, 6)]) for i in range(1000)],
+        fact_cols,
+    )
+    for k in range(1, 6):
+        rels.append(g.add_relationship("c", f"fk{k}", f"p{k}", f"pid{k}"))
+
+    ens = SPNEnsemble(g)
+    ens.add_model(
+        train_spn_model(
+            catalog, g, {"c", "p1", "p2", "p3", "p4", "p5"}, 50_000,
+            LearnParams(min_instances_slice=300),
+        )
+    )
+    model = ens.models[0]
+
+    comp = ExactCompiler(g, catalog)
+    q = Query(
+        table_set={"c", "p1", "p2", "p3", "p4", "p5"},
+        relationship_set={r.identifier for r in rels},
+        conditions=[Condition("p1", "v1", "=", 3)],
+    )
+
+    def sub_q(ts, query):
+        return Query(
+            table_set=set(ts),
+            relationship_set={
+                r.identifier for r in rels if r.start in ts and r.end in ts
+            },
+            conditions=[c for c in query.conditions if c.table in ts],
+        )
+
+    passes = {"n": 0}
+    orig_card, orig_many = SPNModel.cardinality, SPNModel.cardinality_many
+
+    def count_card(self, query):
+        passes["n"] += 1
+        return orig_card(self, query)
+
+    def count_many(self, queries):
+        passes["n"] += 1  # one tree pass regardless of batch size
+        return orig_many(self, queries)
+
+    SPNModel.cardinality, SPNModel.cardinality_many = count_card, count_many
+    try:
+        # scalar-only pricing: one pass per connected subset
+        comp.join_cardinality_estimator = (
+            lambda ts, query: count_card(model, sub_q(ts, query))
+        )
+        order_scalar = comp._join_order_dp(q, rels)
+        scalar_passes = passes["n"]
+
+        passes["n"] = 0
+        comp.join_cardinality_estimator_batch = (
+            lambda subsets, query: count_many(
+                model, [sub_q(ts, query) for ts in subsets]
+            )
+        )
+        order_batch = comp._join_order_dp(q, rels)
+        batch_passes = passes["n"]
+    finally:
+        SPNModel.cardinality, SPNModel.cardinality_many = orig_card, orig_many
+
+    assert order_batch == order_scalar
+    # star with 5 dims: 31 connected >=2-subsets priced scalar vs one
+    # batch call per DP round (5 rounds)
+    assert scalar_passes >= 2 * batch_passes, (scalar_passes, batch_passes)
