@@ -112,6 +112,18 @@ _IR_QUERIES: dict[str, str] = {
         "AND orders.o_orderstatus = 'F' "
         "GROUP BY lineitem.l_returnflag HAVING cnt > 1000"
     ),
+    # grammar EXTENSION (round 6): grouped COUNT(DISTINCT) under a
+    # CROSS-COLUMN OR through the IR path — exact plane compiles the
+    # filter + countDistinct; the model-plane twin signs per-(group,
+    # value) masses across inclusion-exclusion terms
+    # (SPNEnsemble._ie_grouped_distinct_count,
+    # tests/test_round6_fixes.py)
+    "q41_count_distinct_or_group": (
+        "SELECT lineitem.l_returnflag, "
+        "COUNT(DISTINCT lineitem.l_linestatus) AS dc FROM lineitem "
+        "WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08) "
+        "GROUP BY lineitem.l_returnflag"
+    ),
     # A4 + A6 + A15: 4-way join, range + IN predicates
     "q18_join4_card": (
         "SELECT COUNT(*) AS cnt FROM part, lineitem, orders, customer "
@@ -3014,6 +3026,7 @@ _PRIORITY_TAIL = [
     # full artifact and its siblings (q16 rollup, q29 grouping sets)
     # keep the grouping-extension surface in-window
     "q21_cube",
+    "q41_count_distinct_or_group",
     "q31_pivot",
     "q32_math_scalars",
     "q33_date_arith",
