@@ -342,9 +342,12 @@ def test_join_scope_quantile_applies_corrections(joint_engine):
     assert med == pytest.approx(true, rel=0.10)
 
 
-def test_grouped_count_distinct_or_raises(engines):
-    from deepdb_public_spark.spn.model import ModelPlaneUnsupported
-
+def test_grouped_count_distinct_or_model_plane(engines):
+    """Round 6: grouped COUNT(DISTINCT) under cross-column OR is now
+    answered ON the model plane (signed per-(group, value) masses,
+    SPNEnsemble._ie_grouped_distinct_count) instead of raising
+    ModelPlaneUnsupported — per-group estimates must track the exact
+    plane within a tight q-error budget."""
     eng = engines
     sql = (
         "SELECT lineitem.l_returnflag, "
@@ -352,13 +355,16 @@ def test_grouped_count_distinct_or_raises(engines):
         "WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08) "
         "GROUP BY lineitem.l_returnflag"
     )
-    with pytest.raises(ModelPlaneUnsupported):
-        eng.ensemble.aqp(eng.parse(sql))
-    # Engine.estimate falls back to the exact plane
-    rows = eng.estimate(sql)
+    est = {
+        r["l_returnflag"]: r["d"]
+        for r in eng.ensemble.aqp(eng.parse(sql))
+    }
     exact = {r["l_returnflag"]: r["d"] for r in
              (x.asDict() for x in eng.query(sql).collect())}
-    assert {r["l_returnflag"]: r["d"] for r in rows} == exact
+    assert set(est) == set(exact)
+    for g, t in exact.items():
+        qerr = max(est[g] / max(t, 1e-9), t / max(est[g], 1e-9))
+        assert qerr < 1.35, (g, est[g], t)
 
 
 def test_ungrouped_count_distinct_or_signed_masses(engines):
