@@ -871,18 +871,26 @@ class SPNEnsemble:
         """COUNT(DISTINCT cols) estimate from the covering model (B9
         exposed — see SPNModel.distinct_count). ``query`` carries the
         table scope and optional conditions. Cross-column OR groups
-        combine per-VALUE masses by signed sums (single column only —
-        a multi-column distinct grid under OR would need the signed
-        combination over the full cross grid; use the exact plane)."""
+        combine per-VALUE masses by signed sums; multi-column requests
+        sign the full cross grid cell-wise (round 6: the grouped
+        machinery reused with the leading columns as grid axes) and
+        threshold each cell's COMBINED expected rows."""
         if self._complex_or_index(query) is not None:
-            if len(cols) != 1:
-                from .model import ModelPlaneUnsupported
-
-                raise ModelPlaneUnsupported(
-                    "multi-column DISTINCT under cross-column OR: use "
-                    "the exact plane"
-                )
-            return self._ie_distinct_count(query, cols[0])
+            if len(cols) == 1:
+                return self._ie_distinct_count(query, cols[0])
+            # multi-column: per-term (leading-cols x last-col) mass
+            # grids, signed in expected-row units per cell, then the
+            # 0.5-expected-rows threshold on the combined cell mass —
+            # same set-algebra argument as the grouped case
+            acc: dict[tuple, float] = {}
+            for s, q in self._ie_terms(query):
+                model = self.select_model(q)
+                gm, fjs = model._grouped_value_masses(cols[:-1], cols[-1], q)
+                for key, vm in gm.items():
+                    for v, mass in vm.items():
+                        cell = key + (v,)
+                        acc[cell] = acc.get(cell, 0.0) + s * fjs * mass
+            return float(sum(1 for rows in acc.values() if rows >= 0.5))
         return self.select_model(query).distinct_count(cols, query)
 
     def quantile(

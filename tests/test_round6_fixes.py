@@ -476,3 +476,24 @@ def test_join_dp_batch_pricing_fewer_tree_passes(spark):
     # star with 5 dims: 31 connected >=2-subsets priced scalar vs one
     # batch call per DP round (5 rounds)
     assert scalar_passes >= 2 * batch_passes, (scalar_passes, batch_passes)
+
+
+# ----------------- multi-column DISTINCT under cross-column OR
+
+
+def test_multi_column_distinct_under_or(spark, li_or_engine):
+    """COUNT(DISTINCT a, b) under a cross-column OR was exact-plane
+    only; the signed cross-grid path must now track the exact count
+    within a tight budget."""
+    eng = li_or_engine
+    q = eng.parse(
+        "SELECT COUNT(*) AS cnt FROM lineitem "
+        "WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)"
+    )
+    est = eng.ensemble.distinct_count(q, ["l_returnflag", "l_linestatus"])
+    true = eng.sql(
+        "SELECT COUNT(DISTINCT l_returnflag || '|' || l_linestatus) AS d "
+        "FROM lineitem WHERE l_quantity < 10 OR l_discount > 0.08"
+    ).collect()[0][0]
+    qerr = max(est / max(true, 1e-9), true / max(est, 1e-9))
+    assert qerr <= 1.35, (est, true)
