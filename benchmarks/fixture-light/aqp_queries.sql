@@ -26,3 +26,7 @@ SELECT COUNT(*) AS cnt FROM orders GROUP BY orders.o_orderstatus HAVING cnt >= 1
 SELECT SUM(lineitem.l_quantity) AS sq FROM lineitem GROUP BY lineitem.l_returnflag HAVING sq > 100000
 SELECT COUNT(*) AS cnt FROM events WHERE events.value <= 150 GROUP BY events.event_type HAVING cnt >= 500
 SELECT AVG(orders.o_totalprice) FROM orders WHERE (orders.o_orderstatus = 'F' OR orders.o_totalprice > 200000) GROUP BY orders.o_orderpriority
+SELECT COUNT(DISTINCT lineitem.l_linestatus) FROM lineitem WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08) GROUP BY lineitem.l_returnflag
+SELECT COUNT(DISTINCT events.event_type) FROM events WHERE (events.value < 50 OR events.value > 150)
+SELECT AVG(lineitem.l_extendedprice) FROM orders, lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND (orders.o_totalprice > 150000 OR lineitem.l_quantity > 30)
+SELECT COUNT(DISTINCT orders.o_orderpriority) FROM orders WHERE (orders.o_orderstatus = 'F' OR orders.o_totalprice > 200000) GROUP BY orders.o_orderstatus
