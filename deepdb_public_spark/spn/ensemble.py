@@ -687,9 +687,124 @@ class SPNEnsemble:
         return model.cardinality(query)
 
     def aqp(self, query: Query) -> list[dict]:
-        if self._complex_or_index(query) is None:
-            return self.select_model(query).aqp(query)
-        return self._aqp_inclusion_exclusion(query)
+        if self._complex_or_index(query) is not None:
+            return self._aqp_inclusion_exclusion(query)
+        try:
+            model = self.select_model(query)
+        except ValueError:
+            return self._aqp_factorized(query)
+        return model.aqp(query)
+
+    def _aqp_factorized(self, query: Query) -> list[dict]:
+        """AQP over a table set no single model covers — an EXTENSION
+        past the reference, which evaluates aggregates within one SPN
+        (relationship ensembles are trained so common join shapes have
+        one): COUNT rides the B11 factor chain directly; SUM/AVG use
+        the anchor decomposition
+
+            AVG(x | J, conds) ≈ AVG_anchor(x | anchor-local conds)
+            SUM(x | J, conds) ≈ AVG_anchor(...) × COUNT_chain(conds
+                                               AND x IS NOT NULL)
+
+        which drops correlation between x and REMOTE predicates — the
+        same independence the factorized COUNT already assumes for
+        remote selectivities (budget-tested, documented, not exact).
+        The anchor is the model covering x's table whose piece spans
+        the most condition-bearing tables. Ungrouped only: per-group
+        SUM/AVG would additionally need the factor chain per group —
+        grouped queries raise and Engine.estimate falls back to the
+        exact plane. COUNT(DISTINCT) likewise stays exact-plane here
+        (per-value masses across models are not composed)."""
+        from ..plans.query import (
+            AggOperation,
+            AggregationOperationType,
+            AggregationType,
+            Condition,
+        )
+        from .model import ModelPlaneUnsupported
+
+        if query.group_bys:
+            raise ModelPlaneUnsupported(
+                "grouped AQP over a multi-model table set: use the "
+                "exact plane"
+            )
+        _q_rels, component, sub_query = self._query_graph(query)
+
+        def count_chain(extra_conds: list) -> float:
+            qc = Query(
+                query_type=QueryType.CARDINALITY,
+                table_set=set(query.table_set),
+                relationship_set=set(query.relationship_set),
+                conditions=list(query.conditions) + extra_conds,
+            )
+            return float(self.cardinality(qc))
+
+        def anchor_avg(operands: list[tuple[str, str]]) -> float:
+            """AVG of the operand product from the best local model."""
+            tabs = {t for t, _c in operands}
+            cond_tables = {c.table for c in query.conditions}
+            cands = []
+            for mi, m in enumerate(self.models):
+                if not tabs <= m.table_set:
+                    continue
+                piece = component(
+                    m.table_set & set(query.table_set), next(iter(tabs))
+                )
+                cands.append((len(piece & cond_tables), len(piece), -mi, m, piece))
+            if not cands:
+                raise ModelPlaneUnsupported(
+                    f"no model covers aggregate operands {sorted(tabs)}: "
+                    "use the exact plane"
+                )
+            cands.sort(key=lambda t: t[:3], reverse=True)
+            _nc, _np, _mi, m, piece = cands[0]
+            local = sub_query(set(piece))
+            local.aggregations = [
+                AggOperation(
+                    AggregationOperationType.AGGREGATION,
+                    AggregationType.AVG,
+                    list(operands),
+                    alias="v",
+                )
+            ]
+            (row,) = m.aqp(local)
+            return float(row["v"])
+
+        out_row: dict = {}
+        acc: float | None = None
+        alias = None
+        for op in query.aggregations:
+            if getattr(op, "distinct", False):
+                raise ModelPlaneUnsupported(
+                    "COUNT(DISTINCT) over a multi-model table set: use "
+                    "the exact plane"
+                )
+            if op.agg_type is AggregationType.COUNT:
+                nn = [
+                    Condition(t, c, "IS_NOT_NULL") for t, c in (op.operands or [])
+                ]
+                val = count_chain(nn)
+            else:
+                t, c = op.operands[0]
+                nn = [Condition(t2, c2, "IS_NOT_NULL") for t2, c2 in op.operands]
+                avg = anchor_avg(op.operands)
+                if op.agg_type is AggregationType.AVG:
+                    val = avg
+                else:  # SUM
+                    val = avg * count_chain(nn)
+            if op.op_type is AggregationOperationType.AGGREGATION:
+                if acc is not None:
+                    out_row[alias or f"agg_{len(out_row)}"] = acc
+                acc, alias = val, op.alias
+            elif op.op_type is AggregationOperationType.PLUS:
+                acc = acc + val
+            else:
+                acc = acc - val
+        if acc is not None:
+            out_row[alias or f"agg_{len(out_row)}"] = acc
+        from .model import _apply_having
+
+        return _apply_having([out_row], query.having)
 
     def _aqp_inclusion_exclusion(self, query: Query) -> list[dict]:
         """AQP over cross-column OR groups: each COUNT/SUM output is

@@ -497,3 +497,46 @@ def test_multi_column_distinct_under_or(spark, li_or_engine):
     ).collect()[0][0]
     qerr = max(est / max(true, 1e-9), true / max(est, 1e-9))
     assert qerr <= 1.35, (est, true)
+
+
+# ----------------------------- factorized multi-model AQP (SUM/AVG)
+
+
+def test_factorized_multi_model_aqp(spark):
+    """AQP over {orders, lineitem} with models {customer, orders} and
+    {lineitem} (no single cover): COUNT rides the factor chain;
+    SUM/AVG use the anchor decomposition AVG_local x COUNT_chain.
+    Estimates must track the exact plane within honest budgets."""
+    from deepdb_public_spark.engine import Engine
+    from deepdb_public_spark.spn.ensemble import SPNEnsemble
+    from deepdb_public_spark.spn.model import ModelPlaneUnsupported
+    from deepdb_public_spark.spn.trainer import train_spn_model
+
+    eng = Engine(spark, SF_SMOKE)
+    ens = SPNEnsemble(eng.schema)
+    ens.add_model(
+        train_spn_model(eng.catalog, eng.schema, {"customer", "orders"}, 50_000)
+    )
+    ens.add_model(train_spn_model(eng.catalog, eng.schema, {"lineitem"}, 50_000))
+
+    sql = (
+        "SELECT COUNT(*) AS cnt, SUM(lineitem.l_quantity) AS sq, "
+        "AVG(lineitem.l_quantity) AS aq FROM orders, lineitem "
+        "WHERE orders.o_orderkey = lineitem.l_orderkey "
+        "AND orders.o_orderstatus = 'F' AND lineitem.l_discount <= 0.06"
+    )
+    q = eng.parse(sql)
+    (row,) = ens.aqp(q)
+    exact = eng.query(sql).collect()[0].asDict()
+    for k, budget in (("cnt", 0.25), ("sq", 0.25), ("aq", 0.1)):
+        rel = abs(row[k] - float(exact[k])) / max(abs(float(exact[k])), 1e-9)
+        assert rel <= budget, (k, row[k], exact[k])
+
+    # grouped multi-model AQP stays exact-plane, loudly
+    qg = eng.parse(
+        "SELECT AVG(lineitem.l_quantity) AS aq FROM orders, lineitem "
+        "WHERE orders.o_orderkey = lineitem.l_orderkey "
+        "GROUP BY orders.o_orderstatus"
+    )
+    with pytest.raises(ModelPlaneUnsupported):
+        ens.aqp(qg)
