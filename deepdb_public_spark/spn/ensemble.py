@@ -741,32 +741,7 @@ class SPNEnsemble:
 
         def anchor_avg(operands: list[tuple[str, str]]) -> float:
             """AVG of the operand product from the best local model."""
-            tabs = {t for t, _c in operands}
-            cond_tables = {c.table for c in query.conditions}
-            cands = []
-            for mi, m in enumerate(self.models):
-                if not tabs <= m.table_set:
-                    continue
-                piece = component(
-                    m.table_set & set(query.table_set), next(iter(tabs))
-                )
-                cands.append((len(piece & cond_tables), len(piece), -mi, m, piece))
-            if not cands:
-                raise ModelPlaneUnsupported(
-                    f"no model covers aggregate operands {sorted(tabs)}: "
-                    "use the exact plane"
-                )
-            cands.sort(key=lambda t: t[:3], reverse=True)
-            _nc, _np, _mi, m, piece = cands[0]
-            local = sub_query(set(piece))
-            local.aggregations = [
-                AggOperation(
-                    AggregationOperationType.AGGREGATION,
-                    AggregationType.AVG,
-                    list(operands),
-                    alias="v",
-                )
-            ]
+            m, local = self._anchor_local(query, operands)
             (row,) = m.aqp(local)
             return float(row["v"])
 
@@ -949,6 +924,80 @@ class SPNEnsemble:
                 acc[v] = acc.get(v, 0.0) + s * fjs * float(m)
         return float(sum(1 for rows in acc.values() if rows >= 0.5))
 
+    def _anchor_local(self, query: Query, operands: list[tuple[str, str]]):
+        """(model, local AVG sub-query) for the anchor decomposition:
+        the model covering the operand product's tables whose piece of
+        the query's join graph spans the most condition-bearing
+        tables; the sub-query carries that piece's local conditions
+        and an AVG over the operands aliased 'v'."""
+        from ..plans.query import (
+            AggOperation,
+            AggregationOperationType,
+            AggregationType,
+        )
+        from .model import ModelPlaneUnsupported
+
+        _q_rels, component, sub_query = self._query_graph(query)
+        tabs = {t for t, _c in operands}
+        cond_tables = {c.table for c in query.conditions}
+        cands = []
+        for mi, m in enumerate(self.models):
+            if not tabs <= m.table_set:
+                continue
+            piece = component(
+                m.table_set & set(query.table_set), next(iter(tabs))
+            )
+            cands.append((len(piece & cond_tables), len(piece), -mi, m, piece))
+        if not cands:
+            raise ModelPlaneUnsupported(
+                f"no model covers aggregate operands {sorted(tabs)}: "
+                "use the exact plane"
+            )
+        cands.sort(key=lambda t: t[:3], reverse=True)
+        _nc, _np, _mi, m, piece = cands[0]
+        local = sub_query(set(piece))
+        local.aggregations = [
+            AggOperation(
+                AggregationOperationType.AGGREGATION,
+                AggregationType.AVG,
+                list(operands),
+                alias="v",
+            )
+        ]
+        return m, local
+
+    def _factorized_sum_moments(
+        self, query: Query, operands: list[tuple[str, str]]
+    ) -> tuple[float, float]:
+        """(estimate, sd) for SUM(operands) over a table set no single
+        model covers: the anchor decomposition SUM ≈ AVG_local ×
+        COUNT_chain(conds AND operands NOT NULL), with the delta
+        method over the product — relative variances of the anchor's
+        AVG (its B10 CI sd) and the factor chain's COUNT add. Shares
+        the independence assumption _aqp_factorized documents."""
+        import math as _m
+
+        from ..plans.query import Condition
+
+        nn = [Condition(t, c, "IS_NOT_NULL") for t, c in operands]
+        qc = Query(
+            query_type=QueryType.CARDINALITY,
+            table_set=set(query.table_set),
+            relationship_set=set(query.relationship_set),
+            conditions=list(query.conditions) + nn,
+        )
+        cnt, sd_c = self._factorized_count_moments(qc)
+        m, local = self._anchor_local(query, operands)
+        (row,) = m.confidence_interval(local, confidence=0.95)
+        avg, sd_a = float(row["est"]), float(row.get("sd", 0.0))
+        est = avg * cnt
+        rel = 0.0
+        if cnt > 0:
+            rel += (sd_c / cnt) ** 2
+        if avg != 0:
+            rel += (sd_a / avg) ** 2
+        return est, abs(est) * _m.sqrt(rel)
+
     def _ie_grouped_distinct_count(
         self, query: Query, col: str, gb_cols: list[str]
     ) -> dict[tuple, float]:
@@ -1088,8 +1137,13 @@ class SPNEnsemble:
         (S = signed SUM moments, C = signed not-null-COUNT moments;
         var ≈ var_S/C² + S²·var_C/C⁴ with the S,C covariance dropped —
         the same independence the single-model AVG CI assumes).
-        COUNT(DISTINCT) and HAVING stay exact-plane
-        (ModelPlaneUnsupported), as in the single-model path."""
+        Terms whose table set NO single model covers get their
+        (est, sd) from the factor chain: COUNT via
+        _factorized_count_moments, SUM via _factorized_sum_moments
+        (anchor AVG × count chain, round 6) — grouped multi-model
+        terms stay exact-plane. COUNT(DISTINCT) and HAVING stay
+        exact-plane (ModelPlaneUnsupported), as in the single-model
+        path."""
         from ..plans.query import (
             AggOperation,
             AggregationOperationType,
@@ -1125,17 +1179,12 @@ class SPNEnsemble:
                 # factorized chain supplies (est, sd) via the delta
                 # method over its factors (_factorized_count_moments)
                 terms.append((sign, q, None))
-        if any(m is None for _s, _q, m in terms):
-            if gb_cols or any(
-                op.agg_type is not AggregationType.COUNT
-                for op in query.aggregations
-                if op.op_type is AggregationOperationType.AGGREGATION
-            ):
-                raise ModelPlaneUnsupported(
-                    "cross-column OR CI over a multi-model table set "
-                    "supports ungrouped COUNT only (factorized SUM/AVG "
-                    "moments are not composed); use the exact plane"
-                )
+        if any(m is None for _s, _q, m in terms) and gb_cols:
+            raise ModelPlaneUnsupported(
+                "grouped cross-column OR CI over a multi-model table "
+                "set: the factor chain has no per-group moments; use "
+                "the exact plane"
+            )
         visible: set[tuple] = set() if gb_cols else {()}
 
         def signed_moments(agg_type, operands, extra_cond=None):
@@ -1161,7 +1210,14 @@ class SPNEnsemble:
                     ],
                 )
                 if model is None:
-                    est, sd = self._factorized_count_moments(q1)
+                    if agg_type is AggregationType.COUNT:
+                        est, sd = self._factorized_count_moments(q1)
+                    else:  # SUM; the AVG output composes from the
+                        # signed SUM and signed not-null-COUNT moments
+                        # in the generic per_op code below
+                        est, sd = self._factorized_sum_moments(
+                            q1, list(operands)
+                        )
                     key = ()
                     if sign > 0:
                         visible.add(key)

@@ -286,9 +286,12 @@ def test_multi_model_or_ci_composes_factor_variances(spark):
     assert max(est / max(true, 1.0), true / max(est, 1e-9)) < 2.0
 
 
-def test_multi_model_or_ci_sum_still_unsupported(spark):
-    """SUM under multi-model OR stays exact-plane (factorized SUM
-    moments are not composed) — the documented residual gap."""
+def test_multi_model_or_ci_sum_and_avg(spark):
+    """SUM and AVG CIs under multi-model OR now compose through the
+    anchor decomposition (factorized count moments x the anchor's
+    local AVG sd): the 0.99 intervals must contain the exact values
+    and the point estimates stay inside honest budgets. Grouped
+    multi-model OR CIs remain exact-plane, loudly."""
     from deepdb_public_spark.engine import Engine
     from deepdb_public_spark.spn.ensemble import SPNEnsemble
     from deepdb_public_spark.spn.model import ModelPlaneUnsupported
@@ -300,13 +303,29 @@ def test_multi_model_or_ci_sum_still_unsupported(spark):
         train_spn_model(eng.catalog, eng.schema, {"customer", "orders"}, 50_000)
     )
     ens.add_model(train_spn_model(eng.catalog, eng.schema, {"lineitem"}, 50_000))
-    q = eng.parse(
-        "SELECT SUM(lineitem.l_quantity) AS s FROM orders, lineitem "
+    sql = (
+        "SELECT SUM(lineitem.l_quantity) AS s, "
+        "AVG(lineitem.l_quantity) AS a FROM orders, lineitem "
         "WHERE orders.o_orderkey = lineitem.l_orderkey "
         "AND (orders.o_totalprice > 150000 OR lineitem.l_quantity > 30)"
     )
+    q = eng.parse(sql)
+    ci_s, ci_a = ens.confidence_interval(q, confidence=0.99)
+    exact = eng.query(sql).collect()[0]
+    true_s, true_a = float(exact["s"]), float(exact["a"])
+    assert ci_s["lo"] <= true_s <= ci_s["hi"], (ci_s, true_s)
+    assert ci_a["lo"] <= true_a <= ci_a["hi"], (ci_a, true_a)
+    assert abs(ci_s["est"] - true_s) / true_s < 0.3
+    assert abs(ci_a["est"] - true_a) / true_a < 0.15
+
+    qg = eng.parse(
+        "SELECT COUNT(*) AS c FROM orders, lineitem "
+        "WHERE orders.o_orderkey = lineitem.l_orderkey "
+        "AND (orders.o_totalprice > 150000 OR lineitem.l_quantity > 30) "
+        "GROUP BY orders.o_orderstatus"
+    )
     with pytest.raises(ModelPlaneUnsupported):
-        ens.confidence_interval(q)
+        ens.confidence_interval(qg)
 
 
 # --------------------- broadcast-aware join-order DP cost asymmetry
