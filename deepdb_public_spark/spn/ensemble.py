@@ -710,11 +710,18 @@ class SPNEnsemble:
         same independence the factorized COUNT already assumes for
         remote selectivities (budget-tested, documented, not exact).
         The anchor is the model covering x's table whose piece spans
-        the most condition-bearing tables. Ungrouped only: per-group
-        SUM/AVG would additionally need the factor chain per group —
-        grouped queries raise and Engine.estimate falls back to the
-        exact plane. COUNT(DISTINCT) likewise stays exact-plane here
-        (per-value masses across models are not composed)."""
+        the most condition-bearing tables.
+
+        GROUPED queries (round 6) additionally require every group-by
+        table and aggregate operand inside ONE anchor piece: the
+        anchor's per-group grid supplies the group PROPORTIONS and the
+        factor chain the TOTAL — per-group estimate = anchor-group
+        value × (chain total / anchor total), i.e. remote factors are
+        assumed group-independent (they carry no group column, so this
+        is the natural extension of the same independence). Groups are
+        re-thresholded at 0.5 expected rows after scaling.
+        COUNT(DISTINCT) stays exact-plane here (per-value masses
+        across models are not composed)."""
         from ..plans.query import (
             AggOperation,
             AggregationOperationType,
@@ -724,10 +731,7 @@ class SPNEnsemble:
         from .model import ModelPlaneUnsupported
 
         if query.group_bys:
-            raise ModelPlaneUnsupported(
-                "grouped AQP over a multi-model table set: use the "
-                "exact plane"
-            )
+            return self._aqp_factorized_grouped(query)
         _q_rels, component, sub_query = self._query_graph(query)
 
         def count_chain(extra_conds: list) -> float:
@@ -816,7 +820,9 @@ class SPNEnsemble:
                     )
                 ],
             )
-            return self.select_model(q1).aqp(q1)
+            # full router: terms over table sets no single model
+            # covers take the factorized path (incl. grouped)
+            return self.aqp(q1)
 
         # visible groups = union of group keys over POSITIVE terms: a
         # group appears in SQL's output iff some disjunct conjunction
@@ -923,6 +929,134 @@ class SPNEnsemble:
             for v, m in zip(keys, masses):
                 acc[v] = acc.get(v, 0.0) + s * fjs * float(m)
         return float(sum(1 for rows in acc.values() if rows >= 0.5))
+
+    def _aqp_factorized_grouped(self, query: Query) -> list[dict]:
+        """Grouped AQP over a table set no single model covers: the
+        anchor's per-group grid supplies group PROPORTIONS, the factor
+        chain the TOTAL (see _aqp_factorized's docstring for the
+        group-independence assumption). Requires one model covering
+        every group-by table and aggregate operand inside a connected
+        piece of the query's join graph."""
+        from ..plans.query import (
+            AggOperation,
+            AggregationOperationType,
+            AggregationType,
+            Condition,
+        )
+        from .model import ModelPlaneUnsupported, _apply_having
+
+        gb_cols = [c for _t, c in query.group_bys]
+        need = {t for t, _c in query.group_bys} | {
+            t for op in query.aggregations for t, _c in (op.operands or [])
+        }
+        _q_rels, component, sub_query = self._query_graph(query)
+        cond_tables = {c.table for c in query.conditions}
+        cands = []
+        for mi, m in enumerate(self.models):
+            avail = m.table_set & set(query.table_set)
+            if not need or not need <= avail:
+                continue
+            piece = component(avail, next(iter(need)))
+            if not need <= piece:
+                continue
+            cands.append((len(piece & cond_tables), len(piece), -mi, m, piece))
+        if not cands:
+            raise ModelPlaneUnsupported(
+                "grouped AQP over a multi-model table set needs one "
+                "model covering all group-by tables and aggregate "
+                "operands in a connected piece; use the exact plane"
+            )
+        cands.sort(key=lambda t: t[:3], reverse=True)
+        _nc, _np, _mi, m, piece = cands[0]
+
+        def local_q(agg_type, operands):
+            lq = sub_query(set(piece))
+            lq.group_bys = list(query.group_bys)
+            lq.aggregations = [
+                AggOperation(
+                    AggregationOperationType.AGGREGATION,
+                    agg_type,
+                    list(operands or []),
+                    alias="v",
+                )
+            ]
+            return lq
+
+        def chain_count(extra: list) -> float:
+            qc = Query(
+                query_type=QueryType.CARDINALITY,
+                table_set=set(query.table_set),
+                relationship_set=set(query.relationship_set),
+                conditions=list(query.conditions) + extra,
+            )
+            return float(self.cardinality(qc))
+
+        def grid(agg_type, operands) -> dict[tuple, float]:
+            return {
+                tuple(r[c] for c in gb_cols): float(r["v"])
+                for r in m.aqp(local_q(agg_type, operands))
+            }
+
+        def scaled_count(operands) -> dict[tuple, float]:
+            g = grid(AggregationType.COUNT, operands)
+            tot = sum(g.values())
+            if tot <= 0:
+                return {k: 0.0 for k in g}
+            extra = [
+                Condition(t, c, "IS_NOT_NULL") for t, c in (operands or [])
+            ]
+            sc = chain_count(extra) / tot
+            return {k: v * sc for k, v in g.items()}
+
+        anchor_cnt = scaled_count([])
+        outputs: list[tuple[str, dict]] = []
+        acc: dict | None = None
+        alias = None
+        for op in query.aggregations:
+            if getattr(op, "distinct", False):
+                raise ModelPlaneUnsupported(
+                    "COUNT(DISTINCT) over a multi-model table set: use "
+                    "the exact plane"
+                )
+            if op.agg_type is AggregationType.COUNT:
+                val = scaled_count(op.operands)
+            elif op.agg_type is AggregationType.AVG:
+                # ratios are scale-free: the anchor's per-group AVG IS
+                # the estimate (remote factors cancel)
+                val = grid(AggregationType.AVG, op.operands)
+            else:  # SUM = per-group AVG x per-group scaled nn-count
+                avg_g = grid(AggregationType.AVG, op.operands)
+                cnt_g = scaled_count(op.operands)
+                val = {
+                    k: avg_g.get(k, 0.0) * cnt_g.get(k, 0.0)
+                    for k in set(avg_g) | set(cnt_g)
+                }
+            if op.op_type is AggregationOperationType.AGGREGATION:
+                if acc is not None:
+                    outputs.append((alias or f"agg_{len(outputs)}", acc))
+                acc, alias = val, op.alias
+            elif op.op_type is AggregationOperationType.PLUS:
+                acc = {
+                    k: acc.get(k, 0.0) + val.get(k, 0.0)
+                    for k in set(acc) | set(val)
+                }
+            else:
+                acc = {
+                    k: acc.get(k, 0.0) - val.get(k, 0.0)
+                    for k in set(acc) | set(val)
+                }
+        if acc is not None:
+            outputs.append((alias or f"agg_{len(outputs)}", acc))
+
+        rows = []
+        for k in sorted(
+            (k for k, v in anchor_cnt.items() if v >= 0.5), key=repr
+        ):
+            row = dict(zip(gb_cols, k))
+            for name, val in outputs:
+                row[name] = val.get(k, 0.0)
+            rows.append(row)
+        return _apply_having(rows, query.having)
 
     def _anchor_local(self, query: Query, operands: list[tuple[str, str]]):
         """(model, local AVG sub-query) for the anchor decomposition:

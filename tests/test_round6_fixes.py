@@ -559,3 +559,80 @@ def test_factorized_multi_model_aqp(spark):
     )
     with pytest.raises(ModelPlaneUnsupported):
         ens.aqp(qg)
+
+
+def test_factorized_multi_model_grouped_aqp(spark):
+    """Grouped AQP over {orders, lineitem} with models
+    {customer, orders} and {lineitem}: the lineitem anchor's per-group
+    grid supplies the proportions, the factor chain the total. COUNT
+    and SUM track the exact plane per group within honest budgets;
+    AVG is the anchor's local ratio. A grouping whose gb table and
+    operand table no single model co-covers still raises."""
+    from deepdb_public_spark.engine import Engine
+    from deepdb_public_spark.spn.ensemble import SPNEnsemble
+    from deepdb_public_spark.spn.model import ModelPlaneUnsupported
+    from deepdb_public_spark.spn.trainer import train_spn_model
+
+    eng = Engine(spark, SF_SMOKE)
+    ens = SPNEnsemble(eng.schema)
+    ens.add_model(
+        train_spn_model(eng.catalog, eng.schema, {"customer", "orders"}, 50_000)
+    )
+    ens.add_model(train_spn_model(eng.catalog, eng.schema, {"lineitem"}, 50_000))
+
+    sql = (
+        "SELECT lineitem.l_returnflag, COUNT(*) AS cnt, "
+        "SUM(lineitem.l_quantity) AS sq, AVG(lineitem.l_quantity) AS aq "
+        "FROM orders, lineitem "
+        "WHERE orders.o_orderkey = lineitem.l_orderkey "
+        "AND orders.o_orderstatus = 'F' AND lineitem.l_discount <= 0.06 "
+        "GROUP BY lineitem.l_returnflag"
+    )
+    rows = {r["l_returnflag"]: r for r in ens.aqp(eng.parse(sql))}
+    exact = {
+        r["l_returnflag"]: r.asDict() for r in eng.query(sql).collect()
+    }
+    assert set(rows) == set(exact)
+    for g, e in exact.items():
+        for k, budget in (("cnt", 0.3), ("sq", 0.3), ("aq", 0.1)):
+            rel = abs(rows[g][k] - float(e[k])) / max(abs(float(e[k])), 1e-9)
+            assert rel <= budget, (g, k, rows[g][k], e[k])
+
+    # gb table (orders) and operand table (lineitem) co-covered by no
+    # model: loud fallback
+    with pytest.raises(ModelPlaneUnsupported):
+        ens.aqp(eng.parse(
+            "SELECT SUM(lineitem.l_quantity) AS sq FROM orders, lineitem "
+            "WHERE orders.o_orderkey = lineitem.l_orderkey "
+            "GROUP BY orders.o_orderstatus"
+        ))
+
+
+def test_factorized_grouped_aqp_under_or(spark):
+    """Cross-column OR + GROUP BY over a multi-model table set: each
+    inclusion-exclusion term routes through the factorized grouped
+    path; signed per-group sums must track the exact plane."""
+    from deepdb_public_spark.engine import Engine
+    from deepdb_public_spark.spn.ensemble import SPNEnsemble
+    from deepdb_public_spark.spn.trainer import train_spn_model
+
+    eng = Engine(spark, SF_SMOKE)
+    ens = SPNEnsemble(eng.schema)
+    ens.add_model(
+        train_spn_model(eng.catalog, eng.schema, {"customer", "orders"}, 50_000)
+    )
+    ens.add_model(train_spn_model(eng.catalog, eng.schema, {"lineitem"}, 50_000))
+
+    sql = (
+        "SELECT lineitem.l_returnflag, COUNT(*) AS cnt FROM orders, lineitem "
+        "WHERE orders.o_orderkey = lineitem.l_orderkey "
+        "AND (orders.o_totalprice > 150000 OR lineitem.l_quantity > 30) "
+        "GROUP BY lineitem.l_returnflag"
+    )
+    rows = {r["l_returnflag"]: r["cnt"] for r in ens.aqp(eng.parse(sql))}
+    exact = {
+        r["l_returnflag"]: float(r["cnt"]) for r in eng.query(sql).collect()
+    }
+    assert set(rows) == set(exact)
+    for g, t in exact.items():
+        assert abs(rows[g] - t) / max(t, 1e-9) <= 0.35, (g, rows[g], t)
