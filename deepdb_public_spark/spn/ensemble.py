@@ -1132,6 +1132,107 @@ class SPNEnsemble:
             rel += (sd_a / avg) ** 2
         return est, abs(est) * _m.sqrt(rel)
 
+    def _factorized_grouped_ci_moments(
+        self, query: Query, agg_type, operands: list[tuple[str, str]]
+    ) -> dict[tuple, tuple[float, float]]:
+        """{group key: (est, sd)} for a grouped COUNT/SUM over a table
+        set no single model covers: the anchor's grouped B10 rows
+        (per-group est + UNCLAMPED sd in the piece measure) are scaled
+        by the factor chain's total, and the chain's relative variance
+        adds to each group's (delta method over the product; the
+        anchor-total/chain correlation is dropped — same independence
+        as everywhere in the factorization). Emitted keys follow the
+        anchor's own >=0.5-expected-rows pruning."""
+        import math as _m
+
+        from ..plans.query import (
+            AggOperation,
+            AggregationOperationType,
+            AggregationType,
+            Condition,
+        )
+        from .model import ModelPlaneUnsupported
+
+        gb_cols = [c for _t, c in query.group_bys]
+        need = {t for t, _c in query.group_bys} | {
+            t for t, _c in (operands or [])
+        }
+        _q_rels, component, sub_query = self._query_graph(query)
+        cond_tables = {c.table for c in query.conditions}
+        cands = []
+        for mi, m in enumerate(self.models):
+            avail = m.table_set & set(query.table_set)
+            if not need or not need <= avail:
+                continue
+            piece = component(avail, next(iter(need)))
+            if not need <= piece:
+                continue
+            cands.append((len(piece & cond_tables), len(piece), -mi, m, piece))
+        if not cands:
+            raise ModelPlaneUnsupported(
+                "grouped multi-model CI needs one model covering all "
+                "group-by tables and aggregate operands in a connected "
+                "piece; use the exact plane"
+            )
+        cands.sort(key=lambda t: t[:3], reverse=True)
+        _nc, _np, _mi, m, piece = cands[0]
+
+        local = sub_query(set(piece))
+        local.group_bys = list(query.group_bys)
+        local.aggregations = [
+            AggOperation(
+                AggregationOperationType.AGGREGATION,
+                agg_type,
+                list(operands or []),
+                alias="v",
+            )
+        ]
+        rows = m.confidence_interval(local, confidence=0.95)  # sd is z-free
+        anchor = {
+            tuple(r[c] for c in gb_cols): (float(r["est"]), float(r["sd"]))
+            for r in rows
+        }
+        tot = sum(e for e, _sd in anchor.values())
+        if tot <= 0:
+            return {}
+        nn = [Condition(t, c, "IS_NOT_NULL") for t, c in (operands or [])]
+        qc = Query(
+            query_type=QueryType.CARDINALITY,
+            table_set=set(query.table_set),
+            relationship_set=set(query.relationship_set),
+            conditions=list(query.conditions) + nn,
+        )
+        # for SUM the chain scales the NOT-NULL count mass; the anchor
+        # total of the SUM rows is replaced by the anchor's nn-count
+        # total so the ratio is count-over-count
+        if agg_type is AggregationType.COUNT:
+            chain, sd_chain = self._factorized_count_moments(qc)
+            scale = chain / tot
+            rel_chain = (sd_chain / chain) ** 2 if chain > 0 else 0.0
+        else:
+            chain, sd_chain = self._factorized_count_moments(qc)
+            cnt_local = sub_query(set(piece))
+            cnt_local.group_bys = list(query.group_bys)
+            cnt_local.aggregations = [
+                AggOperation(
+                    AggregationOperationType.AGGREGATION,
+                    AggregationType.COUNT,
+                    list(operands or []),
+                    alias="v",
+                )
+            ]
+            tot_nn = sum(float(r["v"]) for r in m.aqp(cnt_local))
+            if tot_nn <= 0:
+                return {}
+            scale = chain / tot_nn
+            rel_chain = (sd_chain / chain) ** 2 if chain > 0 else 0.0
+        out: dict[tuple, tuple[float, float]] = {}
+        for key, (e, sd) in anchor.items():
+            est = e * scale
+            rel = rel_chain + ((sd / e) ** 2 if e != 0 else 0.0)
+            out[key] = (est, abs(est) * _m.sqrt(rel))
+        return out
+
     def _ie_grouped_distinct_count(
         self, query: Query, col: str, gb_cols: list[str]
     ) -> dict[tuple, float]:
@@ -1313,12 +1414,6 @@ class SPNEnsemble:
                 # factorized chain supplies (est, sd) via the delta
                 # method over its factors (_factorized_count_moments)
                 terms.append((sign, q, None))
-        if any(m is None for _s, _q, m in terms) and gb_cols:
-            raise ModelPlaneUnsupported(
-                "grouped cross-column OR CI over a multi-model table "
-                "set: the factor chain has no per-group moments; use "
-                "the exact plane"
-            )
         visible: set[tuple] = set() if gb_cols else {()}
 
         def signed_moments(agg_type, operands, extra_cond=None):
@@ -1344,6 +1439,17 @@ class SPNEnsemble:
                     ],
                 )
                 if model is None:
+                    if gb_cols:
+                        moments = self._factorized_grouped_ci_moments(
+                            q1, agg_type, list(operands or [])
+                        )
+                        for key, (est, sd) in moments.items():
+                            if sign > 0:
+                                visible.add(key)
+                            slot = acc.setdefault(key, [0.0, 0.0])
+                            slot[0] += sign * est
+                            slot[1] += sd * sd
+                        continue
                     if agg_type is AggregationType.COUNT:
                         est, sd = self._factorized_count_moments(q1)
                     else:  # SUM; the AVG output composes from the

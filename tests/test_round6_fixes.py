@@ -290,8 +290,8 @@ def test_multi_model_or_ci_sum_and_avg(spark):
     """SUM and AVG CIs under multi-model OR now compose through the
     anchor decomposition (factorized count moments x the anchor's
     local AVG sd): the 0.99 intervals must contain the exact values
-    and the point estimates stay inside honest budgets. Grouped
-    multi-model OR CIs remain exact-plane, loudly."""
+    and the point estimates stay inside honest budgets; grouped
+    multi-model OR CIs compose via the anchor's grouped B10 rows."""
     from deepdb_public_spark.engine import Engine
     from deepdb_public_spark.spn.ensemble import SPNEnsemble
     from deepdb_public_spark.spn.model import ModelPlaneUnsupported
@@ -318,14 +318,23 @@ def test_multi_model_or_ci_sum_and_avg(spark):
     assert abs(ci_s["est"] - true_s) / true_s < 0.3
     assert abs(ci_a["est"] - true_a) / true_a < 0.15
 
-    qg = eng.parse(
+    # grouped multi-model OR CI (round 6): the anchor's grouped B10
+    # rows scale by the factor chain — every visible group's 0.99
+    # interval must contain its exact count
+    gsql = (
         "SELECT COUNT(*) AS c FROM orders, lineitem "
         "WHERE orders.o_orderkey = lineitem.l_orderkey "
         "AND (orders.o_totalprice > 150000 OR lineitem.l_quantity > 30) "
         "GROUP BY orders.o_orderstatus"
     )
-    with pytest.raises(ModelPlaneUnsupported):
-        ens.confidence_interval(qg)
+    cis = {
+        ci["o_orderstatus"]: ci
+        for ci in ens.confidence_interval(eng.parse(gsql), confidence=0.99)
+    }
+    for r in eng.query(gsql).collect():
+        ci = cis.get(r["o_orderstatus"])
+        assert ci is not None, (r, sorted(cis))
+        assert ci["lo"] <= float(r["c"]) <= ci["hi"], (ci, r)
 
 
 # --------------------- broadcast-aware join-order DP cost asymmetry
