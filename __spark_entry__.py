@@ -1841,6 +1841,74 @@ def _m_or_avg_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "grp string, true_avg double, hit boolean")
 
 
+def _m_factorized_aqp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FACTORIZED grouped AQP (round 6 — an extension past the
+    reference, which evaluates aggregates within one SPN): the
+    3-table {customer, orders, lineitem} set is covered by NO shared
+    model ({orders,lineitem}, {customer,orders}, {customer},
+    {lineitem} all exist), so COUNT/SUM/AVG route through
+    SPNEnsemble._aqp_factorized_grouped — the lineitem-bearing
+    anchor's per-group grid scaled by the factor-chain total, with a
+    REMOTE predicate on customer. Output (grp, true_cnt, cnt_ok,
+    sum_ok, avg_ok): truths hash-match DuckDB; ok flags pin the
+    documented rel-error budgets (0.35/0.35/0.15)."""
+    eng = _engine(spark, sf_dir)
+    _ensure_models(
+        eng,
+        [
+            ({"orders", "lineitem"}, 80_000),
+            ({"customer", "orders"}, 60_000),
+            ({"lineitem"}, 60_000),
+        ],
+    )
+    sql = (
+        "SELECT lineitem.l_returnflag, COUNT(*) AS cnt, "
+        "SUM(lineitem.l_quantity) AS sq, AVG(lineitem.l_quantity) AS aq "
+        "FROM customer, orders, lineitem "
+        "WHERE customer.c_custkey = orders.o_custkey "
+        "AND orders.o_orderkey = lineitem.l_orderkey "
+        "AND customer.c_mktsegment = 'BUILDING' "
+        "AND lineitem.l_discount <= 0.06 "
+        "GROUP BY lineitem.l_returnflag"
+    )
+    est = {r["l_returnflag"]: r for r in eng.ensemble.aqp(eng.parse(sql))}
+    trues = eng.sql(
+        "SELECT l_returnflag AS grp, COUNT(*) AS c, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s, "
+        "CAST(AVG(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS a "
+        "FROM customer, orders, lineitem "
+        "WHERE customer.c_custkey = orders.o_custkey "
+        "AND orders.o_orderkey = lineitem.l_orderkey "
+        "AND customer.c_mktsegment = 'BUILDING' AND l_discount <= 0.06 "
+        "GROUP BY l_returnflag"
+    ).collect()
+    out = []
+    for r in trues:
+        e = est.get(r["grp"])
+
+        def ok(got, true, budget):
+            return (
+                e is not None
+                and abs(float(got) - float(true)) / max(abs(float(true)), 1e-9)
+                <= budget
+            )
+
+        out.append(
+            (
+                r["grp"],
+                int(r["c"]),
+                bool(e and ok(e["cnt"], r["c"], 0.35)),
+                bool(e and ok(e["sq"], r["s"], 0.35)),
+                bool(e and ok(e["aq"], r["a"], 0.15)),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "grp string, true_cnt long, cnt_ok boolean, sum_ok boolean, "
+        "avg_ok boolean",
+    )
+
+
 _M13_QUERY_IDS = [0, 7, 31]
 
 
@@ -2065,6 +2133,18 @@ _PREP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
         """
         SELECT l_returnflag AS grp, COUNT(*) AS true_cnt, TRUE AS hit
         FROM lineitem WHERE l_quantity < 10 OR l_discount > 0.08
+        GROUP BY l_returnflag
+        """,
+    ),
+    "m18_factorized_aqp": (
+        _m_factorized_aqp,
+        """
+        SELECT l_returnflag AS grp, COUNT(*) AS true_cnt,
+               TRUE AS cnt_ok, TRUE AS sum_ok, TRUE AS avg_ok
+        FROM customer, orders, lineitem
+        WHERE customer.c_custkey = orders.o_custkey
+          AND orders.o_orderkey = lineitem.l_orderkey
+          AND customer.c_mktsegment = 'BUILDING' AND l_discount <= 0.06
         GROUP BY l_returnflag
         """,
     ),
