@@ -33,3 +33,35 @@ def load_fixture_light() -> list[tuple[str, int]]:
         for row in csv.DictReader(f):
             out.append((row["query"], int(row["cardinality_true"])))
     return out
+
+
+def load_fixture_ssb() -> list[tuple[str, int]]:
+    """The Star Schema Benchmark flights adapted to the fixture schema
+    (reference: the SSB corpus driven through maqp.py
+    --evaluate_aqp_queries / aqp_evaluation.py — one of the three
+    benchmark suites in the reference's evaluation, SURVEY.md §5.1;
+    the raw SSB data itself is unavailable offline, so the 4 flights
+    are re-derived against the TPC-H-ish fixture tables, which is how
+    SSB itself was derived from TPC-H).
+
+    Q1.x: orders⋈lineitem revenue-from-discount (date window +
+    discount band + quantity cap). Q2.x: 5-way snowflake
+    lineitem⋈part⋈supplier⋈nation⋈region grouped by brand/type.
+    Q3.x: customer- and supplier-side nation rollups with date
+    windows. Q4.x: 4/5-way star aggregates. Returns the COUNT(*)
+    corpus: [(sql, true_cardinality_at_sf0.01), ...]; the AQP corpus
+    with the SSB aggregates (SUM(price*discount), grouped SUM/AVG)
+    lives in ssb_aqp_queries.sql next to it."""
+    path = os.path.join(
+        BENCH_DIR, "fixture-ssb", "ssb_true_cardinalities_sf0.01.csv"
+    )
+    out = []
+    with open(path, newline="") as f:
+        for row in csv.DictReader(f):
+            out.append((row["query"], int(row["cardinality_true"])))
+    return out
+
+
+def load_fixture_ssb_aqp() -> list[str]:
+    path = os.path.join(BENCH_DIR, "fixture-ssb", "ssb_aqp_queries.sql")
+    return [l.strip() for l in open(path) if l.strip()]

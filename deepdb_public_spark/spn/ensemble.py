@@ -712,14 +712,19 @@ class SPNEnsemble:
         The anchor is the model covering x's table whose piece spans
         the most condition-bearing tables.
 
-        GROUPED queries (round 6) additionally require every group-by
-        table and aggregate operand inside ONE anchor piece: the
-        anchor's per-group grid supplies the group PROPORTIONS and the
-        factor chain the TOTAL — per-group estimate = anchor-group
-        value × (chain total / anchor total), i.e. remote factors are
-        assumed group-independent (they carry no group column, so this
-        is the natural extension of the same independence). Groups are
-        re-thresholded at 0.5 expected rows after scaling.
+        GROUPED queries (round 6): when one anchor piece covers every
+        group-by table AND aggregate operand, the anchor's per-group
+        grid supplies the group PROPORTIONS and the factor chain the
+        TOTAL — per-group estimate = anchor-group value × (chain total
+        / anchor total), i.e. remote factors are assumed
+        group-independent (they carry no group column, so this is the
+        natural extension of the same independence). Groups are
+        re-thresholded at 0.5 expected rows after scaling. When the
+        group-by tables and operands live in DIFFERENT models the
+        anchor splits (_aqp_factorized_grouped_split): per-group
+        COUNTs ride the full factor chain with the group value pinned
+        as an equality condition, and the operand mean comes from the
+        operand anchor's local AVG.
         COUNT(DISTINCT) stays exact-plane here (per-value masses
         across models are not composed)."""
         from ..plans.query import (
@@ -961,11 +966,11 @@ class SPNEnsemble:
                 continue
             cands.append((len(piece & cond_tables), len(piece), -mi, m, piece))
         if not cands:
-            raise ModelPlaneUnsupported(
-                "grouped AQP over a multi-model table set needs one "
-                "model covering all group-by tables and aggregate "
-                "operands in a connected piece; use the exact plane"
-            )
+            # group-by tables and aggregate operands live in different
+            # models (e.g. GROUP BY nation.n_name with
+            # SUM(lineitem.l_extendedprice) over a singles+pairs
+            # ensemble): split the anchor
+            return self._aqp_factorized_grouped_split(query)
         cands.sort(key=lambda t: t[:3], reverse=True)
         _nc, _np, _mi, m, piece = cands[0]
 
@@ -1052,6 +1057,144 @@ class SPNEnsemble:
         for k in sorted(
             (k for k, v in anchor_cnt.items() if v >= 0.5), key=repr
         ):
+            row = dict(zip(gb_cols, k))
+            for name, val in outputs:
+                row[name] = val.get(k, 0.0)
+            rows.append(row)
+        return _apply_having(rows, query.having)
+
+    def _aqp_factorized_grouped_split(self, query: Query) -> list[dict]:
+        """Grouped AQP where the group-by tables and the aggregate
+        operands are covered only by DIFFERENT models (e.g. GROUP BY
+        nation.n_name with SUM(lineitem.l_extendedprice) over a
+        singles+pairs ensemble — the SSB Q3/Q4 flight shape): each
+        group value is pinned as an equality condition on the FULL
+        factorized cardinality chain, so the per-group COUNT keeps
+        every group↔condition and fanout correlation the
+        factorization can see; the operand's per-row mean comes from
+        the operand anchor's local AVG and is group-independent by
+        assumption — it lives in a model with no group column, the
+        same remote-independence the ungrouped anchor decomposition
+        (_aqp_factorized) documents.
+
+            COUNT_g = COUNT_chain(conds AND g = v)
+            SUM_g   = AVG_anchor(local conds)
+                      × COUNT_chain(conds AND g = v AND x NOT NULL)
+            AVG_g   = AVG_anchor(local conds)  (constant over groups)
+
+        The group grid is enumerated from the best model covering all
+        group-by tables in one connected piece (its GroupByExplosion
+        cap applies); emitted keys are re-thresholded at 0.5 expected
+        rows on the pinned chain COUNT. Cost: O(|groups| × aggs)
+        factorized cardinality evaluations — driver-side SPN passes,
+        ms-class each. reference: ensemble_compilation/
+        spn_ensemble.py factorized expectation chains (the reference
+        instead trains a relationship model per common join shape;
+        this path removes that requirement)."""
+        from ..plans.query import (
+            AggOperation,
+            AggregationOperationType,
+            AggregationType,
+            Condition,
+        )
+        from .model import ModelPlaneUnsupported, _apply_having
+
+        gb_cols = [c for _t, c in query.group_bys]
+        need_g = {t for t, _c in query.group_bys}
+        _q_rels, component, sub_query = self._query_graph(query)
+        cond_tables = {c.table for c in query.conditions}
+        cands = []
+        for mi, m in enumerate(self.models):
+            avail = m.table_set & set(query.table_set)
+            if not need_g or not need_g <= avail:
+                continue
+            piece = component(avail, next(iter(need_g)))
+            if not need_g <= piece:
+                continue
+            cands.append((len(piece & cond_tables), len(piece), -mi, m, piece))
+        if not cands:
+            raise ModelPlaneUnsupported(
+                "grouped AQP over a multi-model table set needs one "
+                "model covering all group-by tables in a connected "
+                "piece; use the exact plane"
+            )
+        cands.sort(key=lambda t: t[:3], reverse=True)
+        _nc, _np, _mi, mg, gpiece = cands[0]
+
+        lq = sub_query(set(gpiece))
+        lq.group_bys = list(query.group_bys)
+        lq.aggregations = [
+            AggOperation(
+                AggregationOperationType.AGGREGATION,
+                AggregationType.COUNT,
+                [],
+                alias="v",
+            )
+        ]
+        keys = [tuple(r[c] for c in gb_cols) for r in mg.aqp(lq)]
+
+        def pin(key: tuple) -> list:
+            return [
+                Condition(t, c, "=", v)
+                for (t, c), v in zip(query.group_bys, key)
+            ]
+
+        def chain_count(extra: list) -> float:
+            qc = Query(
+                query_type=QueryType.CARDINALITY,
+                table_set=set(query.table_set),
+                relationship_set=set(query.relationship_set),
+                conditions=list(query.conditions) + extra,
+            )
+            return float(self.cardinality(qc))
+
+        def anchor_avg(operands: list) -> float:
+            m, local = self._anchor_local(query, operands)
+            (row,) = m.aqp(local)
+            return float(row["v"])
+
+        cnt_pin = {k: chain_count(pin(k)) for k in keys}
+        outputs: list[tuple[str, dict]] = []
+        acc: dict | None = None
+        alias = None
+        for op in query.aggregations:
+            if getattr(op, "distinct", False):
+                raise ModelPlaneUnsupported(
+                    "COUNT(DISTINCT) over a multi-model table set: use "
+                    "the exact plane"
+                )
+            ops = list(op.operands or [])
+            nn = [Condition(t, c, "IS_NOT_NULL") for t, c in ops]
+            if op.agg_type is AggregationType.COUNT:
+                if nn:
+                    val = {k: chain_count(pin(k) + nn) for k in keys}
+                else:
+                    val = dict(cnt_pin)
+            elif op.agg_type is AggregationType.AVG:
+                a = anchor_avg(ops)
+                val = {k: a for k in keys}
+            else:  # SUM
+                a = anchor_avg(ops)
+                val = {k: a * chain_count(pin(k) + nn) for k in keys}
+            if op.op_type is AggregationOperationType.AGGREGATION:
+                if acc is not None:
+                    outputs.append((alias or f"agg_{len(outputs)}", acc))
+                acc, alias = val, op.alias
+            elif op.op_type is AggregationOperationType.PLUS:
+                acc = {
+                    k: acc.get(k, 0.0) + val.get(k, 0.0)
+                    for k in set(acc) | set(val)
+                }
+            else:
+                acc = {
+                    k: acc.get(k, 0.0) - val.get(k, 0.0)
+                    for k in set(acc) | set(val)
+                }
+        if acc is not None:
+            outputs.append((alias or f"agg_{len(outputs)}", acc))
+
+        rows = []
+        for k in sorted((k for k in keys if cnt_pin[k] >= 0.5), key=repr):
             row = dict(zip(gb_cols, k))
             for name, val in outputs:
                 row[name] = val.get(k, 0.0)

@@ -245,6 +245,23 @@ def train_spn_model(
     try:
         observed_size = joined.count()
         timings["join_materialize_count"] = round(_time.perf_counter() - _t, 3)
+        # Tiny relations (dimension tables / snowflake arms): a slice
+        # floor ABOVE the row count forbids every row split, forcing
+        # the whole model into one naive-independence product — a
+        # 25-row nation⋈region model then spreads P(n_name ∧ r_name)
+        # over all name×region cells and grouped grids prune to
+        # EMPTY at the 0.5-expected-rows threshold. Adapt the floor
+        # to the sample so at least ~2 split levels are possible; the
+        # configured value still rules at normal scales (the
+        # reference's 10M-sample regime never hits this: its
+        # min_instances_slice is always << rows).
+        _eff = min(observed_size, sample_budget)
+        if params.min_instances_slice > max(4, _eff // 4):
+            import dataclasses as _dc
+
+            params = _dc.replace(
+                params, min_instances_slice=max(4, _eff // 4)
+            )
         _t = _time.perf_counter()
         encoded, meta = encode_table(joined, "+".join(sorted(table_set)))
         timings["encode_dictionaries"] = round(_time.perf_counter() - _t, 3)

@@ -1,0 +1,62 @@
+"""The fixture-ssb corpus (our SSB): the Star Schema Benchmark's four
+query flights re-derived against the fixture schema — SSB itself is a
+TPC-H derivation, and the reference runs SSB through the same
+--evaluate_aqp_queries lifecycle (SURVEY.md §5.1). Exact plane must
+match the golden counts EXACTLY; the model plane answers every 4/5-way
+flight via multi-SPN factorization (singles + pairs only — no
+dedicated join model exists for any flight) within the reference's
+published error class."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from deepdb_public_spark.benchmarks import (
+    load_fixture_ssb,
+    load_fixture_ssb_aqp,
+)
+from deepdb_public_spark.engine import Engine
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    eng = Engine(spark, SF_CORRECT)
+    return eng
+
+
+@pytest.fixture(scope="module")
+def ssb_engine(engine):
+    from tools.refresh_fixture_ssb import build_ssb_ensemble
+
+    engine.ensemble = build_ssb_ensemble(engine)
+    return engine
+
+
+def test_exact_plane_matches_golden_counts(engine):
+    for sql, true in load_fixture_ssb():
+        got = engine.query(sql).collect()[0][0]
+        assert got == true, f"{sql}: {got} != {true}"
+
+
+def test_model_plane_qerror_on_ssb_flights(ssb_engine):
+    qerrs = []
+    for sql, true in load_fixture_ssb():
+        est = ssb_engine.ensemble.cardinality(ssb_engine.parse(sql))
+        qerrs.append(max(est / max(true, 1), true / max(est, 1e-9)))
+    qerrs = np.array(qerrs)
+    med, p95, mx = np.median(qerrs), np.percentile(qerrs, 95), qerrs.max()
+    print(f"fixture-ssb q-error: median={med:.3f} p95={p95:.3f} max={mx:.3f}")
+    assert med <= 1.3, f"median q-error {med}"
+    assert mx <= 4.0, f"max q-error {mx}"
+
+
+def test_model_plane_aqp_on_ssb_flights(ssb_engine):
+    from deepdb_public_spark.evaluation import evaluate_aqp
+
+    stats = evaluate_aqp(ssb_engine, load_fixture_ssb_aqp())
+    print(f"fixture-ssb AQP: {stats}")
+    assert not stats["skipped_queries"]
+    assert stats["mean_relative_error"] <= 0.15
+    assert stats["p95_relative_error"] <= 0.5

@@ -645,3 +645,93 @@ def test_factorized_grouped_aqp_under_or(spark):
     assert set(rows) == set(exact)
     for g, t in exact.items():
         assert abs(rows[g] - t) / max(t, 1e-9) <= 0.35, (g, rows[g], t)
+
+
+# ------------------------------- split-anchor grouped factorized AQP
+
+
+def test_grouped_aqp_split_anchor_across_models(spark):
+    """SSB Q3/Q4 flight shape: GROUP BY on one table, aggregate
+    operand on ANOTHER, with no single model covering both (singles +
+    pairs ensemble). The split-anchor path must pin each group value
+    on the factorized cardinality chain — capturing the planted
+    nation↔order-fanout correlation through the boundary multipliers
+    — instead of raising ModelPlaneUnsupported."""
+    from deepdb_public_spark.plans.query import (
+        AggOperation,
+        AggregationOperationType,
+        AggregationType,
+        Query,
+        QueryType,
+    )
+    from deepdb_public_spark.plans.schema import SchemaGraph, Table
+    from deepdb_public_spark.spn.ensemble import SPNEnsemble
+    from deepdb_public_spark.spn.learn import LearnParams
+    from deepdb_public_spark.spn.trainer import train_spn_model
+
+    # nation A: 100 customers x 5 orders; B: 50 x 1 — group size and
+    # fanout both nation-correlated
+    custs, orders, ck, ok = [], [], 0, 0
+    for name, n_cust, fanout in (("A", 100, 5), ("B", 50, 1)):
+        for _ in range(n_cust):
+            custs.append((ck, name))
+            for _ in range(fanout):
+                orders.append((ok, ck, 2.0))
+                ok += 1
+            ck += 1
+    nat = spark.createDataFrame([("A",), ("B",)], "name string").withColumn(
+        "nk", F.when(F.col("name") == "A", 0).otherwise(1)
+    )
+    cdf = spark.createDataFrame(custs, "ck int, cname string").withColumn(
+        "nk", F.when(F.col("cname") == "A", 0).otherwise(1)
+    ).drop("cname")
+    odf = spark.createDataFrame(orders, "ok int, ck int, price double")
+
+    g = SchemaGraph()
+    g.add_table(Table("nat", ["nk"]))
+    g.add_table(Table("cust", ["ck"]))
+    g.add_table(Table("ord", ["ok"]))
+    r1 = g.add_relationship("cust", "nk", "nat", "nk")
+    r2 = g.add_relationship("ord", "ck", "cust", "ck")
+    catalog = {"nat": nat, "cust": cdf, "ord": odf}
+    params = LearnParams(min_instances_slice=100)
+
+    ens = SPNEnsemble(g)
+    ens.add_model(train_spn_model(catalog, g, {"nat", "cust"}, 50_000, params))
+    ens.add_model(train_spn_model(catalog, g, {"ord"}, 50_000, params))
+
+    q = Query(
+        query_type=QueryType.AQP,
+        table_set={"nat", "cust", "ord"},
+        relationship_set={r1.identifier, r2.identifier},
+        group_bys=[("nat", "name")],
+        aggregations=[
+            AggOperation(
+                AggregationOperationType.AGGREGATION,
+                AggregationType.COUNT,
+                [],
+                alias="cnt",
+            ),
+            AggOperation(
+                AggregationOperationType.AGGREGATION,
+                AggregationType.SUM,
+                [("ord", "price")],
+                alias="rev",
+            ),
+            AggOperation(
+                AggregationOperationType.AGGREGATION,
+                AggregationType.AVG,
+                [("ord", "price")],
+                alias="ap",
+            ),
+        ],
+    )
+    rows = {r["name"]: r for r in ens.aqp(q)}
+    truth = {"A": (500.0, 1000.0), "B": (50.0, 100.0)}
+    assert set(rows) == set(truth)
+    for name, (cnt, rev) in truth.items():
+        assert rows[name]["cnt"] == pytest.approx(cnt, rel=0.25), rows[name]
+        assert rows[name]["rev"] == pytest.approx(rev, rel=0.25), rows[name]
+        assert rows[name]["ap"] == pytest.approx(2.0, rel=0.05), rows[name]
+    # the planted correlation must survive: A's count >> B's
+    assert rows["A"]["cnt"] > 4 * rows["B"]["cnt"]
