@@ -267,6 +267,7 @@ def evaluate_aqp(
     return {
         "n_cells": len(rows),
         "mean_relative_error": float(errs.mean()),
+        "median_relative_error": float(np.median(errs)),
         "p95_relative_error": float(np.percentile(errs, 95)),
         "max_relative_error": float(errs.max()),
         "skipped_queries": skipped,

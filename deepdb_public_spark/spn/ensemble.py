@@ -725,15 +725,15 @@ class SPNEnsemble:
         COUNTs ride the full factor chain with the group value pinned
         as an equality condition, and the operand mean comes from the
         operand anchor's local AVG.
-        COUNT(DISTINCT) stays exact-plane here (per-value masses
-        across models are not composed)."""
+        COUNT(DISTINCT) (round 7) thresholds the factorized per-value
+        masses (_chain_value_masses): anchor per-value grid scaled by
+        the factor chain's NOT-NULL total."""
         from ..plans.query import (
             AggOperation,
             AggregationOperationType,
             AggregationType,
             Condition,
         )
-        from .model import ModelPlaneUnsupported
 
         if query.group_bys:
             return self._aqp_factorized_grouped(query)
@@ -759,11 +759,10 @@ class SPNEnsemble:
         alias = None
         for op in query.aggregations:
             if getattr(op, "distinct", False):
-                raise ModelPlaneUnsupported(
-                    "COUNT(DISTINCT) over a multi-model table set: use "
-                    "the exact plane"
-                )
-            if op.agg_type is AggregationType.COUNT:
+                # COUNT(DISTINCT) over a multi-model table set: the
+                # factorized per-value masses, thresholded (round 7)
+                val = self._factorized_distinct(query, op.operands[0])
+            elif op.agg_type is AggregationType.COUNT:
                 nn = [
                     Condition(t, c, "IS_NOT_NULL") for t, c in (op.operands or [])
                 ]
@@ -844,7 +843,8 @@ class SPNEnsemble:
             can satisfy different disjuncts on different rows), so
             COUNT(DISTINCT) never routes here: ungrouped goes through
             _ie_distinct_count (signed per-value masses), grouped
-            raises and falls back to the exact plane."""
+            through _ie_grouped_distinct_count (signed per-cell
+            masses)."""
             nonlocal collect_visible
             total: dict[tuple, float] = {}
             for sign, q in terms:
@@ -876,14 +876,14 @@ class SPNEnsemble:
             elif op.distinct:
                 if gb_cols:
                     val = self._ie_grouped_distinct_count(
-                        query, op.operands[0][1], gb_cols
+                        query, op.operands[0], gb_cols
                     )
                     if collect_visible:
                         visible.update(val.keys())
                         collect_visible = False
                 else:
                     val = {
-                        (): self._ie_distinct_count(query, op.operands[0][1])
+                        (): self._ie_distinct_count(query, op.operands[0])
                     }
             else:
                 val = signed(op.agg_type, op.operands, op.distinct)
@@ -908,7 +908,9 @@ class SPNEnsemble:
 
         return _apply_having(rows, query.having)
 
-    def _ie_distinct_count(self, query: Query, col: str) -> float:
+    def _ie_distinct_count(
+        self, query: Query, col_ref: tuple[str, str]
+    ) -> float:
         """Distinct count under cross-column OR: inclusion-exclusion
         applies to the per-value MASSES (P(col=v AND ·) is linear in
         the indicator), and the expected-rows threshold is taken on
@@ -919,21 +921,91 @@ class SPNEnsemble:
         # expected-row units per term (each term's own full_join_size)
         # keyed by DECODED values: terms answered by different models
         # must not mix probability masses over different denominators
-        # or per-model dictionary codes
+        # or per-model dictionary codes. Terms over table sets no
+        # single model covers ride the factorized per-value masses.
         acc: dict = {}
         for s, q in self._ie_terms(query):
-            model = self.select_model(q)
-            fjs = model.full_join_size
-            dom, masses = model._value_masses(col, q)
-            cm = model.meta.columns[col]
-            if cm.kind == "categorical" and cm.value_to_code:
-                inv = {code: k for k, code in cm.value_to_code.items()}
-                keys = [inv.get(int(v), float(v)) for v in dom]
-            else:
-                keys = [float(v) for v in dom]
-            for v, m in zip(keys, masses):
-                acc[v] = acc.get(v, 0.0) + s * fjs * float(m)
+            for v, rows in self._chain_value_masses(q, col_ref).items():
+                acc[v] = acc.get(v, 0.0) + s * rows
         return float(sum(1 for rows in acc.values() if rows >= 0.5))
+
+    @staticmethod
+    def _decode_domain(model: SPNModel, col: str, dom) -> list:
+        """Per-model dictionary codes -> original values (floats for
+        numerics), so masses from different models combine on the same
+        keys."""
+        cm = model.meta.columns[col]
+        if cm.kind == "categorical" and cm.value_to_code:
+            inv = {code: k for k, code in cm.value_to_code.items()}
+            return [inv.get(int(v), float(v)) for v in dom]
+        return [float(v) for v in dom]
+
+    def _chain_value_masses(
+        self, query: Query, col_ref: tuple[str, str]
+    ) -> dict:
+        """{decoded value: expected FULL-query rows with col = v} for
+        one conjunctive (OR-free) query. A covering model answers from
+        its per-value grid directly (B8/B9). Table sets no single
+        model covers extend the factorized COUNT (B11): the anchor
+        covering the column's table supplies per-value masses in its
+        piece, scaled by chain_count(col IS NOT NULL) / anchor NOT-NULL
+        total — i.e. remote predicates are assumed value-independent,
+        the per-value form of the independence the factorized COUNT
+        already assumes for remote selectivities (reference:
+        spn_ensemble.py::evaluate_factors; budget-tested, not exact)."""
+        from ..plans.query import Condition
+
+        t, c = col_ref
+        try:
+            model = self.select_model(query)
+        except ValueError:
+            model = None
+        if model is not None:
+            dom, masses = model._value_masses(c, query)
+            fjs = model.full_join_size
+            return dict(
+                zip(
+                    self._decode_domain(model, c, dom),
+                    (fjs * masses).tolist(),
+                )
+            )
+        m, local = self._anchor_local(query, [col_ref])
+        dom, masses = m._value_masses(c, local)
+        fjs = m.full_join_size
+        anchor_nn = fjs * float(masses.sum())
+        if anchor_nn <= 0 or len(dom) == 0:
+            return {}
+        qc = Query(
+            query_type=QueryType.CARDINALITY,
+            table_set=set(query.table_set),
+            relationship_set=set(query.relationship_set),
+            conditions=list(query.conditions)
+            + [Condition(t, c, "IS_NOT_NULL")],
+        )
+        sc = float(self.cardinality(qc)) / anchor_nn
+        return dict(
+            zip(self._decode_domain(m, c, dom), (fjs * masses * sc).tolist())
+        )
+
+    def _factorized_distinct(
+        self, query: Query, col_ref: tuple[str, str]
+    ) -> float:
+        """COUNT(DISTINCT col) over a table set no single model covers:
+        threshold the factorized per-value masses at 0.5 expected rows
+        (the same pruning rule every distinct/grid estimate here
+        uses)."""
+        vm = self._chain_value_masses(query, col_ref)
+        return float(sum(1 for rows in vm.values() if rows >= 0.5))
+
+    def _col_ref(self, col: str, query: Query) -> tuple[str, str]:
+        """(owning table, column) for a bare column name, resolved
+        against the query's table scope via the models' column->table
+        maps."""
+        for m in self.models:
+            t = m.column_table.get(col)
+            if t and t in query.table_set:
+                return t, col
+        raise ValueError(f"no model knows a table for column '{col}'")
 
     def _aqp_factorized_grouped(self, query: Query) -> list[dict]:
         """Grouped AQP over a table set no single model covers: the
@@ -948,7 +1020,7 @@ class SPNEnsemble:
             AggregationType,
             Condition,
         )
-        from .model import ModelPlaneUnsupported, _apply_having
+        from .model import _apply_having
 
         gb_cols = [c for _t, c in query.group_bys]
         need = {t for t, _c in query.group_bys} | {
@@ -1013,17 +1085,25 @@ class SPNEnsemble:
             sc = chain_count(extra) / tot
             return {k: v * sc for k, v in g.items()}
 
+        def grouped_distinct(col_ref: tuple[str, str]) -> dict[tuple, float]:
+            """Per-group COUNT(DISTINCT col): the anchor's per-(group,
+            value) masses scaled by the factor chain (the same
+            group-independent remote factor scaled_count assumes),
+            then the 0.5-expected-rows threshold per cell."""
+            gm = self._chain_grouped_value_masses(query, gb_cols, col_ref)
+            return {
+                k: float(sum(1 for rows in vm.values() if rows >= 0.5))
+                for k, vm in gm.items()
+            }
+
         anchor_cnt = scaled_count([])
         outputs: list[tuple[str, dict]] = []
         acc: dict | None = None
         alias = None
         for op in query.aggregations:
             if getattr(op, "distinct", False):
-                raise ModelPlaneUnsupported(
-                    "COUNT(DISTINCT) over a multi-model table set: use "
-                    "the exact plane"
-                )
-            if op.agg_type is AggregationType.COUNT:
+                val = grouped_distinct(op.operands[0])
+            elif op.agg_type is AggregationType.COUNT:
                 val = scaled_count(op.operands)
             elif op.agg_type is AggregationType.AVG:
                 # ratios are scale-free: the anchor's per-group AVG IS
@@ -1158,14 +1238,24 @@ class SPNEnsemble:
         acc: dict | None = None
         alias = None
         for op in query.aggregations:
-            if getattr(op, "distinct", False):
-                raise ModelPlaneUnsupported(
-                    "COUNT(DISTINCT) over a multi-model table set: use "
-                    "the exact plane"
-                )
             ops = list(op.operands or [])
             nn = [Condition(t, c, "IS_NOT_NULL") for t, c in ops]
-            if op.agg_type is AggregationType.COUNT:
+            if getattr(op, "distinct", False):
+                # distinct column lives in a different model than the
+                # group-by columns: pin each group key as an equality
+                # condition (the split pattern the per-group COUNTs
+                # already use) and threshold the factorized per-value
+                # masses of the pinned chain (round 7)
+                val = {}
+                for k in keys:
+                    qk = Query(
+                        query_type=QueryType.CARDINALITY,
+                        table_set=set(query.table_set),
+                        relationship_set=set(query.relationship_set),
+                        conditions=list(query.conditions) + pin(k),
+                    )
+                    val[k] = self._factorized_distinct(qk, op.operands[0])
+            elif op.agg_type is AggregationType.COUNT:
                 if nn:
                     val = {k: chain_count(pin(k) + nn) for k in keys}
                 else:
@@ -1377,7 +1467,7 @@ class SPNEnsemble:
         return out
 
     def _ie_grouped_distinct_count(
-        self, query: Query, col: str, gb_cols: list[str]
+        self, query: Query, col_ref: tuple[str, str], gb_cols: list[str]
     ) -> dict[tuple, float]:
         """Grouped distinct count under cross-column OR: sign the
         per-(group, value) MASSES across inclusion-exclusion terms
@@ -1390,23 +1480,87 @@ class SPNEnsemble:
         POSITIVE term gives it combined expected rows >= 0.5."""
         # combine in EXPECTED-ROW units (each term's own
         # full_join_size): terms answered by different models must not
-        # mix probability masses over different denominators
+        # mix probability masses over different denominators. Terms
+        # over table sets no single model covers ride the factorized
+        # per-(group, value) masses (round 7).
         acc: dict[tuple, dict] = {}
         pos_keys: set[tuple] = set()
         for s, q in self._ie_terms(query):
-            model = self.select_model(q)
-            gm, fjs = model._grouped_value_masses(gb_cols, col, q)
+            gm = self._chain_grouped_value_masses(q, gb_cols, col_ref)
             for key, vm in gm.items():
-                if s > 0 and fjs * sum(vm.values()) >= 0.5:
+                if s > 0 and sum(vm.values()) >= 0.5:
                     pos_keys.add(key)
                 slot = acc.setdefault(key, {})
-                for v, m in vm.items():
-                    slot[v] = slot.get(v, 0.0) + s * fjs * m
+                for v, rows in vm.items():
+                    slot[v] = slot.get(v, 0.0) + s * rows
         return {
             key: float(
                 sum(1 for rows in acc.get(key, {}).values() if rows >= 0.5)
             )
             for key in pos_keys
+        }
+
+    def _chain_grouped_value_masses(
+        self, query: Query, gb_cols: list[str], col_ref: tuple[str, str]
+    ) -> dict[tuple, dict]:
+        """{decoded group key: {decoded value: expected FULL-query
+        rows}} for one conjunctive query — the grouped analogue of
+        _chain_value_masses. A covering model reads its own grid;
+        otherwise the anchor covering the group-by tables AND the
+        column's table in one connected piece supplies the grid,
+        scaled by chain_count(col IS NOT NULL) over the anchor's total
+        (remote factors assumed group- and value-independent, as in
+        the factorized grouped COUNT)."""
+        from ..plans.query import Condition
+        from .model import ModelPlaneUnsupported
+
+        t, c = col_ref
+        try:
+            model = self.select_model(query)
+        except ValueError:
+            model = None
+        if model is not None:
+            gm, fjs = model._grouped_value_masses(gb_cols, c, query)
+            return {
+                k: {v: fjs * mass for v, mass in vm.items()}
+                for k, vm in gm.items()
+            }
+        _q_rels, component, sub_query = self._query_graph(query)
+        need = {tt for tt, _cc in query.group_bys} | {t}
+        cond_tables = {cd.table for cd in query.conditions}
+        cands = []
+        for mi, m in enumerate(self.models):
+            avail = m.table_set & set(query.table_set)
+            if not need <= avail:
+                continue
+            piece = component(avail, t)
+            if not need <= piece:
+                continue
+            cands.append((len(piece & cond_tables), len(piece), -mi, m, piece))
+        if not cands:
+            raise ModelPlaneUnsupported(
+                "grouped COUNT(DISTINCT) over a multi-model table set "
+                "needs one model covering the group-by tables and the "
+                "distinct column's table in a connected piece; use the "
+                "exact plane"
+            )
+        cands.sort(key=lambda x: x[:3], reverse=True)
+        _nc, _np, _mi, m, piece = cands[0]
+        gm, fjs = m._grouped_value_masses(gb_cols, c, sub_query(set(piece)))
+        tot = fjs * sum(mass for vm in gm.values() for mass in vm.values())
+        if tot <= 0:
+            return {k: {} for k in gm}
+        qc = Query(
+            query_type=QueryType.CARDINALITY,
+            table_set=set(query.table_set),
+            relationship_set=set(query.relationship_set),
+            conditions=list(query.conditions)
+            + [Condition(t, c, "IS_NOT_NULL")],
+        )
+        sc = float(self.cardinality(qc)) / tot
+        return {
+            k: {v: fjs * mass * sc for v, mass in vm.items()}
+            for k, vm in gm.items()
         }
 
     def distinct_count(self, query: Query, cols: list[str]) -> float:
@@ -1419,21 +1573,74 @@ class SPNEnsemble:
         threshold each cell's COMBINED expected rows."""
         if self._complex_or_index(query) is not None:
             if len(cols) == 1:
-                return self._ie_distinct_count(query, cols[0])
+                return self._ie_distinct_count(
+                    query, self._col_ref(cols[0], query)
+                )
             # multi-column: per-term (leading-cols x last-col) mass
             # grids, signed in expected-row units per cell, then the
             # 0.5-expected-rows threshold on the combined cell mass —
             # same set-algebra argument as the grouped case
             acc: dict[tuple, float] = {}
             for s, q in self._ie_terms(query):
-                model = self.select_model(q)
-                gm, fjs = model._grouped_value_masses(cols[:-1], cols[-1], q)
-                for key, vm in gm.items():
-                    for v, mass in vm.items():
-                        cell = key + (v,)
-                        acc[cell] = acc.get(cell, 0.0) + s * fjs * mass
+                for cell, rows in self._chain_cell_masses(q, cols).items():
+                    acc[cell] = acc.get(cell, 0.0) + s * rows
             return float(sum(1 for rows in acc.values() if rows >= 0.5))
-        return self.select_model(query).distinct_count(cols, query)
+        try:
+            model = self.select_model(query)
+        except ValueError:
+            # table set no single model covers: factorized per-value /
+            # per-cell masses, thresholded (round 7)
+            if len(cols) == 1:
+                return self._factorized_distinct(
+                    query, self._col_ref(cols[0], query)
+                )
+            cells = self._chain_cell_masses(query, cols)
+            return float(sum(1 for rows in cells.values() if rows >= 0.5))
+        return model.distinct_count(cols, query)
+
+    def _chain_cell_masses(
+        self, query: Query, cols: list[str]
+    ) -> dict[tuple, float]:
+        """{decoded (col1, …, colN) cell: expected FULL-query rows} for
+        one conjunctive query — the multi-column analogue of
+        _chain_value_masses. A covering model reads its own
+        (leading-cols x last-col) grid; otherwise the anchor covering
+        every operand table supplies the grid, scaled by the factor
+        chain's all-operands-NOT-NULL count over the anchor's total
+        (grids exclude null values by construction, so the two measure
+        the same rows)."""
+        from ..plans.query import Condition
+
+        refs = [self._col_ref(c, query) for c in cols]
+        try:
+            model = self.select_model(query)
+        except ValueError:
+            model = None
+        if model is not None:
+            gm, fjs = model._grouped_value_masses(cols[:-1], cols[-1], query)
+            return {
+                key + (v,): fjs * mass
+                for key, vm in gm.items()
+                for v, mass in vm.items()
+            }
+        m, local = self._anchor_local(query, refs)
+        gm, fjs = m._grouped_value_masses(cols[:-1], cols[-1], local)
+        tot = fjs * sum(mass for vm in gm.values() for mass in vm.values())
+        if tot <= 0:
+            return {}
+        qc = Query(
+            query_type=QueryType.CARDINALITY,
+            table_set=set(query.table_set),
+            relationship_set=set(query.relationship_set),
+            conditions=list(query.conditions)
+            + [Condition(t, c, "IS_NOT_NULL") for t, c in refs],
+        )
+        sc = float(self.cardinality(qc)) / tot
+        return {
+            key + (v,): fjs * mass * sc
+            for key, vm in gm.items()
+            for v, mass in vm.items()
+        }
 
     def quantile(
         self, query: Query, col: str, qs: list[float]

@@ -40,6 +40,13 @@ class LearnParams:
     # --post_sampling_factor, default off here; >1 merges distinct
     # values into ~len/factor equal-mass bins, Leaf.compact)
     post_sampling_factor: float = 1.0
+    # round 6: tiny relations clamp min_instances_slice to rows//4 so
+    # dimension models keep at least ~2 split levels (a pure
+    # naive-independence product spreads joint mass over all value
+    # cross-combinations and grouped grids prune to empty). Set False
+    # to honor min_instances_slice literally — e.g. to force a
+    # product-of-leaves model for the sum-free incremental path.
+    adaptive_slice_floor: bool = True
 
 
 def scale_minmax(

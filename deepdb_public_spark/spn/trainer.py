@@ -256,7 +256,9 @@ def train_spn_model(
         # reference's 10M-sample regime never hits this: its
         # min_instances_slice is always << rows).
         _eff = min(observed_size, sample_budget)
-        if params.min_instances_slice > max(4, _eff // 4):
+        if params.adaptive_slice_floor and params.min_instances_slice > max(
+            4, _eff // 4
+        ):
             import dataclasses as _dc
 
             params = _dc.replace(

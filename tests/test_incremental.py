@@ -36,7 +36,7 @@ def test_absorb_delta_exact_path_sum_free(spark):
     eng = Engine(spark, SF_SMOKE)
     model = train_spn_model(
         eng.catalog, eng.schema, {"customer"}, 100_000,
-        LearnParams(min_instances_slice=10**9),
+        LearnParams(min_instances_slice=10**9, adaptive_slice_floor=False),
     )
     assert not any(
         isinstance(n, Sum)
@@ -97,7 +97,7 @@ def test_remove_delta_exact_path_sum_free(spark):
     eng = Engine(spark, SF_SMOKE)
     model = train_spn_model(
         eng.catalog, eng.schema, {"customer"}, 100_000,
-        LearnParams(min_instances_slice=10**9),
+        LearnParams(min_instances_slice=10**9, adaptive_slice_floor=False),
     )
     base = eng.catalog["customer"]
     q = Query(table_set={"customer"})
@@ -114,7 +114,7 @@ def test_remove_delta_exact_path_sum_free(spark):
     # delete from the ORIGINAL model: estimates track the shrunk table
     model2 = train_spn_model(
         eng.catalog, eng.schema, {"customer"}, 100_000,
-        LearnParams(min_instances_slice=10**9),
+        LearnParams(min_instances_slice=10**9, adaptive_slice_floor=False),
     )
     remove_delta(model2, delta)
     remaining = base.subtract(delta)
@@ -154,7 +154,7 @@ def test_remove_delta_rejects_full_wipe(spark):
     eng = Engine(spark, SF_SMOKE)
     model = train_spn_model(
         eng.catalog, eng.schema, {"customer"}, 100_000,
-        LearnParams(min_instances_slice=10**9),
+        LearnParams(min_instances_slice=10**9, adaptive_slice_floor=False),
     )
     with pytest.raises(ValueError, match="retrain"):
         remove_delta(model, eng.catalog["customer"])

@@ -560,14 +560,22 @@ def test_factorized_multi_model_aqp(spark):
         rel = abs(row[k] - float(exact[k])) / max(abs(float(exact[k])), 1e-9)
         assert rel <= budget, (k, row[k], exact[k])
 
-    # grouped multi-model AQP stays exact-plane, loudly
-    qg = eng.parse(
+    # grouped multi-model AQP with the group table and operand table
+    # in DIFFERENT models rides the split-anchor path (round 6's
+    # later addition superseded the old loud fallback): the operand
+    # anchor's local AVG is constant over groups by assumption
+    gsql = (
         "SELECT AVG(lineitem.l_quantity) AS aq FROM orders, lineitem "
         "WHERE orders.o_orderkey = lineitem.l_orderkey "
         "GROUP BY orders.o_orderstatus"
     )
-    with pytest.raises(ModelPlaneUnsupported):
-        ens.aqp(qg)
+    grows = {r["o_orderstatus"]: r["aq"] for r in ens.aqp(eng.parse(gsql))}
+    gexact = {
+        r["o_orderstatus"]: float(r["aq"]) for r in eng.query(gsql).collect()
+    }
+    assert set(grows) == set(gexact)
+    for g, t in gexact.items():
+        assert abs(grows[g] - t) / max(abs(t), 1e-9) <= 0.1, (g, grows[g], t)
 
 
 def test_factorized_multi_model_grouped_aqp(spark):
@@ -608,13 +616,20 @@ def test_factorized_multi_model_grouped_aqp(spark):
             assert rel <= budget, (g, k, rows[g][k], e[k])
 
     # gb table (orders) and operand table (lineitem) co-covered by no
-    # model: loud fallback
-    with pytest.raises(ModelPlaneUnsupported):
-        ens.aqp(eng.parse(
-            "SELECT SUM(lineitem.l_quantity) AS sq FROM orders, lineitem "
-            "WHERE orders.o_orderkey = lineitem.l_orderkey "
-            "GROUP BY orders.o_orderstatus"
-        ))
+    # model: the split-anchor path pins each group key on the
+    # factorized chain (superseded the old loud fallback)
+    ssql = (
+        "SELECT SUM(lineitem.l_quantity) AS sq FROM orders, lineitem "
+        "WHERE orders.o_orderkey = lineitem.l_orderkey "
+        "GROUP BY orders.o_orderstatus"
+    )
+    srows = {r["o_orderstatus"]: r["sq"] for r in ens.aqp(eng.parse(ssql))}
+    sexact = {
+        r["o_orderstatus"]: float(r["sq"]) for r in eng.query(ssql).collect()
+    }
+    assert set(srows) == set(sexact)
+    for g, t in sexact.items():
+        assert abs(srows[g] - t) / max(abs(t), 1e-9) <= 0.3, (g, srows[g], t)
 
 
 def test_factorized_grouped_aqp_under_or(spark):
@@ -679,20 +694,22 @@ def test_grouped_aqp_split_anchor_across_models(spark):
                 orders.append((ok, ck, 2.0))
                 ok += 1
             ck += 1
+    # column names unique ACROSS the co-trained table set — the
+    # outer-join staging contract (prep.generate_join_sample)
     nat = spark.createDataFrame([("A",), ("B",)], "name string").withColumn(
         "nk", F.when(F.col("name") == "A", 0).otherwise(1)
     )
     cdf = spark.createDataFrame(custs, "ck int, cname string").withColumn(
-        "nk", F.when(F.col("cname") == "A", 0).otherwise(1)
+        "c_nk", F.when(F.col("cname") == "A", 0).otherwise(1)
     ).drop("cname")
-    odf = spark.createDataFrame(orders, "ok int, ck int, price double")
+    odf = spark.createDataFrame(orders, "ok int, o_ck int, price double")
 
     g = SchemaGraph()
     g.add_table(Table("nat", ["nk"]))
     g.add_table(Table("cust", ["ck"]))
     g.add_table(Table("ord", ["ok"]))
-    r1 = g.add_relationship("cust", "nk", "nat", "nk")
-    r2 = g.add_relationship("ord", "ck", "cust", "ck")
+    r1 = g.add_relationship("cust", "c_nk", "nat", "nk")
+    r2 = g.add_relationship("ord", "o_ck", "cust", "ck")
     catalog = {"nat": nat, "cust": cdf, "ord": odf}
     params = LearnParams(min_instances_slice=100)
 

@@ -1,0 +1,162 @@
+"""Round 7: COUNT(DISTINCT) over table sets NO single model covers.
+
+The last ModelPlaneUnsupported on the factorized surface: per-value
+masses now compose across models — the anchor covering the distinct
+column's table supplies the per-value (or per-(group, value)) grid,
+scaled by the factor chain's NOT-NULL count over the anchor's total
+(the per-value form of the independence the factorized COUNT already
+assumes; reference: spn_ensemble.py::evaluate_factors +
+group_by_combination.py). Every estimate is checked against the exact
+plane; genuinely uncovered shapes still raise.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+REL_BUDGET = 0.2  # distinct domains here are well-sampled
+
+
+@pytest.fixture(scope="module")
+def two_model_engine(spark):
+    from deepdb_public_spark.engine import Engine
+    from deepdb_public_spark.spn.ensemble import SPNEnsemble
+    from deepdb_public_spark.spn.trainer import train_spn_model
+
+    eng = Engine(spark, SF_SMOKE)
+    ens = SPNEnsemble(eng.schema)
+    ens.add_model(
+        train_spn_model(eng.catalog, eng.schema, {"customer", "orders"}, 50_000)
+    )
+    ens.add_model(train_spn_model(eng.catalog, eng.schema, {"lineitem"}, 50_000))
+    eng.ensemble = ens
+    return eng
+
+
+def _rel(est: float, true: float) -> float:
+    return abs(est - true) / max(abs(true), 1e-9)
+
+
+def test_factorized_distinct_ungrouped(two_model_engine):
+    eng = two_model_engine
+    sql = (
+        "SELECT COUNT(DISTINCT lineitem.l_quantity) AS v FROM orders, "
+        "lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND "
+        "orders.o_orderstatus = 'F' AND lineitem.l_discount <= 0.06"
+    )
+    (est,) = eng.ensemble.aqp(eng.parse(sql))
+    (true,) = [r["v"] for r in eng.query(sql).collect()]
+    assert _rel(float(est["v"]), float(true)) <= REL_BUDGET
+
+
+def test_factorized_distinct_under_or(two_model_engine):
+    eng = two_model_engine
+    sql = (
+        "SELECT COUNT(DISTINCT lineitem.l_quantity) AS v FROM orders, "
+        "lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND "
+        "(orders.o_orderstatus = 'F' OR lineitem.l_quantity < 10)"
+    )
+    (est,) = eng.ensemble.aqp(eng.parse(sql))
+    (true,) = [r["v"] for r in eng.query(sql).collect()]
+    assert _rel(float(est["v"]), float(true)) <= REL_BUDGET
+
+
+def test_factorized_distinct_grouped_anchor(two_model_engine):
+    """Group-by and distinct column co-modeled (lineitem anchor), the
+    selective condition in the OTHER model: grouped_distinct scales
+    the anchor grid by the chain."""
+    eng = two_model_engine
+    sql = (
+        "SELECT COUNT(DISTINCT lineitem.l_quantity) AS v FROM orders, "
+        "lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND "
+        "orders.o_orderstatus = 'F' GROUP BY lineitem.l_returnflag"
+    )
+    est = {r["l_returnflag"]: float(r["v"]) for r in eng.ensemble.aqp(eng.parse(sql))}
+    for r in eng.query(sql).collect():
+        true = float(r["v"])
+        got = est.get(r["l_returnflag"])
+        assert got is not None, r
+        assert _rel(got, true) <= REL_BUDGET, (r, got)
+
+
+def test_factorized_distinct_grouped_split(two_model_engine):
+    """Group-by column (lineitem model) and distinct column (orders
+    model) in DIFFERENT models: the split path pins each group key on
+    the factorized chain and thresholds the pinned per-value masses."""
+    eng = two_model_engine
+    sql = (
+        "SELECT COUNT(DISTINCT orders.o_orderpriority) AS v FROM orders, "
+        "lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND "
+        "lineitem.l_discount <= 0.06 GROUP BY lineitem.l_returnflag"
+    )
+    est = {r["l_returnflag"]: float(r["v"]) for r in eng.ensemble.aqp(eng.parse(sql))}
+    for r in eng.query(sql).collect():
+        true = float(r["v"])
+        got = est.get(r["l_returnflag"])
+        assert got is not None, r
+        assert _rel(got, true) <= REL_BUDGET, (r, got)
+
+
+def test_factorized_distinct_grouped_under_or(two_model_engine):
+    eng = two_model_engine
+    sql = (
+        "SELECT COUNT(DISTINCT lineitem.l_quantity) AS v FROM orders, "
+        "lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND "
+        "(orders.o_orderstatus = 'F' OR lineitem.l_quantity < 10) "
+        "GROUP BY lineitem.l_returnflag"
+    )
+    est = {r["l_returnflag"]: float(r["v"]) for r in eng.ensemble.aqp(eng.parse(sql))}
+    for r in eng.query(sql).collect():
+        true = float(r["v"])
+        got = est.get(r["l_returnflag"])
+        assert got is not None, r
+        assert _rel(got, true) <= REL_BUDGET, (r, got)
+
+
+def test_public_distinct_count_multi_model(two_model_engine):
+    """SPNEnsemble.distinct_count over a multi-model scope: single- and
+    multi-column, against DuckDB truth on the same parquet."""
+    import duckdb
+
+    eng = two_model_engine
+    q = eng.parse(
+        "SELECT COUNT(*) AS v FROM orders, lineitem WHERE "
+        "orders.o_orderkey = lineitem.l_orderkey AND "
+        "orders.o_orderstatus = 'F'"
+    )
+    single = eng.ensemble.distinct_count(q, ["l_quantity"])
+    multi = eng.ensemble.distinct_count(q, ["l_returnflag", "l_linestatus"])
+    con = duckdb.connect()
+    base = (
+        f"FROM read_parquet('{SF_SMOKE}/lineitem.parquet') l JOIN "
+        f"read_parquet('{SF_SMOKE}/orders.parquet') o "
+        "ON o_orderkey = l_orderkey WHERE o_orderstatus = 'F'"
+    )
+    t1 = con.sql(f"SELECT COUNT(DISTINCT l_quantity) {base}").fetchone()[0]
+    t2 = con.sql(
+        "SELECT COUNT(*) FROM (SELECT DISTINCT l_returnflag, l_linestatus "
+        + base
+        + ")"
+    ).fetchone()[0]
+    assert _rel(single, float(t1)) <= REL_BUDGET, (single, t1)
+    assert _rel(multi, float(t2)) <= REL_BUDGET, (multi, t2)
+
+
+def test_grouped_distinct_or_uncovered_still_raises(two_model_engine):
+    """Grouped distinct under OR where NO model covers the group-by
+    table and the distinct column's table in one connected piece stays
+    a loud ModelPlaneUnsupported (exact-plane fallback), not a silent
+    wrong answer."""
+    from deepdb_public_spark.spn.model import ModelPlaneUnsupported
+
+    eng = two_model_engine
+    sql = (
+        "SELECT COUNT(DISTINCT orders.o_orderpriority) AS v FROM orders, "
+        "lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND "
+        "(orders.o_orderstatus = 'F' OR lineitem.l_quantity < 10) "
+        "GROUP BY lineitem.l_returnflag"
+    )
+    with pytest.raises(ModelPlaneUnsupported):
+        eng.ensemble.aqp(eng.parse(sql))
