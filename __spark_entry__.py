@@ -1524,6 +1524,92 @@ def _m_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _m_factorized_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FACTORIZED COUNT(DISTINCT) (round 7): the 3-table {customer,
+    orders, lineitem} set is covered by NO shared model, so distinct
+    counts compose across models — the anchor's per-value (or
+    per-(group, value)) mass grid scaled by the factor chain's
+    NOT-NULL total, thresholded at 0.5 expected rows
+    (SPNEnsemble._chain_value_masses / _chain_grouped_value_masses;
+    reference: spn_ensemble.py::evaluate_factors +
+    group_by_combination.py — the reference itself has neither
+    factorized distinct nor the OR grammar). Cases: ungrouped,
+    grouped co-modeled anchor, grouped SPLIT anchor (distinct column
+    in a different model than the group column), and cross-column OR
+    (signed per-value masses). Output (did, true_distinct, ok):
+    truths hash-match DuckDB; ok = estimate within a 1.3 q-error
+    budget."""
+    eng = _engine(spark, sf_dir)
+    _ensure_models(
+        eng,
+        [
+            ({"orders", "lineitem"}, 80_000),
+            ({"customer", "orders"}, 60_000),
+            ({"lineitem"}, 60_000),
+        ],
+    )
+    joins = (
+        "FROM customer, orders, lineitem "
+        "WHERE customer.c_custkey = orders.o_custkey "
+        "AND orders.o_orderkey = lineitem.l_orderkey "
+    )
+    out = []
+
+    def ok(est, true):
+        qerr = max(est / max(true, 1), true / max(est, 1e-9))
+        return bool(qerr < 1.3)
+
+    # d1: ungrouped, remote customer predicate -> factorized masses
+    sql1 = (
+        "SELECT COUNT(DISTINCT lineitem.l_quantity) AS v " + joins +
+        "AND customer.c_mktsegment = 'BUILDING' AND lineitem.l_discount <= 0.06"
+    )
+    (e1,) = eng.ensemble.aqp(eng.parse(sql1))
+    t1 = int(eng.query(sql1).collect()[0]["v"])
+    out.append(("d1", t1, ok(float(e1["v"]), t1)))
+
+    # g:<flag>: grouped, group + distinct co-modeled in the lineitem
+    # anchor, remote customer predicate scales the grid
+    sql2 = (
+        "SELECT COUNT(DISTINCT lineitem.l_quantity) AS v " + joins +
+        "AND customer.c_mktsegment = 'BUILDING' AND lineitem.l_discount <= 0.06 "
+        "GROUP BY lineitem.l_returnflag"
+    )
+    est2 = {r["l_returnflag"]: float(r["v"]) for r in eng.ensemble.aqp(eng.parse(sql2))}
+    for r in eng.query(sql2).collect():
+        t = int(r["v"])
+        e = est2.get(r["l_returnflag"])
+        out.append((f"g:{r['l_returnflag']}", t, e is not None and ok(e, t)))
+
+    # o:<flag>: grouped SPLIT anchor — distinct column (orders) and
+    # group column (lineitem) in different models; each group key is
+    # pinned on the factorized chain
+    sql3 = (
+        "SELECT COUNT(DISTINCT orders.o_orderpriority) AS v " + joins +
+        "AND customer.c_mktsegment = 'BUILDING' AND lineitem.l_discount <= 0.06 "
+        "GROUP BY lineitem.l_returnflag"
+    )
+    est3 = {r["l_returnflag"]: float(r["v"]) for r in eng.ensemble.aqp(eng.parse(sql3))}
+    for r in eng.query(sql3).collect():
+        t = int(r["v"])
+        e = est3.get(r["l_returnflag"])
+        out.append((f"o:{r['l_returnflag']}", t, e is not None and ok(e, t)))
+
+    # d4: cross-column OR across models — inclusion-exclusion signs
+    # the per-value masses of each (factorized) term
+    sql4 = (
+        "SELECT COUNT(DISTINCT lineitem.l_quantity) AS v " + joins +
+        "AND (customer.c_mktsegment = 'BUILDING' OR lineitem.l_quantity < 10)"
+    )
+    (e4,) = eng.ensemble.aqp(eng.parse(sql4))
+    t4 = int(eng.query(sql4).collect()[0]["v"])
+    out.append(("d4", t4, ok(float(e4["v"]), t4)))
+
+    return spark.createDataFrame(
+        out, "did string, true_distinct long, ok boolean"
+    )
+
+
 def _m_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-plane quantiles (beyond the reference: its aggregates
     stop at COUNT/SUM/AVG and the paper names median as unsupported):
@@ -2134,6 +2220,36 @@ _PREP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
         SELECT l_returnflag AS grp, COUNT(*) AS true_cnt, TRUE AS hit
         FROM lineitem WHERE l_quantity < 10 OR l_discount > 0.08
         GROUP BY l_returnflag
+        """,
+    ),
+    "m19_factorized_distinct": (
+        _m_factorized_distinct,
+        """
+        WITH j AS (
+            SELECT l.l_quantity, l.l_returnflag, l.l_discount,
+                   o.o_orderpriority, c.c_mktsegment
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        )
+        SELECT 'd1' AS did,
+               (SELECT COUNT(DISTINCT l_quantity) FROM j
+                WHERE c_mktsegment = 'BUILDING' AND l_discount <= 0.06)
+                 AS true_distinct,
+               TRUE AS ok
+        UNION ALL
+        SELECT 'g:' || l_returnflag, COUNT(DISTINCT l_quantity), TRUE
+        FROM j WHERE c_mktsegment = 'BUILDING' AND l_discount <= 0.06
+        GROUP BY l_returnflag
+        UNION ALL
+        SELECT 'o:' || l_returnflag, COUNT(DISTINCT o_orderpriority), TRUE
+        FROM j WHERE c_mktsegment = 'BUILDING' AND l_discount <= 0.06
+        GROUP BY l_returnflag
+        UNION ALL
+        SELECT 'd4',
+               (SELECT COUNT(DISTINCT l_quantity) FROM j
+                WHERE c_mktsegment = 'BUILDING' OR l_quantity < 10),
+               TRUE
         """,
     ),
     "m18_factorized_aqp": (
@@ -3097,6 +3213,9 @@ _PRIORITY_TAIL = [
     # E-table extras verified in the full artifact; parked here so the
     # driver's 50-entry window keeps every MODEL-plane entry (m04-m06
     # are core DeepDB AQP/CI capabilities) ahead of decorative scalars
+    # q11 parked round 7 to make window room for m19 (exact-plane
+    # COUNT(DISTINCT) stays covered in-window by q38)
+    "q11_count_distinct",
     "q19_intersect",
     "q20_except",
     "q22_string_case",
@@ -3139,6 +3258,7 @@ _PRIORITY_HEAD = [
     "m02_incremental_insert",
     "m07_incremental_delete",
     "m08_distinct_estimate",
+    "m19_factorized_distinct",
     "m09_model_quantiles",
     "m10_update_in_place",
     "m11_events_model",
