@@ -620,6 +620,28 @@ def _x_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(tagged, "text", "doc_id", "split")
 
 
+def _x_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram overlap decontamination (round 7 — the 13-gram-rule
+    shape, n=8 for the synthetic docs): deterministic split, planted
+    leakage (copies of the first 40 docs under shifted ids), then per
+    test doc the fraction of its distinct token 8-grams that appear
+    anywhere in train. Stronger than x25's whole-document
+    fingerprints: partial inclusion is caught. All counts/fractions
+    are exact integers/rationals — hash-checked against DuckDB."""
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.operators.sampling import hash_split
+    from deepdb_public_spark.operators.textstats import ngram_contamination
+
+    docs = _engine(spark, sf_dir).catalog["documents"].select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted)
+    tagged = hash_split(corpus, "doc_id", {"train": 0.9, "test": 0.1})
+    return ngram_contamination(tagged, "text", "doc_id", "split", n=8)
+
+
 def _x_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixing with per-source weights (en down-sampled to 50%,
     de kept whole), deterministic across runs/engines; per-source doc
@@ -2058,6 +2080,31 @@ def _x_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, qdf, "text", "doc_id", k=5)
 
 
+def _x_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (round 7): BM25 and cosine top-20 lists fused
+    by reciprocal-rank fusion (operators/similarity.hybrid_rrf_topk).
+    Query batch = the x43 text queries paired with fixed corpus
+    embeddings as query vectors (qid 1..4 <- vec_id 0/7/31/42).
+    Scores are 1/(60+rank) sums — exact rationals of integer ranks —
+    so the entry hash-checks against DuckDB running the identical
+    two-channel ranking + fusion."""
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.operators.similarity import hybrid_rrf_topk
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.catalog["documents"]
+    vecs = eng.catalog["embeddings"]
+    qtext = spark.createDataFrame(_X43_QUERIES, "qid int, qtext string")
+    vmap = {0: 1, 7: 2, 31: 3, 42: 4}
+    mapping = F.create_map(*[F.lit(x) for kv in vmap.items() for x in kv])
+    qvec = vecs.filter(F.col("vec_id").isin(list(vmap))).select(
+        mapping[F.col("vec_id")].alias("qid"),
+        F.col("embedding").alias("qvec"),
+    )
+    return hybrid_rrf_topk(docs, qtext, vecs, qvec)
+
+
 def _x_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch surface (Spark-native analogue of the checklist's
     approx_count_distinct row). Output (exact_parts, exact_orders,
@@ -2285,6 +2332,91 @@ _PREP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
                  AS true_cnt,
                TRUE AS qerr_ok
         FROM embeddings q WHERE q.vec_id IN (0, 7, 31)
+        """,
+    ),
+    "x46_hybrid_rrf": (
+        _x_hybrid_rrf,
+        """
+        WITH q(qid, qtext) AS (VALUES
+            (1, 'hash join spark'), (2, 'window stream batch'),
+            (3, 'filter scan column'), (4, 'customer order line')),
+        toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM toks
+          WHERE length(term) >= 2 GROUP BY doc_id, term
+        ),
+        dl AS (
+          SELECT doc_id, COUNT(*) AS dl FROM toks
+          WHERE length(term) >= 2 GROUP BY doc_id
+        ),
+        dfq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term),
+        st AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                      (SELECT AVG(dl) FROM dl) AS avgdl),
+        qt AS (
+          SELECT qid,
+                 unnest(list_distinct(string_split_regex(lower(qtext), '[^a-z0-9]+'))) AS term
+          FROM q
+        ),
+        scored AS (
+          SELECT qt.qid, tf.doc_id,
+                 SUM(ln(1.0 + (st.n_docs - dfq.dfreq + 0.5) / (dfq.dfreq + 0.5))
+                     * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS score
+          FROM qt
+          JOIN tf ON qt.term = tf.term
+          JOIN dfq ON qt.term = dfq.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN st
+          WHERE length(qt.term) >= 2
+          GROUP BY qt.qid, tf.doc_id
+        ),
+        lex AS (
+          SELECT qid, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, doc_id ASC) AS lex_rnk
+          FROM scored
+        ),
+        lex20 AS (SELECT * FROM lex WHERE lex_rnk <= 20),
+        qv AS (
+          SELECT CASE vec_id WHEN 0 THEN 1 WHEN 7 THEN 2
+                             WHEN 31 THEN 3 ELSE 4 END AS qid,
+                 embedding AS e
+          FROM embeddings WHERE vec_id IN (0, 7, 31, 42)
+        ),
+        vcos AS (
+          SELECT qv.qid, v.vec_id AS doc_id,
+                 SUM(CAST(v.embedding[g.i] AS DOUBLE) * CAST(qv.e[g.i] AS DOUBLE))
+                 / (SQRT(SUM(CAST(v.embedding[g.i] AS DOUBLE) * CAST(v.embedding[g.i] AS DOUBLE)))
+                    * SQRT(SUM(CAST(qv.e[g.i] AS DOUBLE) * CAST(qv.e[g.i] AS DOUBLE)))) AS cos
+          FROM embeddings v CROSS JOIN qv
+          CROSS JOIN generate_series(1, 64) AS g(i)
+          GROUP BY qv.qid, v.vec_id
+        ),
+        vrank AS (
+          SELECT qid, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY cos DESC, doc_id ASC) AS vec_rnk
+          FROM vcos
+        ),
+        v20 AS (SELECT * FROM vrank WHERE vec_rnk <= 20),
+        fused AS (
+          SELECT COALESCE(l.qid, v.qid) AS qid,
+                 COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                 COALESCE(1.0 / (60 + l.lex_rnk), 0)
+                 + COALESCE(1.0 / (60 + v.vec_rnk), 0) AS rrf
+          FROM lex20 l FULL OUTER JOIN v20 v
+            ON l.qid = v.qid AND l.doc_id = v.doc_id
+        )
+        SELECT qid, doc_id, ROUND(rrf, 6) AS rrf_score, rnk FROM (
+          SELECT qid, doc_id, rrf,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY rrf DESC, doc_id ASC) AS rnk
+          FROM fused
+        ) WHERE rnk <= 5
         """,
     ),
     "x43_bm25_topk": (
@@ -3069,6 +3201,46 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
                ROUND(sqrt(list_sum(list_transform(embedding,
                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
         FROM embeddings WHERE vec_id < 500
+        """,
+    ),
+    "x47_ngram_contamination": (
+        _x_ngram_contamination,
+        """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 40
+        ),
+        base AS (
+            SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                        THEN 'train' ELSE 'test' END AS split,
+                   doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               t -> length(t) >= 2) AS ts
+            FROM corpus
+        ),
+        starts AS (
+            SELECT split, doc_id, ts,
+                   unnest(generate_series(1, greatest(len(ts) - 7, 0))) AS g
+            FROM base
+        ),
+        grams AS (
+            SELECT DISTINCT split, doc_id,
+                   md5(array_to_string(list_slice(ts, g, g + 7), ' ')) AS gram
+            FROM starts
+        ),
+        train AS (SELECT DISTINCT gram FROM grams WHERE split = 'train'),
+        test AS (SELECT doc_id, gram FROM grams WHERE split = 'test'),
+        totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM test GROUP BY doc_id),
+        hits AS (
+            SELECT t.doc_id, COUNT(*) AS n_hit
+            FROM test t JOIN train tr USING (gram) GROUP BY t.doc_id
+        )
+        SELECT totals.doc_id, totals.n_grams,
+               COALESCE(hits.n_hit, 0) AS n_hit,
+               ROUND(CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / totals.n_grams, 6)
+                 AS frac
+        FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
         """,
     ),
     "x25_contamination": (

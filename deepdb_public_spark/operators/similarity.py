@@ -43,6 +43,128 @@ def brute_force_topk(
     )
 
 
+def batch_cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries: DataFrame,
+    qvec_col: str = "qvec",
+    qid_col: str = "qid",
+    k: int = 10,
+) -> DataFrame:
+    """Cosine top-k for a BATCH of query vectors in ONE corpus scan:
+    the (small) query batch broadcasts, every (row, query) pair is
+    scored JVM-side (functions.vectors.cosine — zip_with/aggregate,
+    no UDF), and a window keeps k per query. (qid, id, cos, rnk).
+
+    Scale shape: cost is one corpus scan × |batch| row-local dot
+    products — queries-per-batch scales freely because the corpus is
+    never re-scanned per query; the only shuffle is the per-query
+    top-k window over ≤ |batch| × partitions candidate rows."""
+    from pyspark.sql.window import Window
+
+    pairs = (
+        spread_small_input(df)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+        .crossJoin(
+            F.broadcast(
+                queries.select(
+                    F.col(qid_col).alias("__qid"), F.col(qvec_col).alias("__qv")
+                )
+            )
+        )
+    )
+    scored = pairs.select(
+        "__qid", "id", cosine(F.col("__v"), F.col("__qv")).alias("cos")
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("__qid").alias(qid_col),
+            "id",
+            F.round("cos", 6).alias("cos"),
+            "rnk",
+        )
+    )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    queries_text: DataFrame,
+    vecs: DataFrame,
+    queries_vec: DataFrame,
+    *,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+    qid_col: str = "qid",
+    qtext_col: str = "qtext",
+    qvec_col: str = "qvec",
+    k: int = 5,
+    k_lex: int = 20,
+    k_vec: int = 20,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 (lexical) and cosine (vector) top-k
+    lists fused by reciprocal-rank fusion,
+
+        RRF(q, d) = Σ_channels 1 / (rrf_k + rank_channel(q, d)),
+
+    the standard zero-tuning fusion rule (Cormack et al., SIGIR'09) a
+    training-data pipeline uses for decontamination probes and
+    retrieval-based dedup where neither channel alone is reliable.
+    ``docs``/``vecs`` must share an id space (doc_id = vec_id).
+    Output (qid, doc_id, rrf_score, rnk), best first, ties broken on
+    doc id — fully deterministic given the two channel rankings.
+
+    Scale shape: each channel is its own batch-scored corpus pass
+    (bm25_topk: three bounded shuffles; batch_cosine_topk: one scan);
+    the fusion is a full-outer join of two ≤ |batch|·k_channel row
+    lists — driver never sees data, channels never re-scan per
+    query."""
+    from pyspark.sql.window import Window
+
+    from .textstats import bm25_topk
+
+    lex = bm25_topk(
+        docs, queries_text, text_col, doc_id_col,
+        qid_col=qid_col, qtext_col=qtext_col, k=k_lex,
+    ).select(
+        F.col(qid_col).alias("__qid"),
+        F.col(doc_id_col).alias("__doc"),
+        F.col("rnk").alias("lex_rnk"),
+    )
+    vec = batch_cosine_topk(
+        vecs, vec_col, vec_id_col, queries_vec, qvec_col, qid_col, k=k_vec
+    ).select(
+        F.col(qid_col).alias("__qid"),
+        F.col("id").alias("__doc"),
+        F.col("rnk").alias("vec_rnk"),
+    )
+    fused = lex.join(vec, ["__qid", "__doc"], "full_outer").select(
+        "__qid",
+        "__doc",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rnk")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("vec_rnk")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("rrf"), F.asc("__doc"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("__qid").alias(qid_col),
+            F.col("__doc").alias(doc_id_col),
+            F.round("rrf", 6).alias("rrf_score"),
+            "rnk",
+        )
+    )
+
+
 class IvfIndex:
     """IVF coarse-quantizer index over an embedding DataFrame.
 

@@ -134,6 +134,81 @@ def contamination_report(
     )
 
 
+def ngram_contamination(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    split_col: str,
+    n: int = 8,
+    train_label: str = "train",
+    test_label: str = "test",
+    min_len: int = 2,
+) -> DataFrame:
+    """Token-n-gram overlap decontamination (the "13-gram rule" of
+    GPT-3's appendix C / Llama eval hygiene, parameterized): a test
+    document is contaminated to the degree its token n-grams appear
+    ANYWHERE in the train split. Whole-document fingerprints
+    (contamination_report) miss partial inclusion — an eval question
+    quoted inside a larger train page; n-gram overlap is the standard
+    stronger guard. Output per test doc with at least one n-gram:
+    (id, n_grams, n_hit, frac) over the doc's DISTINCT grams.
+
+    Scale shape: tokens stay an ARRAY column until the gram level —
+    grams = size-n windows via one JVM transform + explode, so the
+    corpus expands to ~tokens-per-doc rows ONCE; train grams
+    deduplicate through one groupBy shuffle on the fixed-width md5
+    gram key and the test side joins through the same key. Never
+    doc-to-doc comparison, no Python in the row path."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+        lambda t: F.length(t) >= min_len,
+    )
+    base = spread_small_input(df).select(
+        F.col(split_col).alias("__split"),
+        F.col(id_col).alias("__id"),
+        toks.alias("__ts"),
+    )
+    starts = F.when(
+        F.size("__ts") >= n,
+        F.sequence(F.lit(1), F.size("__ts") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        "__split",
+        "__id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("__ts"), i, F.lit(n)))
+                ),
+            )
+        ).alias("gram"),
+    ).distinct()
+    test = grams.filter(F.col("__split") == test_label)
+    train = (
+        grams.filter(F.col("__split") == train_label)
+        .select("gram")
+        .distinct()
+    )
+    totals = test.groupBy("__id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        test.join(train, "gram")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        totals.join(hits, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_grams",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_grams"), 6
+            ).alias("frac"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str,

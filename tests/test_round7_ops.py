@@ -1,0 +1,119 @@
+"""Round 7 pipeline operators: batched cosine top-k, hybrid BM25 +
+vector retrieval with reciprocal-rank fusion, and token-n-gram overlap
+decontamination — planted micro-corpora with hand-computable truth.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_batch_cosine_topk_matches_brute_force(spark):
+    from deepdb_public_spark.operators.similarity import (
+        batch_cosine_topk,
+        brute_force_topk,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i == j) + 0.1 * j for j in range(4)]) for i in range(8)],
+        "vec_id int, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.1, 0.2, 0.3]), (2, [0.1, 1.1, 0.2, 0.3])],
+        "qid int, qvec array<double>",
+    )
+    batch = batch_cosine_topk(vecs, "embedding", "vec_id", queries, k=3)
+    got = {
+        (r["qid"], r["rnk"]): r["id"] for r in batch.collect()
+    }
+    for qid, qv in [(1, [1.0, 0.1, 0.2, 0.3]), (2, [0.1, 1.1, 0.2, 0.3])]:
+        single = brute_force_topk(vecs, "embedding", "vec_id", qv, k=3).collect()
+        for rnk, row in enumerate(single, start=1):
+            assert got[(qid, rnk)] == row["id"], (qid, rnk, row)
+
+
+def test_hybrid_rrf_fuses_both_channels(spark):
+    from deepdb_public_spark.operators.similarity import hybrid_rrf_topk
+
+    # doc 1: lexical-only match; doc 2: vector-only match; doc 3: both
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle partition join"),
+            (2, "unrelated text about nothing"),
+            (3, "spark shuffle and more spark shuffle"),
+        ],
+        "doc_id int, text string",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0, 0.0]),
+            (2, [1.0, 0.0, 0.0]),
+            (3, [0.9, 0.1, 0.0]),
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    qtext = spark.createDataFrame(
+        [(1, "spark shuffle")], "qid int, qtext string"
+    )
+    qvec = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0])], "qid int, qvec array<double>"
+    )
+    rows = hybrid_rrf_topk(
+        docs, qtext, vecs, qvec, k=3, k_lex=3, k_vec=3
+    ).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    # doc 3 appears in BOTH top lists -> two reciprocal terms -> wins
+    assert rows[0]["doc_id"] == 3
+    assert by_doc[3]["rnk"] == 1
+    # RRF score = sum of 1/(60 + rank_channel); doc 3 is lex rank <=2
+    # and vec rank 2 (behind the exact-match doc 2)
+    assert by_doc[3]["rrf_score"] == pytest.approx(
+        1.0 / (60 + by_doc[3]["rrf_score"] * 0 + 1) + 1.0 / 62, abs=0.02
+    )
+    # single-channel docs carry exactly one term
+    assert by_doc[2]["rrf_score"] == pytest.approx(1.0 / 61, abs=1e-6)
+
+
+def test_ngram_contamination_counts(spark):
+    from deepdb_public_spark.operators.textstats import ngram_contamination
+
+    t = "aa bb cc dd ee ff gg hh"  # 8 tokens -> exactly one 8-gram
+    rows = spark.createDataFrame(
+        [
+            ("train", 1, t + " zz yy"),          # contains the gram
+            ("test", 2, t + " qq"),              # 9 tokens -> 2 grams, 1 hit
+            ("test", 3, "uu vv ww xx"),          # <8 tokens -> no grams
+            ("test", 4, "k1 k2 k3 k4 k5 k6 k7 k8"),  # 1 gram, 0 hits
+        ],
+        "split string, doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ngram_contamination(rows, "text", "doc_id", "split").collect()
+    }
+    assert set(out) == {2, 4}  # doc 3 has no 8-grams
+    assert out[2]["n_grams"] == 2 and out[2]["n_hit"] == 1
+    assert out[2]["frac"] == pytest.approx(0.5)
+    assert out[4]["n_grams"] == 1 and out[4]["n_hit"] == 0
+    assert out[4]["frac"] == 0.0
+
+
+def test_ngram_contamination_distinct_grams(spark):
+    """Repeated n-grams inside one doc count ONCE (set semantics)."""
+    from deepdb_public_spark.operators.textstats import ngram_contamination
+
+    t = "aa bb cc dd ee ff gg hh"
+    rows = spark.createDataFrame(
+        [
+            ("train", 1, t),
+            ("test", 2, t + " " + t),  # the shared gram repeats
+        ],
+        "split string, doc_id int, text string",
+    )
+    (r,) = ngram_contamination(rows, "text", "doc_id", "split").collect()
+    # 16 tokens -> 9 start positions; windows 1 and 9 are the same
+    # gram ('aa..hh'), so 8 DISTINCT grams survive
+    assert r["n_grams"] == 8
+    assert r["n_hit"] == 1  # only the pure 'aa..hh' window exists in train
+    assert r["frac"] == pytest.approx(1.0 / 8, abs=1e-6)
