@@ -1380,14 +1380,21 @@ def _m_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = base.filter((F.col("l_orderkey") % 10) < 3)
     absorb_delta(model, delta, sample_budget=60_000)
     grown = base.unionByName(delta)
-    out = []
-    for pid, pred, sql_pred in [
+    cases = [
         ("d1", "l_quantity < 25", "lineitem.l_quantity < 25"),
         ("d2", "l_returnflag = 'A'", "lineitem.l_returnflag = 'A'"),
-    ]:
+    ]
+    truths = grown.agg(
+        *[
+            F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END")).alias(pid)
+            for pid, pred, _s in cases
+        ]
+    ).collect()[0]
+    out = []
+    for pid, _pred, sql_pred in cases:
         q = eng.parse(f"SELECT COUNT(*) AS cnt FROM lineitem WHERE {sql_pred}")
         est = float(model.cardinality(q))
-        true = grown.filter(pred).count()
+        true = int(truths[pid])
         qerr = max(est / max(true, 1), true / max(est, 1e-9))
         out.append((pid, true, bool(qerr < _MODEL_QERR_BUDGET)))
     return spark.createDataFrame(
@@ -1420,14 +1427,21 @@ def _m_incremental_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = base.filter((F.col("l_orderkey") % 10) < 3)
     remove_delta(model, delta, sample_budget=60_000)
     remaining = base.filter((F.col("l_orderkey") % 10) >= 3)
-    out = []
-    for pid, pred, sql_pred in [
+    cases = [
         ("r1", "l_quantity < 25", "lineitem.l_quantity < 25"),
         ("r2", "l_returnflag = 'A'", "lineitem.l_returnflag = 'A'"),
-    ]:
+    ]
+    truths = remaining.agg(
+        *[
+            F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END")).alias(pid)
+            for pid, pred, _s in cases
+        ]
+    ).collect()[0]
+    out = []
+    for pid, _pred, sql_pred in cases:
         q = eng.parse(f"SELECT COUNT(*) AS cnt FROM lineitem WHERE {sql_pred}")
         est = float(model.cardinality(q))
-        true = remaining.filter(pred).count()
+        true = int(truths[pid])
         qerr = max(est / max(true, 1), true / max(est, 1e-9))
         out.append((pid, true, bool(qerr < _MODEL_QERR_BUDGET)))
     return spark.createDataFrame(
@@ -1462,15 +1476,24 @@ def _m_update_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
     remove_delta(model, old, sample_budget=60_000)
     absorb_delta(model, new, sample_budget=60_000)
     updated = base.filter((F.col("l_orderkey") % 10) >= 2).unionByName(new)
-    out = []
-    for pid, pred, sql_pred in [
+    cases = [
         ("u1", "l_quantity < 25", "lineitem.l_quantity < 25"),
         ("u2", "l_quantity >= 50", "lineitem.l_quantity >= 50"),
         ("u3", "l_returnflag = 'A'", "lineitem.l_returnflag = 'A'"),
-    ]:
+    ]
+    # all three truths in ONE pass over the updated union (round 7:
+    # was one filter+count scan per predicate)
+    truths = updated.agg(
+        *[
+            F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END")).alias(pid)
+            for pid, pred, _s in cases
+        ]
+    ).collect()[0]
+    out = []
+    for pid, _pred, sql_pred in cases:
         q = eng.parse(f"SELECT COUNT(*) AS cnt FROM lineitem WHERE {sql_pred}")
         est = float(model.cardinality(q))
-        true = updated.filter(pred).count()
+        true = int(truths[pid])
         qerr = max(est / max(true, 1), true / max(est, 1e-9))
         out.append((pid, true, bool(qerr < _MODEL_QERR_BUDGET)))
     return spark.createDataFrame(

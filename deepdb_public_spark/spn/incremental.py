@@ -42,36 +42,51 @@ def _encoded_delta(model: SPNModel, delta_df: DataFrame) -> DataFrame:
     # Reject unseen categorical values LOUDLY: encode_with_meta maps
     # them to NULL codes, which would silently inflate null_prob and
     # give the real value zero mass (prep.py's contract says callers
-    # must re-encode with an extended dictionary). One bounded
-    # distinct+anti-join probe per dictionary column.
+    # must re-encode with an extended dictionary). ONE bounded probe
+    # for ALL dictionary columns (round 7: the per-column probe ran a
+    # separate distinct+anti-join job per dictionary column; melting
+    # the columns into (__col, __val) pairs checks every dictionary
+    # in a single scan of the delta).
     spark = delta_df.sparkSession
-    for c in model.column_names:
-        cm = model.meta.columns.get(c)
-        if (
-            cm is None
-            or cm.kind != "categorical"
-            or cm.value_to_code is None
-            or c not in delta_df.columns
-        ):
-            continue
+    dict_cols = [
+        c
+        for c in model.column_names
+        if (cm := model.meta.columns.get(c)) is not None
+        and cm.kind == "categorical"
+        and cm.value_to_code is not None
+        and c in delta_df.columns
+    ]
+    if dict_cols:
+        stack = (
+            f"stack({len(dict_cols)}, "
+            + ", ".join(
+                f"'{c}', CAST(`{c}` AS STRING)" for c in dict_cols
+            )
+            + ") AS (__col, __val)"
+        )
         dict_df = spark.createDataFrame(
-            [(v,) for v in cm.value_to_code], f"`{c}` string"
+            [
+                (c, str(v))
+                for c in dict_cols
+                for v in model.meta.columns[c].value_to_code
+            ],
+            "__col string, __val string",
         )
         unseen = (
-            delta_df.select(c)
-            .where(F.col(c).isNotNull())
+            delta_df.selectExpr(stack)
+            .where(F.col("__val").isNotNull())
             .distinct()
-            .join(F.broadcast(dict_df), c, "left_anti")
+            .join(F.broadcast(dict_df), ["__col", "__val"], "left_anti")
             .limit(3)
             .collect()
         )
         if unseen:
-            vals = [r[0] for r in unseen]
+            pairs = [(r["__col"], r["__val"]) for r in unseen]
             raise ValueError(
                 f"delta has categorical values unseen at training time "
-                f"for column '{c}' (e.g. {vals}); re-encode with an "
-                "extended dictionary and retrain/extend the model "
-                "instead of absorbing them as NULL"
+                f"(e.g. {pairs}); re-encode with an extended dictionary "
+                "and retrain/extend the model instead of absorbing them "
+                "as NULL"
             )
     enc = encode_with_meta(delta_df, model.meta)
     # boundary fanout columns (B11) describe children REFERENCING the

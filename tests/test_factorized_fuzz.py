@@ -130,6 +130,62 @@ def test_factorized_aqp_fuzz_band(two_model_engine):
     assert n_checked >= 40, n_checked  # the band actually exercised cases
 
 
+def test_factorized_distinct_fuzz_band(two_model_engine):
+    """Round-7 surface: COUNT(DISTINCT) across models — seeded
+    predicate sweep over ungrouped/grouped/OR shapes, each estimate
+    within a 1.3 q-error of the exact plane (distinct domains here
+    are sample-covered, so the factorized per-value masses should be
+    near-exact; the band guards the chain-scaling against predicate
+    drift)."""
+    import random
+
+    rng = random.Random(20260815)
+    eng = two_model_engine
+    o_preds = [
+        "orders.o_orderstatus = 'F'",
+        "orders.o_totalprice > 150000",
+        "orders.o_totalprice <= 100000",
+    ]
+    l_preds = [
+        "lineitem.l_discount <= 0.06",
+        "lineitem.l_quantity < 30",
+        "lineitem.l_quantity >= 10",
+    ]
+    n_checked = 0
+    for _ in range(12):
+        op, lp = rng.choice(o_preds), rng.choice(l_preds)
+        where = f"{op} AND {lp}"
+        if rng.random() < 0.3:
+            where = f"({op} OR {lp})"
+        group = " GROUP BY lineitem.l_returnflag" if rng.random() < 0.4 else ""
+        sql = (
+            "SELECT COUNT(DISTINCT lineitem.l_quantity) AS v "
+            "FROM orders, lineitem "
+            f"WHERE orders.o_orderkey = lineitem.l_orderkey AND {where}"
+            f"{group}"
+        )
+        est_rows = eng.ensemble.aqp(eng.parse(sql))
+        exact_rows = [r.asDict() for r in eng.query(sql).collect()]
+        if group:
+            est = {r["l_returnflag"]: float(r["v"]) for r in est_rows}
+            for r in exact_rows:
+                true = float(r["v"])
+                if true < 5:  # tiny domains are threshold-noise bound
+                    continue
+                got = est.get(r["l_returnflag"])
+                assert got is not None, (sql, r)
+                qerr = max(got / true, true / max(got, 1e-9))
+                assert qerr <= 1.3, (sql, r, got)
+                n_checked += 1
+        else:
+            true = float(exact_rows[0]["v"])
+            got = float(est_rows[0]["v"])
+            qerr = max(got / max(true, 1), true / max(got, 1e-9))
+            assert qerr <= 1.3, (sql, got, true)
+            n_checked += 1
+    assert n_checked >= 12, n_checked
+
+
 def test_evaluate_many_matches_scalar_evaluate(two_model_engine):
     """The batch pass is a pure vectorization: for every sub-query in
     a seeded set, evaluate_many's vector entry equals the scalar

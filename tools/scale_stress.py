@@ -39,7 +39,13 @@ def main() -> None:
     from deepdb_public_spark.operators.chunking import chunk_documents
     from deepdb_public_spark.operators.dedup import semantic_dedup
     from deepdb_public_spark.operators.filters import repetition_stats
-    from deepdb_public_spark.operators.textstats import doc_profile, tfidf_top_terms
+    from deepdb_public_spark.operators.sampling import hash_split
+    from deepdb_public_spark.operators.similarity import hybrid_rrf_topk
+    from deepdb_public_spark.operators.textstats import (
+        doc_profile,
+        ngram_contamination,
+        tfidf_top_terms,
+    )
 
     base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     n_base = base.count()
@@ -80,6 +86,10 @@ def main() -> None:
         ).count(),
         "tfidf_top_terms (2 shuffles + window)": lambda d: tfidf_top_terms(
             d, "text", "doc_id", k=3
+        ).count(),
+        "ngram_contamination (gram join)": lambda d: ngram_contamination(
+            hash_split(d, "doc_id", {"train": 0.9, "test": 0.1}),
+            "text", "doc_id", "split", n=8,
         ).count(),
     }
 
@@ -123,6 +133,29 @@ def main() -> None:
         ).count(),
     }
 
+    # ops over BOTH corpora (doc ids and vec ids replicate with the
+    # same shifts, so the shared id space survives every scale)
+    _Q_TEXT = [(1, "hash join spark"), (2, "window stream batch"),
+               (3, "filter scan column"), (4, "customer order line")]
+
+    def _hybrid(d, e):
+        qtext = spark.createDataFrame(_Q_TEXT, "qid int, qtext string")
+        qvec = (
+            e.filter(F.col("vec_id").isin([0, 7, 31, 42]))
+            .select(
+                F.create_map(
+                    *[F.lit(x) for kv in {0: 1, 7: 2, 31: 3, 42: 4}.items()
+                      for x in kv]
+                )[F.col("vec_id")].alias("qid"),
+                F.col("embedding").alias("qvec"),
+            )
+        )
+        return hybrid_rrf_topk(d, qtext, e, qvec).count()
+
+    OPS_BOTH = {
+        "hybrid_rrf_topk (BM25 + cosine fusion)": _hybrid,
+    }
+
     # warmup: run every op once untimed (JVM/codegen warm, parquet
     # footers cached) so the 1x timings measure the operator, not the
     # first-query compilation
@@ -137,38 +170,57 @@ def main() -> None:
     for fn in OPS_EMB.values():
         fn(warm_e)
         release_cached()
+    warm2 = corpus(1).persist()
+    warm2.count()
+    for fn in OPS_BOTH.values():
+        fn(warm2, warm_e)
+        release_cached()
+    warm2.unpersist()
     warm_e.unpersist()
 
     scales = [1, 2, 4]
     results: dict[str, list[tuple[int, float, int]]] = {k: [] for k in OPS}
+
+    def _time_op(fn, *args):
+        best, out_n = float("inf"), 0
+        for _rep in range(2):  # best-of-2: GC/compilation noise
+            t0 = time.perf_counter()
+            out_n = fn(*args)
+            best = min(best, time.perf_counter() - t0)
+            release_cached()
+        return best, out_n
+
     for k in scales:
-        d = corpus(k)
-        d = d.persist()
+        d = corpus(k).persist()
         n = d.count()  # materialize input outside the timers
+        e = emb_corpus(k).persist()
+        n_e = e.count()
         for name, fn in OPS.items():
-            best, out_n = float("inf"), 0
-            for _rep in range(2):  # best-of-2: GC/compilation noise
-                t0 = time.perf_counter()
-                out_n = fn(d)
-                best = min(best, time.perf_counter() - t0)
-                release_cached()
+            best, out_n = _time_op(fn, d)
             results[name].append((n, best, out_n))
             print(f"{k}x {name}: {best:.2f}s ({out_n} rows)", flush=True)
-        d.unpersist()
-        e = emb_corpus(k).persist()
-        e.count()
         for name, fn in OPS_EMB.items():
-            best, out_n = float("inf"), 0
-            for _rep in range(2):
-                t0 = time.perf_counter()
-                out_n = fn(e)
-                best = min(best, time.perf_counter() - t0)
-                release_cached()
-            results.setdefault(name, []).append((e.count(), best, out_n))
+            best, out_n = _time_op(fn, e)
+            results.setdefault(name, []).append((n_e, best, out_n))
             print(f"{k}x {name}: {best:.2f}s ({out_n} rows)", flush=True)
+        for name, fn in OPS_BOTH.items():
+            best, out_n = _time_op(fn, d, e)
+            results.setdefault(name, []).append((n, best, out_n))
+            print(f"{k}x {name}: {best:.2f}s ({out_n} rows)", flush=True)
+        d.unpersist()
         e.unpersist()
 
-    with open(os.path.join(REPO, "SCALING.md"), "w") as f:
+    # preserve hand-maintained sections (the training-at-scale record)
+    # across regenerations of the measured table
+    scaling_path = os.path.join(REPO, "SCALING.md")
+    extra = ""
+    if os.path.exists(scaling_path):
+        old = open(scaling_path).read()
+        marker = "\n## "
+        pos = old.find(marker)
+        if pos != -1:
+            extra = old[pos:]
+    with open(scaling_path, "w") as f:
         f.write(
             "# SCALING — measured operator scaling curves\n\n"
             f"Generated by `tools/scale_stress.py` on local[32], input =\n"
@@ -195,6 +247,8 @@ def main() -> None:
             )
             + "\n"
         )
+        if extra:
+            f.write(extra)
     print("wrote SCALING.md")
     spark.stop()
 
