@@ -254,3 +254,39 @@ def test_semantic_dedup_scale_path_no_cross_join(engine):
     )
     release_cached()
     assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_plan_shape(engine, spark):
+    """hybrid_rrf_topk (round 7): the cosine channel's only
+    nested-loop join is against the broadcast 2-row query batch (a
+    batch-size side, never data x data); fusion windows partition by
+    qid; no CartesianProduct."""
+    from deepdb_public_spark.operators.similarity import hybrid_rrf_topk
+
+    docs = engine.catalog["documents"]
+    vecs = engine.catalog["embeddings"]
+    qtext = spark.createDataFrame(
+        [(1, "hash join"), (2, "stream batch")], "qid int, qtext string"
+    )
+    qvec = vecs.filter(F.col("vec_id").isin([0, 7])).select(
+        F.when(F.col("vec_id") == 0, 1).otherwise(2).alias("qid"),
+        F.col("embedding").alias("qvec"),
+    )
+    plan = _plan(hybrid_rrf_topk(docs, qtext, vecs, qvec))
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(__qid" in plan  # per-query top-k windows
+
+
+def test_ngram_contamination_plan_shape(engine):
+    """ngram_contamination (round 7): one gram-level explode; the
+    train/test sides meet through exchanges on the md5 gram key —
+    never a doc-to-doc join."""
+    from deepdb_public_spark.operators.sampling import hash_split
+    from deepdb_public_spark.operators.textstats import ngram_contamination
+
+    tagged = hash_split(
+        engine.catalog["documents"], "doc_id", {"train": 0.9, "test": 0.1}
+    )
+    plan = _plan(ngram_contamination(tagged, "text", "doc_id", "split"))
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(gram" in plan

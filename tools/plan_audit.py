@@ -114,6 +114,24 @@ def main() -> None:
         "(BroadcastExchange), top-k via a window partitioned by doc "
         "id — no SinglePartition global sort.",
     )
+    add(
+        "x46_hybrid_rrf",
+        "Hybrid RRF fusion (round 7): each channel batch-scores the "
+        "corpus once — BM25's aggregates shuffle once for the whole "
+        "query batch, the cosine channel is ONE corpus scan with the "
+        "4-row query batch broadcast (the only nested-loop join is "
+        "against that tiny broadcast side); fusion joins two "
+        "batch-by-k rank lists and the final top-k window partitions "
+        "by qid — no data-scale cartesian anywhere.",
+    )
+    add(
+        "x47_ngram_contamination",
+        "N-gram decontamination (round 7): tokens stay an array "
+        "column until ONE explode at the gram level; train-side "
+        "dedup and the test join meet through hashpartitioning(gram) "
+        "exchanges on fixed-width md5 keys — never doc-to-doc "
+        "comparison, no CartesianProduct.",
+    )
 
     from deepdb_public_spark.operators.dedup import (
         minhash_lsh_pairs,
