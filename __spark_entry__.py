@@ -494,6 +494,20 @@ def _x_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+def _x_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware corpus dedup (round 7): keep each duplicate
+    cluster's HIGHEST-n_chars member (ties: min doc_id) — the
+    RefinedWeb/FineWeb "keep the best copy" rule — instead of the min
+    id. Emits the surviving doc_ids, so the oracle verifies WHICH
+    representative won, not just how many."""
+    from deepdb_public_spark.operators.dedup import deduplicate_corpus
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    pairs = _dup_pairs_from_groups(spark, sf_dir)
+    kept = deduplicate_corpus(docs, "doc_id", pairs, score_col="n_chars")
+    return kept.select("doc_id", "n_chars")
+
+
 def _x_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepdb_public_spark.operators.textstats import quality_score
 
@@ -3181,6 +3195,21 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
         """
         SELECT COUNT(DISTINCT md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS n_kept
         FROM documents
+        """,
+    ),
+    "x48_dedup_best_quality": (
+        _x_dedup_best,
+        # per exact-duplicate fingerprint group, the survivor is the
+        # max-n_chars member (ties: min doc_id) — same normalization
+        # as x21's fingerprint
+        """
+        SELECT doc_id, n_chars FROM (
+          SELECT doc_id, n_chars,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+                   ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM documents
+        ) WHERE rn = 1
         """,
     ),
     "x18_asof_join": (

@@ -30,3 +30,7 @@ SELECT COUNT(DISTINCT lineitem.l_linestatus) FROM lineitem WHERE (lineitem.l_qua
 SELECT COUNT(DISTINCT events.event_type) FROM events WHERE (events.value < 50 OR events.value > 150)
 SELECT AVG(lineitem.l_extendedprice) FROM orders, lineitem WHERE orders.o_orderkey = lineitem.l_orderkey AND (orders.o_totalprice > 150000 OR lineitem.l_quantity > 30)
 SELECT COUNT(DISTINCT orders.o_orderpriority) FROM orders WHERE (orders.o_orderstatus = 'F' OR orders.o_totalprice > 200000) GROUP BY orders.o_orderstatus
+SELECT COUNT(DISTINCT lineitem.l_quantity) AS d FROM customer, orders, lineitem WHERE customer.c_custkey = orders.o_custkey AND orders.o_orderkey = lineitem.l_orderkey AND customer.c_mktsegment = 'BUILDING'
+SELECT COUNT(DISTINCT lineitem.l_quantity) AS d FROM customer, orders, lineitem WHERE customer.c_custkey = orders.o_custkey AND orders.o_orderkey = lineitem.l_orderkey AND customer.c_mktsegment = 'AUTOMOBILE' GROUP BY lineitem.l_returnflag
+SELECT COUNT(DISTINCT orders.o_orderpriority) AS d FROM customer, orders, lineitem WHERE customer.c_custkey = orders.o_custkey AND orders.o_orderkey = lineitem.l_orderkey AND lineitem.l_discount <= 0.04 GROUP BY lineitem.l_linestatus
+SELECT COUNT(DISTINCT lineitem.l_quantity) AS d FROM customer, orders, lineitem WHERE customer.c_custkey = orders.o_custkey AND orders.o_orderkey = lineitem.l_orderkey AND (customer.c_mktsegment = 'BUILDING' OR lineitem.l_quantity < 10)

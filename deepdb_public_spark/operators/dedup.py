@@ -241,14 +241,38 @@ def duplicate_clusters(
 
 
 def deduplicate_corpus(
-    df: DataFrame, id_col: str, pairs: DataFrame
+    df: DataFrame, id_col: str, pairs: DataFrame, score_col: str | None = None
 ) -> DataFrame:
-    """Drop every duplicate except each cluster's representative
-    (MIN id): the end-to-end dedup a training-data pipeline applies
-    after pair generation. Rows never mentioned in ``pairs`` pass
-    through."""
+    """Drop every duplicate except each cluster's representative: the
+    end-to-end dedup a training-data pipeline applies after pair
+    generation. Rows never mentioned in ``pairs`` pass through.
+
+    Representative rule: MIN id by default; with ``score_col``, the
+    member with the HIGHEST score (ties: min id) — the
+    RefinedWeb/FineWeb-style "keep the best copy" selection (longest
+    text, highest quality score). One extra broadcast-scale join of
+    the cluster labels against the scores plus a per-cluster window —
+    both keyed on cluster ids, never on data rows."""
     clusters = duplicate_clusters(pairs)
-    losers = clusters.filter(F.col("id") != F.col("cluster")).select("id")
+    if score_col is None:
+        losers = clusters.filter(F.col("id") != F.col("cluster")).select("id")
+    else:
+        from pyspark.sql.window import Window
+
+        scored = clusters.join(
+            df.select(
+                F.col(id_col).alias("id"), F.col(score_col).alias("__score")
+            ),
+            "id",
+        )
+        w = Window.partitionBy("cluster").orderBy(
+            F.desc("__score"), F.asc("id")
+        )
+        losers = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+            .select("id")
+        )
     return df.join(
         losers, df[id_col] == losers["id"], "left_anti"
     )

@@ -117,3 +117,26 @@ def test_ngram_contamination_distinct_grams(spark):
     assert r["n_grams"] == 8
     assert r["n_hit"] == 1  # only the pure 'aa..hh' window exists in train
     assert r["frac"] == pytest.approx(1.0 / 8, abs=1e-6)
+
+
+def test_deduplicate_corpus_keep_best_score(spark):
+    """score_col keeps the HIGHEST-score member per cluster (ties:
+    min id); default keeps min id; untouched rows pass through."""
+    from deepdb_public_spark.operators.dedup import deduplicate_corpus
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (4, 50), (9, 7)],
+        "doc_id int, score int",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a int, id_b int"
+    )  # cluster {1,2,3}; 4 and 9 untouched
+    default_kept = sorted(
+        r["doc_id"] for r in deduplicate_corpus(df, "doc_id", pairs).collect()
+    )
+    assert default_kept == [1, 4, 9]  # min id wins
+    best_kept = sorted(
+        r["doc_id"]
+        for r in deduplicate_corpus(df, "doc_id", pairs, score_col="score").collect()
+    )
+    assert best_kept == [2, 4, 9]  # highest score, tie broken by min id
