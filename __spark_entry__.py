@@ -2117,21 +2117,15 @@ def _x_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, qdf, "text", "doc_id", k=5)
 
 
-def _x_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval (round 7): BM25 and cosine top-20 lists fused
-    by reciprocal-rank fusion (operators/similarity.hybrid_rrf_topk).
-    Query batch = the x43 text queries paired with fixed corpus
-    embeddings as query vectors (qid 1..4 <- vec_id 0/7/31/42).
-    Scores are 1/(60+rank) sums — exact rationals of integer ranks —
-    so the entry hash-checks against DuckDB running the identical
-    two-channel ranking + fusion."""
+def hybrid_query_batch(spark: SparkSession, vecs: DataFrame):
+    """(query-text DF, query-vector DF) for the hybrid-retrieval
+    surface: the x43 text queries paired with fixed corpus embeddings
+    as query vectors (qid 1..4 <- vec_id 0/7/31/42). Shared by the
+    x46 entry, its DuckDB oracle's CASE mapping, and
+    tools/scale_stress.py — one definition, so the bench measures
+    exactly the shipped entry."""
     from pyspark.sql import functions as F
 
-    from deepdb_public_spark.operators.similarity import hybrid_rrf_topk
-
-    eng = _engine(spark, sf_dir)
-    docs = eng.catalog["documents"]
-    vecs = eng.catalog["embeddings"]
     qtext = spark.createDataFrame(_X43_QUERIES, "qid int, qtext string")
     vmap = {0: 1, 7: 2, 31: 3, 42: 4}
     mapping = F.create_map(*[F.lit(x) for kv in vmap.items() for x in kv])
@@ -2139,6 +2133,22 @@ def _x_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         mapping[F.col("vec_id")].alias("qid"),
         F.col("embedding").alias("qvec"),
     )
+    return qtext, qvec
+
+
+def _x_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (round 7): BM25 and cosine top-20 lists fused
+    by reciprocal-rank fusion (operators/similarity.hybrid_rrf_topk).
+    Query batch = hybrid_query_batch. Scores are 1/(60+rank) sums —
+    exact rationals of integer ranks — so the entry hash-checks
+    against DuckDB running the identical two-channel ranking +
+    fusion."""
+    from deepdb_public_spark.operators.similarity import hybrid_rrf_topk
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.catalog["documents"]
+    vecs = eng.catalog["embeddings"]
+    qtext, qvec = hybrid_query_batch(spark, vecs)
     return hybrid_rrf_topk(docs, qtext, vecs, qvec)
 
 

@@ -1000,11 +1000,21 @@ class SPNEnsemble:
     def _col_ref(self, col: str, query: Query) -> tuple[str, str]:
         """(owning table, column) for a bare column name, resolved
         against the query's table scope via the models' column->table
-        maps."""
-        for m in self.models:
-            t = m.column_table.get(col)
-            if t and t in query.table_set:
-                return t, col
+        maps. Ambiguity (two in-scope tables sharing the name) raises
+        instead of silently picking one — a wrong table here would
+        yield a plausible-looking but wrong distinct estimate."""
+        tables = {
+            t
+            for m in self.models
+            if (t := m.column_table.get(col)) and t in query.table_set
+        }
+        if len(tables) > 1:
+            raise ValueError(
+                f"column '{col}' is ambiguous in this query scope "
+                f"(tables {sorted(tables)}); qualify it"
+            )
+        if tables:
+            return next(iter(tables)), col
         raise ValueError(f"no model knows a table for column '{col}'")
 
     def _aqp_factorized_grouped(self, query: Query) -> list[dict]:
@@ -1079,8 +1089,14 @@ class SPNEnsemble:
             tot = sum(g.values())
             if tot <= 0:
                 return {k: 0.0 for k in g}
+            # the anchor grid's group axes exclude NULLs, so the chain
+            # total must too (round 7: without the group-column NOT
+            # NULL pins, null-group row mass inflated every group)
             extra = [
                 Condition(t, c, "IS_NOT_NULL") for t, c in (operands or [])
+            ] + [
+                Condition(gt, gc, "IS_NOT_NULL")
+                for gt, gc in query.group_bys
             ]
             sc = chain_count(extra) / tot
             return {k: v * sc for k, v in g.items()}
@@ -1428,7 +1444,11 @@ class SPNEnsemble:
         tot = sum(e for e, _sd in anchor.values())
         if tot <= 0:
             return {}
-        nn = [Condition(t, c, "IS_NOT_NULL") for t, c in (operands or [])]
+        # group axes exclude NULLs in the anchor's grouped rows, so
+        # the chain must pin them NOT NULL too (round 7)
+        nn = [Condition(t, c, "IS_NOT_NULL") for t, c in (operands or [])] + [
+            Condition(gt, gc, "IS_NOT_NULL") for gt, gc in query.group_bys
+        ]
         qc = Query(
             query_type=QueryType.CARDINALITY,
             table_set=set(query.table_set),
@@ -1550,12 +1570,19 @@ class SPNEnsemble:
         tot = fjs * sum(mass for vm in gm.values() for mass in vm.values())
         if tot <= 0:
             return {k: {} for k in gm}
+        # the grid's domains exclude NULLs on EVERY axis (group axes
+        # and the distinct column), so the chain must pin NOT NULL on
+        # all of them — else sc inflates by the null-group row mass
         qc = Query(
             query_type=QueryType.CARDINALITY,
             table_set=set(query.table_set),
             relationship_set=set(query.relationship_set),
             conditions=list(query.conditions)
-            + [Condition(t, c, "IS_NOT_NULL")],
+            + [Condition(t, c, "IS_NOT_NULL")]
+            + [
+                Condition(gt, gc, "IS_NOT_NULL")
+                for gt, gc in query.group_bys
+            ],
         )
         sc = float(self.cardinality(qc)) / tot
         return {

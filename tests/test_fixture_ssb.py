@@ -66,9 +66,11 @@ def test_model_plane_aqp_on_ssb_flights(ssb_engine):
     # ~1% SSB numbers come from a dedicated model per flight join
     # shape (rdc_based/relationship ensembles) — covered here by
     # test_multi_spn's relationship-ensemble paths. Measured r7:
-    # mean 0.166, median 0.096, p95 0.458 (max_variants averaging
-    # does not improve it — the slack is proportion independence,
-    # not chain-total noise).
-    assert stats["mean_relative_error"] <= 0.25
-    assert stats["median_relative_error"] <= 0.15
-    assert stats["p95_relative_error"] <= 0.6
+    # mean 0.166, median 0.096, p95 0.458; pinned-chain and
+    # grid-proportion scaling are algebraically identical here and
+    # max_variants averaging does not improve it, so the slack is
+    # structural (group<->remote-predicate independence). Budgets sit
+    # ~20% above measured so drift fails loudly without flaking.
+    assert stats["mean_relative_error"] <= 0.20
+    assert stats["median_relative_error"] <= 0.12
+    assert stats["p95_relative_error"] <= 0.55

@@ -134,22 +134,13 @@ def main() -> None:
     }
 
     # ops over BOTH corpora (doc ids and vec ids replicate with the
-    # same shifts, so the shared id space survives every scale)
-    _Q_TEXT = [(1, "hash join spark"), (2, "window stream batch"),
-               (3, "filter scan column"), (4, "customer order line")]
+    # same shifts, so the shared id space survives every scale); the
+    # query batch is the SAME builder the x46 entry uses, so the
+    # bench measures exactly the shipped operator
+    from __spark_entry__ import hybrid_query_batch
 
     def _hybrid(d, e):
-        qtext = spark.createDataFrame(_Q_TEXT, "qid int, qtext string")
-        qvec = (
-            e.filter(F.col("vec_id").isin([0, 7, 31, 42]))
-            .select(
-                F.create_map(
-                    *[F.lit(x) for kv in {0: 1, 7: 2, 31: 3, 42: 4}.items()
-                      for x in kv]
-                )[F.col("vec_id")].alias("qid"),
-                F.col("embedding").alias("qvec"),
-            )
-        )
+        qtext, qvec = hybrid_query_batch(spark, e)
         return hybrid_rrf_topk(d, qtext, e, qvec).count()
 
     OPS_BOTH = {
