@@ -237,3 +237,30 @@ def test_grouped_factorized_null_group_scaling(spark):
         assert got is not None, (gk, est)
         # without the NOT-NULL chain pins the estimate runs ~1.5x high
         assert abs(got - true) / true <= 0.15, (gk, got, true)
+
+
+def test_chain_value_masses_sum_invariant(two_model_engine):
+    """By construction, the factorized per-value masses sum to the
+    factor chain's NOT-NULL count (the scaling target); the
+    single-model branch sums to the covering model's NOT-NULL count.
+    Pins the normalization so a future refactor cannot silently
+    change the measure the 0.5-row threshold is taken in."""
+    from deepdb_public_spark.plans.query import Condition, Query, QueryType
+
+    eng = two_model_engine
+    sql = (
+        "SELECT COUNT(*) AS v FROM orders, lineitem WHERE "
+        "orders.o_orderkey = lineitem.l_orderkey AND "
+        "orders.o_orderstatus = 'F' AND lineitem.l_discount <= 0.06"
+    )
+    q = eng.parse(sql)
+    vm = eng.ensemble._chain_value_masses(q, ("lineitem", "l_quantity"))
+    qc = Query(
+        query_type=QueryType.CARDINALITY,
+        table_set=set(q.table_set),
+        relationship_set=set(q.relationship_set),
+        conditions=list(q.conditions)
+        + [Condition("lineitem", "l_quantity", "IS_NOT_NULL")],
+    )
+    chain = float(eng.ensemble.cardinality(qc))
+    assert sum(vm.values()) == pytest.approx(chain, rel=1e-6)
