@@ -55,7 +55,20 @@ class SPNEnsemble:
         anchor piece covers jointly."""
         if not self.pairwise_rdc:
             return 0.0
-        cols = [c.column for c in query.conditions if c.table in piece]
+        # cross-column OR groups carry column=None at the top level;
+        # rank on their member disjuncts' columns instead of missing
+        # the lookup entirely (the correlated-pair case this ranking
+        # exists for)
+        cols = []
+        for c in query.conditions:
+            if c.op == "OR" and c.column is None:
+                cols.extend(
+                    sub.column
+                    for sub in c.value
+                    if sub.table in piece and sub.column is not None
+                )
+            elif c.table in piece and c.column is not None:
+                cols.append(c.column)
         total = 0.0
         for i in range(len(cols)):
             for j in range(i + 1, len(cols)):
@@ -105,7 +118,14 @@ class SPNEnsemble:
                 f"no model covers any of {sorted(query.table_set)}"
             )
         out: list[tuple[float, list[dict]]] = []
-        for _key, first, covered in variants[: max(1, max_variants)]:
+        limit = max(1, max_variants)
+        # walk the FULL ranking, keeping the first `limit` anchors
+        # whose expansion succeeds: an anchor that cannot reach full
+        # coverage is skipped, not fatal (keeps cardinality() and
+        # _factorized_count_moments answering the same query set)
+        for _key, first, covered in variants:
+            if len(out) >= limit:
+                break
             trace: list[dict] = [] if keep_traces else None
             try:
                 est = self._expand_factors(query, first, set(covered), trace)
@@ -117,6 +137,45 @@ class SPNEnsemble:
                 "query join graph is disconnected across models"
             )
         return out
+
+    def _chain_count(self, query: Query, extra: list | None = None) -> float:
+        """Factorized cardinality of the FULL query with optional extra
+        conditions — the scaling chain every grouped/per-value
+        factorized estimate divides through (one definition; four call
+        sites used to copy it)."""
+        qc = Query(
+            query_type=QueryType.CARDINALITY,
+            table_set=set(query.table_set),
+            relationship_set=set(query.relationship_set),
+            conditions=list(query.conditions) + list(extra or []),
+        )
+        return float(self.cardinality(qc))
+
+    def _grouped_anchor(self, query: Query, need: set, component):
+        """Best (model, piece) covering every table in ``need`` inside
+        ONE connected piece of the query's join graph, ranked by
+        condition-table coverage, then piece size, then earliest
+        registration. None when no model qualifies (callers fall back
+        or raise their own ModelPlaneUnsupported). Shared by every
+        grouped factorized path — the round-7 NULL-pinning fix had to
+        be applied to multiple hand-copied versions of this loop."""
+        if not need:
+            return None
+        cond_tables = {c.table for c in query.conditions}
+        cands = []
+        for mi, m in enumerate(self.models):
+            avail = m.table_set & set(query.table_set)
+            if not need <= avail:
+                continue
+            piece = component(avail, next(iter(need)))
+            if not need <= piece:
+                continue
+            cands.append((len(piece & cond_tables), len(piece), -mi, m, piece))
+        if not cands:
+            return None
+        cands.sort(key=lambda t: t[:3], reverse=True)
+        _nc, _np, _mi, m, piece = cands[0]
+        return m, piece
 
     def _query_graph(self, query: Query):
         schema_rels = self.schema.relationships
@@ -231,9 +290,11 @@ class SPNEnsemble:
         cond_tables = {c.table for c in query.conditions}
         q_rels, component, sub_query = self._query_graph(query)
 
-        # symbolic factor accumulation: (key, thunk) terms
+        # symbolic factor accumulation: (key, thunk) terms. Strict
+        # indexing: every model here comes from self.models, and a
+        # shared -1 fallback would alias DISTINCT unregistered models
+        # into one term slot and wrongly cancel their factors.
         mi_of = {id(m): i for i, m in enumerate(self.models)}
-        mi_of[id(first)] = mi_of.get(id(first), -1)
 
         def card_term(m: SPNModel, subq: Query):
             def rel_var() -> float:
@@ -241,7 +302,7 @@ class SPNEnsemble:
                 return v / (p * p) if p > 0 else 0.0
 
             return (
-                ("card", mi_of.get(id(m), -1), self._subq_key(subq)),
+                ("card", mi_of[id(m)], self._subq_key(subq)),
                 lambda: m.cardinality(subq),
                 rel_var,
             )
@@ -254,7 +315,7 @@ class SPNEnsemble:
             return (
                 (
                     "wexp",
-                    mi_of.get(id(m), -1),
+                    mi_of[id(m)],
                     self._subq_key(subq),
                     rel.identifier,
                     with_conds,
@@ -321,7 +382,9 @@ class SPNEnsemble:
                         len(overlap),
                         len(D),
                         -len(m.table_set),
-                        mi,
+                        # -mi: ties prefer the EARLIEST-registered
+                        # model, like every other ranking here
+                        -mi,
                         D,
                         overlap,
                     )
@@ -329,8 +392,8 @@ class SPNEnsemble:
             if not cands:
                 raise ValueError(f"no model covers table {new_t!r}")
             cands.sort(key=lambda t: t[:6], reverse=True)
-            usable, _nc, _no, _nd, _sz, mi, D, overlap = cands[0]
-            m = self.models[mi]
+            usable, _nc, _no, _nd, _sz, neg_mi, D, overlap = cands[0]
+            m = self.models[-neg_mi]
             noms: list = []
             dens: list = []
             const = 1.0
@@ -740,13 +803,7 @@ class SPNEnsemble:
         _q_rels, component, sub_query = self._query_graph(query)
 
         def count_chain(extra_conds: list) -> float:
-            qc = Query(
-                query_type=QueryType.CARDINALITY,
-                table_set=set(query.table_set),
-                relationship_set=set(query.relationship_set),
-                conditions=list(query.conditions) + extra_conds,
-            )
-            return float(self.cardinality(qc))
+            return self._chain_count(query, extra_conds)
 
         def anchor_avg(operands: list[tuple[str, str]]) -> float:
             """AVG of the operand product from the best local model."""
@@ -768,7 +825,6 @@ class SPNEnsemble:
                 ]
                 val = count_chain(nn)
             else:
-                t, c = op.operands[0]
                 nn = [Condition(t2, c2, "IS_NOT_NULL") for t2, c2 in op.operands]
                 avg = anchor_avg(op.operands)
                 if op.agg_type is AggregationType.AVG:
@@ -887,6 +943,12 @@ class SPNEnsemble:
                     }
             else:
                 val = signed(op.agg_type, op.operands, op.distinct)
+                if op.agg_type is AggregationType.COUNT:
+                    # IE residue can overshoot below zero (the same
+                    # reason cardinality() clamps); a negative COUNT
+                    # is an impossible SQL value. SUM legitimately
+                    # goes negative, so only COUNT clamps.
+                    val = {k: max(v, 0.0) for k, v in val.items()}
             if op.op_type is AggregationOperationType.AGGREGATION:
                 if acc is not None:
                     outputs.append((alias or f"agg_{len(outputs)}", acc))
@@ -1037,24 +1099,14 @@ class SPNEnsemble:
             t for op in query.aggregations for t, _c in (op.operands or [])
         }
         _q_rels, component, sub_query = self._query_graph(query)
-        cond_tables = {c.table for c in query.conditions}
-        cands = []
-        for mi, m in enumerate(self.models):
-            avail = m.table_set & set(query.table_set)
-            if not need or not need <= avail:
-                continue
-            piece = component(avail, next(iter(need)))
-            if not need <= piece:
-                continue
-            cands.append((len(piece & cond_tables), len(piece), -mi, m, piece))
-        if not cands:
+        anchor = self._grouped_anchor(query, need, component)
+        if anchor is None:
             # group-by tables and aggregate operands live in different
             # models (e.g. GROUP BY nation.n_name with
             # SUM(lineitem.l_extendedprice) over a singles+pairs
             # ensemble): split the anchor
             return self._aqp_factorized_grouped_split(query)
-        cands.sort(key=lambda t: t[:3], reverse=True)
-        _nc, _np, _mi, m, piece = cands[0]
+        m, piece = anchor
 
         def local_q(agg_type, operands):
             lq = sub_query(set(piece))
@@ -1070,13 +1122,7 @@ class SPNEnsemble:
             return lq
 
         def chain_count(extra: list) -> float:
-            qc = Query(
-                query_type=QueryType.CARDINALITY,
-                table_set=set(query.table_set),
-                relationship_set=set(query.relationship_set),
-                conditions=list(query.conditions) + extra,
-            )
-            return float(self.cardinality(qc))
+            return self._chain_count(query, extra)
 
         def grid(agg_type, operands) -> dict[tuple, float]:
             return {
@@ -1198,24 +1244,14 @@ class SPNEnsemble:
         gb_cols = [c for _t, c in query.group_bys]
         need_g = {t for t, _c in query.group_bys}
         _q_rels, component, sub_query = self._query_graph(query)
-        cond_tables = {c.table for c in query.conditions}
-        cands = []
-        for mi, m in enumerate(self.models):
-            avail = m.table_set & set(query.table_set)
-            if not need_g or not need_g <= avail:
-                continue
-            piece = component(avail, next(iter(need_g)))
-            if not need_g <= piece:
-                continue
-            cands.append((len(piece & cond_tables), len(piece), -mi, m, piece))
-        if not cands:
+        anchor = self._grouped_anchor(query, need_g, component)
+        if anchor is None:
             raise ModelPlaneUnsupported(
                 "grouped AQP over a multi-model table set needs one "
                 "model covering all group-by tables in a connected "
                 "piece; use the exact plane"
             )
-        cands.sort(key=lambda t: t[:3], reverse=True)
-        _nc, _np, _mi, mg, gpiece = cands[0]
+        mg, gpiece = anchor
 
         lq = sub_query(set(gpiece))
         lq.group_bys = list(query.group_bys)
@@ -1236,13 +1272,7 @@ class SPNEnsemble:
             ]
 
         def chain_count(extra: list) -> float:
-            qc = Query(
-                query_type=QueryType.CARDINALITY,
-                table_set=set(query.table_set),
-                relationship_set=set(query.relationship_set),
-                conditions=list(query.conditions) + extra,
-            )
-            return float(self.cardinality(qc))
+            return self._chain_count(query, extra)
 
         def anchor_avg(operands: list) -> float:
             m, local = self._anchor_local(query, operands)
@@ -1322,22 +1352,16 @@ class SPNEnsemble:
 
         _q_rels, component, sub_query = self._query_graph(query)
         tabs = {t for t, _c in operands}
-        cond_tables = {c.table for c in query.conditions}
-        cands = []
-        for mi, m in enumerate(self.models):
-            if not tabs <= m.table_set:
-                continue
-            piece = component(
-                m.table_set & set(query.table_set), next(iter(tabs))
-            )
-            cands.append((len(piece & cond_tables), len(piece), -mi, m, piece))
-        if not cands:
+        # _grouped_anchor enforces tabs <= piece: a model covering all
+        # operand tables whose piece does NOT connect them would have
+        # silently dropped an operand table and its WHERE conditions
+        anchor = self._grouped_anchor(query, tabs, component)
+        if anchor is None:
             raise ModelPlaneUnsupported(
-                f"no model covers aggregate operands {sorted(tabs)}: "
-                "use the exact plane"
+                f"no model covers aggregate operands {sorted(tabs)} in "
+                "one connected piece: use the exact plane"
             )
-        cands.sort(key=lambda t: t[:3], reverse=True)
-        _nc, _np, _mi, m, piece = cands[0]
+        m, piece = anchor
         local = sub_query(set(piece))
         local.aggregations = [
             AggOperation(
@@ -1407,24 +1431,14 @@ class SPNEnsemble:
             t for t, _c in (operands or [])
         }
         _q_rels, component, sub_query = self._query_graph(query)
-        cond_tables = {c.table for c in query.conditions}
-        cands = []
-        for mi, m in enumerate(self.models):
-            avail = m.table_set & set(query.table_set)
-            if not need or not need <= avail:
-                continue
-            piece = component(avail, next(iter(need)))
-            if not need <= piece:
-                continue
-            cands.append((len(piece & cond_tables), len(piece), -mi, m, piece))
-        if not cands:
+        anchor = self._grouped_anchor(query, need, component)
+        if anchor is None:
             raise ModelPlaneUnsupported(
                 "grouped multi-model CI needs one model covering all "
                 "group-by tables and aggregate operands in a connected "
                 "piece; use the exact plane"
             )
-        cands.sort(key=lambda t: t[:3], reverse=True)
-        _nc, _np, _mi, m, piece = cands[0]
+        m, piece = anchor
 
         local = sub_query(set(piece))
         local.group_bys = list(query.group_bys)
@@ -1442,7 +1456,11 @@ class SPNEnsemble:
             for r in rows
         }
         tot = sum(e for e, _sd in anchor.values())
-        if tot <= 0:
+        if agg_type is AggregationType.COUNT and tot <= 0:
+            # no anchor mass to apportion. SUM totals legitimately go
+            # <= 0 for negative-valued operands — the SUM branch
+            # scales by its own not-null COUNT total (guarded below),
+            # so only the COUNT branch gates on this quantity.
             return {}
         # group axes exclude NULLs in the anchor's grouped rows, so
         # the chain must pin them NOT NULL too (round 7)
@@ -1547,25 +1565,15 @@ class SPNEnsemble:
             }
         _q_rels, component, sub_query = self._query_graph(query)
         need = {tt for tt, _cc in query.group_bys} | {t}
-        cond_tables = {cd.table for cd in query.conditions}
-        cands = []
-        for mi, m in enumerate(self.models):
-            avail = m.table_set & set(query.table_set)
-            if not need <= avail:
-                continue
-            piece = component(avail, t)
-            if not need <= piece:
-                continue
-            cands.append((len(piece & cond_tables), len(piece), -mi, m, piece))
-        if not cands:
+        anchor = self._grouped_anchor(query, need, component)
+        if anchor is None:
             raise ModelPlaneUnsupported(
                 "grouped COUNT(DISTINCT) over a multi-model table set "
                 "needs one model covering the group-by tables and the "
                 "distinct column's table in a connected piece; use the "
                 "exact plane"
             )
-        cands.sort(key=lambda x: x[:3], reverse=True)
-        _nc, _np, _mi, m, piece = cands[0]
+        m, piece = anchor
         gm, fjs = m._grouped_value_masses(gb_cols, c, sub_query(set(piece)))
         tot = fjs * sum(mass for vm in gm.values() for mass in vm.values())
         if tot <= 0:
@@ -1681,18 +1689,19 @@ class SPNEnsemble:
 
         if self._complex_or_index(query) is None:
             return self.select_model(query).quantile(col, qs, query)
+        # type-check BEFORE the per-term grid passes: a wide OR group
+        # expands to up to 2^n - 1 terms, each a batch SPN evaluation
+        cm = self.select_model(query).meta.columns[col]
+        if cm.kind == "categorical":
+            raise ValueError(
+                f"quantiles need a numeric column; '{col}' is categorical"
+            )
         acc: dict[float, float] = {}
-        model = None
         for s, q in self._ie_terms(query):
             model = self.select_model(q)
             dom, masses = model._value_masses(col, q)
             for v, m in zip(dom, masses):
                 acc[float(v)] = acc.get(float(v), 0.0) + s * float(m)
-        cm = model.meta.columns[col]
-        if cm.kind == "categorical":
-            raise ValueError(
-                f"quantiles need a numeric column; '{col}' is categorical"
-            )
         items = sorted((v, max(m, 0.0)) for v, m in acc.items())
         total = sum(m for _, m in items)
         if not items or total <= 0:
