@@ -44,17 +44,14 @@ from .nodes import (
     distinct_values,
     evaluate,
     evaluate_groupby,
-    iter_leaves,
 )
 from .ranges import (
-    ConditionSet,
     NominalRange,
     NullOnlyRange,
     NumericRange,
     Range,
     intersect_ranges,
     union_ranges,
-    is_empty_range,
     range_key,
     value_admitted,
 )
@@ -134,7 +131,11 @@ def z_value(confidence: float) -> float:
     the inverse normal CDF (round-5 advice: the old lookup silently
     fell back to the 0.95 z, so e.g. confidence=0.98 returned
     0.95-level intervals labeled 0.98)."""
-    z = {0.9: 1.645, 0.95: 1.96, 0.99: 2.576}.get(round(confidence, 2))
+    # EXACT key match only: rounding the level to 2 decimals silently
+    # substituted the 0.99 z for 0.995 (intervals ~8% too narrow,
+    # labeled 99.5%) — any level not literally in the table computes
+    # the quantile exactly
+    z = {0.9: 1.645, 0.95: 1.96, 0.99: 2.576}.get(confidence)
     if z is None:
         from statistics import NormalDist
 
@@ -195,9 +196,52 @@ class SPNModel:
     def invalidate_cache(self) -> None:
         self._eval_cache.clear()
 
+    def _build_axes(
+        self, cond: dict, idxs: list[int], what: str
+    ) -> dict[int, np.ndarray]:
+        """Grid axes for the given column indexes: each axis enumerates
+        the column's distinct values restricted by (and CONSUMING) any
+        WHERE range on it in ``cond``; the combined cell count is
+        capped (GroupByExplosion). One definition for every grid
+        builder here — distinct counts, value masses, grouped aqp,
+        grouped CIs used to hand-copy this block."""
+        axes: dict[int, np.ndarray] = {}
+        for i in idxs:
+            dom = distinct_values(self.root, i)
+            rng = cond.pop(i, None)
+            if rng is not None:
+                dom = np.array([v for v in dom if value_admitted(rng, v)])
+            axes[i] = dom
+        # arbitrary-precision product: an int64 np.prod wraps silently
+        # past 9.2e18 and would bypass the cap on absurd grids
+        n_cells = _math.prod(len(a) for a in axes.values())
+        if n_cells > MAX_GROUPBY_CELLS:
+            raise GroupByExplosion(
+                f"{what} grid has {n_cells} cells "
+                f"(> {MAX_GROUPBY_CELLS}); use the exact plane"
+            )
+        return axes
+
     # -- condition translation ----------------------------------------
     def _col_index(self, col: str) -> int:
-        return self.column_names.index(col)
+        # cached name->index map: this runs inside every range
+        # translation and grid-axis loop, and list.index is a linear
+        # scan of the scope
+        idx = self.__dict__.get("_col_index_map")
+        if idx is None or len(idx) != len(self.column_names):
+            idx = {c: i for i, c in enumerate(self.column_names)}
+            self.__dict__["_col_index_map"] = idx
+        i = idx.get(col)
+        if i is None:
+            # out-of-scope column (PK/FK, irrelevant, capped-dict —
+            # excluded at training time): ModelPlaneUnsupported so
+            # Engine.estimate's exact fallback fires instead of a
+            # cryptic "'x' is not in list"
+            raise ModelPlaneUnsupported(
+                f"column '{col}' is outside this model's scope; use "
+                "the exact plane"
+            )
+        return i
 
     def _literal(self, col: str, value):
         cm = self.meta.columns[col]
@@ -292,7 +336,9 @@ class SPNModel:
             # extension the reference cannot express; its grammar has
             # no pattern predicates)
             if cm.kind != "categorical":
-                raise ValueError(
+                # ModelPlaneUnsupported so Engine.estimate's exact
+                # fallback actually fires (a plain ValueError escaped)
+                raise ModelPlaneUnsupported(
                     f"LIKE on non-categorical column '{col}' is outside "
                     "the model plane; use the exact plane"
                 )
@@ -361,7 +407,13 @@ class SPNModel:
             self._literal(col, value)  # raises the loud cap error
         import bisect
 
-        ordered = sorted(cm.value_to_code)
+        # sorted dictionary cached per column (absent-literal range
+        # endpoints re-sorted the whole dict on every translation)
+        sd_cache = self.__dict__.setdefault("_sorted_dict_cache", {})
+        ordered = sd_cache.get(col)
+        if ordered is None or len(ordered) != len(cm.value_to_code):
+            ordered = sorted(cm.value_to_code)
+            sd_cache[col] = ordered
         t = float(bisect.bisect_left(ordered, value))
         # absent literal: x >= v and x > v both mean code >= t;
         # x <= v and x < v both mean code < t
@@ -379,10 +431,16 @@ class SPNModel:
         elif cond.op == "IN":
             admitted = [v for v in cond.value if v in mapping]
         elif cond.op == "NOT_IN":
+            # NULL never satisfies <>/NOT IN in SQL (UNKNOWN), so the
+            # NULL bucket's determinant codes must not be admitted
             excluded = set(cond.value)
-            admitted = [v for v in mapping if v not in excluded]
+            admitted = [
+                v for v in mapping if v is not None and v not in excluded
+            ]
         elif cond.op == "<>":
-            admitted = [v for v in mapping if v != cond.value]
+            admitted = [
+                v for v in mapping if v is not None and v != cond.value
+            ]
         elif cond.op in ("LIKE", "NOT_LIKE"):
             rx = _like_to_regex(cond.value)
             admitted = [
@@ -394,8 +452,9 @@ class SPNModel:
         elif cond.op == "IS_NOT_NULL":
             admitted = [v for v in mapping if v is not None]
         else:
-            raise ValueError(
-                f"unsupported op {cond.op!r} on FD-dropped column {cond.column}"
+            raise ModelPlaneUnsupported(
+                f"unsupported op {cond.op!r} on FD-dropped column "
+                f"{cond.column}; use the exact plane"
             )
         codes = []
         for b in admitted:
@@ -438,7 +497,15 @@ class SPNModel:
     # -- fanout-correction planning -----------------------------------
     def _child_component(self, edge: Relationship) -> set[str]:
         """Tables on the child (start) side once ``edge`` is removed
-        from the model's relationship tree."""
+        from the model's relationship tree. Cached per edge: the
+        model's relationships never change after training, and this
+        runs inside correction_factors on EVERY estimate — including
+        the join-order DP's batch pricing, where recomputing the BFS
+        per subset per edge was pure waste."""
+        cache = self.__dict__.setdefault("_child_component_cache", {})
+        hit = cache.get(edge.identifier)
+        if hit is not None:
+            return hit
         adj: dict[str, set[str]] = {t: set() for t in self.table_set}
         for r in self.relationships:
             if r.identifier == edge.identifier:
@@ -452,6 +519,7 @@ class SPNModel:
                 continue
             comp.add(u)
             stack.extend(adj[u] - comp)
+        cache[edge.identifier] = comp
         return comp
 
     def correction_factors(
@@ -653,19 +721,8 @@ class SPNModel:
             # to the query's sub-scope, not the replicated join
             extra, features = self.correction_factors(query)
             cond.update(extra)
-        axes: dict[int, np.ndarray] = {}
-        for i in idx:
-            dom = distinct_values(self.root, i)
-            rng = cond.pop(i, None)
-            if rng is not None:
-                dom = np.array([v for v in dom if value_admitted(rng, v)])
-            axes[i] = dom
-        n_cells = _math.prod(len(a) for a in axes.values())
-        if n_cells > MAX_GROUPBY_CELLS:
-            raise GroupByExplosion(
-                f"distinct grid has {n_cells} cells (> {MAX_GROUPBY_CELLS})"
-            )
-        if n_cells == 0:
+        axes = self._build_axes(cond, idx, "distinct")
+        if any(len(a) == 0 for a in axes.values()):
             return 0.0
         grid = evaluate_groupby(self.root, cond, features, axes)
         # expected-rows threshold (matches aqp's count>=0.5 group
@@ -690,13 +747,11 @@ class SPNModel:
             cond = dict(self.conditions_to_ranges(query))
             extra, features = self.correction_factors(query)
             cond.update(extra)
-        rng = cond.pop(i, None)
-        dom = distinct_values(self.root, i)
-        if rng is not None:
-            dom = np.array([v for v in dom if value_admitted(rng, v)])
+        axes = self._build_axes(cond, [i], "value-mass")
+        dom = axes[i]
         if len(dom) == 0:
             return dom, np.array([])
-        masses = evaluate_groupby(self.root, cond, features, {i: dom})
+        masses = evaluate_groupby(self.root, cond, features, axes)
         return dom, np.asarray(masses, dtype=np.float64).reshape(-1)
 
     def _grouped_value_masses(
@@ -722,20 +777,8 @@ class SPNModel:
             extra, features = self.correction_factors(query)
             cond.update(extra)
         axis_cols = list(gb_idx) + ([ci] if ci not in gb_idx else [])
-        axes: dict[int, np.ndarray] = {}
-        for i in axis_cols:
-            dom = distinct_values(self.root, i)
-            rng = cond.pop(i, None)
-            if rng is not None:
-                dom = np.array([v for v in dom if value_admitted(rng, v)])
-            axes[i] = dom
-        n_cells = _math.prod(len(a) for a in axes.values())
-        if n_cells > MAX_GROUPBY_CELLS:
-            raise GroupByExplosion(
-                f"grouped distinct grid has {n_cells} cells "
-                f"(> {MAX_GROUPBY_CELLS}); use the exact plane"
-            )
-        if n_cells == 0:
+        axes = self._build_axes(cond, axis_cols, "grouped distinct")
+        if any(len(a) == 0 for a in axes.values()):
             return {}, self.full_join_size
         grid = np.asarray(
             evaluate_groupby(self.root, cond, features, axes), dtype=np.float64
@@ -846,23 +889,9 @@ class SPNModel:
         # restrict each domain by a user WHERE range on that column
         # (the grid singleton must intersect it, never replace it),
         # then drop the range — the axis enumerates admitted values
-        axes: dict[int, np.ndarray] = {}
         cond_rest = dict(base_cond)
-        for i in gb_idx:
-            dom = distinct_values(self.root, i)
-            rng = cond_rest.pop(i, None)
-            if rng is not None:
-                dom = np.array([v for v in dom if value_admitted(rng, v)])
-            axes[i] = dom
-        # arbitrary-precision product: an int64 np.prod wraps silently
-        # past 9.2e18 and would bypass the cap on absurd grids
+        axes = self._build_axes(cond_rest, gb_idx, "group-by")
         n_cells = _math.prod(len(a) for a in axes.values())
-        if n_cells > MAX_GROUPBY_CELLS:
-            raise GroupByExplosion(
-                f"group-by grid has {n_cells} cells "
-                f"(> {MAX_GROUPBY_CELLS}); use the exact plane for "
-                "high-cardinality grouping"
-            )
 
         def grid(feats, cond=None) -> np.ndarray:
             return self.full_join_size * evaluate_groupby(
@@ -882,12 +911,7 @@ class SPNModel:
                 if ci in axes:
                     return (count_grid > 0).astype(np.float64)
                 cond2 = dict(cond_rest)
-                rng = cond2.pop(ci, None)
-                dom = distinct_values(self.root, ci)
-                if rng is not None:
-                    dom = np.array(
-                        [v for v in dom if value_admitted(rng, v)]
-                    )
+                dom = self._build_axes(cond2, [ci], "grouped distinct")[ci]
                 if len(dom) == 0:
                     return np.zeros_like(count_grid)
                 # the extended grid multiplies the group grid by the
@@ -998,8 +1022,6 @@ class SPNModel:
         aggregate) with the group columns attached (reference:
         confidence_interval_evaluation over grouped AQP queries)."""
         z = z_value(confidence)
-        from .nodes import evaluate_with_variance
-
         cond = self.conditions_to_ranges(query)
         extra, features = self.correction_factors(query)
         cond.update(extra)
@@ -1013,18 +1035,7 @@ class SPNModel:
             # cap as the batch path
             gb_cols = [c for _t, c in query.group_bys]
             gb_idx = [self._col_index(c) for c in gb_cols]
-            axes: dict[int, np.ndarray] = {}
-            for i in gb_idx:
-                dom = distinct_values(self.root, i)
-                rng = cond.pop(i, None)
-                if rng is not None:
-                    dom = np.array([v for v in dom if value_admitted(rng, v)])
-                axes[i] = dom
-            n_cells = _math.prod(len(a) for a in axes.values())
-            if n_cells > MAX_GROUPBY_CELLS:
-                raise GroupByExplosion(
-                    f"group-by grid has {n_cells} cells (> {MAX_GROUPBY_CELLS})"
-                )
+            axes = self._build_axes(cond, gb_idx, "group-by CI")
             count_grid = self.full_join_size * evaluate_groupby(
                 self.root, cond, features, axes
             )
@@ -1064,7 +1075,14 @@ class SPNModel:
         out = []
         for op in query.aggregations:
             if op.op_type is not AggregationOperationType.AGGREGATION:
-                continue
+                # composite chains (SUM(x) - SUM(y)) need covariance
+                # between steps over the SAME rows — silently emitting
+                # per-step CIs whose ests disagree with aqp() was a
+                # trap; raise like the other unsupported CI shapes
+                raise ModelPlaneUnsupported(
+                    "confidence intervals for composite aggregates "
+                    "(agg ± agg) are not supported; use the exact plane"
+                )
             if getattr(op, "distinct", False):
                 raise ModelPlaneUnsupported(
                     "confidence intervals for COUNT(DISTINCT) are not "

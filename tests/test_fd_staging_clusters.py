@@ -89,3 +89,39 @@ def test_duplicate_clusters_and_corpus_dedup(spark):
     kept = deduplicate_corpus(docs, "doc_id", pairs)
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 10, 20]
     release_cached()
+
+
+def test_fd_neq_excludes_null_bucket(spark):
+    """<> / NOT IN on an FD-dropped column must NOT admit the NULL
+    bucket: 'b <> x' is UNKNOWN for NULL in SQL. Planted: one city
+    whose country is always NULL."""
+    cities = [
+        ("paris", "fr"), ("lyon", "fr"), ("berlin", "de"),
+        ("munich", "de"), ("atlantis", None), ("rome", "it"),
+    ]
+    rows = [
+        (i, cities[i % 6][0], cities[i % 6][1], float(i % 50))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(
+        rows, "rid int, city string, country string, v double"
+    )
+    g = SchemaGraph()
+    g.add_table(Table("t", ["rid"]))
+    model = train_spn_model(
+        {"t": df}, g, {"t"}, 50_000,
+        LearnParams(min_instances_slice=500),
+        use_functional_dependencies=True,
+    )
+    if "country" not in model.fd_maps:
+        pytest.skip("NULL-bearing FD not detected by this trainer config")
+    q = Query(table_set={"t"})
+    q.add_where_condition(Condition("t", "country", "<>", "fr"))
+    est = model.cardinality(q)
+    true = sum(1 for r in rows if r[2] is not None and r[2] != "fr")
+    assert est == pytest.approx(true, rel=0.05), (est, true)
+    q2 = Query(table_set={"t"})
+    q2.add_where_condition(Condition("t", "country", "NOT_IN", ["fr", "de"]))
+    est2 = model.cardinality(q2)
+    true2 = sum(1 for r in rows if r[2] is not None and r[2] not in ("fr", "de"))
+    assert est2 == pytest.approx(true2, rel=0.05), (est2, true2)

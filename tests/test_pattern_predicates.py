@@ -378,3 +378,17 @@ def test_ungrouped_count_distinct_or_signed_masses(engines):
     true = eng.query(q).collect()[0][0]
     qerr = max(row["d"] / max(true, 1), true / max(row["d"], 1e-9))
     assert qerr < 1.2, (row, true)
+
+
+def test_composite_aggregate_ci_raises(engines):
+    """CIs for agg ± agg chains raise ModelPlaneUnsupported instead of
+    silently emitting per-step rows that disagree with aqp()."""
+    from deepdb_public_spark.spn.model import ModelPlaneUnsupported
+
+    eng = engines
+    q = eng.parse(
+        "SELECT SUM(lineitem.l_extendedprice) - SUM(lineitem.l_tax) AS d "
+        "FROM lineitem WHERE lineitem.l_quantity < 30"
+    )
+    with pytest.raises(ModelPlaneUnsupported):
+        eng.ensemble.confidence_interval(q, confidence=0.95)

@@ -166,3 +166,14 @@ def test_grouped_cis_cover_per_group_truth():
                 t = true_by_agg[row["agg"]]
                 assert row["lo"] <= t <= row["hi"], (gv, row, t)
                 assert row["hi"] > row["lo"]
+
+
+def test_z_value_exact_outside_table():
+    """Levels near-but-not-equal to a table key compute the exact
+    quantile (0.995 used to silently get the 0.99 z of 2.576)."""
+    from deepdb_public_spark.spn.model import z_value
+
+    assert z_value(0.995) == pytest.approx(2.807, abs=0.01)
+    assert z_value(0.95) == pytest.approx(1.96, abs=1e-9)
+    assert z_value(0.98) == pytest.approx(2.326, abs=0.01)
+
