@@ -153,6 +153,11 @@ def duplicate_clusters(
     Converges in O(component diameter) rounds — near-dup graphs are
     star/clique-like, so typically 2-3.
     """
+    if max_iter < 1:
+        # max_iter <= 0 would skip the propagation loop while the
+        # changed==0 initialization sails past the convergence check —
+        # all-singleton labels reported as success
+        raise ValueError(f"max_iter must be >= 1 (got {max_iter})")
     # pairs is typically the output of a multi-stage dedup pipeline;
     # it is scanned several times below, so materialize it once up
     # front instead of recomputing upstream per scan
@@ -299,11 +304,21 @@ def dedup_paragraphs(
     comparisons anywhere."""
     paras = df.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+        # F.split takes a JAVA REGEX: quote the separator (\Q...\E)
+        # so '.' or '||' split literally instead of as patterns
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E")
+        ).alias("__pos", "__para"),
     ).filter(F.trim("__para") != "")
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(F.xxhash64("__para")).orderBy("__id", "__pos")
+    # partition by (hash, paragraph): comparing the string only on
+    # 64-bit hash ties makes a birthday collision perturb nothing —
+    # at 10^10 paragraphs a pure-hash key silently deletes the ~2-3
+    # distinct paragraphs that collide
+    w = Window.partitionBy(F.xxhash64("__para"), "__para").orderBy(
+        "__id", "__pos"
+    )
     kept = paras.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") == 1
     )
@@ -475,11 +490,18 @@ def jaccard_pairs_exact(
     hashed = F.array_sort(
         F.array_distinct(F.transform(shingle, lambda t: F.xxhash64(t)))
     )
-    # empty shingle sets (whitespace-only docs) are excluded, matching
-    # minhash_lsh_pairs: Jaccard of empty sets is 0/0-undefined, and
-    # grouping them would emit bogus jaccard-1.0 "pairs"
-    docs = df.select(F.col(id_col).alias("id"), hashed.alias("sh")).filter(
-        F.size("sh") > 0
+    # empty/blank docs are excluded, matching minhash_lsh_pairs:
+    # Jaccard of empty sets is 0/0-undefined, and grouping them would
+    # emit bogus jaccard-1.0 "pairs". The explicit blank-text filter
+    # matters for the char-ngram path: char_ngrams('') yields ['']
+    # (one shingle), so F.size > 0 alone would NOT exclude blanks
+    docs = (
+        df.filter(
+            F.col(text_col).isNotNull()
+            & (F.length(F.trim(F.col(text_col))) > 0)
+        )
+        .select(F.col(id_col).alias("id"), hashed.alias("sh"))
+        .filter(F.size("sh") > 0)
     )
     # collapse identical shingle sets: representatives carry the group
     groups = _persist(
@@ -716,8 +738,15 @@ def minhash_lsh_pairs(
     hashed = F.array_sort(
         F.array_distinct(F.transform(shingle, lambda t: F.xxhash64(t)))
     )
-    docs = df.select(F.col(id_col).alias("id"), hashed.alias("sh")).filter(
-        F.size("sh") > 0
+    # blank-text filter: char_ngrams('') yields [''], so F.size alone
+    # would group all blank docs into one bogus jaccard-1.0 cluster
+    docs = (
+        df.filter(
+            F.col(text_col).isNotNull()
+            & (F.length(F.trim(F.col(text_col))) > 0)
+        )
+        .select(F.col(id_col).alias("id"), hashed.alias("sh"))
+        .filter(F.size("sh") > 0)
     )
     groups = _persist(
         docs.groupBy("sh").agg(F.sort_array(F.collect_list("id")).alias("ids"))
@@ -977,10 +1006,28 @@ def simhash_pairs(
     representative by a groupBy on the signature before blocking, so
     block buckets hold distinct signatures only and equal-signature
     pairs are emitted directly — the bucket cap can no longer drop
-    exact duplicates."""
+    exact duplicates.
+
+    Blank/NULL-text documents are excluded (all hash to signature 0
+    and would collapse into one fake hamming-0 cluster, taking any
+    real signature-0 document with them — same exclusion as the
+    jaccard/minhash operators)."""
+    if max_hamming > 3:
+        # 4 pigeonhole blocks are complete only for distance <= 3; a
+        # silently accepted larger radius would LOSE pairs whose
+        # differing bits spread across all four blocks
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-block pigeonhole "
+            "completeness bound (3); raise the block count in "
+            "simhash_block_keys if a wider radius is needed"
+        )
     df = spread_small_input(df)
     groups = _persist(
-        df.select(
+        df.filter(
+            F.col(text_col).isNotNull()
+            & (F.length(F.trim(F.col(text_col))) > 0)
+        )
+        .select(
             F.col(id_col).alias("id"),
             simhash64(word_tokens(F.col(text_col))).alias("sig"),
         )
@@ -1026,13 +1073,19 @@ def embedding_neardup_pairs(
     from ..functions.vectors import l2_norm
 
     # precompute the norm once per row; the pair loop then does ONE
-    # array aggregate (the dot product) instead of three
+    # array aggregate (the dot product) instead of three. Zero-norm
+    # vectors (empty/failed-encode rows) are EXCLUDED: cosine is
+    # undefined for them, and dot/(0 * nb) throws DIVIDE_BY_ZERO
+    # under Spark's default ANSI mode (or silently NULLs the pair
+    # with ANSI off)
     base = _persist(
-        spread_small_input(df).select(
+        spread_small_input(df)
+        .select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
             l2_norm(F.col(vec_col)).alias("nrm"),
         )
+        .filter(F.col("nrm") > 0)
     )
     if brute_force:
         pairs = base.alias("a").join(base.alias("b"), F.col("a.id") < F.col("b.id"))

@@ -140,3 +140,59 @@ def test_deduplicate_corpus_keep_best_score(spark):
         for r in deduplicate_corpus(df, "doc_id", pairs, score_col="score").collect()
     )
     assert best_kept == [2, 4, 9]  # highest score, tie broken by min id
+
+
+def test_dedup_blank_doc_and_zero_norm_guards(spark):
+    """Round-7 review fixes: blank/NULL texts never form bogus
+    jaccard-1.0 or hamming-0 clusters (char_ngrams('') yields ['']);
+    zero-norm embeddings are excluded instead of crashing ANSI
+    division; simhash max_hamming past the pigeonhole bound raises;
+    duplicate_clusters(max_iter=0) raises; dedup_paragraphs treats
+    the separator literally, not as a regex."""
+    import pytest as _pt
+
+    from deepdb_public_spark.operators.dedup import (
+        dedup_paragraphs,
+        duplicate_clusters,
+        embedding_neardup_pairs,
+        jaccard_pairs_exact,
+        simhash_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "real text one"), (5, "real text one")],
+        "doc_id int, text string",
+    )
+    jp = jaccard_pairs_exact(
+        docs, "text", "doc_id", threshold=0.8, use_char_ngrams=True, ngram=5
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in jp} == {(4, 5)}
+    sp = simhash_pairs(docs, "text", "doc_id").collect()
+    assert {(r["id_a"], r["id_b"]) for r in sp} == {(4, 5)}
+    with _pt.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(docs, "text", "doc_id", max_hamming=4)
+
+    vecs = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.001])],
+        "vec_id int, embedding array<double>",
+    )
+    ep = embedding_neardup_pairs(
+        vecs, "embedding", "vec_id", threshold=0.99, brute_force=True
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in ep} == {(2, 3)}
+
+    with _pt.raises(ValueError, match="max_iter"):
+        duplicate_clusters(
+            spark.createDataFrame([(1, 2)], "id_a int, id_b int"), max_iter=0
+        )
+
+    # '.' as separator must split on LITERAL dots, not every char
+    d2 = spark.createDataFrame(
+        [(1, "alpha.beta.alpha"), (2, "beta.gamma")], "doc_id int, text string"
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup_paragraphs(d2, "text", "doc_id", sep=".").collect()
+    }
+    assert out[1] == "alpha.beta"   # second 'alpha' deduped
+    assert out[2] == "gamma"        # 'beta' seen in doc 1
