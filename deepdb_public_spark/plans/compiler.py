@@ -72,27 +72,36 @@ def condition_to_column(cond: Condition, resolver=None) -> Column:
     raise ValueError(f"unknown operator {cond.op!r}")
 
 
-def _agg_column(op: AggOperation) -> Column:
+def _agg_column(op: AggOperation, resolver=None) -> Column:
+    # resolver binds (table, column) through the owning scan's lineage
+    # — like join/OR conditions — so shared column names across joined
+    # tables can't make the aggregate ambiguous; bare F.col is the
+    # single-scan fallback
+    def _c(t: str, c: str) -> Column:
+        return resolver(t, c) if resolver is not None else F.col(c)
+
     if op.agg_type is AggregationType.COUNT:
         if op.distinct:
-            return F.countDistinct(F.col(op.operands[0][1]))
+            return F.countDistinct(_c(*op.operands[0]))
         if op.operands:  # COUNT(col): NULLs don't count (SQL semantics)
-            return F.count(F.col(op.operands[0][1]))
+            return F.count(_c(*op.operands[0]))
         return F.count(F.lit(1))
-    expr = F.col(op.operands[0][1])
-    for _, c in op.operands[1:]:
-        expr = expr * F.col(c)
+    expr = _c(*op.operands[0])
+    for t, c in op.operands[1:]:
+        expr = expr * _c(t, c)
     return F.sum(expr) if op.agg_type is AggregationType.SUM else F.avg(expr)
 
 
-def build_agg_columns(aggregations: list[AggOperation]) -> list[Column]:
+def build_agg_columns(
+    aggregations: list[AggOperation], resolver=None
+) -> list[Column]:
     """Fold the AGGREGATION/PLUS/MINUS sequence (reference A13) into
     Spark aggregate expressions, one output column per accumulated run."""
     out: list[Column] = []
     acc: Column | None = None
     alias: str | None = None
     for i, op in enumerate(aggregations):
-        col = _agg_column(op)
+        col = _agg_column(op, resolver)
         if op.op_type is AggregationOperationType.AGGREGATION:
             if acc is not None:
                 out.append(acc.alias(alias or f"agg_{len(out)}"))
@@ -310,21 +319,31 @@ class ExactCompiler:
         joined = {start}
         pending = list(rels)
 
+        _attach_cost_memo: dict[str, float] = {}
+
         def _attach_cost(table: str) -> float:
             """Estimated filtered rows of a candidate table — the
             model plane driving join ORDER (DeepDB's optimizer pitch):
             attach the most selective side first so intermediates stay
             small. Falls back to declared table_size, then 'unknown
             last'. Spark may still reorder under CBO/AQE; without
-            them the DataFrame join order IS the join tree."""
+            them the DataFrame join order IS the join tree. Memoized
+            per compile: the greedy loop re-asks for the same table
+            every round, and each ask is an SPN inference pass."""
+            hit = _attach_cost_memo.get(table)
+            if hit is not None:
+                return hit
+            cost = float("inf")
             if self.cardinality_estimator is not None:
                 est = self.cardinality_estimator(table, query)
                 if est is not None:
-                    return float(est)
-            meta = self.schema.tables.get(table)
-            if meta is not None and meta.table_size is not None:
-                return float(meta.table_size)
-            return float("inf")
+                    cost = float(est)
+            if cost == float("inf"):
+                meta = self.schema.tables.get(table)
+                if meta is not None and meta.table_size is not None:
+                    cost = float(meta.table_size)
+            _attach_cost_memo[table] = cost
+            return cost
 
         while pending:
             attachable = [
@@ -393,8 +412,16 @@ class ExactCompiler:
                     )
                 )
 
-        group_cols = [c for _, c in query.group_bys]
-        agg_cols = build_agg_columns(query.aggregations)
+        def _lineage(t: str, c: str) -> Column:
+            sc = scans.get(t)
+            return sc[c] if sc is not None else F.col(c)
+
+        # group/aggregate columns bind through their owning scan's
+        # lineage like every other column reference here — bare
+        # F.col(name) raised AMBIGUOUS_REFERENCE when two joined
+        # tables share a column name the IR fully disambiguates
+        group_cols = [_lineage(t, c) for t, c in query.group_bys]
+        agg_cols = build_agg_columns(query.aggregations, resolver=_lineage)
         if not agg_cols:
             agg_cols = [F.count(F.lit(1)).alias("count")]
         out = (

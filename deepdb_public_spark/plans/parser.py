@@ -89,14 +89,17 @@ def _mask_string_literals(s: str) -> str:
         ch = s[i]
         out.append(ch)
         i += 1
-        if ch == "'":
+        # double-quoted literals mask too: _parse_literal accepts
+        # them, so a comma or AND inside "..." is data, not grammar
+        if ch == "'" or ch == '"':
+            quote = ch
             while i < n:
-                if s[i] == "'":
-                    if i + 1 < n and s[i + 1] == "'":  # '' escape
-                        out.append("__")
+                if s[i] == quote:
+                    if quote == "'" and i + 1 < n and s[i + 1] == "'":
+                        out.append("__")  # '' escape
                         i += 2
                         continue
-                    out.append("'")
+                    out.append(quote)
                     i += 1
                     break
                 out.append("_")
@@ -130,7 +133,10 @@ def _split_conjuncts(
         masked = _mask_string_literals(where)
     depth = _paren_depth(masked)
     bounds = [0]
-    for m in re.finditer(r"\s+AND\s+", masked, flags=re.IGNORECASE):
+    # \bAND\b (not \s+AND\s+): "x = 1 AND(y = 2)" has no space before
+    # the paren — the whitespace-anchored split missed it and the
+    # greedy literal matcher swallowed "1 AND(y = 2)" as a string
+    for m in re.finditer(r"\bAND\b", masked, flags=re.IGNORECASE):
         if depth[m.start()] == 0:
             bounds.extend((m.start(), m.end()))
     bounds.append(len(where))
@@ -187,11 +193,22 @@ def _parse_operand_product(
 ) -> list[tuple[str, str]]:
     """``t.a * t.b * ...`` (or bare ``t.a``) -> [(table, col), ...]."""
     operands = []
+    multi_table = len(set(alias_map.values())) > 1
     for factor in expr.split("*"):
         factor = factor.strip()
         if "." in factor:
             t, c = factor.split(".", 1)
             operands.append((_resolve(alias_map, t.strip()), c.strip()))
+        elif multi_table:
+            # binding a bare column to the alphabetically-first table
+            # silently mis-routed the MODEL plane (anchor selection is
+            # by operand table); the schema graph carries no per-table
+            # column lists to resolve ownership, so require the
+            # qualifier
+            raise ValueError(
+                f"unqualified aggregate operand {factor!r} is ambiguous "
+                "in a multi-table query; qualify it as table.column"
+            )
         else:
             operands.append((default_table, factor))
     return operands
@@ -362,21 +379,21 @@ def _parse_or_group(
     inner_masked = conj_masked[1:-1].strip()
     depth = _paren_depth(inner_masked)
     bounds = [0]
-    for m in re.finditer(r"\s+OR\s+", inner_masked, flags=re.IGNORECASE):
+    for m in re.finditer(r"\bOR\b", inner_masked, flags=re.IGNORECASE):
         if depth[m.start()] == 0:
             bounds.extend((m.start(), m.end()))
     bounds.append(len(inner_raw))
     subs: list[Condition] = []
     for a, b in zip(bounds[::2], bounds[1::2]):
         raw, msk = inner_raw[a:b].strip(), inner_masked[a:b].strip()
-        # a disjunct containing a top-level AND that is NOT the AND of
-        # a BETWEEN is a nested conjunction — outside the grammar;
-        # without this check the greedy comparison matcher would
-        # swallow "1 AND t.b = 2" as a string literal
-        if (
-            re.search(r"\s+AND\s+", msk, re.IGNORECASE)
-            and not _BETWEEN_RE.match(msk)
-        ):
+        # a disjunct containing a top-level AND beyond the single AND
+        # a BETWEEN owns is a nested conjunction — outside the
+        # grammar. Counting (not just testing) closes the bypass
+        # where the GREEDY _BETWEEN_RE matched the whole malformed
+        # "x BETWEEN 1 AND 5 AND y = 2" and the guard never fired.
+        n_ands = len(re.findall(r"\bAND\b", msk, re.IGNORECASE))
+        allowed = 1 if _BETWEEN_RE.match(msk) else 0
+        if n_ands > allowed:
             raise ValueError(
                 f"conjunctions inside disjunction groups are outside "
                 f"the grammar: {raw!r}"
@@ -415,6 +432,19 @@ def parse_query(sql: str, schema: SchemaGraph) -> Query:
     # at a 'GROUP BY' inside a quoted value
     sql = sql.strip().rstrip(";").strip()
     masked_sql = _mask_string_literals(sql)
+    # reject unsupported trailing clauses LOUDLY: without this, the
+    # greedy predicate matcher absorbed "... = 1 LIMIT 10" into the
+    # literal ('1 LIMIT 10') and the query silently matched no rows
+    trailer = re.search(
+        r"\b(ORDER\s+BY|LIMIT|OFFSET|UNION|INTERSECT|EXCEPT)\b",
+        masked_sql,
+        re.IGNORECASE,
+    )
+    if trailer:
+        raise ValueError(
+            f"{trailer.group(1).upper()} is outside the IR grammar "
+            "(use engine.sql / the exact plane for it)"
+        )
     m = re.match(
         r"^SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<from>.+?)"
         r"(?:\s+WHERE\s+(?P<where>.+?))?(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"

@@ -208,3 +208,71 @@ class TestCompilerCycleEdges:
             """
         ).collect()[0][0]
         assert got == want
+
+
+class TestRound7ParserHardening:
+    @pytest.fixture
+    def schema(self):
+        return S
+
+    def test_and_adjacent_to_paren(self, schema):
+        q = parse_query(
+            "SELECT COUNT(*) FROM orders WHERE orders.o_shippriority = 1 "
+            "AND(orders.o_custkey = 2)",
+            schema,
+        )
+        ops = {(c.column, c.op) for c in q.conditions}
+        assert ("o_shippriority", "=") in ops
+        assert ("o_custkey", "=") in ops
+        vals = {c.column: c.value for c in q.conditions}
+        assert vals["o_shippriority"] == 1  # not '1 AND(...)' as string
+
+    def test_trailing_limit_rejected(self, schema):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="LIMIT"):
+            parse_query(
+                "SELECT COUNT(*) FROM orders WHERE orders.o_shippriority = 1 "
+                "LIMIT 10",
+                schema,
+            )
+        with _pt.raises(ValueError, match="ORDER"):
+            parse_query(
+                "SELECT COUNT(*) FROM orders WHERE orders.o_shippriority = 1 "
+                "ORDER BY orders.o_custkey",
+                schema,
+            )
+
+    def test_nested_conjunction_after_between_rejected(self, schema):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="conjunctions inside"):
+            parse_query(
+                "SELECT COUNT(*) FROM orders WHERE "
+                "(orders.o_custkey BETWEEN 1 AND 5 AND "
+                "orders.o_shippriority = 2 OR orders.o_custkey = 9)",
+                schema,
+            )
+
+    def test_double_quoted_in_list_masks(self, schema):
+        q = parse_query(
+            'SELECT COUNT(*) FROM orders WHERE '
+            'orders.o_orderpriority IN ("a,b", "c")',
+            schema,
+        )
+        (c,) = q.conditions
+        assert c.op == "IN"
+        assert set(c.value) == {"a,b", "c"}
+
+    def test_unqualified_operand_multi_table_rejected(self, schema):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="unqualified"):
+            parse_query(
+                "SELECT SUM(o_totalprice) FROM lineitem, orders WHERE "
+                "lineitem.l_orderkey = orders.o_orderkey",
+                schema,
+            )
+        # single-table queries keep the convenience default
+        q = parse_query("SELECT SUM(o_totalprice) FROM orders", schema)
+        assert q.aggregations[0].operands == [("orders", "o_totalprice")]
