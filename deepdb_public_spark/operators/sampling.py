@@ -36,8 +36,15 @@ def _bucket(id_col: Column) -> Column:
 
 def split_threshold_hex(fraction: float) -> str:
     """The 4-hex-char threshold equivalent to ``fraction`` — for
-    writing the same split as portable SQL."""
-    return format(min(int(fraction * _BUCKETS), _BUCKETS - 1), "04x")
+    writing the same split as portable SQL. fraction >= 1 returns
+    'g000' (lexicographically above every 4-hex-char string), so the
+    portable predicate keeps ALL rows exactly like
+    deterministic_sample(fraction=1.0) — the old clamp to 'ffff'
+    silently dropped the 1/65536 of rows hashing to ffff."""
+    n = int(fraction * _BUCKETS)
+    if n >= _BUCKETS:
+        return "g000"
+    return format(n, "04x")
 
 
 def hash_split(
@@ -137,6 +144,11 @@ def weighted_mixture(
     expressed as pure filters + union, so it is reproducible across
     runs and engines and costs one scan per source at any scale.
     Schemas must be union-compatible; columns are matched by name."""
+    if not sources:
+        raise ValueError(
+            "weighted_mixture needs at least one source (a config-"
+            "driven mixture spec filtered down to nothing?)"
+        )
     parts = []
     for name, (df, fraction) in sorted(sources.items()):
         kept = df if fraction >= 1.0 else deterministic_sample(df, id_col, fraction)

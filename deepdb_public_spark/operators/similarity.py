@@ -24,8 +24,30 @@ from ..functions.vectors import cosine, hyperplane_sign_bits  # noqa: F401 (sign
 from .partitioning import spread_small_input, track_local_checkpoint
 
 
+import weakref
+
+# sketch tables whose word-width already matched their planes (see
+# similarity_selectivity: the check is a Spark job, run once per table)
+_VALIDATED_SKETCHES: "weakref.WeakSet" = weakref.WeakSet()
+
+
 def _query_vec_col(query_vec: list[float]):
     return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def _valid_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Exclude NULL and zero-norm vectors: cosine is undefined for
+    them, the division throws DIVIDE_BY_ZERO under Spark's default
+    ANSI mode (silently NULLs with ANSI off), NULL rows NPE inside
+    MLlib KMeans, and a NULL vector's hyperplane bucket is the
+    deterministic all-zero key — junk rows in every LSH probe. One
+    row-local filter shared by every cosine operator here (the same
+    guard dedup.py's embedding path grew in round 7)."""
+    from ..functions.vectors import l2_norm
+
+    return df.filter(
+        F.col(vec_col).isNotNull() & (l2_norm(F.col(vec_col)) > 0)
+    )
 
 
 def brute_force_topk(
@@ -35,7 +57,7 @@ def brute_force_topk(
     to TakeOrderedAndProject — per-partition heaps, no global sort."""
     q = _query_vec_col(query_vec)
     return (
-        spread_small_input(df).select(
+        _valid_vectors(spread_small_input(df), vec_col).select(
             F.col(id_col).alias("id"), cosine(F.col(vec_col), q).alias("cos")
         )
         .orderBy(F.desc("cos"), F.asc("id"))
@@ -64,7 +86,7 @@ def batch_cosine_topk(
     from pyspark.sql.window import Window
 
     pairs = (
-        spread_small_input(df)
+        _valid_vectors(spread_small_input(df), vec_col)
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
         .crossJoin(
             F.broadcast(
@@ -173,11 +195,11 @@ class IvfIndex:
     would ``.write.partitionBy('cell').parquet(...)`` so a probe scans
     only nprobe/n_cells of the data (partition pruning)."""
 
-    def __init__(self, assigned: DataFrame, centroids: np.ndarray, vec_col: str, id_col: str):
+    def __init__(self, assigned: DataFrame, centroids: np.ndarray):
+        # assigned is always normalized to (id, v, cell) by build/load;
+        # the old vec_col/id_col fields were dead state no method read
         self.assigned = assigned
         self.centroids = centroids
-        self.vec_col = vec_col
-        self.id_col = id_col
 
     @classmethod
     def build(
@@ -191,7 +213,9 @@ class IvfIndex:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
-        feat = df.select(
+        # NULL vectors NPE inside KMeans.fit; zero-norm rows have no
+        # cosine direction for the rerank — both excluded up front
+        feat = _valid_vectors(df, vec_col).select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
             array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
@@ -201,7 +225,7 @@ class IvfIndex:
         assigned = model.transform(feat).select(
             "id", "v", F.col("prediction").alias("cell")
         )
-        return cls(assigned.cache(), centroids, vec_col, id_col)
+        return cls(assigned.cache(), centroids)
 
     def release(self) -> None:
         """Unpersist the materialized index. The cache's lifetime is
@@ -236,6 +260,7 @@ class IvfIndex:
         aggregate, argmin via the min_by aggregate — one narrow
         crossJoin with an n_cells-row broadcast, no Python."""
         spark = df.sparkSession
+        df = _valid_vectors(df, vec_col)
         cent_rows = [
             (int(i), [float(x) for x in c]) for i, c in enumerate(self.centroids)
         ]
@@ -391,9 +416,7 @@ class IvfIndex:
         return {"split_cells": hot, "n_cells": len(centroids)}
 
     @classmethod
-    def load(
-        cls, spark, path: str, vec_col: str = "v", id_col: str = "id"
-    ) -> "IvfIndex":
+    def load(cls, spark, path: str) -> "IvfIndex":
         """Open a saved index WITHOUT materializing it: the cells
         table stays a lazy parquet scan, so each probe plans a fresh
         partition-pruned read (verified in
@@ -405,7 +428,7 @@ class IvfIndex:
         )
         centroids = np.array([r["centroid"] for r in cent])
         assigned = spark.read.parquet(f"{path}/cells").select("id", "v", "cell")
-        return cls(assigned, centroids, vec_col, id_col)
+        return cls(assigned, centroids)
 
     def topk(self, query_vec: list[float], k: int = 10, nprobe: int = 4) -> DataFrame:
         """Probe the nprobe cells whose centroids are most cosine-
@@ -457,7 +480,8 @@ def lsh_topk(
             probe.add(flipped)
     q = _query_vec_col(query_vec)
     return (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        _valid_vectors(df, vec_col)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .withColumn("bucket", hyperplane_sign_bits(F.col("v"), planes.tolist()))
         .filter(F.col("bucket").isin([int(x) for x in probe]))
         .select("id", cosine(F.col("v"), q).alias("cos"))
@@ -491,11 +515,29 @@ def knn_join_lsh(
     from pyspark.sql.window import Window
 
     rng = np.random.default_rng(seed)
-    probe = left.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    left = _valid_vectors(left, vec_col)
+    right = _valid_vectors(right, vec_col)
+    probe = left.select(vec_col).first()
     if probe is None:  # empty left side: zero matches, not a crash
-        return left.sparkSession.createDataFrame(
-            [], "lid long, rid long, cos double, rnk int"
+        # derive the empty frame's id types from the INPUTS — a
+        # hardcoded "lid long" diverged from string-id callers exactly
+        # on the empty-batch edge this fallback exists for
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
         )
+
+        schema = StructType(
+            [
+                StructField("lid", left.schema[left_id].dataType),
+                StructField("rid", right.schema[right_id].dataType),
+                StructField("cos", DoubleType()),
+                StructField("rnk", IntegerType()),
+            ]
+        )
+        return left.sparkSession.createDataFrame([], schema)
     dim = len(probe[vec_col])
     planes = rng.standard_normal((n_planes, dim)).tolist()
 
@@ -550,9 +592,13 @@ def knn_join(
     from pyspark.sql.window import Window
 
     scored = (
-        spread_small_input(left)
+        _valid_vectors(spread_small_input(left), vec_col)
         .select(F.col(left_id).alias("lid"), F.col(vec_col).alias("lv"))
-        .crossJoin(right.select(F.col(right_id).alias("rid"), F.col(vec_col).alias("rv")))
+        .crossJoin(
+            _valid_vectors(right, vec_col).select(
+                F.col(right_id).alias("rid"), F.col(vec_col).alias("rv")
+            )
+        )
         .select(
             "lid", "rid", cosine(F.col("lv"), F.col("rv")).alias("cos")
         )
@@ -704,12 +750,18 @@ def similarity_selectivity(
         n_bits = planes.shape[0]
         if planes.size == 0:  # empty-corpus index
             return {"estimate": 0.0, "lo": 0.0, "hi": 0.0}
-        row = sketches.select(F.size("sk").alias("n")).first()
-        if row is not None and row["n"] * 64 != n_bits:
-            raise ValueError(
-                f"sketches carry {row['n'] * 64} bits but planes define "
-                f"{n_bits} — mixed build_sim_sketches outputs"
-            )
+        # width check ONCE per sketch table: this is a Spark job, and
+        # the sketch method exists to triage MANY queries cheaply —
+        # re-validating a build-time invariant per query scheduled one
+        # redundant job per call
+        if sketches not in _VALIDATED_SKETCHES:
+            row = sketches.select(F.size("sk").alias("n")).first()
+            if row is not None and row["n"] * 64 != n_bits:
+                raise ValueError(
+                    f"sketches carry {row['n'] * 64} bits but planes "
+                    f"define {n_bits} — mixed build_sim_sketches outputs"
+                )
+            _VALIDATED_SKETCHES.add(sketches)
         qv = np.asarray(query_vec, dtype=float)
         qbits = (planes @ qv) > 0
         qwords = []

@@ -39,6 +39,14 @@ def doc_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# THE portable tokenization pattern (lowercased [a-z0-9] runs): one
+# definition consumed by _explode_tokens, the BM25 query side, and
+# ngram_contamination, so a change cannot silently desynchronize the
+# operators from each other or from their DuckDB oracles
+# (string_split_regex(lower(text), '[^a-z0-9]+')).
+TOKEN_SPLIT_RE = r"[^a-z0-9]+"
+
+
 def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Scalar quality score in [0,1] combining length, punctuation and
     stopword signals (monotone heuristic; weights are illustrative —
@@ -47,7 +55,7 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     len_score = F.least(feats["n_tokens"].cast("double") / F.lit(100.0), F.lit(1.0))
     punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - feats["punct_ratio"] * 5)
     stop_score = F.least(feats["stopword_ratio"] * 3, F.lit(1.0))
-    return df.select(
+    return spread_small_input(df).select(
         F.col(id_col),
         ((len_score * 0.5 + punct_penalty * 0.3 + stop_score * 0.2)).alias("quality"),
     )
@@ -62,7 +70,7 @@ def _explode_tokens(
     (term_frequencies, tfidf_top_terms, bm25_topk) on this single
     definition so a tokenization change cannot silently break oracle
     parity for a subset of them. ``id_col=None`` drops the id."""
-    tok = F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")).alias(
+    tok = F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)).alias(
         "token"
     )
     cols = ([F.col(id_col).alias("__id")] if id_col else []) + [tok]
@@ -95,7 +103,11 @@ def corpus_language_report(df: DataFrame, text_col: str, lang_col: str) -> DataF
     """Language-ID evaluation vs a labeled column: per (label, guess)
     confusion counts."""
     return (
-        df.select(F.col(lang_col).alias("label"), language_id(F.col(text_col)).alias("guess"))
+        spread_small_input(df)
+        .select(
+            F.col(lang_col).alias("label"),
+            language_id(F.col(text_col)).alias("guess"),
+        )
         .groupBy("label", "guess")
         .agg(F.count("*").alias("n"))
     )
@@ -160,7 +172,7 @@ def ngram_contamination(
     gram key and the test side joins through the same key. Never
     doc-to-doc comparison, no Python in the row path."""
     toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
         lambda t: F.length(t) >= min_len,
     )
     base = spread_small_input(df).select(
@@ -312,7 +324,7 @@ def bm25_topk(
             F.col(qid_col).alias("__qid"),
             F.explode(
                 F.array_distinct(
-                    F.split(F.lower(F.col(qtext_col)), r"[^a-z0-9]+")
+                    F.split(F.lower(F.col(qtext_col)), TOKEN_SPLIT_RE)
                 )
             ).alias("term"),
         )

@@ -196,3 +196,56 @@ def test_dedup_blank_doc_and_zero_norm_guards(spark):
     }
     assert out[1] == "alpha.beta"   # second 'alpha' deduped
     assert out[2] == "gamma"        # 'beta' seen in doc 1
+
+
+def test_similarity_zero_norm_and_null_guards(spark):
+    """Round-7 review fixes: NULL / zero-norm vectors are excluded
+    from every cosine operator (ANSI division crash, KMeans NPE,
+    deterministic junk LSH bucket), and knn_join_lsh's empty-left
+    fallback keeps the INPUT id types."""
+    from deepdb_public_spark.operators.similarity import (
+        IvfIndex,
+        batch_cosine_topk,
+        brute_force_topk,
+        knn_join_lsh,
+        lsh_topk,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, None), (3, [1.0, 0.0]), (4, [0.9, 0.1])],
+        "vec_id int, embedding array<double>",
+    )
+    ids = {r["id"] for r in brute_force_topk(vecs, "embedding", "vec_id", [1.0, 0.0], k=4).collect()}
+    assert ids == {3, 4}
+    q = spark.createDataFrame([(1, [1.0, 0.0])], "qid int, qvec array<double>")
+    ids2 = {r["id"] for r in batch_cosine_topk(vecs, "embedding", "vec_id", q, k=4).collect()}
+    assert ids2 == {3, 4}
+    ids3 = {r["id"] for r in lsh_topk(vecs, "embedding", "vec_id", [1.0, 0.0], k=4, n_planes=2).collect()}
+    assert ids3 <= {3, 4} and 3 in ids3
+    idx = IvfIndex.build(vecs, "embedding", "vec_id", n_cells=2)
+    assert {r["id"] for r in idx.assigned.collect()} == {3, 4}
+    idx.release()
+
+    empty_left = spark.createDataFrame([], "sid string, embedding array<double>")
+    right = spark.createDataFrame([("r1", [1.0, 0.0])], "rid string, embedding array<double>")
+    out = knn_join_lsh(empty_left, right, "embedding", "sid", "rid")
+    assert out.count() == 0
+    assert dict(out.dtypes)["lid"] == "string"  # not hardcoded bigint
+
+
+def test_split_threshold_hex_full_fraction():
+    """fraction >= 1 yields a threshold above every 4-hex bucket so
+    the portable SQL keeps ALL rows (was 'ffff', silently dropping
+    the 1/65536 of ids hashing there)."""
+    from deepdb_public_spark.operators.sampling import split_threshold_hex
+
+    assert split_threshold_hex(1.0) == "g000"
+    assert format(0xFFFF, "04x") < "g000"  # string compare admits ffff
+    assert split_threshold_hex(0.9) == "e666"
+
+
+def test_weighted_mixture_empty_sources_raises(spark):
+    from deepdb_public_spark.operators.sampling import weighted_mixture
+
+    with pytest.raises(ValueError, match="at least one source"):
+        weighted_mixture({}, "doc_id")
