@@ -108,6 +108,30 @@ def _encoded_delta(model: SPNModel, delta_df: DataFrame) -> DataFrame:
     )
 
 
+
+def _melted_histograms(model: SPNModel, enc: DataFrame) -> dict[str, list]:
+    """One-pass melt of every model column into (__col, __val) counts
+    — the shared machinery behind the exact insert AND delete paths
+    (they used to carry verbatim copies). NaN counts as NULL, matching
+    training (to_numpy(na_value=nan) -> Leaf.fit null mass): a NaN key
+    would otherwise corrupt the leaf's sorted-unique values invariant
+    and break searchsorted."""
+    cols = model.column_names
+    stack = (
+        f"stack({len(cols)}, "
+        + ", ".join(f"'{c}', `{c}`" for c in cols)
+        + ") AS (__col, __val)"
+    )
+    hist = enc.selectExpr(stack).groupBy("__col", "__val").count().collect()
+    per_col: dict[str, list] = {}
+    for r in hist:
+        v = r["__val"]
+        if v is not None and v != v:  # NaN -> NULL bucket
+            v = None
+        per_col.setdefault(r["__col"], []).append((v, r["count"]))
+    return per_col
+
+
 def absorb_delta(
     model: SPNModel,
     delta_df: DataFrame,
@@ -129,18 +153,8 @@ def absorb_delta(
         model.add_dataset(rows, n_total=n_total)
         return n_total
 
-    # exact path: melt all model columns into (__col, __val) and count
-    # — one shuffle for every histogram delta at once
-    cols = model.column_names
-    stack = (
-        f"stack({len(cols)}, "
-        + ", ".join(f"'{c}', `{c}`" for c in cols)
-        + ") AS (__col, __val)"
-    )
-    hist = enc.selectExpr(stack).groupBy("__col", "__val").count().collect()
-    per_col: dict[str, list] = {}
-    for r in hist:
-        per_col.setdefault(r["__col"], []).append((r["__val"], r["count"]))
+    # exact path: one melt pass for every histogram delta at once
+    per_col = _melted_histograms(model, enc)
 
     scale = model.sample_size / max(model.full_join_size, 1.0)
     for leaf in iter_leaves(model.root):
@@ -202,16 +216,7 @@ def remove_delta(
         model.remove_dataset(rows, n_total=n_total)
         return n_total
 
-    cols = model.column_names
-    stack = (
-        f"stack({len(cols)}, "
-        + ", ".join(f"'{c}', `{c}`" for c in cols)
-        + ") AS (__col, __val)"
-    )
-    hist = enc.selectExpr(stack).groupBy("__col", "__val").count().collect()
-    per_col: dict[str, list] = {}
-    for r in hist:
-        per_col.setdefault(r["__col"], []).append((r["__val"], r["count"]))
+    per_col = _melted_histograms(model, enc)
 
     scale = model.sample_size / max(model.full_join_size, 1.0)
     for leaf in iter_leaves(model.root):

@@ -50,45 +50,53 @@ class LearnParams:
 
 
 def scale_minmax(
-    data: np.ndarray, lo: np.ndarray | None = None, hi: np.ndarray | None = None
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    data: np.ndarray,
+    lo: np.ndarray | None = None,
+    hi: np.ndarray | None = None,
+    mean: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Min-max scale to [0,1] (NaN -> column mean). Returns
-    (scaled, lo, hi); pass stored lo/hi to scale NEW rows identically
-    (needed to route incremental inserts to the right cluster)."""
+    (scaled, lo, hi, mean); pass stored lo/hi/mean to scale NEW rows
+    identically (incremental-delta routing must impute NULLs with the
+    TRAINING mean, not the delta batch's own mean — a NULL-skewed
+    delta used to route to a different mixture component than the
+    same row would have at training time)."""
     x = data.astype(np.float64).copy()
     d = x.shape[1]
     lo_out = np.zeros(d) if lo is None else lo
     hi_out = np.ones(d) if hi is None else hi
+    mean_out = np.zeros(d) if mean is None else mean
     for j in range(d):
         col = x[:, j]
         nan = np.isnan(col)
-        if nan.all():
-            col[:] = 0.0
-            x[:, j] = col
-            continue
-        col[nan] = np.nanmean(col)
-        if lo is None:
+        if mean is None:
+            mean_out[j] = 0.0 if nan.all() else float(np.nanmean(col))
+        col[nan] = mean_out[j]
+        if lo is None and not nan.all():
             lo_out[j], hi_out[j] = col.min(), col.max()
         span = hi_out[j] - lo_out[j]
         x[:, j] = (col - lo_out[j]) / span if span > 0 else 0.0
-    return x, lo_out, hi_out
+    return x, lo_out, hi_out, mean_out
 
 
 def _kmeans(
     data: np.ndarray, k: int, seed: int, iters: int = 25
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+):
     """Seeded Lloyd's on min-max-scaled data ->
-    (labels, centers, scale_lo, scale_hi)."""
+    (labels, centers, scale_lo, scale_hi, scale_mean)."""
     rng = np.random.default_rng(seed)
     n = len(data)
-    x, lo, hi = scale_minmax(data)
+    x, lo, hi, mean = scale_minmax(data)
     # init from DISTINCT points: two identical initial centers make
     # Lloyd's collapse into one cluster, and the caller would then
     # fall back to an independence product over a correlated slice
     # (e.g. low-cardinality copies: only 2 distinct rows)
     ux = np.unique(x, axis=0)
     centers = ux[rng.choice(len(ux), size=min(k, len(ux)), replace=False)]
-    labels = np.zeros(n, dtype=np.int64)
+    # -1 sentinel: a zeros init could equal a legitimate all-cluster-0
+    # first assignment, breaking out before ANY center update (false
+    # convergence to one cluster on skewed initializations)
+    labels = np.full(n, -1, dtype=np.int64)
     for _ in range(iters):
         dists = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
         new_labels = dists.argmin(axis=1)
@@ -99,7 +107,7 @@ def _kmeans(
             mask = labels == c
             if mask.any():
                 centers[c] = x[mask].mean(axis=0)
-    return labels, centers, lo, hi
+    return labels, centers, lo, hi, mean
 
 
 def learn_spn(
@@ -107,7 +115,6 @@ def learn_spn(
     scope: list[int],
     params: LearnParams | None = None,
     _depth: int = 0,
-    _last_was_rows: bool = False,
 ) -> Node:
     """``data``: (n, len(scope)) float matrix (NaN = NULL); ``scope``:
     global column indices for the matrix columns."""
@@ -134,29 +141,32 @@ def learn_spn(
         # naive factorization (reference: learn_mspn fallback)
         return leaves_product()
 
-    if not _last_was_rows or d > 1:
-        mat = rdc_matrix(
-            data,
-            seed=params.seed + _depth,
-            max_rows=params.max_sampling_threshold_cols,
-        )
-        groups = independent_groups(mat, params.rdc_threshold)
-        if len(groups) > 1:
-            children = [
-                learn_spn(
-                    data[:, g],
-                    [scope[j] for j in g],
-                    params,
-                    _depth + 1,
-                    _last_was_rows=False,
-                )
-                for g in groups
-            ]
-            p = Product(children)
-            p.n_rows = n
-            return p
+    # column split first (d == 1 returned above; the old
+    # _last_was_rows gate was vacuously true and is gone — SPFlow's
+    # learn_mspn re-attempts the column split after every row split)
+    mat = rdc_matrix(
+        data,
+        seed=params.seed + _depth,
+        max_rows=params.max_sampling_threshold_cols,
+    )
+    groups = independent_groups(mat, params.rdc_threshold)
+    if len(groups) > 1:
+        children = [
+            learn_spn(
+                data[:, g],
+                [scope[j] for j in g],
+                params,
+                _depth + 1,
+            )
+            for g in groups
+        ]
+        p = Product(children)
+        p.n_rows = n
+        return p
 
-    labels, centers, lo, hi = _kmeans(data, params.n_clusters, params.seed + _depth)
+    labels, centers, lo, hi, mean = _kmeans(
+        data, params.n_clusters, params.seed + _depth
+    )
     uniq = np.unique(labels)
     if len(uniq) < 2:
         return leaves_product()
@@ -165,9 +175,10 @@ def learn_spn(
         mask = labels == c
         weights.append(mask.mean())
         children.append(
-            learn_spn(data[mask], scope, params, _depth + 1, _last_was_rows=True)
+            learn_spn(data[mask], scope, params, _depth + 1)
         )
     s = Sum(weights, children, cluster_centers=centers[uniq])
     s.scale_lo, s.scale_hi = lo, hi
+    s.scale_mean = mean
     s.n_rows = n
     return s

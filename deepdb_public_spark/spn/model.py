@@ -1165,10 +1165,15 @@ class SPNModel:
                 node.n_rows = prior + n_new
                 return
             if isinstance(node, Sum):
-                x, _, _ = scale_minmax(
+                # stored training mean for NULL imputation: routing
+                # with the delta batch's own mean sent NULL-skewed
+                # deltas to a different mixture component than the
+                # same rows saw at training time
+                x, _, _, _ = scale_minmax(
                     data[:, [scope.index(s) for s in node.scope]],
                     node.scale_lo,
                     node.scale_hi,
+                    getattr(node, "scale_mean", None),
                 )
                 d = ((x[:, None, :] - node.cluster_centers[None, :, :]) ** 2).sum(
                     axis=2
@@ -1227,10 +1232,15 @@ class SPNModel:
                 node.n_rows = max(0.0, prior - n_del)
                 return
             if isinstance(node, Sum):
-                x, _, _ = scale_minmax(
+                # stored training mean for NULL imputation: routing
+                # with the delta batch's own mean sent NULL-skewed
+                # deltas to a different mixture component than the
+                # same rows saw at training time
+                x, _, _, _ = scale_minmax(
                     data[:, [scope.index(s) for s in node.scope]],
                     node.scale_lo,
                     node.scale_hi,
+                    getattr(node, "scale_mean", None),
                 )
                 d = ((x[:, None, :] - node.cluster_centers[None, :, :]) ** 2).sum(
                     axis=2

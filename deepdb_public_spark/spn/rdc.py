@@ -21,16 +21,34 @@ import numpy as np
 
 
 def _copula(x: np.ndarray) -> np.ndarray:
-    """Empirical CDF transform (average ranks / n), NaNs -> 0.5."""
+    """Empirical CDF transform (AVERAGE ranks / n), NaNs -> 0.5.
+
+    Average ranks for ties are load-bearing, not cosmetic: ordinal
+    (row-order) ranks turn every tie run into a shared row-index ramp,
+    so two INDEPENDENT low-cardinality columns (skewed flags, nn_
+    indicators, near-constant slices after row splits) presented
+    near-identical ramps and scored RDC far above the dependence
+    threshold — blocking Product splits and degrading structure to
+    row-split-only SPNs. With average ranks a constant column maps to
+    a constant 0.5+ and contributes no spurious correlation."""
     x = np.asarray(x, dtype=np.float64)
     out = np.full(len(x), 0.5)
     ok = ~np.isnan(x)
-    n = ok.sum()
+    n = int(ok.sum())
     if n == 0:
         return out
-    order = np.argsort(x[ok], kind="mergesort")
+    xs = x[ok]
+    order = np.argsort(xs, kind="mergesort")
+    sorted_vals = xs[order]
     ranks = np.empty(n)
-    ranks[order] = np.arange(1, n + 1)
+    i = 0
+    while i < n:
+        j = i
+        while j + 1 < n and sorted_vals[j + 1] == sorted_vals[i]:
+            j += 1
+        # average rank of the tie run [i, j] (1-based ranks)
+        ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
     out[ok] = ranks / n
     return out
 

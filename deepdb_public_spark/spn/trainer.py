@@ -81,7 +81,12 @@ def _mllib_top_split(
     km = KMeans(k=params.n_clusters, seed=seed, maxIter=20, featuresCol="__f")
     kmodel = km.fit(feat)
     t0 = _mark("kmeans_fit", t0)
-    assigned = kmodel.transform(feat).withColumnRenamed("prediction", "__c")
+    # persist: the sizes collect and every per-cluster sample re-ran
+    # the encode joins + transform over the full relation otherwise
+    # (k+1 full passes on the training hot path)
+    assigned = (
+        kmodel.transform(feat).withColumnRenamed("prediction", "__c").persist()
+    )
     sizes = {
         r["__c"]: r["cnt"]
         for r in assigned.groupBy("__c").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -103,19 +108,20 @@ def _mllib_top_split(
         if len(data) == 0:
             continue
         child = learn_spn(
-            data, list(range(len(model_cols))), params, _depth=1,
-            _last_was_rows=True,
+            data, list(range(len(model_cols))), params, _depth=1
         )
         children.append(child)
         weights.append(sizes[c] / total)
         kept_centers.append(centers[c])
         n_sampled += len(data)
     _mark("per_cluster_sample_and_learn", t0)
+    assigned.unpersist()
     if len(children) == 1:
         return children[0], n_sampled
     wsum = sum(weights)
     root = Sum([w / wsum for w in weights], children, np.array(kept_centers))
     root.scale_lo, root.scale_hi = lo, hi
+    root.scale_mean = np.array(mu)  # training-mean NULL imputation (D5 routing)
     root.n_rows = n_sampled
     return root, n_sampled
 
@@ -245,6 +251,15 @@ def train_spn_model(
     try:
         observed_size = joined.count()
         timings["join_materialize_count"] = round(_time.perf_counter() - _t, 3)
+        if observed_size == 0:
+            # fail at the cause: an empty relation otherwise surfaces
+            # as an opaque 'leaf mass 0 != 1' assertion deep in
+            # validate() (or nothing at all under python -O)
+            raise ValueError(
+                f"cannot train over {sorted(table_set)}: the joined "
+                "relation is empty (empty staged tables or an "
+                "over-aggressive sampling fraction?)"
+            )
         # Tiny relations (dimension tables / snowflake arms): a slice
         # floor ABOVE the row count forbids every row split, forcing
         # the whole model into one naive-independence product — a
@@ -297,20 +312,12 @@ def train_spn_model(
             from ..operators.prep import encode_with_meta
 
             fraction = min(1.0, sample_budget / max(observed_size, 1))
-            if any(
-                meta.columns[c].kind == "categorical"
-                and meta.columns[c].value_to_code is None
-                for c in model_cols
-            ):
-                # beyond-dict-cap categorical: its codes exist only in
-                # the distributed mapping join — encode the full frame
-                src = encoded.select(*model_cols).sample(
-                    fraction=fraction, seed=seed
-                )
-            else:
-                src = encode_with_meta(
-                    joined.sample(fraction=fraction, seed=seed), meta
-                ).select(*model_cols)
+            # model_cols already excludes every beyond-dict-cap
+            # categorical (value_to_code None), so the sample can
+            # always re-encode via the driver-side dictionaries
+            src = encode_with_meta(
+                joined.sample(fraction=fraction, seed=seed), meta
+            ).select(*model_cols)
             pdf = src.toPandas()
             data = pdf.to_numpy(dtype=np.float64, na_value=np.nan)
             root = learn_spn(data, list(range(len(model_cols))), params)

@@ -163,3 +163,25 @@ def test_rdc_spn_selection_prefers_correlated_anchor(spark, star):
         ens.save(path)
         back = SPNEnsemble.load(path, g)
         assert back.pairwise_rdc == pairwise
+
+
+def test_rdc_ties_use_average_ranks():
+    """Round-7 review fix: ordinal ranks turned every tie run into a
+    shared row-index ramp — two INDEPENDENT skewed binary columns
+    scored RDC 0.93 and constant columns 0.99+, blocking Product
+    splits. Average ranks keep independents near 0 and real
+    dependence near 1."""
+    import numpy as np
+
+    from deepdb_public_spark.spn.rdc import rdc
+
+    rng = np.random.default_rng(0)
+    a = (rng.random(5000) < 0.05).astype(float)
+    b = (rng.random(5000) < 0.05).astype(float)
+    assert rdc(a, b) < 0.15, "independent skewed binaries must score low"
+    const = np.ones(5000)
+    assert rdc(const, b) < 0.15
+    assert rdc(const, np.ones(5000)) < 0.15
+    x = rng.random(5000)
+    y = x * 2 + rng.random(5000) * 0.01
+    assert rdc(x, y) > 0.9, "real dependence must stay high"
