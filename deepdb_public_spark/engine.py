@@ -153,37 +153,11 @@ class Engine:
 
         self.compiler.cardinality_estimator = estimator
 
-        def join_estimator(tables: frozenset, query: Query):
-            """Price an intermediate join for the compiler's left-deep
-            DP (reference: learned cardinalities feeding the join-order
-            search): the sub-query over `tables` with the original
-            query's conditions and FK edges restricted to the subset.
-            Returns None when the ensemble can't answer (no covering
-            factorization, cyclic subset, ...) — the compiler then
-            falls back to greedy."""
-            from .plans.query import Query as Q
-
-            rel_ids = {
-                rid
-                for rid in query.relationship_set
-                if self.schema.relationships[rid].start in tables
-                and self.schema.relationships[rid].end in tables
-            }
-            sub = Q(
-                table_set=set(tables),
-                relationship_set=rel_ids,
-                conditions=[
-                    c for c in query.conditions if c.table in tables
-                ],
-            )
-            try:
-                return self.ensemble.cardinality(sub)
-            except (ValueError, KeyError):
-                return None
-
-        self.compiler.join_cardinality_estimator = join_estimator
-
         def _dp_sub_query(tables: frozenset, query: Query):
+            """Sub-query over a DP subset: the original query's
+            conditions and FK edges restricted to `tables` — one
+            definition for the scalar AND batch estimators (they used
+            to carry verbatim copies)."""
             from .plans.query import Query as Q
 
             rel_ids = {
@@ -197,6 +171,19 @@ class Engine:
                 relationship_set=rel_ids,
                 conditions=[c for c in query.conditions if c.table in tables],
             )
+
+        def join_estimator(tables: frozenset, query: Query):
+            """Price an intermediate join for the compiler's left-deep
+            DP (reference: learned cardinalities feeding the join-order
+            search). Returns None when the ensemble can't answer (no
+            covering factorization, cyclic subset, ...) — the compiler
+            then falls back to greedy."""
+            try:
+                return self.ensemble.cardinality(_dp_sub_query(tables, query))
+            except (ValueError, KeyError):
+                return None
+
+        self.compiler.join_cardinality_estimator = join_estimator
 
         def join_estimator_batch(subsets: list, query: Query):
             """Batch twin of join_estimator: subsets routed to the

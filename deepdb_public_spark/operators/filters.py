@@ -235,9 +235,18 @@ def unigram_logprob(
             ).alias("lp"),
         )
     )
-    return scored.groupBy(id_col).agg(
+    per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("lp"), 6).alias("mean_logprob"),
+    )
+    # anchor on the full id universe (like repetition_stats): empty/
+    # NULL-text docs produce no token rows and silently VANISHED from
+    # the output — the degenerate documents a perplexity filter most
+    # needs to flag surface as n_tokens = 0, mean_logprob NULL
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .fillna({"n_tokens": 0})
     )
 
 

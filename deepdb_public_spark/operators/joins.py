@@ -41,8 +41,12 @@ def skew_tolerant_join(
             "skew_tolerant_join preserves semantics only for how in "
             f"{{'inner','left'}}, got {how!r}"
         )
+    # NULL keys never join, so they are never hot — and a None inside
+    # hot_keys poisons isin(): ~is_hot evaluates to NULL for EVERY
+    # cold key and the cold filter silently drops all of them
     freq = (
         left.sample(sample_fraction, seed=seed)
+        .filter(F.col(key).isNotNull())
         .groupBy(key)
         .agg((F.count(F.lit(1)) / sample_fraction).alias("est"))
         .filter(F.col("est") >= hot_key_threshold)
@@ -96,8 +100,13 @@ def asof_join(
         )
     # equi-join semantics: NULL never matches NULL, so NULL-key right
     # rows must not seed the NULL-key window partition (left NULL-key
-    # rows then correctly carry NULL right values)
-    right = right.filter(F.col(key).isNotNull())
+    # rows then correctly carry NULL right values). NULL-TIMESTAMP
+    # right rows are excluded too: they sort NULLS FIRST and would
+    # carry their values into left rows with no true preceding right
+    # row (DuckDB ASOF matches nothing for a NULL right timestamp)
+    right = right.filter(
+        F.col(key).isNotNull() & F.col(right_ts).isNotNull()
+    )
     lhs = left.withColumn("__side", F.lit(1)).withColumn("__ets", F.col(left_ts))
     rhs = right.select(
         F.col(key),

@@ -155,6 +155,14 @@ def encode_table(
                     [StructField(col, StringType()), StructField("__code", LongType())]
                 ),
             )
+            from .partitioning import track_local_checkpoint
+
+            # materialize the mapping NOW (eager localCheckpoint,
+            # truncating the lineage back through `distinct`): the
+            # encode join is lazy, and unpersisting `distinct` before
+            # it ran re-executed the whole distinct+global-sort per
+            # large-domain column at first action
+            join_side = track_local_checkpoint(join_side.localCheckpoint())
         if col not in dicts:
             distinct.unpersist()
         out = (
@@ -357,7 +365,13 @@ def generate_join_sample(
                 "to derive the edges from the schema"
             )
         df = catalog[next(iter(sorted(table_set)))]
-        return df.sample(sample_fraction, seed=seed) if sample_fraction else df
+        # `is not None`, matching the multi-table path: a falsy 0.0
+        # used to return the FULL table here but an empty sample there
+        return (
+            df.sample(sample_fraction, seed=seed)
+            if sample_fraction is not None
+            else df
+        )
 
     # Column names must be unique ACROSS the table set: the joined
     # frame is consumed positionally by encoding/training, where two
@@ -390,8 +404,16 @@ def generate_join_sample(
         progressed = False
         for rel in list(pending):
             if rel.start in joined and rel.end in joined:
-                pending.remove(rel)
-                progressed = True
+                # parallel edge between two already-joined tables (or
+                # a cycle-closing edge): silently dropping it would
+                # materialize a training sample VIOLATING the edge's
+                # equality while still coalescing its mul_/nn_ columns
+                raise ValueError(
+                    f"generate_join_sample: edge {rel.identifier!r} "
+                    "closes a cycle / parallels an applied edge — the "
+                    "outer-join tree cannot express it; stage this "
+                    "table set without the extra edge"
+                )
             elif rel.start in joined or rel.end in joined:
                 other = rel.end if rel.start in joined else rel.start
                 # name-based join condition: safe because the unique-

@@ -24,7 +24,9 @@ def tumbling_counts(events: DataFrame, window_len: str = "1 day") -> DataFrame:
         events.groupBy(F.window("ts", window_len).alias("w"), "event_type")
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            # decimal(38,6): 18,6 overflowed at |value| >= 1e12 — a
+            # runtime ANSI crash (or silent NULL with ANSI off)
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").cast("string").alias("win_start"),

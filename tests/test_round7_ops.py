@@ -249,3 +249,63 @@ def test_weighted_mixture_empty_sources_raises(spark):
 
     with pytest.raises(ValueError, match="at least one source"):
         weighted_mixture({}, "doc_id")
+
+
+def test_joins_null_key_and_ts_guards(spark):
+    """Round-7 review fixes: a hot NULL key must not poison the cold
+    path (isin with None made ~is_hot NULL for every cold key); a
+    NULL-timestamp right row must not carry values into left rows
+    with no true preceding right row."""
+    from deepdb_public_spark.operators.joins import asof_join, skew_tolerant_join
+
+    left = spark.createDataFrame(
+        [(None, 1)] * 50 + [("k1", 2), ("k2", 3)], "k string, lv int"
+    )
+    right = spark.createDataFrame([("k1", 10), ("k2", 20)], "k string, rv int")
+    inner = skew_tolerant_join(
+        left, right, "k", how="inner", hot_key_threshold=5, sample_fraction=1.0
+    )
+    assert inner.count() == 2
+    lft = skew_tolerant_join(
+        left, right, "k", how="left", hot_key_threshold=5, sample_fraction=1.0
+    )
+    assert lft.count() == 52
+
+    l2 = spark.createDataFrame([("k", 10)], "k string, ts long")
+    r2 = spark.createDataFrame([("k", None, 99)], "k string, ts long, val int")
+    (row,) = asof_join(l2, r2, "k", "ts", "ts").collect()
+    assert row["ts_right"] is None and row["val_right"] is None
+
+
+def test_unigram_logprob_keeps_degenerate_docs(spark):
+    """Empty/NULL-text docs surface with n_tokens=0 instead of
+    vanishing — the rows a perplexity filter most needs to flag."""
+    from deepdb_public_spark.operators.filters import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "   "), (3, None)], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(docs, "text", "doc_id").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["n_tokens"] == 0 and out[2]["mean_logprob"] is None
+    assert out[1]["n_tokens"] == 3
+
+
+def test_join_sample_rejects_cycle_edge(spark):
+    """A relationship set with a cycle-closing/parallel edge raises
+    instead of silently materializing a sample violating the edge."""
+    from deepdb_public_spark.operators.prep import generate_join_sample
+    from deepdb_public_spark.plans.schema import SchemaGraph, Table
+
+    a = spark.createDataFrame([(1, 1, 1)], "a_id int, fk1 int, fk2 int")
+    b = spark.createDataFrame([(1,)], "b_id int")
+    g = SchemaGraph()
+    g.add_table(Table("ta", ["a_id"]))
+    g.add_table(Table("tb", ["b_id"]))
+    r1 = g.add_relationship("ta", "fk1", "tb", "b_id")
+    r2 = g.add_relationship("ta", "fk2", "tb", "b_id")
+    with pytest.raises(ValueError, match="cycle"):
+        generate_join_sample(
+            {"ta": a, "tb": b}, g, {"ta", "tb"},
+            {r1.identifier, r2.identifier},
+        ).collect()
