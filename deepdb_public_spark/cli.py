@@ -208,6 +208,13 @@ def _cmd_generate_ensemble(eng: Engine, args) -> int:
 
         for model in ens.models:
             for leaf in iter_leaves(model.root):
+                # dictionary-coded leaves must never compact: merged
+                # bin means break exact code matching (the reference
+                # compresses only IdentityNumericLeaf)
+                cm = model.meta.columns.get(
+                    model.column_names[leaf.scope[0]]
+                )
+                leaf.categorical = cm is not None and cm.kind == "categorical"
                 leaf.compact(args.post_sampling_factor)
     if args.pairwise_rdc_path:
         import pickle as _pickle

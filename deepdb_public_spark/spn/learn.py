@@ -40,6 +40,10 @@ class LearnParams:
     # --post_sampling_factor, default off here; >1 merges distinct
     # values into ~len/factor equal-mass bins, Leaf.compact)
     post_sampling_factor: float = 1.0
+    # scope indices whose columns are dictionary-coded categoricals:
+    # Leaf.compact must skip them (fractional bin means break exact
+    # code matching); the trainer populates this from the table meta
+    categorical_scopes: frozenset = frozenset()
     # round 6: tiny relations clamp min_instances_slice to rows//4 so
     # dimension models keep at least ~2 split levels (a pure
     # naive-independence product spreads joint mass over all value
@@ -124,6 +128,7 @@ def learn_spn(
     def leaves_product() -> Node:
         ls = [Leaf.fit(scope[j], data[:, j]) for j in range(d)]
         for leaf in ls:
+            leaf.categorical = leaf.scope[0] in params.categorical_scopes
             leaf.compact(params.post_sampling_factor)
             leaf.n_rows = n
         if d == 1:
@@ -134,6 +139,7 @@ def learn_spn(
 
     if d == 1:
         leaf = Leaf.fit(scope[0], data[:, 0])
+        leaf.categorical = scope[0] in params.categorical_scopes
         leaf.compact(params.post_sampling_factor)
         leaf.n_rows = n
         return leaf

@@ -92,10 +92,15 @@ class Leaf:
         granularity and E[x] (SUM/AVG) is preserved EXACTLY; range
         boundaries falling inside a bin become approximate — the
         reference's size/accuracy tradeoff. No-op for leaves at or
-        under ``min_keep`` distinct values.
+        under ``min_keep`` distinct values, and for CATEGORICAL leaves
+        (``leaf.categorical``): merged bin means are fractional, so
+        exact-code matching (=, IN, LIKE, group-by axes, incremental
+        deltas keyed on real codes) would silently return 0 — the
+        reference likewise compresses only IdentityNumericLeaf, never
+        Categorical.
         """
         n = len(self.values)
-        if factor <= 1 or n <= min_keep:
+        if factor <= 1 or n <= min_keep or getattr(self, "categorical", False):
             return
         k = max(min_keep, int(np.ceil(n / factor)))
         cum = np.cumsum(self.probs)
@@ -128,7 +133,10 @@ class Leaf:
         merged = {float(v): p * prior_n for v, p in zip(self.values, self.probs)}
         for v, c in zip(values, counts):
             merged[float(v)] = merged.get(float(v), 0.0) + c * scale
-        items = sorted(merged.items())
+        # drop zero-mass entries like absorb/remove_counts do (a
+        # prior_n=0 merge otherwise grows the histogram with dead
+        # values every _mask scan pays for)
+        items = sorted((v, c) for v, c in merged.items() if c > 0)
         self.values = np.array([v for v, _ in items])
         self.probs = np.array([c / total for _, c in items])
         self.null_prob = (self.null_prob * prior_n + null_count * scale) / total

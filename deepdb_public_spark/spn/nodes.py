@@ -35,6 +35,13 @@ class Sum:
         children: list,
         cluster_centers: np.ndarray | None = None,
     ) -> None:
+        if len(weights) != len(children):
+            # every evaluator zips weights with children — a surplus
+            # child would silently vanish from all estimates
+            raise ValueError(
+                f"Sum needs one weight per child "
+                f"({len(weights)} weights, {len(children)} children)"
+            )
         self.weights = list(weights)
         self.children = children
         self.scope = children[0].scope if children else []
@@ -190,9 +197,22 @@ def evaluate_with_variance(
     """
     features = features or {}
 
+    def _cnt(n: Node) -> float:
+        cnt = getattr(n, "n_rows", None)
+        if cnt is None:
+            # a silent n_rows=1 fallback inflated variance ~n-fold
+            # (reproduced: 1300x too-wide CIs) for any tree assembled
+            # without the trainer's n_rows bookkeeping — fail loudly
+            raise ValueError(
+                "evaluate_with_variance needs n_rows on every node "
+                "(set by learn_spn/trainer); this tree was assembled "
+                "without it"
+            )
+        return max(float(cnt), 1.0)
+
     def rec(n: Node) -> tuple[float, float]:
         if isinstance(n, Leaf):
-            cnt = max(float(getattr(n, "n_rows", 1)), 1.0)
+            cnt = _cnt(n)
             col = n.scope[0]
             rng = cond.get(col)
             fn = features.get(col)
@@ -209,7 +229,7 @@ def evaluate_with_variance(
                 v = v * cv + v * ce * ce + cv * e * e
                 e = e * ce
             return e, v
-        cnt = max(float(getattr(n, "n_rows", 1)), 1.0)  # Sum
+        cnt = _cnt(n)  # Sum
         e, v = 0.0, 0.0
         for w, ch in zip(n.weights, n.children):
             ce, cv = rec(ch)
@@ -242,11 +262,17 @@ def distinct_values(node: Node, col: int) -> np.ndarray:
 def validate(node: Node, n_cols: int | None = None) -> None:
     """Structural invariants (reference D10: custom_validity.py):
     sum weights normalize, product children partition scopes, sum
-    children share scope."""
+    children share scope; with ``n_cols``, every leaf scope index is
+    inside [0, n_cols) (the parameter used to be accepted and
+    ignored)."""
     if isinstance(node, Leaf):
         total = node.probs.sum() + node.null_prob
         assert abs(total - 1.0) < 1e-6, f"leaf mass {total} != 1"
         assert np.all(np.diff(node.values) > 0), "leaf values not sorted-unique"
+        if n_cols is not None:
+            assert 0 <= node.scope[0] < n_cols, (
+                f"leaf scope {node.scope[0]} outside [0, {n_cols})"
+            )
         return
     if isinstance(node, Product):
         seen: set[int] = set()
@@ -254,10 +280,10 @@ def validate(node: Node, n_cols: int | None = None) -> None:
             overlap = seen & set(ch.scope)
             assert not overlap, f"product children share scope {overlap}"
             seen |= set(ch.scope)
-            validate(ch)
+            validate(ch, n_cols)
         return
     assert abs(sum(node.weights) - 1.0) < 1e-6, "sum weights != 1"
     scopes = {tuple(ch.scope) for ch in node.children}
     assert len(scopes) == 1, "sum children scopes differ"
     for ch in node.children:
-        validate(ch)
+        validate(ch, n_cols)

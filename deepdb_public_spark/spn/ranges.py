@@ -9,7 +9,7 @@ unless include_null is set (IS NULL maps to a null-only range).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass
@@ -41,12 +41,21 @@ Range = NominalRange | NumericRange | NullOnlyRange
 
 def range_key(rng: Range) -> tuple:
     """Canonical hashable form — the factor-cache key component
-    (reference B13: IndicatorExpectation.__hash__)."""
+    (reference B13: IndicatorExpectation.__hash__). Canonical means
+    semantically identical conditions hash identically: nominal values
+    sort (IN ('a','b') == IN ('b','a')) and interval lists pass
+    through _merge_intervals (intersect output is nested-loop-ordered
+    and unmerged) — without this, equal factors missed the cache and
+    re-walked the tree."""
     if isinstance(rng, NullOnlyRange):
         return ("null",)
     if isinstance(rng, NominalRange):
-        return ("nom", tuple(rng.values), rng.include_null)
-    return ("num", tuple(rng.intervals), rng.include_null)
+        return ("nom", tuple(sorted(rng.values)), rng.include_null)
+    return (
+        "num",
+        tuple(_merge_intervals(rng.intervals)),
+        rng.include_null,
+    )
 
 
 def value_admitted(rng: Range, v: float) -> bool:
@@ -67,9 +76,23 @@ def is_empty_range(rng: Range) -> bool:
     return not rng.intervals and not rng.include_null
 
 
+def _norm_iv(iv):
+    """Normalize an interval's unbounded endpoints: None -> +/-inf.
+    leaves._mask accepts None bounds, but comparisons here would
+    TypeError on them — one normalization point keeps both encodings
+    legal everywhere."""
+    lo, hi, li, hi_incl = iv
+    return (
+        float("-inf") if lo is None else lo,
+        float("inf") if hi is None else hi,
+        li,
+        hi_incl,
+    )
+
+
 def _interval_intersect(a, b):
-    lo1, hi1, l1, h1 = a
-    lo2, hi2, l2, h2 = b
+    lo1, hi1, l1, h1 = _norm_iv(a)
+    lo2, hi2, l2, h2 = _norm_iv(b)
     if lo1 > lo2:
         lo, li = lo1, l1
     elif lo2 > lo1:
@@ -88,7 +111,8 @@ def _interval_intersect(a, b):
 
 
 def _value_in_intervals(v: float, intervals) -> bool:
-    for lo, hi, li, hi_incl in intervals:
+    for iv in intervals:
+        lo, hi, li, hi_incl = _norm_iv(iv)
         above = v > lo or (v == lo and li)
         below = v < hi or (v == hi and hi_incl)
         if above and below:
@@ -138,7 +162,10 @@ def _merge_intervals(intervals):
     bounded under repeated unions."""
     if not intervals:
         return []
-    ivs = sorted(intervals, key=lambda iv: (iv[0], 0 if iv[2] else 1))
+    ivs = sorted(
+        (_norm_iv(iv) for iv in intervals),
+        key=lambda iv: (iv[0], 0 if iv[2] else 1),
+    )
     out = [list(ivs[0])]
     for lo, hi, lo_incl, hi_incl in ivs[1:]:
         _L, H, _Li, Hi = out[-1]
@@ -185,14 +212,3 @@ def union_ranges(a: Range, b: Range) -> Range:
     )
     return NumericRange(_merge_intervals(ia + ib), include_null=include_null)
 
-
-@dataclass
-class ConditionSet:
-    """col name -> Range (conjunctive, as in the reference grammar)."""
-
-    ranges: dict[str, Range] = field(default_factory=dict)
-
-    def merged_with(self, col: str, rng: Range) -> "ConditionSet":
-        out = dict(self.ranges)
-        out[col] = rng
-        return ConditionSet(out)

@@ -296,6 +296,19 @@ def train_spn_model(
                 and meta.columns[c].value_to_code is None
             )
         ]
+        # leaf compaction must skip dictionary-coded scopes (exact
+        # code matching breaks on merged bin means) — tell learn_spn
+        # which scope indices are categorical
+        import dataclasses as _dc
+
+        params = _dc.replace(
+            params,
+            categorical_scopes=frozenset(
+                j
+                for j, c in enumerate(model_cols)
+                if meta.columns[c].kind == "categorical"
+            ),
+        )
 
         if sample_budget > driver_row_limit and observed_size > driver_row_limit:
             root, n_sample = _mllib_top_split(
