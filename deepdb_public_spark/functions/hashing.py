@@ -122,7 +122,12 @@ def simhash_block_keys(sig: Column, n_blocks: int = 4) -> Column:
     array<struct<block:int, key:bigint>>. Pigeonhole: two signatures
     within Hamming distance (n_blocks - 1) agree on at least one
     block, so block-equality buckets are a complete candidate filter
-    for distance <= n_blocks - 1."""
+    for distance <= n_blocks - 1.
+
+    When n_blocks does not divide 64 the top 64 - n_blocks*width bits
+    are excluded from every key. That only WIDENS buckets (differing
+    bits there affect no key, adding candidate collisions); it never
+    drops a qualifying pair, so completeness is preserved."""
     width = 64 // n_blocks
     mask = (1 << width) - 1
     # n_blocks is a plain int -> unroll on the driver (shift amounts

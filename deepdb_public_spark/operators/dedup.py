@@ -997,9 +997,14 @@ def simhash_pairs(
     chain_width: int = 4,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance <= max_hamming.
-    Complete (no false negatives) for max_hamming <= 3 via the 4-block
-    pigeonhole filter — up to the max_bucket_size bound on degenerate
-    blocks (capped_bucket_pairs); returns (id_a, id_b, hamming).
+    Complete (no false negatives) via the (max_hamming + 1)-block
+    pigeonhole filter — max_hamming differing bits cannot touch all
+    max_hamming + 1 blocks, so every qualifying pair agrees on at
+    least one block key — up to the max_bucket_size bound on
+    degenerate blocks (capped_bucket_pairs); returns
+    (id_a, id_b, hamming). Wider radii mean narrower blocks and so
+    busier buckets: the candidate filter stays complete, but expect
+    more verification work per pair as max_hamming grows.
 
     Documents with IDENTICAL signatures (hamming 0 — the dominant
     mass on duplicate-heavy corpora) are collapsed to one
@@ -1012,15 +1017,19 @@ def simhash_pairs(
     and would collapse into one fake hamming-0 cluster, taking any
     real signature-0 document with them — same exclusion as the
     jaccard/minhash operators)."""
-    if max_hamming > 3:
-        # 4 pigeonhole blocks are complete only for distance <= 3; a
-        # silently accepted larger radius would LOSE pairs whose
-        # differing bits spread across all four blocks
+    if not 0 <= max_hamming <= 31:
+        # completeness needs max_hamming + 1 pigeonhole blocks; past 32
+        # blocks each key is under 2 bits wide and the filter degenerates
+        # to (nearly) all-pairs — reject loudly instead of running an
+        # accidental cartesian
         raise ValueError(
-            f"max_hamming={max_hamming} exceeds the 4-block pigeonhole "
-            "completeness bound (3); raise the block count in "
-            "simhash_block_keys if a wider radius is needed"
+            f"max_hamming={max_hamming} outside the supported pigeonhole "
+            "range [0, 31]: the filter needs max_hamming + 1 blocks and "
+            "64-bit signatures leave blocks with no selectivity past that"
         )
+    # pigeonhole: r differing bits cannot touch all r + 1 blocks (floor
+    # of 2 keeps the key width a sane long even at radius 0/1)
+    n_blocks = max(2, max_hamming + 1)
     df = spread_small_input(df)
     groups = _persist(
         df.filter(
@@ -1036,7 +1045,7 @@ def simhash_pairs(
     )
     sigs = groups.select(F.col("ids")[0].alias("id"), "sig")
     blocked = sigs.select(
-        "id", F.explode(simhash_block_keys(F.col("sig"), 4)).alias("bk")
+        "id", F.explode(simhash_block_keys(F.col("sig"), n_blocks)).alias("bk")
     ).select("id", F.col("bk.block").alias("block"), F.col("bk.key").alias("key"))
     cand = capped_bucket_pairs(blocked, ["block", "key"], max_bucket_size, chain_width)
     rep_pairs = (

@@ -1245,25 +1245,26 @@ class SPNEnsemble:
         need_g = {t for t, _c in query.group_bys}
         _q_rels, component, sub_query = self._query_graph(query)
         anchor = self._grouped_anchor(query, need_g, component)
-        if anchor is None:
-            raise ModelPlaneUnsupported(
-                "grouped AQP over a multi-model table set needs one "
-                "model covering all group-by tables in a connected "
-                "piece; use the exact plane"
-            )
-        mg, gpiece = anchor
-
-        lq = sub_query(set(gpiece))
-        lq.group_bys = list(query.group_bys)
-        lq.aggregations = [
-            AggOperation(
-                AggregationOperationType.AGGREGATION,
-                AggregationType.COUNT,
-                [],
-                alias="v",
-            )
-        ]
-        keys = [tuple(r[c] for c in gb_cols) for r in mg.aqp(lq)]
+        if anchor is not None:
+            mg, gpiece = anchor
+            lq = sub_query(set(gpiece))
+            lq.group_bys = list(query.group_bys)
+            lq.aggregations = [
+                AggOperation(
+                    AggregationOperationType.AGGREGATION,
+                    AggregationType.COUNT,
+                    [],
+                    alias="v",
+                )
+            ]
+            keys = [tuple(r[c] for c in gb_cols) for r in mg.aqp(lq)]
+        else:
+            # group-by tables themselves span models with no single
+            # covering anchor (round 8): enumerate each piece's key
+            # grid from its own anchor and cross-product; the pinned
+            # chain COUNT below recovers cross-piece correlations and
+            # the 0.5-expected-rows threshold prunes impossible combos
+            keys = self._cross_piece_group_keys(query, component, sub_query)
 
         def pin(key: tuple) -> list:
             return [
@@ -1274,10 +1275,46 @@ class SPNEnsemble:
         def chain_count(extra: list) -> float:
             return self._chain_count(query, extra)
 
-        def anchor_avg(operands: list) -> float:
+        def avg_grid(operands: list) -> dict:
+            """{group key: AVG(operands)} from the operand anchor.
+            Group columns living INSIDE the operand's piece are pinned
+            per key (the anchor sees that group↔operand correlation
+            directly); group columns outside the piece stay unpinned —
+            the remote-independence assumption _aqp_factorized
+            documents. When no group table intersects the piece this
+            degenerates to one group-independent AVG, the original
+            split-anchor behavior."""
+            import math as _m
+
             m, local = self._anchor_local(query, operands)
+            in_piece = [
+                i
+                for i, (t, _c) in enumerate(query.group_bys)
+                if t in local.table_set
+            ]
             (row,) = m.aqp(local)
-            return float(row["v"])
+            a0 = float(row["v"])
+            if not in_piece:
+                return {k: a0 for k in keys}
+            base_conditions = list(local.conditions)
+            out: dict[tuple, float] = {}
+            cache: dict[tuple, float] = {}
+            for k in keys:
+                pk = tuple(k[i] for i in in_piece)
+                if pk not in cache:
+                    local.conditions = base_conditions + [
+                        Condition(*query.group_bys[i], "=", k[i])
+                        for i in in_piece
+                    ]
+                    try:
+                        (r,) = m.aqp(local)
+                        a = float(r["v"])
+                    except (ValueError, ZeroDivisionError):
+                        a = a0
+                    cache[pk] = a if _m.isfinite(a) else a0
+                out[k] = cache[pk]
+            local.conditions = base_conditions
+            return out
 
         cnt_pin = {k: chain_count(pin(k)) for k in keys}
         outputs: list[tuple[str, dict]] = []
@@ -1307,11 +1344,10 @@ class SPNEnsemble:
                 else:
                     val = dict(cnt_pin)
             elif op.agg_type is AggregationType.AVG:
-                a = anchor_avg(ops)
-                val = {k: a for k in keys}
+                val = avg_grid(ops)
             else:  # SUM
-                a = anchor_avg(ops)
-                val = {k: a * chain_count(pin(k) + nn) for k in keys}
+                ag = avg_grid(ops)
+                val = {k: ag[k] * chain_count(pin(k) + nn) for k in keys}
             if op.op_type is AggregationOperationType.AGGREGATION:
                 if acc is not None:
                     outputs.append((alias or f"agg_{len(outputs)}", acc))
@@ -1336,6 +1372,84 @@ class SPNEnsemble:
                 row[name] = val.get(k, 0.0)
             rows.append(row)
         return _apply_having(rows, query.having)
+
+    def _cross_piece_group_keys(
+        self, query: Query, component, sub_query
+    ) -> list[tuple]:
+        """Candidate group keys when NO single model covers every
+        group-by table in one connected piece: the group-by columns
+        are partitioned greedily into anchor-covered subsets (columns
+        sharing an anchor's piece are enumerated JOINTLY from that
+        model, preserving within-piece group correlations); the
+        per-piece value grids are then cross-producted. Cross-piece
+        correlations are NOT captured here — the caller recovers them
+        by pinning every full key as equality conditions on the
+        factorized cardinality chain and re-thresholding at 0.5
+        expected rows, so impossible combinations get ~0 chain mass
+        and are pruned. The combined grid honors the same
+        MAX_GROUPBY_CELLS cap as every model-side grid. reference:
+        ensemble_compilation/spn_ensemble.py::
+        evaluate_factors_group_by (the reference requires one covering
+        model; this composes per-piece grids instead)."""
+        import itertools as _it
+        import math as _m
+
+        from ..plans.query import (
+            AggOperation,
+            AggregationOperationType,
+            AggregationType,
+        )
+        from .model import (
+            MAX_GROUPBY_CELLS,
+            GroupByExplosion,
+            ModelPlaneUnsupported,
+        )
+
+        remaining = list(enumerate(query.group_bys))
+        parts: list[tuple[list[int], list[tuple]]] = []
+        while remaining:
+            t0 = remaining[0][1][0]
+            anchor = self._grouped_anchor(query, {t0}, component)
+            if anchor is None:
+                raise ModelPlaneUnsupported(
+                    f"no model covers group-by table '{t0}' inside the "
+                    "query's join graph; use the exact plane"
+                )
+            m, piece = anchor
+            sub = [(i, gb) for i, gb in remaining if gb[0] in piece]
+            remaining = [(i, gb) for i, gb in remaining if gb[0] not in piece]
+            lq = sub_query(set(piece))
+            lq.group_bys = [gb for _i, gb in sub]
+            lq.aggregations = [
+                AggOperation(
+                    AggregationOperationType.AGGREGATION,
+                    AggregationType.COUNT,
+                    [],
+                    alias="v",
+                )
+            ]
+            cols = [c for _i, (_t, c) in sub]
+            parts.append(
+                (
+                    [i for i, _gb in sub],
+                    [tuple(r[c] for c in cols) for r in m.aqp(lq)],
+                )
+            )
+        n_cells = _m.prod(len(ks) for _idx, ks in parts)
+        if n_cells > MAX_GROUPBY_CELLS:
+            raise GroupByExplosion(
+                f"cross-piece group grid has {n_cells} cells "
+                f"(> {MAX_GROUPBY_CELLS}); use the exact plane"
+            )
+        n = len(query.group_bys)
+        keys = []
+        for combo in _it.product(*(ks for _idx, ks in parts)):
+            row: list = [None] * n
+            for (idxs, _ks), kp in zip(parts, combo):
+                for i, v in zip(idxs, kp):
+                    row[i] = v
+            keys.append(tuple(row))
+        return keys
 
     def _anchor_local(self, query: Query, operands: list[tuple[str, str]]):
         """(model, local AVG sub-query) for the anchor decomposition:

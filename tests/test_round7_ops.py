@@ -169,8 +169,12 @@ def test_dedup_blank_doc_and_zero_norm_guards(spark):
     assert {(r["id_a"], r["id_b"]) for r in jp} == {(4, 5)}
     sp = simhash_pairs(docs, "text", "doc_id").collect()
     assert {(r["id_a"], r["id_b"]) for r in sp} == {(4, 5)}
+    # radius 4 now supported (5 pigeonhole blocks); only the
+    # degenerate region past 31 still raises
+    sp4 = simhash_pairs(docs, "text", "doc_id", max_hamming=4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in sp4} == {(4, 5)}
     with _pt.raises(ValueError, match="pigeonhole"):
-        simhash_pairs(docs, "text", "doc_id", max_hamming=4)
+        simhash_pairs(docs, "text", "doc_id", max_hamming=32)
 
     vecs = spark.createDataFrame(
         [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.001])],

@@ -1,0 +1,191 @@
+"""Round 8: grouped factorized AQP when the GROUP BY columns
+themselves span models with no single covering anchor.
+
+The split-anchor path (round 6) required one model covering all
+group-by tables; now the group columns are partitioned into
+anchor-covered subsets, each subset's key grid is enumerated from its
+own model, the grids are cross-producted, and every full key is
+pinned on the factorized cardinality chain (SPNEnsemble.
+_cross_piece_group_keys). AVG operands whose anchor piece contains a
+group table are pinned per key, so group↔operand correlations the
+anchor can see are kept. reference: ensemble_compilation/
+spn_ensemble.py::evaluate_factors_group_by (the reference requires a
+covering model; this composes per-piece grids instead).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def cross_piece_setup(spark):
+    """nat -> cust -> ord chain; models {nat, cust} and {ord}.
+
+    Planted structure:
+      - nation A: 100 customers x 4 orders; B: 50 customers x 2
+        (nation↔fanout correlation, visible to the chain's boundary
+        multipliers)
+      - every customer's orders alternate flag X (price 10.0) and
+        flag Y (price 50.0) evenly — flag is nation-INDEPENDENT (the
+        cross-piece factorization assumes exactly this), but price is
+        flag-DEPENDENT, which only a per-key-pinned AVG can see.
+    """
+    from deepdb_public_spark.plans.schema import SchemaGraph, Table
+    from deepdb_public_spark.spn.ensemble import SPNEnsemble
+    from deepdb_public_spark.spn.learn import LearnParams
+    from deepdb_public_spark.spn.trainer import train_spn_model
+
+    custs, orders, ck, ok = [], [], 0, 0
+    for name, n_cust, fanout in (("A", 100, 4), ("B", 50, 2)):
+        for _ in range(n_cust):
+            custs.append((ck, name))
+            for j in range(fanout):
+                flag = "X" if j % 2 == 0 else "Y"
+                price = 10.0 if flag == "X" else 50.0
+                orders.append((ok, ck, flag, price))
+                ok += 1
+            ck += 1
+    nat = spark.createDataFrame([("A",), ("B",)], "name string").withColumn(
+        "nk", F.when(F.col("name") == "A", 0).otherwise(1)
+    )
+    cdf = (
+        spark.createDataFrame(custs, "ck int, cname string")
+        .withColumn("c_nk", F.when(F.col("cname") == "A", 0).otherwise(1))
+        .drop("cname")
+    )
+    odf = spark.createDataFrame(orders, "ok int, o_ck int, flag string, price double")
+
+    g = SchemaGraph()
+    g.add_table(Table("nat", ["nk"]))
+    g.add_table(Table("cust", ["ck"]))
+    g.add_table(Table("ord", ["ok"]))
+    r1 = g.add_relationship("cust", "c_nk", "nat", "nk")
+    r2 = g.add_relationship("ord", "o_ck", "cust", "ck")
+    catalog = {"nat": nat, "cust": cdf, "ord": odf}
+    params = LearnParams(min_instances_slice=100)
+
+    ens = SPNEnsemble(g)
+    ens.add_model(train_spn_model(catalog, g, {"nat", "cust"}, 50_000, params))
+    ens.add_model(train_spn_model(catalog, g, {"ord"}, 50_000, params))
+    return ens, (r1.identifier, r2.identifier)
+
+
+def _cross_piece_query(rels, aggs):
+    from deepdb_public_spark.plans.query import Query, QueryType
+
+    return Query(
+        query_type=QueryType.AQP,
+        table_set={"nat", "cust", "ord"},
+        relationship_set=set(rels),
+        group_bys=[("nat", "name"), ("ord", "flag")],
+        aggregations=aggs,
+    )
+
+
+def test_grouped_aqp_group_bys_across_models(cross_piece_setup):
+    """GROUP BY nat.name, ord.flag with no model covering both group
+    tables: previously ModelPlaneUnsupported, now the cross-piece
+    grid. COUNT must keep the nation↔fanout correlation (chain-
+    pinned); AVG/SUM must keep the flag↔price correlation (per-key
+    pinned operand anchor)."""
+    from deepdb_public_spark.plans.query import (
+        AggOperation,
+        AggregationOperationType,
+        AggregationType,
+    )
+
+    ens, rels = cross_piece_setup
+    q = _cross_piece_query(
+        rels,
+        [
+            AggOperation(
+                AggregationOperationType.AGGREGATION,
+                AggregationType.COUNT,
+                [],
+                alias="cnt",
+            ),
+            AggOperation(
+                AggregationOperationType.AGGREGATION,
+                AggregationType.SUM,
+                [("ord", "price")],
+                alias="rev",
+            ),
+            AggOperation(
+                AggregationOperationType.AGGREGATION,
+                AggregationType.AVG,
+                [("ord", "price")],
+                alias="ap",
+            ),
+        ],
+    )
+    rows = {(r["name"], r["flag"]): r for r in ens.aqp(q)}
+    # exact: (A,X) 200 rows, (A,Y) 200, (B,X) 50, (B,Y) 50;
+    # avg price 10 for X groups, 50 for Y groups
+    truth = {
+        ("A", "X"): (200.0, 2000.0, 10.0),
+        ("A", "Y"): (200.0, 10000.0, 50.0),
+        ("B", "X"): (50.0, 500.0, 10.0),
+        ("B", "Y"): (50.0, 2500.0, 50.0),
+    }
+    assert set(rows) == set(truth)
+    for key, (cnt, rev, ap) in truth.items():
+        r = rows[key]
+        assert r["cnt"] == pytest.approx(cnt, rel=0.25), (key, dict(r.asDict() if hasattr(r, "asDict") else r))
+        assert r["ap"] == pytest.approx(ap, rel=0.10), (key, r)
+        assert r["rev"] == pytest.approx(rev, rel=0.30), (key, r)
+    # both planted correlations must survive the factorization:
+    assert rows[("A", "X")]["cnt"] > 2.5 * rows[("B", "X")]["cnt"]
+    assert rows[("A", "Y")]["ap"] > 3 * rows[("A", "X")]["ap"]
+
+
+def test_grouped_count_only_cross_piece(cross_piece_setup):
+    """COUNT-only grouped query through the same path (no operand
+    anchor involved) — and single-piece behavior is unchanged when
+    one model does cover all group tables."""
+    from deepdb_public_spark.plans.query import (
+        AggOperation,
+        AggregationOperationType,
+        AggregationType,
+        Query,
+        QueryType,
+    )
+
+    ens, rels = cross_piece_setup
+    q = _cross_piece_query(
+        rels,
+        [
+            AggOperation(
+                AggregationOperationType.AGGREGATION,
+                AggregationType.COUNT,
+                [],
+                alias="cnt",
+            )
+        ],
+    )
+    rows = {(r["name"], r["flag"]): r["cnt"] for r in ens.aqp(q)}
+    truth = {("A", "X"): 200.0, ("A", "Y"): 200.0, ("B", "X"): 50.0, ("B", "Y"): 50.0}
+    assert set(rows) == set(truth)
+    for key, cnt in truth.items():
+        assert rows[key] == pytest.approx(cnt, rel=0.25), (key, rows[key])
+
+    # covering-anchor regression guard: group on ord.flag only — the
+    # {ord} model covers it, the single-anchor path still runs
+    q2 = Query(
+        query_type=QueryType.AQP,
+        table_set={"nat", "cust", "ord"},
+        relationship_set=set(rels),
+        group_bys=[("ord", "flag")],
+        aggregations=[
+            AggOperation(
+                AggregationOperationType.AGGREGATION,
+                AggregationType.COUNT,
+                [],
+                alias="cnt",
+            )
+        ],
+    )
+    rows2 = {r["flag"]: r["cnt"] for r in ens.aqp(q2)}
+    assert rows2["X"] == pytest.approx(250.0, rel=0.25)
+    assert rows2["Y"] == pytest.approx(250.0, rel=0.25)
