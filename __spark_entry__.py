@@ -1669,6 +1669,70 @@ def _m_factorized_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _m_grouped_cross_piece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-piece grouped factorized AQP (round 8): the GROUP BY
+    columns live in tables NO single model covers —
+    customer.c_mktsegment x lineitem.l_returnflag over the
+    {customer,orders} + {orders,lineitem} + {lineitem} ensemble.
+    Previously ModelPlaneUnsupported; now each group column's key grid
+    is enumerated from its own anchor, the per-piece grids are
+    cross-producted, every full key is pinned as equality conditions
+    on the factorized cardinality chain (recovering cross-piece
+    correlation through the boundary multipliers), and the AVG
+    operand is pinned per in-piece key so the flag↔price correlation
+    the lineitem anchor can see is kept
+    (SPNEnsemble._cross_piece_group_keys / _aqp_factorized_grouped_split;
+    reference: ensemble_compilation/spn_ensemble.py::
+    evaluate_factors_group_by — the reference requires one covering
+    model). Output (grp, true_cnt, cnt_ok, sum_ok, avg_ok): the truths
+    hash-match DuckDB, ok = estimate within budget."""
+    eng = _engine(spark, sf_dir)
+    _ensure_models(
+        eng,
+        [
+            ({"orders", "lineitem"}, 80_000),
+            ({"customer", "orders"}, 60_000),
+            ({"lineitem"}, 60_000),
+        ],
+    )
+    sql = (
+        "SELECT customer.c_mktsegment, lineitem.l_returnflag, "
+        "COUNT(*) AS cnt, SUM(lineitem.l_extendedprice) AS sp, "
+        "AVG(lineitem.l_extendedprice) AS ap "
+        "FROM customer, orders, lineitem "
+        "WHERE customer.c_custkey = orders.o_custkey "
+        "AND orders.o_orderkey = lineitem.l_orderkey "
+        "AND lineitem.l_discount <= 0.06 "
+        "GROUP BY customer.c_mktsegment, lineitem.l_returnflag"
+    )
+    q = eng.parse(sql)
+    est = {
+        (r["c_mktsegment"], r["l_returnflag"]): r for r in eng.ensemble.aqp(q)
+    }
+    exact = {
+        (r["c_mktsegment"], r["l_returnflag"]): r
+        for r in eng.query(q).collect()
+    }
+    rel = lambda a, b: abs(a - b) / max(abs(b), 1e-9)  # noqa: E731
+    out = []
+    for key in sorted(exact):
+        e, t = est.get(key), exact[key]
+        out.append(
+            (
+                f"{key[0]}|{key[1]}",
+                int(t["cnt"]),
+                bool(e and rel(e["cnt"], t["cnt"]) < 0.25),
+                bool(e and rel(e["sp"], t["sp"]) < 0.30),
+                bool(e and rel(e["ap"], t["ap"]) < 0.15),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "grp string, true_cnt long, cnt_ok boolean, sum_ok boolean, "
+        "avg_ok boolean",
+    )
+
+
 def _m_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-plane quantiles (beyond the reference: its aggregates
     stop at COUNT/SUM/AVG and the paper names median as unsupported):
@@ -1959,7 +2023,12 @@ def _m_or_avg_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL-deterministic so they hash-match DuckDB, and every 0.99
     interval must contain its group's exact AVG. The composition uses
     each term's UNCLAMPED sd (round-6 fix), so small negative IE terms
-    cannot shrink the interval below nominal coverage."""
+    cannot shrink the interval below nominal coverage. Round 8 adds a
+    'cd:all' row: ungrouped COUNT(DISTINCT) under the same OR gets
+    Poisson-occupancy moments over the signed per-value masses
+    (SPNEnsemble._distinct_occupancy_moments) — the 0.99 interval must
+    cover the exact distinct count and the CI's point estimate must
+    equal the aqp threshold estimate."""
     eng = _engine(spark, sf_dir)
     _ensure_models(eng, [({"lineitem"}, 60_000)])
     q = eng.parse(
@@ -1983,6 +2052,22 @@ def _m_or_avg_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ci = cis.get(r["grp"])
         hit = ci is not None and ci["lo"] <= float(r["t"]) <= ci["hi"]
         out.append((r["grp"], float(r["t6"]), bool(hit)))
+    q_cd = eng.parse(
+        "SELECT COUNT(DISTINCT lineitem.l_quantity) AS d FROM lineitem "
+        "WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)"
+    )
+    (ci_d,) = eng.ensemble.confidence_interval(q_cd, confidence=0.99)
+    (aqp_d,) = eng.ensemble.aqp(q_cd)
+    true_d = float(
+        eng.sql(
+            "SELECT COUNT(DISTINCT l_quantity) FROM lineitem "
+            "WHERE l_quantity < 10 OR l_discount > 0.08"
+        ).collect()[0][0]
+    )
+    hit_d = bool(
+        ci_d["lo"] <= true_d <= ci_d["hi"] and ci_d["est"] == aqp_d["d"]
+    )
+    out.append(("cd:all", true_d, hit_d))
     return spark.createDataFrame(out, "grp string, true_avg double, hit boolean")
 
 
@@ -2316,6 +2401,19 @@ _PREP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
         GROUP BY l_returnflag
         """,
     ),
+    "m20_grouped_cross_piece": (
+        _m_grouped_cross_piece,
+        """
+        SELECT c.c_mktsegment || '|' || l.l_returnflag AS grp,
+               COUNT(*) AS true_cnt,
+               TRUE AS cnt_ok, TRUE AS sum_ok, TRUE AS avg_ok
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_discount <= 0.06
+        GROUP BY c.c_mktsegment, l.l_returnflag
+        """,
+    ),
     "m19_factorized_distinct": (
         _m_factorized_distinct,
         """
@@ -2367,6 +2465,11 @@ _PREP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
                TRUE AS hit
         FROM lineitem WHERE l_quantity < 10 OR l_discount > 0.08
         GROUP BY l_returnflag
+        UNION ALL
+        SELECT 'cd:all',
+               CAST((SELECT COUNT(DISTINCT l_quantity) FROM lineitem
+                     WHERE l_quantity < 10 OR l_discount > 0.08) AS DOUBLE),
+               TRUE
         """,
     ),
     "m13_sim_selectivity": (
@@ -3459,6 +3562,10 @@ _PRIORITY_TAIL = [
     # full artifact and its siblings (q16 rollup, q29 grouping sets)
     # keep the grouping-extension surface in-window
     "q21_cube",
+    # q26 parked round 8 to make window room for m20 (cross-piece
+    # grouped AQP); min/max/median stay covered in-window by m09
+    # quantiles and in the full artifact
+    "q26_minmax_median",
     "q41_count_distinct_or_group",
     "q31_pivot",
     "q32_math_scalars",
@@ -3493,6 +3600,7 @@ _PRIORITY_HEAD = [
     "m07_incremental_delete",
     "m08_distinct_estimate",
     "m19_factorized_distinct",
+    "m20_grouped_cross_piece",
     "m09_model_quantiles",
     "m10_update_in_place",
     "m11_events_model",

@@ -970,6 +970,36 @@ class SPNEnsemble:
 
         return _apply_having(rows, query.having)
 
+    def _distinct_occupancy_moments(
+        self, query: Query, col_ref: tuple[str, str]
+    ) -> list[float]:
+        """[est, var] for COUNT(DISTINCT col) under cross-column OR
+        (round 8 — previously a ModelPlaneUnsupported refusal). The
+        point estimate is the SAME 0.5-threshold count aqp emits
+        (_ie_distinct_count), so CI and aqp answers agree. The
+        variance treats each value's presence as an independent
+        Bernoulli under a Poisson occupancy model: rows carrying value
+        v arrive ~Poisson(m_v), where m_v is the value's combined
+        signed expected-row mass, so P(v present) = 1 - exp(-m_v) and
+        var = Σ_v p_v(1 - p_v) — a Poisson-binomial over values.
+        Values whose mass sits far from the 0.5 threshold contribute
+        ~0 variance; a wide CI therefore flags exactly the
+        borderline-mass queries where the threshold estimator itself
+        is fragile. (The reference has neither distinct estimation nor
+        OR grammar — extension surface.)"""
+        import math as _m
+
+        acc: dict = {}
+        for s, q in self._ie_terms(query):
+            for v, rows in self._chain_value_masses(q, col_ref).items():
+                acc[v] = acc.get(v, 0.0) + s * rows
+        est = float(sum(1 for rows in acc.values() if rows >= 0.5))
+        var = 0.0
+        for rows in acc.values():
+            p = 1.0 - _m.exp(-max(rows, 0.0))
+            var += p * (1.0 - p)
+        return [est, var]
+
     def _ie_distinct_count(
         self, query: Query, col_ref: tuple[str, str]
     ) -> float:
@@ -1876,9 +1906,11 @@ class SPNEnsemble:
         (est, sd) from the factor chain: COUNT via
         _factorized_count_moments, SUM via _factorized_sum_moments
         (anchor AVG × count chain, round 6) — grouped multi-model
-        terms stay exact-plane. COUNT(DISTINCT) and HAVING stay
-        exact-plane (ModelPlaneUnsupported), as in the single-model
-        path."""
+        terms stay exact-plane. COUNT(DISTINCT) gets Poisson-occupancy
+        moments over the signed per-value masses
+        (_distinct_occupancy_moments, round 8); grouped
+        COUNT(DISTINCT) and HAVING stay exact-plane
+        (ModelPlaneUnsupported), as in the single-model path."""
         from ..plans.query import (
             AggOperation,
             AggregationOperationType,
@@ -1893,11 +1925,11 @@ class SPNEnsemble:
         for op in query.aggregations:
             if op.op_type is not AggregationOperationType.AGGREGATION:
                 continue
-            if getattr(op, "distinct", False):
+            if getattr(op, "distinct", False) and query.group_bys:
                 raise ModelPlaneUnsupported(
-                    "confidence intervals for COUNT(DISTINCT) under "
-                    "cross-column OR are not supported; use the exact "
-                    "plane"
+                    "confidence intervals for grouped COUNT(DISTINCT) "
+                    "under cross-column OR are not supported; use the "
+                    "exact plane"
                 )
         if query.having:
             raise ModelPlaneUnsupported(
@@ -1986,7 +2018,22 @@ class SPNEnsemble:
         for op in query.aggregations:
             if op.op_type is not AggregationOperationType.AGGREGATION:
                 continue
-            if op.agg_type is AggregationType.COUNT:
+            if getattr(op, "distinct", False):
+                # round 8: occupancy moments replace the refusal (the
+                # grouped case still raises above)
+                name = op.alias or "count_distinct"
+                per_op.append(
+                    (
+                        name,
+                        "count",
+                        {
+                            (): self._distinct_occupancy_moments(
+                                query, op.operands[0]
+                            )
+                        },
+                    )
+                )
+            elif op.agg_type is AggregationType.COUNT:
                 name = op.alias or "count"
                 per_op.append(
                     (name, "count", signed_moments(op.agg_type, op.operands))

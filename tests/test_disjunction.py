@@ -369,12 +369,32 @@ def test_cross_column_or_ci_supported_count_sum_only(li_engine):
         "WHERE l_quantity < 10 OR l_discount > 0.08"
     ).collect()[0][0]
     assert ci_a["lo"] <= true_avg <= ci_a["hi"]
+    # round 8: ungrouped COUNT(DISTINCT) under OR now gets Poisson-
+    # occupancy moments; est matches the aqp threshold count and the
+    # interval covers the exact distinct count
     q_cd = eng.parse(
         "SELECT COUNT(DISTINCT lineitem.l_returnflag) AS d FROM lineitem "
         "WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)"
     )
+    (ci_d,) = eng.ensemble.confidence_interval(q_cd, confidence=0.99)
+    (aqp_d,) = eng.ensemble.aqp(q_cd)
+    assert ci_d["est"] == aqp_d["d"]
+    true_d = eng.sql(
+        "SELECT COUNT(DISTINCT l_returnflag) FROM lineitem "
+        "WHERE l_quantity < 10 OR l_discount > 0.08"
+    ).collect()[0][0]
+    assert ci_d["lo"] <= true_d <= ci_d["hi"] + 1e-9, (ci_d, true_d)
+    # well-separated value masses => near-degenerate interval, far
+    # narrower than the domain size
+    assert ci_d["hi"] - ci_d["lo"] < 2.0
+    # the grouped composition stays a documented refusal
+    q_cdg = eng.parse(
+        "SELECT COUNT(DISTINCT lineitem.l_quantity) AS d FROM lineitem "
+        "WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08) "
+        "GROUP BY lineitem.l_returnflag"
+    )
     with pytest.raises(ModelPlaneUnsupported):
-        eng.ensemble.confidence_interval(q_cd)
+        eng.ensemble.confidence_interval(q_cdg)
 
 
 def test_single_model_rejects_cross_column_or(li_engine):
@@ -488,7 +508,8 @@ def test_cross_table_or_with_shared_column_names(spark):
 
 def test_ci_harness_covers_cross_column_or(li_engine):
     """Round 5: COUNT/SUM/AVG CIs under OR are model-plane now, so the
-    harness evaluates them all; COUNT(DISTINCT)-over-OR is skipped."""
+    harness evaluates them all; round 8: COUNT(DISTINCT)-over-OR gets
+    Poisson-occupancy moments, so nothing is skipped anymore."""
     from deepdb_public_spark.evaluation import evaluate_confidence_intervals
 
     eng = li_engine
@@ -504,5 +525,5 @@ def test_ci_harness_covers_cross_column_or(li_engine):
             "WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)",
         ],
     )
-    assert len(summary["skipped_queries"]) == 1  # only COUNT(DISTINCT)
-    assert summary["n_cells"] >= 3
+    assert summary["skipped_queries"] == []
+    assert summary["n_cells"] >= 4
