@@ -16,7 +16,13 @@ Each entry is timed $SPARK_GRAFT_BENCH_REPS times (default 3) and the
 MEDIAN is reported (per-entry minima in "queries_min"): the round-5
 review found a single-sample run can show a 10x phantom regression
 (scheduler/GC noise) that no re-run reproduces — medians make the
-artifact comparable round-over-round."""
+artifact comparable round-over-round.
+
+Short-entry rule (round 8): entries whose median lands under 2s get
+extended to 5 reps and report the MIN — scheduler noise on sub-second
+queries is one-sided (a stray GC pause can double a 1s entry, nothing
+makes it run faster than the real cost), and the round-7 review found
+median-of-3 still admits 2x phantoms on such entries."""
 
 from __future__ import annotations
 
@@ -79,9 +85,20 @@ def main() -> None:
         # would): "queries_first" keeps that cold cost visible while
         # the median reports the steady state
         timings_first[name] = round(samples[0], 4)
+        median = sorted(samples)[len(samples) // 2]
+        if median < 2.0 and reps < 5:
+            # short-entry rule: one-sided scheduler noise — extend to
+            # 5 reps and gate on the min (see module docstring)
+            for _rep in range(5 - reps):
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).collect()
+                samples.append(time.perf_counter() - t0)
+                release_cached()
         samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 4)
         timings_min[name] = round(samples[0], 4)
+        timings[name] = round(
+            samples[0] if median < 2.0 else samples[len(samples) // 2], 4
+        )
 
     # model-plane estimate latency (the reference's headline: answer
     # without touching the data). The m-entries above left trained
@@ -114,6 +131,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "bench_reps": reps,
+        "short_query_rule": "median<2s -> min-of-5",
         "estimate_ms_mean": est_ms,
     }
     line = json.dumps(payload)

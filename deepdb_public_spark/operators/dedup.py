@@ -246,7 +246,11 @@ def duplicate_clusters(
 
 
 def deduplicate_corpus(
-    df: DataFrame, id_col: str, pairs: DataFrame, score_col: str | None = None
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    score_col: str | None = None,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Drop every duplicate except each cluster's representative: the
     end-to-end dedup a training-data pipeline applies after pair
@@ -257,8 +261,12 @@ def deduplicate_corpus(
     RefinedWeb/FineWeb-style "keep the best copy" selection (longest
     text, highest quality score). One extra broadcast-scale join of
     the cluster labels against the scores plus a per-cluster window —
-    both keyed on cluster ids, never on data rows."""
-    clusters = duplicate_clusters(pairs)
+    both keyed on cluster ids, never on data rows.
+    ``driver_max_edges`` forwards to duplicate_clusters (the
+    driver-union-find vs distributed-label-propagation switch);
+    survivor selection is branch-independent — the labels are the
+    same either way (tests/test_round8_fixes.py pins equivalence)."""
+    clusters = duplicate_clusters(pairs, driver_max_edges=driver_max_edges)
     if score_col is None:
         losers = clusters.filter(F.col("id") != F.col("cluster")).select("id")
     else:

@@ -189,3 +189,48 @@ def test_grouped_count_only_cross_piece(cross_piece_setup):
     rows2 = {r["flag"]: r["cnt"] for r in ens.aqp(q2)}
     assert rows2["X"] == pytest.approx(250.0, rel=0.25)
     assert rows2["Y"] == pytest.approx(250.0, rel=0.25)
+
+
+def test_quality_survivors_distributed_labels_equivalence(spark):
+    """deduplicate_corpus(score_col=...) must pick IDENTICAL survivors
+    whether cluster labels come from the driver union-find or the
+    distributed min-label-propagation branch (driver_max_edges=0
+    forces the latter). x48 exercises only the driver branch; this
+    pins the composition of the quality window with distributed
+    labels."""
+    from deepdb_public_spark.operators.dedup import deduplicate_corpus
+
+    # two clusters: {1,2,3} (chain), {10,11}; 20 is untouched
+    docs = spark.createDataFrame(
+        [
+            (1, 0.5), (2, 0.9), (3, 0.7),
+            (10, 0.3), (11, 0.3),  # score tie -> min id survives
+            (20, 0.1),
+        ],
+        "doc_id int, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a int, id_b int"
+    )
+    survivors_driver = sorted(
+        r["doc_id"]
+        for r in deduplicate_corpus(docs, "doc_id", pairs, "quality").collect()
+    )
+    survivors_dist = sorted(
+        r["doc_id"]
+        for r in deduplicate_corpus(
+            docs, "doc_id", pairs, "quality", driver_max_edges=0
+        ).collect()
+    )
+    assert survivors_driver == survivors_dist == [2, 10, 20]
+    # min-id default rule must also agree across branches
+    min_driver = sorted(
+        r["doc_id"] for r in deduplicate_corpus(docs, "doc_id", pairs).collect()
+    )
+    min_dist = sorted(
+        r["doc_id"]
+        for r in deduplicate_corpus(
+            docs, "doc_id", pairs, driver_max_edges=0
+        ).collect()
+    )
+    assert min_driver == min_dist == [1, 10, 20]
