@@ -1908,8 +1908,9 @@ class SPNEnsemble:
         (anchor AVG × count chain, round 6) — grouped multi-model
         terms stay exact-plane. COUNT(DISTINCT) gets Poisson-occupancy
         moments over the signed per-value masses
-        (_distinct_occupancy_moments, round 8); grouped
-        COUNT(DISTINCT) and HAVING stay exact-plane
+        (_distinct_occupancy_moments, round 8); HAVING filters groups
+        by their point estimates (round 8 — same approximation class
+        as aqp's HAVING); grouped COUNT(DISTINCT) stays exact-plane
         (ModelPlaneUnsupported), as in the single-model path."""
         from ..plans.query import (
             AggOperation,
@@ -1931,11 +1932,6 @@ class SPNEnsemble:
                     "under cross-column OR are not supported; use the "
                     "exact plane"
                 )
-        if query.having:
-            raise ModelPlaneUnsupported(
-                "confidence intervals with HAVING are not supported; "
-                "use the exact plane"
-            )
         gb_cols = [c for _t, c in query.group_bys]
         terms = []
         for sign, q in self._ie_terms(query):
@@ -2064,8 +2060,12 @@ class SPNEnsemble:
                         var_s / (C * C) + (S * S) * var_c / (C**4),
                     ]
                 per_op.append((name, "avg", ratio))
+        from .model import _apply_having
+
         out: list[dict] = []
         for key in sorted(visible, key=repr):
+            key_rows: list[dict] = []
+            ests: dict[str, float] = {}
             for name, kind, moments in per_op:
                 est, var = moments.get(key, (0.0, 0.0))
                 half = z * float(var) ** 0.5
@@ -2074,7 +2074,13 @@ class SPNEnsemble:
                     est, lo = max(est, 0.0), max(lo, 0.0)
                 row = dict(zip(gb_cols, key))
                 row.update({"agg": name, "est": est, "lo": lo, "hi": hi})
-                out.append(row)
+                key_rows.append(row)
+                ests[name] = est
+            # HAVING (round 8, was a refusal): membership decided on
+            # the point estimates, same approximation class as aqp()
+            if query.having and not _apply_having([ests], query.having):
+                continue
+            out.extend(key_rows)
         return out
 
     def answer(self, query: Query):

@@ -1058,12 +1058,27 @@ class SPNModel:
                     else:
                         combo_cond[i] = NumericRange([(code, code, True, True)])
                         group_vals[c] = code
-                for row in self._ci_rows(query, combo_cond, features, z):
+                rows_k = self._ci_rows(query, combo_cond, features, z)
+                # HAVING on the CI plane (round 8, was a refusal):
+                # group membership is decided on the POINT estimates —
+                # the same approximation class as aqp()'s HAVING, so
+                # groups near the threshold can flip; the intervals of
+                # surviving groups are unchanged
+                if query.having and not _apply_having(
+                    [{r["agg"]: r["est"] for r in rows_k}], query.having
+                ):
+                    continue
+                for row in rows_k:
                     row.update(group_vals)
                     out.append(row)
             return out
 
-        return self._ci_rows(query, cond, features, z)
+        rows = self._ci_rows(query, cond, features, z)
+        if query.having and not _apply_having(
+            [{r["agg"]: r["est"] for r in rows}], query.having
+        ):
+            return []
+        return rows
 
     def _ci_rows(
         self, query: Query, cond: dict[int, Range], features, z: float
@@ -1088,12 +1103,6 @@ class SPNModel:
                     "confidence intervals for COUNT(DISTINCT) are not "
                     "supported (the grid-cell count has no CLT-style "
                     "variance here); use the exact plane"
-                )
-            if query.having:
-                raise ModelPlaneUnsupported(
-                    "confidence intervals with HAVING are not supported "
-                    "(group membership under an estimated threshold is "
-                    "itself uncertain); use the exact plane"
                 )
             if op.agg_type is AggregationType.COUNT:
                 est = N * p

@@ -527,3 +527,26 @@ def test_ci_harness_covers_cross_column_or(li_engine):
     )
     assert summary["skipped_queries"] == []
     assert summary["n_cells"] >= 4
+
+
+def test_or_ci_having_filters_groups(li_engine):
+    """Round 8: CIs with HAVING under cross-column OR (was a refusal)
+    — group membership decided on point estimates, matching aqp's
+    visible set; surviving intervals cover the exact counts."""
+    eng = li_engine
+    sql = (
+        "SELECT lineitem.l_returnflag, COUNT(*) AS cnt FROM lineitem "
+        "WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08) "
+        "GROUP BY lineitem.l_returnflag HAVING cnt > 2000"
+    )
+    q = eng.parse(sql)
+    visible_aqp = {r["l_returnflag"] for r in eng.ensemble.aqp(q)}
+    cis = {r["l_returnflag"]: r for r in eng.ensemble.confidence_interval(q, confidence=0.99)}
+    assert set(cis) == visible_aqp
+    trues = {
+        r["l_returnflag"]: r["cnt"] for r in eng.query(q).collect()
+    }
+    # threshold far from every group's count => same membership as exact
+    assert set(cis) == set(trues)
+    for g, ci in cis.items():
+        assert ci["lo"] <= trues[g] <= ci["hi"], (g, ci, trues[g])

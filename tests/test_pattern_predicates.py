@@ -279,10 +279,19 @@ def test_having_model_plane_filters_groups(engines):
     # thresholds far from any group's count: membership must agree
     assert est == exact
 
-    from deepdb_public_spark.spn.model import ModelPlaneUnsupported
-
-    with pytest.raises(ModelPlaneUnsupported):
-        eng.ensemble.confidence_interval(q)
+    # round 8 (was a refusal): CIs under HAVING — membership decided
+    # on the point estimates, so visible groups match aqp(); every
+    # surviving group's interval covers its exact count
+    cis = {r["l_returnflag"]: r for r in eng.ensemble.confidence_interval(q)}
+    assert set(cis) == est
+    trues = {
+        r["l_returnflag"]: r["cnt"] for r in eng.query(q).collect()
+    }
+    for g, ci in cis.items():
+        assert ci["lo"] <= trues[g] <= ci["hi"], (g, ci, trues[g])
+    # an impossible threshold empties the CI rows instead of raising
+    q_none = eng.parse(sql.replace("cnt > 1500", "cnt > 999999999"))
+    assert eng.ensemble.confidence_interval(q_none) == []
 
 
 # ----------------------------- join-scope corrections (review fixes)

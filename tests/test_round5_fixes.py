@@ -394,8 +394,9 @@ def test_join_order_dp_learned_correlated_predicate(spark):
 
 def test_or_ci_grouped_contains_truth(spark):
     """Grouped COUNT CI with a cross-column OR predicate: every
-    visible group's 0.99 interval must contain the exact count; AVG /
-    HAVING under OR stay exact-plane (ModelPlaneUnsupported)."""
+    visible group's 0.99 interval must contain the exact count; AVG
+    composes via the delta method; grouped COUNT(DISTINCT) under OR
+    stays exact-plane (ModelPlaneUnsupported)."""
     from deepdb_public_spark.engine import Engine
     from deepdb_public_spark.spn.ensemble import SPNEnsemble
     from deepdb_public_spark.spn.model import ModelPlaneUnsupported
@@ -437,10 +438,13 @@ def test_or_ci_grouped_contains_truth(spark):
         "WHERE l_quantity < 10 OR l_discount > 0.08"
     ).collect()[0][0]
     assert ci_avg["lo"] <= true_avg <= ci_avg["hi"]
-    # COUNT(DISTINCT) stays exact-plane
+    # round 8: ungrouped COUNT(DISTINCT) under OR now has Poisson-
+    # occupancy moments (covered in test_disjunction); the GROUPED
+    # composition stays exact-plane
     q_cd = eng.parse(
-        "SELECT COUNT(DISTINCT lineitem.l_returnflag) AS d FROM lineitem "
-        "WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08)"
+        "SELECT COUNT(DISTINCT lineitem.l_quantity) AS d FROM lineitem "
+        "WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08) "
+        "GROUP BY lineitem.l_returnflag"
     )
     with pytest.raises(ModelPlaneUnsupported):
         ens.confidence_interval(q_cd)
