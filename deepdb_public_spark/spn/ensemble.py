@@ -1559,7 +1559,15 @@ class SPNEnsemble:
         adds to each group's (delta method over the product; the
         anchor-total/chain correlation is dropped — same independence
         as everywhere in the factorization). Emitted keys follow the
-        anchor's own >=0.5-expected-rows pruning."""
+        anchor's own >=0.5-expected-rows pruning.
+
+        When NO model covers the group-by tables + operands in one
+        piece (round 8), each cross-piece group key is pinned as
+        equality conditions on the query and the UNGROUPED factorized
+        moments of the pinned query answer per key — pins whose table
+        lies in the operand anchor's piece flow into its local AVG
+        automatically, so in-piece group↔operand correlations are
+        kept; keys are pruned at 0.5 expected chain rows."""
         import math as _m
 
         from ..plans.query import (
@@ -1568,7 +1576,6 @@ class SPNEnsemble:
             AggregationType,
             Condition,
         )
-        from .model import ModelPlaneUnsupported
 
         gb_cols = [c for _t, c in query.group_bys]
         need = {t for t, _c in query.group_bys} | {
@@ -1577,11 +1584,29 @@ class SPNEnsemble:
         _q_rels, component, sub_query = self._query_graph(query)
         anchor = self._grouped_anchor(query, need, component)
         if anchor is None:
-            raise ModelPlaneUnsupported(
-                "grouped multi-model CI needs one model covering all "
-                "group-by tables and aggregate operands in a connected "
-                "piece; use the exact plane"
-            )
+            keys = self._cross_piece_group_keys(query, component, sub_query)
+            out: dict[tuple, tuple[float, float]] = {}
+            for k in keys:
+                pins = [
+                    Condition(t, c, "=", v)
+                    for (t, c), v in zip(query.group_bys, k)
+                ]
+                qk = Query(
+                    query_type=QueryType.CARDINALITY,
+                    table_set=set(query.table_set),
+                    relationship_set=set(query.relationship_set),
+                    conditions=list(query.conditions) + pins,
+                )
+                cnt, sd_c = self._factorized_count_moments(qk)
+                if cnt < 0.5:
+                    continue  # same visibility rule as the grouped grids
+                if agg_type is AggregationType.COUNT:
+                    out[k] = (cnt, sd_c)
+                else:  # SUM
+                    out[k] = self._factorized_sum_moments(
+                        qk, list(operands or [])
+                    )
+            return out
         m, piece = anchor
 
         local = sub_query(set(piece))
@@ -1692,9 +1717,13 @@ class SPNEnsemble:
         column's table in one connected piece supplies the grid,
         scaled by chain_count(col IS NOT NULL) over the anchor's total
         (remote factors assumed group- and value-independent, as in
-        the factorized grouped COUNT)."""
+        the factorized grouped COUNT). When no such anchor exists
+        (round 8 — group tables and/or the distinct column span
+        pieces), each cross-piece group key is pinned as equality
+        conditions and the pinned conjunctive query's UNGROUPED
+        per-value masses answer per key — the grouped analogue of the
+        split-anchor distinct m19 proves."""
         from ..plans.query import Condition
-        from .model import ModelPlaneUnsupported
 
         t, c = col_ref
         try:
@@ -1711,12 +1740,21 @@ class SPNEnsemble:
         need = {tt for tt, _cc in query.group_bys} | {t}
         anchor = self._grouped_anchor(query, need, component)
         if anchor is None:
-            raise ModelPlaneUnsupported(
-                "grouped COUNT(DISTINCT) over a multi-model table set "
-                "needs one model covering the group-by tables and the "
-                "distinct column's table in a connected piece; use the "
-                "exact plane"
-            )
+            keys = self._cross_piece_group_keys(query, component, sub_query)
+            out: dict[tuple, dict] = {}
+            for k in keys:
+                qk = Query(
+                    query_type=QueryType.CARDINALITY,
+                    table_set=set(query.table_set),
+                    relationship_set=set(query.relationship_set),
+                    conditions=list(query.conditions)
+                    + [
+                        Condition(gt, gc, "=", v)
+                        for (gt, gc), v in zip(query.group_bys, k)
+                    ],
+                )
+                out[k] = self._chain_value_masses(qk, col_ref)
+            return out
         m, piece = anchor
         gm, fjs = m._grouped_value_masses(gb_cols, c, sub_query(set(piece)))
         tot = fjs * sum(mass for vm in gm.values() for mass in vm.values())
@@ -1882,7 +1920,14 @@ class SPNEnsemble:
     def confidence_interval(self, query: Query, confidence: float = 0.95):
         if self._complex_or_index(query) is not None:
             return self._ci_inclusion_exclusion(query, confidence)
-        return self.select_model(query).confidence_interval(query, confidence)
+        try:
+            model = self.select_model(query)
+        except ValueError:
+            # round 8: a conjunctive query over a table set no single
+            # model covers is the 1-term inclusion-exclusion case —
+            # the factorized (grouped) moments compose identically
+            return self._ci_inclusion_exclusion(query, confidence)
+        return model.confidence_interval(query, confidence)
 
     def _ci_inclusion_exclusion(
         self, query: Query, confidence: float

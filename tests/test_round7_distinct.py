@@ -144,13 +144,13 @@ def test_public_distinct_count_multi_model(two_model_engine):
     assert _rel(multi, float(t2)) <= REL_BUDGET, (multi, t2)
 
 
-def test_grouped_distinct_or_uncovered_still_raises(two_model_engine):
+def test_grouped_distinct_or_uncovered_now_estimates(two_model_engine):
     """Grouped distinct under OR where NO model covers the group-by
-    table and the distinct column's table in one connected piece stays
-    a loud ModelPlaneUnsupported (exact-plane fallback), not a silent
-    wrong answer."""
-    from deepdb_public_spark.spn.model import ModelPlaneUnsupported
-
+    table and the distinct column's table in one connected piece: was
+    a round-7 ModelPlaneUnsupported; round 8 pins each cross-piece
+    group key and reads the pinned query's per-value masses
+    (_chain_grouped_value_masses fallback). Estimates must track the
+    exact plane."""
     eng = two_model_engine
     sql = (
         "SELECT COUNT(DISTINCT orders.o_orderpriority) AS v FROM orders, "
@@ -158,8 +158,13 @@ def test_grouped_distinct_or_uncovered_still_raises(two_model_engine):
         "(orders.o_orderstatus = 'F' OR lineitem.l_quantity < 10) "
         "GROUP BY lineitem.l_returnflag"
     )
-    with pytest.raises(ModelPlaneUnsupported):
-        eng.ensemble.aqp(eng.parse(sql))
+    est = {r["l_returnflag"]: r["v"] for r in eng.ensemble.aqp(eng.parse(sql))}
+    exact = {
+        r["l_returnflag"]: float(r["v"]) for r in eng.query(sql).collect()
+    }
+    assert set(est) == set(exact)
+    for g, t in exact.items():
+        assert _rel(est[g], t) <= REL_BUDGET, (g, est[g], t)
 
 
 def test_grouped_factorized_null_group_scaling(spark):

@@ -40,7 +40,14 @@ def cross_piece_setup(spark):
     custs, orders, ck, ok = [], [], 0, 0
     for name, n_cust, fanout in (("A", 100, 4), ("B", 50, 2)):
         for _ in range(n_cust):
-            custs.append((ck, name))
+            # tier: nation-correlated non-key categorical (A: gold/
+            # silver, B: silver/bronze) — the grouped-distinct test
+            # needs a modelable distinct column on the cust side
+            if name == "A":
+                tier = "gold" if ck % 2 == 0 else "silver"
+            else:
+                tier = "silver" if ck % 2 == 0 else "bronze"
+            custs.append((ck, name, tier))
             for j in range(fanout):
                 flag = "X" if j % 2 == 0 else "Y"
                 price = 10.0 if flag == "X" else 50.0
@@ -51,7 +58,7 @@ def cross_piece_setup(spark):
         "nk", F.when(F.col("name") == "A", 0).otherwise(1)
     )
     cdf = (
-        spark.createDataFrame(custs, "ck int, cname string")
+        spark.createDataFrame(custs, "ck int, cname string, tier string")
         .withColumn("c_nk", F.when(F.col("cname") == "A", 0).otherwise(1))
         .drop("cname")
     )
@@ -69,7 +76,7 @@ def cross_piece_setup(spark):
     ens = SPNEnsemble(g)
     ens.add_model(train_spn_model(catalog, g, {"nat", "cust"}, 50_000, params))
     ens.add_model(train_spn_model(catalog, g, {"ord"}, 50_000, params))
-    return ens, (r1.identifier, r2.identifier)
+    return ens, (r1.identifier, r2.identifier), catalog
 
 
 def _cross_piece_query(rels, aggs):
@@ -96,7 +103,7 @@ def test_grouped_aqp_group_bys_across_models(cross_piece_setup):
         AggregationType,
     )
 
-    ens, rels = cross_piece_setup
+    ens, rels, _cat = cross_piece_setup
     q = _cross_piece_query(
         rels,
         [
@@ -152,7 +159,7 @@ def test_grouped_count_only_cross_piece(cross_piece_setup):
         QueryType,
     )
 
-    ens, rels = cross_piece_setup
+    ens, rels, _cat = cross_piece_setup
     q = _cross_piece_query(
         rels,
         [
@@ -234,3 +241,135 @@ def test_quality_survivors_distributed_labels_equivalence(spark):
         ).collect()
     )
     assert min_driver == min_dist == [1, 10, 20]
+
+
+def test_grouped_ci_cross_piece_covers_truth(cross_piece_setup):
+    """Conjunctive grouped CI over a table set no single model covers,
+    with the group tables THEMSELVES spanning pieces (was two stacked
+    refusals: select_model ValueError at the top, then the grouped-CI
+    ModelPlaneUnsupported). Every emitted group's 0.99 interval must
+    cover the exact COUNT and SUM."""
+    from deepdb_public_spark.plans.query import (
+        AggOperation,
+        AggregationOperationType,
+        AggregationType,
+    )
+
+    ens, rels, _cat = cross_piece_setup
+    q = _cross_piece_query(
+        rels,
+        [
+            AggOperation(
+                AggregationOperationType.AGGREGATION,
+                AggregationType.COUNT,
+                [],
+                alias="cnt",
+            ),
+            AggOperation(
+                AggregationOperationType.AGGREGATION,
+                AggregationType.SUM,
+                [("ord", "price")],
+                alias="rev",
+            ),
+        ],
+    )
+    rows = ens.confidence_interval(q, confidence=0.99)
+    cis: dict = {}
+    for r in rows:
+        cis.setdefault((r["name"], r["flag"]), {})[r["agg"]] = r
+    truth = {
+        ("A", "X"): (200.0, 2000.0),
+        ("A", "Y"): (200.0, 10000.0),
+        ("B", "X"): (50.0, 500.0),
+        ("B", "Y"): (50.0, 2500.0),
+    }
+    assert set(cis) == set(truth)
+    for key, (cnt, rev) in truth.items():
+        ci_c, ci_s = cis[key]["cnt"], cis[key]["rev"]
+        assert ci_c["lo"] <= cnt <= ci_c["hi"], (key, ci_c)
+        assert ci_s["lo"] <= rev <= ci_s["hi"], (key, ci_s)
+        assert ci_c["hi"] > ci_c["lo"] >= 0.0
+
+
+def test_ungrouped_ci_factorized_conjunctive(cross_piece_setup):
+    """Ungrouped conjunctive CI over a multi-model table set routes
+    through the 1-term IE path (round 8: select_model ValueError no
+    longer escapes confidence_interval)."""
+    from deepdb_public_spark.plans.query import (
+        AggOperation,
+        AggregationOperationType,
+        AggregationType,
+        Condition,
+        Query,
+        QueryType,
+    )
+
+    ens, rels, _cat = cross_piece_setup
+    q = Query(
+        query_type=QueryType.AQP,
+        table_set={"nat", "cust", "ord"},
+        relationship_set=set(rels),
+        conditions=[Condition("nat", "name", "=", "A")],
+        aggregations=[
+            AggOperation(
+                AggregationOperationType.AGGREGATION,
+                AggregationType.COUNT,
+                [],
+                alias="cnt",
+            )
+        ],
+    )
+    (ci,) = ens.confidence_interval(q, confidence=0.99)
+    # exact: 100 A-customers x 4 orders = 400 join rows
+    assert ci["lo"] <= 400.0 <= ci["hi"], ci
+    assert ci["est"] == pytest.approx(400.0, rel=0.25)
+
+
+def test_grouped_distinct_under_or_cross_piece(cross_piece_setup):
+    """Grouped COUNT(DISTINCT cust.tier) under a cross-column OR with
+    the group table ({ord}) and the distinct column's table ({cust})
+    in different models: rides the round-8 per-key pinned value-mass
+    fallback in _chain_grouped_value_masses instead of raising."""
+    from deepdb_public_spark.plans.query import (
+        AggOperation,
+        AggregationOperationType,
+        AggregationType,
+        Condition,
+        Query,
+        QueryType,
+    )
+
+    ens, rels, _cat = cross_piece_setup
+    q = Query(
+        query_type=QueryType.AQP,
+        table_set={"nat", "cust", "ord"},
+        relationship_set=set(rels),
+        conditions=[
+            Condition(
+                None,
+                None,
+                "OR",
+                [
+                    Condition("nat", "name", "=", "A"),
+                    Condition("ord", "flag", "=", "Y"),
+                ],
+            )
+        ],
+        group_bys=[("ord", "flag")],
+        aggregations=[
+            AggOperation(
+                AggregationOperationType.AGGREGATION,
+                AggregationType.COUNT,
+                [("cust", "tier")],
+                alias="d",
+                distinct=True,
+            )
+        ],
+    )
+    rows = {r["flag"]: r["d"] for r in ens.aqp(q)}
+    # exact: flag X rows satisfying (A or Y) -> only A customers ->
+    # tiers {gold, silver} = 2; flag Y rows all satisfy -> all three
+    # tiers = 3
+    assert set(rows) == {"X", "Y"}
+    assert rows["X"] == 2.0, rows
+    assert rows["Y"] == 3.0, rows
