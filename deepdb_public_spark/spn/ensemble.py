@@ -1000,6 +1000,39 @@ class SPNEnsemble:
             var += p * (1.0 - p)
         return [est, var]
 
+    def _grouped_distinct_occupancy_moments(
+        self, query: Query, col_ref: tuple[str, str], gb_cols: list[str]
+    ) -> dict[tuple, list[float]]:
+        """{group key: [est, var]} for grouped COUNT(DISTINCT) under
+        cross-column OR (round 8): per-(group, value) signed masses
+        exactly as _ie_grouped_distinct_count combines them, then
+        per-group Poisson-occupancy variance as in
+        _distinct_occupancy_moments. Visible groups follow the aqp
+        rule (some positive term gives the group >= 0.5 expected
+        rows)."""
+        import math as _m
+
+        acc: dict[tuple, dict] = {}
+        pos_keys: set[tuple] = set()
+        for s, q in self._ie_terms(query):
+            gm = self._chain_grouped_value_masses(q, gb_cols, col_ref)
+            for key, vm in gm.items():
+                if s > 0 and sum(vm.values()) >= 0.5:
+                    pos_keys.add(key)
+                slot = acc.setdefault(key, {})
+                for v, rows in vm.items():
+                    slot[v] = slot.get(v, 0.0) + s * rows
+        out: dict[tuple, list[float]] = {}
+        for key in pos_keys:
+            masses = acc.get(key, {})
+            est = float(sum(1 for r in masses.values() if r >= 0.5))
+            var = 0.0
+            for r in masses.values():
+                p = 1.0 - _m.exp(-max(r, 0.0))
+                var += p * (1.0 - p)
+            out[key] = [est, var]
+        return out
+
     def _ie_distinct_count(
         self, query: Query, col_ref: tuple[str, str]
     ) -> float:
@@ -1920,6 +1953,13 @@ class SPNEnsemble:
     def confidence_interval(self, query: Query, confidence: float = 0.95):
         if self._complex_or_index(query) is not None:
             return self._ci_inclusion_exclusion(query, confidence)
+        if any(
+            getattr(op, "distinct", False) for op in query.aggregations
+        ):
+            # COUNT(DISTINCT) CIs use the Poisson-occupancy moments,
+            # which live on the IE path (1 term for conjunctive
+            # queries); the per-model CI has no distinct variance
+            return self._ci_inclusion_exclusion(query, confidence)
         try:
             model = self.select_model(query)
         except ValueError:
@@ -1953,30 +1993,19 @@ class SPNEnsemble:
         (anchor AVG × count chain, round 6) — grouped multi-model
         terms stay exact-plane. COUNT(DISTINCT) gets Poisson-occupancy
         moments over the signed per-value masses
-        (_distinct_occupancy_moments, round 8); HAVING filters groups
-        by their point estimates (round 8 — same approximation class
-        as aqp's HAVING); grouped COUNT(DISTINCT) stays exact-plane
-        (ModelPlaneUnsupported), as in the single-model path."""
+        (_distinct_occupancy_moments, grouped via
+        _grouped_distinct_occupancy_moments — round 8); HAVING filters
+        groups by their point estimates (round 8 — same approximation
+        class as aqp's HAVING)."""
         from ..plans.query import (
             AggOperation,
             AggregationOperationType,
             AggregationType,
             Condition,
         )
-        from .model import ModelPlaneUnsupported
-
         from .model import z_value
 
         z = z_value(confidence)
-        for op in query.aggregations:
-            if op.op_type is not AggregationOperationType.AGGREGATION:
-                continue
-            if getattr(op, "distinct", False) and query.group_bys:
-                raise ModelPlaneUnsupported(
-                    "confidence intervals for grouped COUNT(DISTINCT) "
-                    "under cross-column OR are not supported; use the "
-                    "exact plane"
-                )
         gb_cols = [c for _t, c in query.group_bys]
         terms = []
         for sign, q in self._ie_terms(query):
@@ -2060,20 +2089,21 @@ class SPNEnsemble:
             if op.op_type is not AggregationOperationType.AGGREGATION:
                 continue
             if getattr(op, "distinct", False):
-                # round 8: occupancy moments replace the refusal (the
-                # grouped case still raises above)
+                # round 8: Poisson-occupancy moments replace the
+                # refusal — grouped via per-(group, value) masses
                 name = op.alias or "count_distinct"
-                per_op.append(
-                    (
-                        name,
-                        "count",
-                        {
-                            (): self._distinct_occupancy_moments(
-                                query, op.operands[0]
-                            )
-                        },
+                if gb_cols:
+                    moments = self._grouped_distinct_occupancy_moments(
+                        query, op.operands[0], gb_cols
                     )
-                )
+                    visible.update(moments)
+                else:
+                    moments = {
+                        (): self._distinct_occupancy_moments(
+                            query, op.operands[0]
+                        )
+                    }
+                per_op.append((name, "count", moments))
             elif op.agg_type is AggregationType.COUNT:
                 name = op.alias or "count"
                 per_op.append(

@@ -387,14 +387,31 @@ def test_cross_column_or_ci_supported_count_sum_only(li_engine):
     # well-separated value masses => near-degenerate interval, far
     # narrower than the domain size
     assert ci_d["hi"] - ci_d["lo"] < 2.0
-    # the grouped composition stays a documented refusal
+    # grouped composition: per-(group, value) occupancy moments —
+    # every group's interval covers its exact distinct count and the
+    # point estimates equal aqp's
     q_cdg = eng.parse(
         "SELECT COUNT(DISTINCT lineitem.l_quantity) AS d FROM lineitem "
         "WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08) "
         "GROUP BY lineitem.l_returnflag"
     )
-    with pytest.raises(ModelPlaneUnsupported):
-        eng.ensemble.confidence_interval(q_cdg)
+    cis_g = {
+        r["l_returnflag"]: r
+        for r in eng.ensemble.confidence_interval(q_cdg, confidence=0.99)
+    }
+    aqp_g = {r["l_returnflag"]: r["d"] for r in eng.ensemble.aqp(q_cdg)}
+    trues_g = {
+        r["grp"]: r["t"]
+        for r in eng.sql(
+            "SELECT l_returnflag AS grp, COUNT(DISTINCT l_quantity) AS t "
+            "FROM lineitem WHERE l_quantity < 10 OR l_discount > 0.08 "
+            "GROUP BY l_returnflag"
+        ).collect()
+    }
+    assert set(cis_g) == set(aqp_g) == set(trues_g)
+    for g, ci in cis_g.items():
+        assert ci["est"] == aqp_g[g], (g, ci, aqp_g[g])
+        assert ci["lo"] <= trues_g[g] <= ci["hi"] + 1e-9, (g, ci, trues_g[g])
 
 
 def test_single_model_rejects_cross_column_or(li_engine):

@@ -223,15 +223,26 @@ def test_count_distinct_grouped_model_plane(engines):
         assert est[g]["cnt"] == pytest.approx(truth["cnt"], rel=0.25), g
 
 
-def test_count_distinct_ci_rejected(engines):
+def test_count_distinct_ci_supported(engines):
+    """Round 8 (was a refusal): the ensemble routes COUNT(DISTINCT)
+    CIs through the occupancy moments; the interval covers the exact
+    distinct count and the point estimate matches aqp. The per-model
+    CI keeps its refusal (no distinct variance at the tree level)."""
     from deepdb_public_spark.spn.model import ModelPlaneUnsupported
 
     eng = engines
     q = eng.parse(
         "SELECT COUNT(DISTINCT lineitem.l_quantity) AS d FROM lineitem"
     )
+    (ci,) = eng.ensemble.confidence_interval(q, confidence=0.99)
+    (aqp_row,) = eng.ensemble.aqp(q)
+    true = eng.sql(
+        "SELECT COUNT(DISTINCT l_quantity) FROM lineitem"
+    ).collect()[0][0]
+    assert ci["est"] == aqp_row["d"]
+    assert ci["lo"] <= true <= ci["hi"] + 1e-9, (ci, true)
     with pytest.raises(ModelPlaneUnsupported):
-        eng.ensemble.confidence_interval(q)
+        eng.ensemble.models[0].confidence_interval(q)
 
 
 # ------------------------------------------------------------- HAVING

@@ -438,16 +438,28 @@ def test_or_ci_grouped_contains_truth(spark):
         "WHERE l_quantity < 10 OR l_discount > 0.08"
     ).collect()[0][0]
     assert ci_avg["lo"] <= true_avg <= ci_avg["hi"]
-    # round 8: ungrouped COUNT(DISTINCT) under OR now has Poisson-
-    # occupancy moments (covered in test_disjunction); the GROUPED
-    # composition stays exact-plane
+    # round 8: COUNT(DISTINCT) under OR (grouped and not) now has
+    # Poisson-occupancy moments; intervals must cover the exact
+    # per-group distinct counts (detailed checks in test_disjunction)
     q_cd = eng.parse(
         "SELECT COUNT(DISTINCT lineitem.l_quantity) AS d FROM lineitem "
         "WHERE (lineitem.l_quantity < 10 OR lineitem.l_discount > 0.08) "
         "GROUP BY lineitem.l_returnflag"
     )
-    with pytest.raises(ModelPlaneUnsupported):
-        ens.confidence_interval(q_cd)
+    cis_cd = {
+        r["l_returnflag"]: r for r in ens.confidence_interval(q_cd)
+    }
+    trues_cd = {
+        r["grp"]: r["t"]
+        for r in eng.sql(
+            "SELECT l_returnflag AS grp, COUNT(DISTINCT l_quantity) AS t "
+            "FROM lineitem WHERE l_quantity < 10 OR l_discount > 0.08 "
+            "GROUP BY l_returnflag"
+        ).collect()
+    }
+    assert set(cis_cd) == set(trues_cd)
+    for g, ci in cis_cd.items():
+        assert ci["lo"] <= trues_cd[g] <= ci["hi"] + 1e-9, (g, ci)
 
 
 def test_or_ci_coverage_two_levels():
