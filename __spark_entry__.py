@@ -634,6 +634,21 @@ def _x_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(tagged, "text", "doc_id", "split")
 
 
+def _x_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE pair-frequency counting (round 8 — the statistic tokenizer
+    training computes before every merge, Sennrich et al. 2016): top
+    adjacent character pairs weighted by word frequency over the
+    documents corpus. The corpus collapses to its vocabulary BEFORE
+    the pair explosion (one explode + two vocabulary-sized groupBys,
+    no Python in the row path — operators/textstats.py::
+    bpe_pair_counts). Deterministic (cnt DESC, pair ASC) top-25 is
+    hash-checked against DuckDB."""
+    from deepdb_public_spark.operators.textstats import bpe_pair_counts
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    return bpe_pair_counts(docs, "text", top_k=25)
+
+
 def _x_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram overlap decontamination (round 7 — the 13-gram-rule
     shape, n=8 for the synthetic docs): deterministic split, planted
@@ -3366,6 +3381,25 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
                ROUND(sqrt(list_sum(list_transform(embedding,
                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
         FROM embeddings WHERE vec_id < 500
+        """,
+    ),
+    "x49_bpe_pairs": (
+        _x_bpe_pairs,
+        """
+        WITH words AS (
+            SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+            FROM documents WHERE text IS NOT NULL
+        ),
+        wc AS (
+            SELECT w, COUNT(*) AS c FROM words WHERE length(w) >= 2 GROUP BY w
+        ),
+        pairs AS (
+            SELECT unnest(list_transform(range(1, length(w)),
+                                         i -> w[i:i+1])) AS pair, c
+            FROM wc
+        )
+        SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM pairs GROUP BY pair
+        ORDER BY cnt DESC, pair ASC LIMIT 25
         """,
     ),
     "x47_ngram_contamination": (

@@ -221,6 +221,53 @@ def ngram_contamination(
     )
 
 
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str,
+    top_k: int = 20,
+    min_word_count: int = 1,
+) -> DataFrame:
+    """First BPE merge iteration at corpus scale (the pair-frequency
+    statistic of Sennrich et al. 2016 byte-pair encoding, which
+    tokenizer training recomputes before every merge): adjacent
+    CHARACTER-pair counts weighted by word frequency. Output
+    (pair, cnt), top_k ordered (cnt DESC, pair ASC) — fully
+    deterministic, so the DuckDB oracle hash-matches.
+
+    Scale shape: one explode to words, one groupBy collapsing the
+    corpus to its VOCABULARY (distinct words + counts — the expensive
+    per-corpus pass happens before the pair explosion, exactly how
+    production BPE trainers batch it), then pairs per distinct word
+    via a JVM transform + explode and one vocabulary-sized groupBy.
+    No Python in the row path. (The reference has no text operators —
+    extension surface.)"""
+    words = (
+        spread_small_input(df)
+        .select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    if min_word_count > 1:
+        wc = wc.filter(F.col("c") >= min_word_count)
+    pairs = wc.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(top_k)
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str,

@@ -373,3 +373,27 @@ def test_grouped_distinct_under_or_cross_piece(cross_piece_setup):
     assert set(rows) == {"X", "Y"}
     assert rows["X"] == 2.0, rows
     assert rows["Y"] == 3.0, rows
+
+
+def test_bpe_pair_counts(spark):
+    """BPE pair statistic: word-frequency weighting, NULL/short-token
+    exclusion, deterministic (cnt DESC, pair ASC) ordering."""
+    from deepdb_public_spark.operators.textstats import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abab abab"),   # 'abab' x2
+            (2, "abab"),        # 'abab' x1
+            (3, "xy a"),        # 'a' too short, dropped
+            (4, None),
+            (5, "  "),
+        ],
+        "doc_id int, text string",
+    )
+    rows = bpe_pair_counts(docs, "text", top_k=10).collect()
+    got = [(r["pair"], r["cnt"]) for r in rows]
+    # 'abab' (count 3): pairs ab, ba, ab -> ab=6, ba=3; 'xy' -> xy=1
+    assert got == [("ab", 6), ("ba", 3), ("xy", 1)]
+    # min_word_count prunes the vocabulary tail
+    rows2 = bpe_pair_counts(docs, "text", top_k=10, min_word_count=2).collect()
+    assert [(r["pair"], r["cnt"]) for r in rows2] == [("ab", 6), ("ba", 3)]
