@@ -649,6 +649,28 @@ def _x_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(docs, "text", top_k=25)
 
 
+def _x_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE merge learning (round 8): the full greedy
+    Sennrich loop — 6 merges over the documents corpus, each
+    iteration one vocabulary-sized shuffle + a 1-row collect
+    (operators/textstats.py::bpe_learn). Rows-only BY DESIGN: a
+    greedy iterative algorithm is not expressible as one SQL query;
+    correctness is pinned by
+    tests/test_round8_fixes.py::test_bpe_learn_matches_reference
+    against a pure-Python reference implementation, and the single-
+    step statistic it iterates is oracle-checked as x49. Output
+    (step, left, right) — deterministic via the lexicographic
+    tie-break."""
+    from deepdb_public_spark.operators.textstats import bpe_learn
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    merges, _wc = bpe_learn(docs, "text", n_merges=6)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "step int, left string, right string",
+    )
+
+
 def _x_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram overlap decontamination (round 7 — the 13-gram-rule
     shape, n=8 for the synthetic docs): deterministic split, planted
@@ -2745,6 +2767,7 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     # tests/test_dedup.py checks its pigeonhole completeness.
     "x06_minhash_pairs": (_x_minhash_pairs, _JACCARD_PAIRS_ORACLE),
     "x07_simhash_pairs": (_x_simhash_pairs, None),
+    "x50_bpe_learn": (_x_bpe_learn, None),
     "x08_embed_neardup": (
         _x_embed_neardup,
         """

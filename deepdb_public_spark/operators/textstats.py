@@ -268,6 +268,104 @@ def bpe_pair_counts(
     )
 
 
+def bpe_learn(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 10,
+    min_word_count: int = 1,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn ``n_merges`` BPE merges over the corpus (the full greedy
+    loop of Sennrich et al. 2016; bpe_pair_counts is its single-step
+    statistic): repeatedly merge the globally most frequent adjacent
+    symbol pair, ties broken lexicographically so the result is
+    deterministic. Returns (merges, vocab) where merges is the
+    ordered list of (left, right) merges and vocab the final
+    (symbols array<string>, c) word table. No end-of-word marker —
+    callers wanting GPT-2-style '</w>' handling can append it to the
+    text beforehand.
+
+    Scale shape: the corpus collapses ONCE to its vocabulary (distinct
+    words + counts); every merge iteration is then one vocabulary-
+    sized shuffle (adjacent-pair groupBy -> 1-row collect) plus one
+    narrow JVM fold applying the merge left-to-right, with
+    localCheckpoint truncating the plan so iteration N's analysis
+    cost does not grow with N — the same loop shape as
+    duplicate_clusters' label propagation. Driver traffic is ONE ROW
+    per merge; corpus-sized data never moves after the first pass.
+    (The reference has no text operators — extension surface.)"""
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0 (got {n_merges})")
+    words = (
+        spread_small_input(df)
+        .select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") >= 1)
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    if min_word_count > 1:
+        wc = wc.filter(F.col("c") >= min_word_count)
+    # initial symbols: one character each (unicode-safe via substr)
+    wc = wc.select(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ).alias("symbols"),
+        "c",
+    ).localCheckpoint()
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts = (
+            wc.select(
+                F.explode(
+                    F.when(
+                        F.size("symbols") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("symbols") - 1),
+                            lambda i: F.struct(
+                                F.element_at("symbols", i).alias("a"),
+                                F.element_at("symbols", i + 1).alias("b"),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array().cast("array<struct<a:string,b:string>>")
+                    )
+                ).alias("p"),
+                "c",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("c").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not pair_counts:
+            break
+        best = pair_counts[0]
+        a, b, merged = best["a"], best["b"], best["a"] + best["b"]
+        merges.append((a, b))
+        # left-to-right non-overlapping merge via a JVM fold: append s,
+        # replacing the accumulated tail (a, b) with the merged symbol
+        # (a freshly merged tail never re-merges — standard BPE)
+        wc = wc.select(
+            F.aggregate(
+                "symbols",
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) >= 1)
+                    & (F.element_at(acc, -1) == a)
+                    & (s == b),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ).alias("symbols"),
+            "c",
+        ).localCheckpoint()
+    return merges, wc
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str,

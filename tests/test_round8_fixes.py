@@ -397,3 +397,65 @@ def test_bpe_pair_counts(spark):
     # min_word_count prunes the vocabulary tail
     rows2 = bpe_pair_counts(docs, "text", top_k=10, min_word_count=2).collect()
     assert [(r["pair"], r["cnt"]) for r in rows2] == [("ab", 6), ("ba", 3)]
+
+
+def test_bpe_learn_matches_reference(spark):
+    """bpe_learn's greedy merges must equal a pure-Python reference
+    implementation of Sennrich-style BPE (same lexicographic
+    tie-break) — merges, order, and final symbolizations."""
+    from collections import Counter
+
+    from deepdb_public_spark.operators.textstats import bpe_learn
+
+    corpus = [
+        "low low low low low",
+        "lower lower",
+        "newest newest newest newest newest newest",
+        "widest widest widest",
+        None,
+        "  ",
+    ]
+
+    # ---- reference ----
+    words = Counter(
+        w
+        for t in corpus
+        if t
+        for w in t.lower().split()
+        if w
+    )
+    vocab = {w: list(w) for w in words}
+    ref_merges = []
+    for _ in range(8):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] += words[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        ref_merges.append(best)
+        a, b = best
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+
+    # ---- operator ----
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id int, text string"
+    )
+    merges, wc = bpe_learn(docs, "text", n_merges=8)
+    assert merges == ref_merges
+    got = {
+        "".join(r["symbols"]): (tuple(r["symbols"]), r["c"])
+        for r in wc.collect()
+    }
+    want = {w: (tuple(syms), words[w]) for w, syms in vocab.items()}
+    assert got == want
