@@ -290,3 +290,16 @@ def test_ngram_contamination_plan_shape(engine):
     plan = _plan(ngram_contamination(tagged, "text", "doc_id", "split"))
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(gram" in plan
+
+
+def test_bpe_pair_counts_plan_shape(engine):
+    """bpe_pair_counts (round 8): corpus rows cross exactly one
+    word-key exchange (the vocabulary collapse) before the pair
+    explosion; the pair aggregate exchanges on the pair key; no
+    cartesian anywhere."""
+    from deepdb_public_spark.operators.textstats import bpe_pair_counts
+
+    plan = _plan(bpe_pair_counts(engine.catalog["documents"], "text"))
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(w" in plan
+    assert "hashpartitioning(pair" in plan

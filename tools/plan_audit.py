@@ -132,6 +132,14 @@ def main() -> None:
         "exchanges on fixed-width md5 keys — never doc-to-doc "
         "comparison, no CartesianProduct.",
     )
+    add(
+        "x49_bpe_pairs",
+        "BPE pair statistic (round 8): one explode to words, one "
+        "hashpartitioning(w) exchange collapsing the corpus to its "
+        "VOCABULARY before the pair explosion, one "
+        "hashpartitioning(pair) aggregate, then the deterministic "
+        "top-k — corpus-sized rows cross exactly one exchange.",
+    )
 
     from deepdb_public_spark.operators.dedup import (
         minhash_lsh_pairs,

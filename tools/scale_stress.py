@@ -42,6 +42,8 @@ def main() -> None:
     from deepdb_public_spark.operators.sampling import hash_split
     from deepdb_public_spark.operators.similarity import hybrid_rrf_topk
     from deepdb_public_spark.operators.textstats import (
+        bpe_learn,
+        bpe_pair_counts,
         doc_profile,
         ngram_contamination,
         tfidf_top_terms,
@@ -91,6 +93,12 @@ def main() -> None:
             hash_split(d, "doc_id", {"train": 0.9, "test": 0.1}),
             "text", "doc_id", "split", n=8,
         ).count(),
+        "bpe_pair_counts (vocab collapse)": lambda d: bpe_pair_counts(
+            d, "text", top_k=25
+        ).count(),
+        "bpe_learn x3 (iterative merges)": lambda d: bpe_learn(
+            d, "text", n_merges=3
+        )[1].count(),
     }
 
     def _index_dedup(d):
