@@ -34,3 +34,7 @@ SELECT COUNT(DISTINCT lineitem.l_quantity) AS d FROM customer, orders, lineitem 
 SELECT COUNT(DISTINCT lineitem.l_quantity) AS d FROM customer, orders, lineitem WHERE customer.c_custkey = orders.o_custkey AND orders.o_orderkey = lineitem.l_orderkey AND customer.c_mktsegment = 'AUTOMOBILE' GROUP BY lineitem.l_returnflag
 SELECT COUNT(DISTINCT orders.o_orderpriority) AS d FROM customer, orders, lineitem WHERE customer.c_custkey = orders.o_custkey AND orders.o_orderkey = lineitem.l_orderkey AND lineitem.l_discount <= 0.04 GROUP BY lineitem.l_linestatus
 SELECT COUNT(DISTINCT lineitem.l_quantity) AS d FROM customer, orders, lineitem WHERE customer.c_custkey = orders.o_custkey AND orders.o_orderkey = lineitem.l_orderkey AND (customer.c_mktsegment = 'BUILDING' OR lineitem.l_quantity < 10)
+SELECT COUNT(*) AS cnt, SUM(lineitem.l_extendedprice) AS sp, AVG(lineitem.l_extendedprice) AS ap FROM customer, orders, lineitem WHERE customer.c_custkey = orders.o_custkey AND orders.o_orderkey = lineitem.l_orderkey AND lineitem.l_discount <= 0.06 GROUP BY customer.c_mktsegment, lineitem.l_returnflag
+SELECT COUNT(DISTINCT lineitem.l_quantity) AS d FROM customer, orders, lineitem WHERE customer.c_custkey = orders.o_custkey AND orders.o_orderkey = lineitem.l_orderkey AND (customer.c_mktsegment = 'BUILDING' OR lineitem.l_quantity < 10)
+SELECT COUNT(*) AS cnt FROM customer, orders, lineitem WHERE customer.c_custkey = orders.o_custkey AND orders.o_orderkey = lineitem.l_orderkey AND lineitem.l_quantity < 30 GROUP BY customer.c_mktsegment, orders.o_orderstatus HAVING cnt >= 500
+SELECT AVG(lineitem.l_extendedprice) AS ap FROM customer, orders, lineitem WHERE customer.c_custkey = orders.o_custkey AND orders.o_orderkey = lineitem.l_orderkey AND (customer.c_mktsegment = 'BUILDING' OR lineitem.l_quantity < 10) GROUP BY lineitem.l_returnflag

@@ -217,3 +217,60 @@ def test_evaluate_many_matches_scalar_evaluate(two_model_engine):
     for (cond, feats), v in zip(conds, vec):
         assert float(evaluate(model.root, cond, feats)) == float(v)
     assert len(vec) == len(conds) and np.all(np.isfinite(vec))
+
+
+def test_cross_piece_grouped_fuzz_band(two_model_engine):
+    """Round-8 surface: grouped AQP whose GROUP BY columns span models
+    with no covering anchor (orders.o_orderstatus x
+    lineitem.l_returnflag over {customer,orders} + {lineitem}) —
+    seeded sweep over COUNT/SUM/AVG and AND/OR predicates; every
+    well-populated group within the documented budgets."""
+    import random
+
+    rng = random.Random(20260815)
+    eng = two_model_engine
+    o_preds = [
+        "orders.o_totalprice > 100000",
+        "orders.o_totalprice <= 300000",
+    ]
+    l_preds = [
+        "lineitem.l_discount <= 0.08",
+        "lineitem.l_quantity < 40",
+    ]
+    aggs = [
+        ("COUNT(*) AS v", COUNT_REL_BUDGET),
+        ("SUM(lineitem.l_quantity) AS v", SUM_REL_BUDGET),
+        ("AVG(lineitem.l_extendedprice) AS v", AVG_REL_BUDGET),
+    ]
+    n_checked = 0
+    for _ in range(10):
+        agg, budget = rng.choice(aggs)
+        op, lp = rng.choice(o_preds), rng.choice(l_preds)
+        where = f"{op} AND {lp}"
+        if rng.random() < 0.3:
+            where = f"({op} OR {lp})"
+        sql = (
+            f"SELECT {agg} FROM orders, lineitem "
+            f"WHERE orders.o_orderkey = lineitem.l_orderkey AND {where} "
+            "GROUP BY orders.o_orderstatus, lineitem.l_returnflag"
+        )
+        est = {
+            (r["o_orderstatus"], r["l_returnflag"]): float(r["v"])
+            for r in eng.ensemble.aqp(eng.parse(sql))
+        }
+        cnt_sql = (
+            "SELECT COUNT(*) AS c, " + agg + " FROM orders, lineitem "
+            f"WHERE orders.o_orderkey = lineitem.l_orderkey AND {where} "
+            "GROUP BY orders.o_orderstatus, lineitem.l_returnflag"
+        )
+        for r in eng.query(cnt_sql).collect():
+            if int(r["c"]) < MIN_GROUP_ROWS:
+                continue
+            key = (r["o_orderstatus"], r["l_returnflag"])
+            true = float(r["v"])
+            got = est.get(key)
+            assert got is not None, (sql, key)
+            rel = abs(got - true) / max(abs(true), 1e-9)
+            assert rel <= budget, (sql, key, got, true, rel)
+            n_checked += 1
+    assert n_checked >= 40, n_checked

@@ -459,3 +459,42 @@ def test_bpe_learn_matches_reference(spark):
     }
     want = {w: (tuple(syms), words[w]) for w, syms in vocab.items()}
     assert got == want
+
+
+def test_simhash_block_completeness_property(spark):
+    """Pigeonhole completeness of the generalized blocking: for random
+    signature pairs within Hamming distance r, the (r+1)-block keys
+    must share at least one (block, key) — including radii where
+    64 % (r+1) != 0 (top bits uncovered: collisions widen, pairs are
+    never lost)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.functions.hashing import simhash_block_keys
+
+    rng = random.Random(8)
+    rows = []
+    def signed(u: int) -> int:
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    for r in (1, 2, 3, 4, 7, 10, 31):
+        for _ in range(20):
+            ua = rng.getrandbits(64)
+            ub = ua
+            for j in rng.sample(range(64), rng.randint(1, r)):
+                ub ^= 1 << j
+            rows.append((r, signed(ua), signed(ub)))
+    df = spark.createDataFrame(rows, "r int, a long, b long")
+    # n_blocks = r + 1 per row: evaluate per distinct radius
+    for r in sorted({x[0] for x in rows}):
+        sub = df.filter(F.col("r") == r)
+        shared = sub.select(
+            F.size(
+                F.array_intersect(
+                    simhash_block_keys(F.col("a"), r + 1),
+                    simhash_block_keys(F.col("b"), r + 1),
+                )
+            ).alias("n")
+        )
+        assert shared.filter(F.col("n") < 1).count() == 0, f"radius {r}"
