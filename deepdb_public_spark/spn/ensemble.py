@@ -985,19 +985,37 @@ class SPNEnsemble:
         Values whose mass sits far from the 0.5 threshold contribute
         ~0 variance; a wide CI therefore flags exactly the
         borderline-mass queries where the threshold estimator itself
-        is fragile. (The reference has neither distinct estimation nor
-        OR grammar — extension surface.)"""
-        import math as _m
-
+        is fragile. The point estimate centers at the threshold count
+        while the occupancy MEAN is Σ_v p_v — in the borderline regime
+        the two diverge, so the center offset is folded into the
+        variance in quadrature (var += (est - Σp)²), keeping the
+        interval calibrated without moving the estimate off the aqp
+        answer (tests/test_round8_fixes.py::
+        test_occupancy_ci_calibration_numpy pins coverage). (The
+        reference has neither distinct estimation nor OR grammar —
+        extension surface.)"""
         acc: dict = {}
         for s, q in self._ie_terms(query):
             for v, rows in self._chain_value_masses(q, col_ref).items():
                 acc[v] = acc.get(v, 0.0) + s * rows
-        est = float(sum(1 for rows in acc.values() if rows >= 0.5))
-        var = 0.0
-        for rows in acc.values():
+        return self._occupancy_moments_from_masses(acc.values())
+
+    @staticmethod
+    def _occupancy_moments_from_masses(masses) -> list[float]:
+        """[est, var] from combined per-value expected-row masses:
+        est = 0.5-threshold count (the aqp estimator), var = Poisson-
+        binomial occupancy variance Σ p(1-p) plus the squared offset
+        between the threshold center and the occupancy mean Σp."""
+        import math as _m
+
+        est, mean, var = 0.0, 0.0, 0.0
+        for rows in masses:
+            if rows >= 0.5:
+                est += 1.0
             p = 1.0 - _m.exp(-max(rows, 0.0))
+            mean += p
             var += p * (1.0 - p)
+        var += (est - mean) ** 2
         return [est, var]
 
     def _grouped_distinct_occupancy_moments(
@@ -1010,8 +1028,6 @@ class SPNEnsemble:
         _distinct_occupancy_moments. Visible groups follow the aqp
         rule (some positive term gives the group >= 0.5 expected
         rows)."""
-        import math as _m
-
         acc: dict[tuple, dict] = {}
         pos_keys: set[tuple] = set()
         for s, q in self._ie_terms(query):
@@ -1022,16 +1038,12 @@ class SPNEnsemble:
                 slot = acc.setdefault(key, {})
                 for v, rows in vm.items():
                     slot[v] = slot.get(v, 0.0) + s * rows
-        out: dict[tuple, list[float]] = {}
-        for key in pos_keys:
-            masses = acc.get(key, {})
-            est = float(sum(1 for r in masses.values() if r >= 0.5))
-            var = 0.0
-            for r in masses.values():
-                p = 1.0 - _m.exp(-max(r, 0.0))
-                var += p * (1.0 - p)
-            out[key] = [est, var]
-        return out
+        return {
+            key: self._occupancy_moments_from_masses(
+                acc.get(key, {}).values()
+            )
+            for key in pos_keys
+        }
 
     def _ie_distinct_count(
         self, query: Query, col_ref: tuple[str, str]
