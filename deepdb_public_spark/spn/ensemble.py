@@ -28,6 +28,12 @@ from .learn import LearnParams
 from .model import SPNModel
 from .trainer import train_spn_model
 
+# Cross-piece grouped estimates price EVERY group key with its own
+# factorized chain evaluation (~ms of driver math each), unlike a
+# covering anchor's one-pass grid — so their grid cap is much tighter
+# than model-side MAX_GROUPBY_CELLS (~10s worst case at 10k).
+MAX_CROSS_PIECE_CELLS = 10_000
+
 
 class SPNEnsemble:
     def __init__(self, schema: SchemaGraph) -> None:
@@ -1510,11 +1516,18 @@ class SPNEnsemble:
                     [tuple(r[c] for c in cols) for r in m.aqp(lq)],
                 )
             )
+        # tighter cap than MAX_GROUPBY_CELLS: a covering anchor reads
+        # its grid in ONE tree pass, but every cross-piece key costs a
+        # full factorized chain evaluation downstream (~ms each), so
+        # 2M cells would be tens of minutes of driver math — callers
+        # (Engine.estimate) catch GroupByExplosion and fall back exact
+        cap = min(MAX_GROUPBY_CELLS, MAX_CROSS_PIECE_CELLS)
         n_cells = _m.prod(len(ks) for _idx, ks in parts)
-        if n_cells > MAX_GROUPBY_CELLS:
+        if n_cells > cap:
             raise GroupByExplosion(
-                f"cross-piece group grid has {n_cells} cells "
-                f"(> {MAX_GROUPBY_CELLS}); use the exact plane"
+                f"cross-piece group grid has {n_cells} cells (> {cap}: "
+                "each key is priced by a separate factorized chain "
+                "evaluation); use the exact plane"
             )
         n = len(query.group_bys)
         keys = []

@@ -539,3 +539,33 @@ def test_occupancy_ci_calibration_numpy():
     )
     assert est2 == 50.0
     assert math.sqrt(var2) < 1.0
+
+
+def test_cross_piece_cell_cap(cross_piece_setup, monkeypatch):
+    """The cross-piece grid is capped far below MAX_GROUPBY_CELLS
+    (every key costs a separate chain evaluation): past the cap it
+    raises GroupByExplosion so Engine.estimate's exact fallback fires,
+    instead of grinding through minutes of driver math."""
+    import deepdb_public_spark.spn.ensemble as ens_mod
+    from deepdb_public_spark.plans.query import (
+        AggOperation,
+        AggregationOperationType,
+        AggregationType,
+    )
+    from deepdb_public_spark.spn.model import GroupByExplosion
+
+    ens, rels, _cat = cross_piece_setup
+    q = _cross_piece_query(
+        rels,
+        [
+            AggOperation(
+                AggregationOperationType.AGGREGATION,
+                AggregationType.COUNT,
+                [],
+                alias="cnt",
+            )
+        ],
+    )
+    monkeypatch.setattr(ens_mod, "MAX_CROSS_PIECE_CELLS", 3)
+    with pytest.raises(GroupByExplosion, match="cross-piece"):
+        ens.aqp(q)  # 2 names x 2 flags = 4 cells > 3
