@@ -99,6 +99,16 @@ def main() -> None:
         timings[name] = round(
             samples[0] if median < 2.0 else samples[len(samples) // 2], 4
         )
+        # per-entry JVM hygiene, OUTSIDE any timer: a single session
+        # running ~500 jobs accumulates heap garbage (broadcasts,
+        # shuffle metadata) that inflated late entries up to 2x in the
+        # round-8 runs; an explicit full GC between entries keeps each
+        # entry's measurement independent of its position in the run.
+        # (No catalog.clearCache() — a session-wide sweep would drop
+        # localCheckpoint blocks of memoized indexes whose lineage is
+        # truncated, the round-5 footgun release_local_checkpoints
+        # documents.)
+        spark.sparkContext._jvm.System.gc()
 
     # model-plane estimate latency (the reference's headline: answer
     # without touching the data). The m-entries above left trained
