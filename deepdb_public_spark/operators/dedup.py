@@ -386,6 +386,12 @@ _DENSE_VOCAB_MAX = 4096
 # gate sits at 2k.
 _DENSE_ALLPAIRS_MAX = 2048
 
+# bitmap-table broadcast gate for the prefix-filtered dense-verify
+# path: a bitmap row is ~8*(n_words+2) bytes, so 100k representatives
+# is ~26 MB — comfortably broadcastable, and the (much larger)
+# candidate pair set then never shuffles to pick up its bitmaps.
+_DENSE_BROADCAST_MAX = 100_000
+
 
 def _dense_bitmaps(s: DataFrame, vocab: DataFrame, n_words: int) -> DataFrame:
     """(id, sh: array<bigint>) -> (id, sz, w0..w{n_words-1}): each
@@ -404,18 +410,30 @@ def _dense_bitmaps(s: DataFrame, vocab: DataFrame, n_words: int) -> DataFrame:
     return tok.groupBy("id").agg(*aggs)
 
 
-def _bitmap_verify(cand: DataFrame, bm: DataFrame, n_words: int) -> DataFrame:
+def _bitmap_verify(
+    cand: DataFrame, bm: DataFrame, n_words: int, broadcast_bm: bool = False
+) -> DataFrame:
     """(id_a, id_b) candidates -> (id_a, id_b, jaccard) via bitmap
-    AND+popcount; exact, no false positives."""
-    left = bm.select(
-        F.col("id").alias("id_a"),
-        F.col("sz").alias("sz_a"),
-        *[F.col(f"w{j}").alias(f"a{j}") for j in range(n_words)],
+    AND+popcount; exact, no false positives. ``broadcast_bm`` joins
+    the bitmap table via broadcast — the candidate set (the big side
+    on self-similar corpora: measured 3.6M pairs from 5k reps) then
+    never shuffles to pick up its 2x33 bitmap columns; callers enable
+    it when the rep count is bounded (the bitmap row is ~8*(n_words+2)
+    bytes, so 100k reps is ~26 MB)."""
+    maybe_b = F.broadcast if broadcast_bm else (lambda df: df)
+    left = maybe_b(
+        bm.select(
+            F.col("id").alias("id_a"),
+            F.col("sz").alias("sz_a"),
+            *[F.col(f"w{j}").alias(f"a{j}") for j in range(n_words)],
+        )
     )
-    right = bm.select(
-        F.col("id").alias("id_b"),
-        F.col("sz").alias("sz_b"),
-        *[F.col(f"w{j}").alias(f"b{j}") for j in range(n_words)],
+    right = maybe_b(
+        bm.select(
+            F.col("id").alias("id_b"),
+            F.col("sz").alias("sz_b"),
+            *[F.col(f"w{j}").alias(f"b{j}") for j in range(n_words)],
+        )
     )
     inter = None
     for j in range(n_words):
@@ -528,7 +546,8 @@ def jaccard_pairs_exact(
         # dense 0..V-1 positions: single-partition sort is fine at
         # V <= _DENSE_VOCAB_MAX by construction
         vocab = vocab.withColumn("pos", F.row_number().over(Window.orderBy("t")) - 1)
-        if groups.count() <= _DENSE_ALLPAIRS_MAX:
+        n_reps = groups.count()
+        if n_reps <= _DENSE_ALLPAIRS_MAX:
             bm = _dense_bitmaps(s, vocab, n_words)
             left = bm.select(
                 F.col("id").alias("id_a"),
@@ -564,7 +583,7 @@ def jaccard_pairs_exact(
                 .filter(F.col("jaccard") >= threshold)
             )
             return _expand_rep_pairs(groups, rep_pairs)
-        dense_verify = (vocab, n_words)
+        dense_verify = (vocab, n_words, n_reps <= _DENSE_BROADCAST_MAX)
     else:
         dense_verify = None
     plen = F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh")) + 1
@@ -615,9 +634,9 @@ def jaccard_pairs_exact(
     # self-similar corpora, so per-pair cost decides the wall time.
     # Small vocab -> bitmap AND+popcount (codegen); else array verify.
     if dense_verify is not None:
-        vocab, n_words = dense_verify
+        vocab, n_words, bcast = dense_verify
         bm = _dense_bitmaps(s, vocab, n_words)
-        rep_pairs = _bitmap_verify(cand, bm, n_words).filter(
+        rep_pairs = _bitmap_verify(cand, bm, n_words, broadcast_bm=bcast).filter(
             F.col("jaccard") >= threshold
         )
     else:
