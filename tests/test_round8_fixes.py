@@ -569,3 +569,43 @@ def test_cross_piece_cell_cap(cross_piece_setup, monkeypatch):
     monkeypatch.setattr(ens_mod, "MAX_CROSS_PIECE_CELLS", 3)
     with pytest.raises(GroupByExplosion, match="cross-piece"):
         ens.aqp(q)  # 2 names x 2 flags = 4 cells > 3
+
+
+def test_occupancy_moments_properties():
+    """Property test (no Spark): for any non-negative mass vector,
+    _occupancy_moments_from_masses must satisfy
+    est == #{m >= 0.5}, var >= (est - Σp)² (offset always folded),
+    var >= Σp(1-p), and degenerate inputs behave (empty -> [0, 0];
+    negative masses clamp to p=0)."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from deepdb_public_spark.spn.ensemble import SPNEnsemble
+
+    f = SPNEnsemble._occupancy_moments_from_masses
+    assert f([]) == [0.0, 0.0]
+    est_neg, var_neg = f([-3.0, -0.1])
+    assert est_neg == 0.0 and var_neg == 0.0
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.floats(
+                min_value=0.0, max_value=50.0,
+                allow_nan=False, allow_infinity=False,
+            ),
+            max_size=60,
+        )
+    )
+    def check(masses):
+        est, var = f(masses)
+        assert est == float(sum(1 for m in masses if m >= 0.5))
+        ps = [1.0 - math.exp(-m) for m in masses]
+        pvar = sum(p * (1 - p) for p in ps)
+        offset2 = (est - sum(ps)) ** 2
+        assert var == pytest.approx(pvar + offset2, rel=1e-9, abs=1e-12)
+        assert var >= -1e-12
+
+    check()
