@@ -12,17 +12,34 @@ Timing = full query wall time (plan + execute + collect), cache warm
 (tables loaded + counted once first so parquet footers/JVM are warm,
 as a cluster's second query would see).
 
-Each entry is timed $SPARK_GRAFT_BENCH_REPS times (default 3) and the
-MEDIAN is reported (per-entry minima in "queries_min"): the round-5
-review found a single-sample run can show a 10x phantom regression
-(scheduler/GC noise) that no re-run reproduces — medians make the
-artifact comparable round-over-round.
+Methodology v3 (round 9). The round-8 review measured +/-50% swings on
+the >2s entries between full runs an hour apart (x20 committed 5.60s,
+judge re-measures 3.3s warm) — medians of consecutive same-entry reps
+inherit whatever machine contention happens to overlap that entry's
+~10s window. Fix per the round-8 brief:
 
-Short-entry rule (round 8): entries whose median lands under 2s get
-extended to 5 reps and report the MIN — scheduler noise on sub-second
-queries is one-sided (a stray GC pause can double a 1s entry, nothing
-makes it run faster than the real cost), and the round-7 review found
-median-of-3 still admits 2x phantoms on such entries."""
+- the ENTIRE registry is run in $SPARK_GRAFT_BENCH_PASSES (default 2)
+  complete back-to-back passes, $SPARK_GRAFT_BENCH_REPS (default 2)
+  samples per entry per pass, so each entry's samples are spread
+  across the whole run instead of clustered in one contention window;
+- the headline per-entry number is the MIN over all samples. Scheduler
+  and GC noise is one-sided — a stray pause can double an entry,
+  nothing makes it run faster than its real cost — so the min is the
+  honest estimate of the code's cost and is what an independent
+  re-measurement should reproduce within noise. The cross-sample
+  median is reported alongside in "queries_median";
+- contention detector: if the two pass totals (per-pass min sums)
+  diverge by more than 5%, one extra pass runs automatically and the
+  artifact records "contention_detected": true with the per-pass
+  totals, so a reviewer can see the run was noisy rather than trusting
+  a silently inflated number. (A hard failure would leave the round
+  with no artifact at all; a flagged artifact with min-of-3-passes is
+  strictly more informative.)
+
+Pre-round-9 artifacts report medians (min-of-5 for sub-2s entries in
+round 8); round-over-round comparisons across the methodology change
+should use the "queries_min" map, which all rounds since r05 emit.
+"""
 
 from __future__ import annotations
 
@@ -32,6 +49,23 @@ import sys
 import time
 
 from pyspark.sql import SparkSession
+
+
+def _jvm_gc(spark) -> None:
+    """Best-effort full JVM GC between entries, OUTSIDE any timer.
+
+    A single session running ~900 jobs accumulates heap garbage
+    (broadcasts, shuffle metadata) that inflated late entries up to 2x
+    in the round-8 runs. Uses the private Py4J gateway, which only
+    exists in classic mode — guarded so the bench still runs (with
+    noisier numbers) under Spark Connect.
+    """
+    try:
+        jvm = getattr(spark.sparkContext, "_jvm", None)
+        if jvm is not None:
+            jvm.System.gc()
+    except Exception:  # pragma: no cover - Connect / gateway teardown
+        pass
 
 
 def main() -> None:
@@ -66,49 +100,69 @@ def main() -> None:
 
     from deepdb_public_spark.operators.dedup import release_cached
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    timings: dict[str, float] = {}
-    timings_min: dict[str, float] = {}
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+    max_passes = passes + 1  # contention detector may add one
+    names = sorted(queries)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    if only:
+        # smoke-test hook: comma-separated entry-name prefixes
+        prefixes = [p.strip() for p in only.split(",") if p.strip()]
+        names = [n for n in names if any(n.startswith(p) for p in prefixes)]
+
+    samples: dict[str, list[float]] = {n: [] for n in names}
     timings_first: dict[str, float] = {}
-    for name in sorted(queries):
-        samples: list[float] = []
-        for _rep in range(reps):
-            t0 = time.perf_counter()
-            queries[name](spark, sf_dir).collect()
-            samples.append(time.perf_counter() - t0)
-            # session hygiene between runs (outside the timer): drop
-            # operator-persisted intermediates so 105x3 runs don't
-            # compound executor-memory pressure into GC-driven noise
-            release_cached()
-        # model training / index builds happen in an entry's FIRST run
-        # (the engine memoizes them, as a long-lived cluster session
-        # would): "queries_first" keeps that cold cost visible while
-        # the median reports the steady state
-        timings_first[name] = round(samples[0], 4)
-        median = sorted(samples)[len(samples) // 2]
-        if median < 2.0 and reps < 5:
-            # short-entry rule: one-sided scheduler noise — extend to
-            # 5 reps and gate on the min (see module docstring)
-            for _rep in range(5 - reps):
+    pass_totals: list[float] = []
+
+    pass_idx = 0
+    while pass_idx < passes:
+        pass_min: dict[str, float] = {}
+        for name in names:
+            if name not in timings_first:
+                # model training / index builds / codegen JIT happen in
+                # an entry's FIRST run (the engine memoizes them, as a
+                # long-lived cluster session would): run it as an
+                # explicit warm-up, recorded in "queries_first" but
+                # EXCLUDED from the timed samples so pass 1 is
+                # comparable to later passes (otherwise the contention
+                # detector trips on warm-up, not contention)
                 t0 = time.perf_counter()
                 queries[name](spark, sf_dir).collect()
-                samples.append(time.perf_counter() - t0)
+                timings_first[name] = round(time.perf_counter() - t0, 4)
                 release_cached()
-        samples.sort()
-        timings_min[name] = round(samples[0], 4)
-        timings[name] = round(
-            samples[0] if median < 2.0 else samples[len(samples) // 2], 4
-        )
-        # per-entry JVM hygiene, OUTSIDE any timer: a single session
-        # running ~500 jobs accumulates heap garbage (broadcasts,
-        # shuffle metadata) that inflated late entries up to 2x in the
-        # round-8 runs; an explicit full GC between entries keeps each
-        # entry's measurement independent of its position in the run.
-        # (No catalog.clearCache() — a session-wide sweep would drop
-        # localCheckpoint blocks of memoized indexes whose lineage is
-        # truncated, the round-5 footgun release_local_checkpoints
-        # documents.)
-        spark.sparkContext._jvm.System.gc()
+            for _rep in range(reps):
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).collect()
+                dt = time.perf_counter() - t0
+                samples[name].append(dt)
+                # session hygiene between runs (outside the timer):
+                # drop operator-persisted intermediates so hundreds of
+                # runs don't compound executor-memory pressure into
+                # GC-driven noise
+                release_cached()
+            pass_min[name] = min(samples[name][-reps:])
+            _jvm_gc(spark)
+        pass_totals.append(round(sum(pass_min.values()), 4))
+        pass_idx += 1
+        if pass_idx == passes and passes < max_passes and len(pass_totals) >= 2:
+            lo, hi = min(pass_totals[-2:]), max(pass_totals[-2:])
+            if lo > 0 and (hi - lo) / lo > 0.05:
+                # contention detected: the two full passes disagree by
+                # >5% — run one extra pass so the min has a third
+                # independent shot, and flag the artifact
+                passes = max_passes
+
+    contention = False
+    if len(pass_totals) >= 2:
+        lo, hi = min(pass_totals[:2]), max(pass_totals[:2])
+        contention = lo > 0 and (hi - lo) / lo > 0.05
+
+    timings: dict[str, float] = {}
+    timings_median: dict[str, float] = {}
+    for name in names:
+        ss = sorted(samples[name])
+        timings[name] = round(ss[0], 4)
+        timings_median[name] = round(ss[len(ss) // 2], 4)
 
     # model-plane estimate latency (the reference's headline: answer
     # without touching the data). The m-entries above left trained
@@ -136,12 +190,16 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "queries_min": timings_min,
+        "queries_min": timings,
+        "queries_median": timings_median,
         "queries_first": timings_first,
         "sf": sf,
         "n_queries": len(timings),
         "bench_reps": reps,
-        "short_query_rule": "median<2s -> min-of-5",
+        "bench_passes": len(pass_totals),
+        "pass_totals": pass_totals,
+        "contention_detected": contention,
+        "methodology": "v3: min over passes x reps; see bench.py docstring",
         "estimate_ms_mean": est_ms,
     }
     line = json.dumps(payload)
