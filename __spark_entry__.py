@@ -653,12 +653,14 @@ def _x_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative BPE merge learning (round 8): the full greedy
     Sennrich loop — 6 merges over the documents corpus, each
     iteration one vocabulary-sized shuffle + a 1-row collect
-    (operators/textstats.py::bpe_learn). Rows-only BY DESIGN: a
-    greedy iterative algorithm is not expressible as one SQL query;
-    correctness is pinned by
+    (operators/textstats.py::bpe_learn). Oracle (round 9): DuckDB
+    replays the whole loop via an UNROLLED 6-step CTE chain —
+    sentinel-encoded symbol strings make merge application a single
+    left-to-right replace(), see _build_bpe_learn_oracle — so the
+    full merge sequence is rows+schema+hash checked, closing the
+    round-8 'only rows-only entry' gap. Also pinned by
     tests/test_round8_fixes.py::test_bpe_learn_matches_reference
-    against a pure-Python reference implementation, and the single-
-    step statistic it iterates is oracle-checked as x49. Output
+    against a pure-Python reference implementation. Output
     (step, left, right) — deterministic via the lexicographic
     tie-break."""
     from deepdb_public_spark.operators.textstats import bpe_learn
@@ -2724,6 +2726,60 @@ _JACCARD_PAIRS_ORACLE = f"""
               / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
 """
 
+def _build_bpe_learn_oracle(n_merges: int) -> str:
+    """DuckDB replay of the full greedy BPE merge loop (round 9 —
+    closes the round-8 'x50 has no oracle' gap): the n_merges
+    iterations are UNROLLED as a CTE chain, one (pair-count -> argmax
+    -> merge-apply) triple per step. Each word's symbol sequence is
+    encoded as the string ``|s1||s2||...||sn|`` — '|' is verified
+    absent from the corpus at every SF, so ``replace(e, '|a||b|',
+    '|ab|')`` is EXACTLY the left-to-right non-overlapping merge BPE
+    specifies (shared boundaries are consumed by the match, so an
+    overlapping second occurrence correctly does not re-merge, while
+    disjoint adjacent occurrences keep their own delimiters and do)."""
+    parts = [
+        """
+        WITH words AS (
+            SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+            FROM documents WHERE text IS NOT NULL
+        ),
+        v0 AS (
+            SELECT '|' || array_to_string(regexp_split_to_array(w, ''), '||')
+                       || '|' AS e,
+                   COUNT(*) AS c
+            FROM words WHERE length(w) >= 1 GROUP BY w
+        )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f""",
+        p{k} AS (
+            SELECT l[i] AS a, l[i + 1] AS b, c FROM (
+                SELECT string_split(substr(e, 2, length(e) - 2), '||') AS l, c
+                FROM v{k - 1}
+            ), unnest(range(1, len(l))) AS t(i)
+        ),
+        b{k} AS (
+            SELECT a, b FROM p{k} GROUP BY a, b
+            ORDER BY SUM(c) DESC, a ASC, b ASC LIMIT 1
+        ),
+        v{k} AS (
+            SELECT replace(e, '|' || a || '||' || b || '|',
+                              '|' || a || b || '|') AS e, c
+            FROM v{k - 1}, b{k}
+        )"""
+        )
+    sel = "\n        UNION ALL\n".join(
+        f'        SELECT CAST({k} AS INTEGER) AS step,'
+        f' a AS "left", b AS "right" FROM b{k}'
+        for k in range(1, n_merges + 1)
+    )
+    parts.append("\n" + sel + "\n        ORDER BY step")
+    return "".join(parts)
+
+
+_BPE_LEARN_ORACLE = _build_bpe_learn_oracle(6)
+
 _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "x01_doc_lang_stats": (
         _x_doc_lang_stats,
@@ -2767,7 +2823,7 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     # tests/test_dedup.py checks its pigeonhole completeness.
     "x06_minhash_pairs": (_x_minhash_pairs, _JACCARD_PAIRS_ORACLE),
     "x07_simhash_pairs": (_x_simhash_pairs, None),
-    "x50_bpe_learn": (_x_bpe_learn, None),
+    "x50_bpe_learn": (_x_bpe_learn, _BPE_LEARN_ORACLE),
     "x08_embed_neardup": (
         _x_embed_neardup,
         """
