@@ -1772,6 +1772,82 @@ def _m_grouped_cross_piece(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _m_grouped_on_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchorless grouped AQP via on-demand model training (round 9 —
+    closes the round-8 'what's missing' #2): GROUP BY
+    customer.c_mktsegment over customer JOIN orders JOIN lineitem,
+    answered by an ensemble that starts with NO model covering
+    customer anywhere in the query's join graph. Previously this
+    raised ModelPlaneUnsupported ('no model covers group-by table');
+    now SPNEnsemble.enable_on_demand_training lets _grouped_anchor
+    train a budgeted single-table RSPN over exactly the missing table,
+    register it (its boundary fanout columns let the factorized chain
+    price customer-side keys), and proceed through the grouped
+    factorized path unchanged. The reference instead requires an
+    ensemble-creation strategy that pre-covers every table up front
+    (reference: ensemble_creation/naive.py::
+    create_naive_all_split_ensemble); the lazy path pays only for
+    tables queries actually group on. Output (grp, true_cnt,
+    od_trained, cnt_ok, avg_ok): truths hash-match DuckDB, od_trained
+    pins that the customer model really was absent and then trained,
+    ok = estimate within budget."""
+    eng = _engine(spark, sf_dir)
+    _ensure_models(eng, [({"orders", "lineitem"}, 80_000)])
+    ens = getattr(eng, "_m21_ensemble", None)
+    if ens is None:
+        from deepdb_public_spark.spn.ensemble import SPNEnsemble
+
+        ens = SPNEnsemble(eng.schema)
+        ens.add_model(
+            next(
+                m
+                for m in eng.ensemble.models
+                if m.table_set == {"orders", "lineitem"}
+            )
+        )
+        ens.enable_on_demand_training(eng.catalog, sample_budget=60_000)
+        eng._m21_ensemble = ens
+    had_customer_model = any("customer" in m.table_set for m in ens.models)
+    sql = (
+        "SELECT customer.c_mktsegment, COUNT(*) AS cnt, "
+        "AVG(lineitem.l_extendedprice) AS ap "
+        "FROM customer, orders, lineitem "
+        "WHERE customer.c_custkey = orders.o_custkey "
+        "AND orders.o_orderkey = lineitem.l_orderkey "
+        "AND lineitem.l_quantity <= 30 "
+        "GROUP BY customer.c_mktsegment"
+    )
+    q = eng.parse(sql)
+    est = {r["c_mktsegment"]: r for r in ens.aqp(q)}
+    # the refusal-closure is the point: the ensemble must have trained
+    # the customer model on demand during aqp (first run), and reuse
+    # it afterwards (memoized engine across bench reps)
+    od_trained = any(m.table_set == {"customer"} for m in ens.models) and (
+        not had_customer_model or getattr(eng, "_m21_od_trained", False)
+    )
+    if od_trained:
+        eng._m21_od_trained = True
+    exact = {r["c_mktsegment"]: r for r in eng.query(q).collect()}
+    rel = lambda a, b: abs(a - b) / max(abs(b), 1e-9)  # noqa: E731
+    out = []
+    for key in sorted(exact):
+        e, t = est.get(key), exact[key]
+        out.append(
+            (
+                key,
+                int(t["cnt"]),
+                bool(od_trained),
+                bool(e and rel(e["cnt"], t["cnt"]) < 0.25),
+                bool(e and rel(e["ap"], t["ap"]) < 0.15),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "grp string, true_cnt long, od_trained boolean, cnt_ok boolean, "
+        "avg_ok boolean",
+    )
+
+
 def _m_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-plane quantiles (beyond the reference: its aggregates
     stop at COUNT/SUM/AVG and the paper names median as unsupported):
@@ -2438,6 +2514,18 @@ _PREP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
         SELECT l_returnflag AS grp, COUNT(*) AS true_cnt, TRUE AS hit
         FROM lineitem WHERE l_quantity < 10 OR l_discount > 0.08
         GROUP BY l_returnflag
+        """,
+    ),
+    "m21_grouped_on_demand": (
+        _m_grouped_on_demand,
+        """
+        SELECT c.c_mktsegment AS grp, COUNT(*) AS true_cnt,
+               TRUE AS od_trained, TRUE AS cnt_ok, TRUE AS avg_ok
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_quantity <= 30
+        GROUP BY c.c_mktsegment
         """,
     ),
     "m20_grouped_cross_piece": (
@@ -3679,6 +3767,12 @@ _PRIORITY_TAIL = [
     # grouped AQP); min/max/median stay covered in-window by m09
     # quantiles and in the full artifact
     "q26_minmax_median",
+    # q40 parked round 9 to make window room for m21 (anchorless
+    # grouped AQP via on-demand training); corr/stddev scalars stay
+    # covered in the full artifact, and tests/test_round9_fixes.py
+    # asserts every parked entry still has an oracle_sql twin so the
+    # surface cannot silently regress (ADVICE round 8)
+    "q40_corr_stats",
     "q41_count_distinct_or_group",
     "q31_pivot",
     "q32_math_scalars",
@@ -3714,6 +3808,7 @@ _PRIORITY_HEAD = [
     "m08_distinct_estimate",
     "m19_factorized_distinct",
     "m20_grouped_cross_piece",
+    "m21_grouped_on_demand",
     "m09_model_quantiles",
     "m10_update_in_place",
     "m11_events_model",

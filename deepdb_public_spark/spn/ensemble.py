@@ -43,9 +43,83 @@ class SPNEnsemble:
         # for RDC-aware factorization-anchor ranking (reference:
         # --rdc_spn_selection + pairwise_rdc_path)
         self.pairwise_rdc: dict[frozenset, float] | None = None
+        # on-demand training (round 9): session-only, never persisted
+        self._od_catalog: dict | None = None
+        self._od_budget: int = 60_000
+        self._od_params = None
+        self._od_seed: int = 42
+        self._od_attempted: set[frozenset] = set()
 
     def add_model(self, model: SPNModel) -> None:
         self.models.append(model)
+
+    def enable_on_demand_training(
+        self,
+        catalog: dict[str, "DataFrame"],
+        sample_budget: int = 60_000,
+        params=None,
+        seed: int = 42,
+    ) -> None:
+        """Let the ensemble train a missing model on demand instead of
+        refusing (round 9 — closes the anchorless grouped refusal the
+        round-8 review ranked #2): when a grouped query's group-by
+        table, or an aggregate's operand tables, have NO covering
+        model inside the query's join graph, a budgeted RSPN over
+        exactly that table set is trained from ``catalog``, registered
+        on the ensemble (so the factorized chain can also use it), and
+        the anchor search retried. The reference instead requires an
+        ensemble-creation strategy that pre-covers every table
+        (reference: ensemble_creation/naive.py trains one SPN per
+        table up front); on-demand training gives the same guarantee
+        lazily, paying only for tables queries actually group on.
+        Failed/unsupported table sets are memoized so a refusal stays
+        O(1) on repeat. Session-only: save()/load() never carry the
+        catalog handle."""
+        self._od_catalog = catalog
+        self._od_budget = sample_budget
+        self._od_params = params
+        self._od_seed = seed
+
+    def _train_on_demand(self, need: set) -> "SPNModel | None":
+        """Train + register a model over ``need`` if on-demand training
+        is enabled, ``need``'s tables are known and FK-connected under
+        the schema, and this set wasn't already attempted."""
+        if self._od_catalog is None or not need:
+            return None
+        key = frozenset(need)
+        if key in self._od_attempted:
+            return None
+        self._od_attempted.add(key)
+        if not all(t in self.schema.tables and t in self._od_catalog for t in need):
+            return None
+        # connectivity under schema FK edges restricted to `need`:
+        # train_spn_model outer-joins along those edges, so a
+        # disconnected set would silently cross-join
+        if len(need) > 1:
+            adj: dict[str, set[str]] = {t: set() for t in need}
+            for r in self.schema.relationships.values():
+                if r.start in need and r.end in need:
+                    adj[r.start].add(r.end)
+                    adj[r.end].add(r.start)
+            seen = {next(iter(sorted(need)))}
+            frontier = list(seen)
+            while frontier:
+                t = frontier.pop()
+                for u in adj[t] - seen:
+                    seen.add(u)
+                    frontier.append(u)
+            if seen != set(need):
+                return None
+        model = train_spn_model(
+            self._od_catalog,
+            self.schema,
+            set(need),
+            self._od_budget,
+            self._od_params,
+            self._od_seed,
+        )
+        self.add_model(model)
+        return model
 
     def enable_rdc_selection(self, pairwise_rdc: dict[frozenset, float]) -> None:
         """Query-time RDC-aware SPN selection (reference:
@@ -178,6 +252,15 @@ class SPNEnsemble:
                 continue
             cands.append((len(piece & cond_tables), len(piece), -mi, m, piece))
         if not cands:
+            # round 9: train a budgeted model over exactly `need` on
+            # demand (when enabled) instead of returning the refusal
+            m = self._train_on_demand(need)
+            if m is not None:
+                avail = m.table_set & set(query.table_set)
+                if need <= avail:
+                    piece = component(avail, next(iter(need)))
+                    if need <= piece:
+                        return m, piece
             return None
         cands.sort(key=lambda t: t[:3], reverse=True)
         _nc, _np, _mi, m, piece = cands[0]
@@ -1211,8 +1294,52 @@ class SPNEnsemble:
                 for r in m.aqp(local_q(agg_type, operands))
             }
 
+        def weight_edge():
+            """The anchor piece's single frontier FK edge whose PARENT
+            end lies inside the piece and whose multiplier column the
+            anchor model carries (round 9): when the query expands
+            from the piece DOWN such an edge, the query's row measure
+            replicates each piece row by its child fanout — so group
+            PROPORTIONS must be taken fanout-weighted or a
+            group↔fanout correlation is silently dropped (the
+            round-9 unit fixture: 'A' parents have 4× the children,
+            the unweighted grid splits 0.4/0.6 instead of the true
+            0.73/0.27). Child-side frontier edges keep measure (each
+            piece row joins upward exactly once) and need no weight.
+            With several parent-side frontier edges the single-edge
+            weighted expectation can't express the joint product —
+            fall back to the documented unweighted proportions."""
+            qt = set(query.table_set)
+            cands = [
+                r
+                for r in (
+                    self.schema.relationships[i]
+                    for i in sorted(query.relationship_set)
+                )
+                if r.end in piece
+                and r.start in qt - set(piece)
+                and r.multiplier_attribute_name in m.column_names
+            ]
+            return cands[0] if len(cands) == 1 else None
+
         def scaled_count(operands) -> dict[tuple, float]:
             g = grid(AggregationType.COUNT, operands)
+            wrel = weight_edge()
+            if wrel is not None and g:
+                lq = sub_query(set(piece))
+                base_conditions = list(lq.conditions) + [
+                    Condition(t, c, "IS_NOT_NULL")
+                    for t, c in (operands or [])
+                ]
+                gw: dict[tuple, float] = {}
+                for k in g:
+                    lq.conditions = base_conditions + [
+                        Condition(gt, gc, "=", v)
+                        for (gt, gc), v in zip(query.group_bys, k)
+                    ]
+                    gw[k] = float(m._weighted_expectation(lq, wrel, True))
+                if sum(gw.values()) > 0:
+                    g = gw
             tot = sum(g.values())
             if tot <= 0:
                 return {k: 0.0 for k in g}

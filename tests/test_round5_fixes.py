@@ -395,11 +395,12 @@ def test_join_order_dp_learned_correlated_predicate(spark):
 def test_or_ci_grouped_contains_truth(spark):
     """Grouped COUNT CI with a cross-column OR predicate: every
     visible group's 0.99 interval must contain the exact count; AVG
-    composes via the delta method; grouped COUNT(DISTINCT) under OR
-    stays exact-plane (ModelPlaneUnsupported)."""
+    composes via the delta method; since round 8, grouped
+    COUNT(DISTINCT) under OR also returns CIs (Poisson-occupancy
+    moments) and those intervals must cover the exact per-group
+    distinct counts."""
     from deepdb_public_spark.engine import Engine
     from deepdb_public_spark.spn.ensemble import SPNEnsemble
-    from deepdb_public_spark.spn.model import ModelPlaneUnsupported
     from deepdb_public_spark.spn.trainer import train_spn_model
 
     eng = Engine(spark, SF_SMOKE)
