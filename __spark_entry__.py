@@ -1505,18 +1505,20 @@ def _m_incremental_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _m_update_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental UPDATE support — beyond the reference (D5 covers
     inserts; deletes and updates are listed as future work): an UPDATE
-    is a remove_delta of the old rows plus an absorb_delta of the
-    transformed rows, both Spark-side with bounded samples. The update
-    (l_orderkey % 10 < 2 => l_quantity += 25) shifts 20% of the rows
-    into a value region the training data never saw, so this also
-    exercises numeric-leaf domain extension. Output
+    is a delete of the old rows plus an insert of the transformed
+    rows, FUSED by spn.incremental.update_delta into one tagged-union
+    stats pass + one stratified sample pass (round 9: was a separate
+    remove_delta + absorb_delta, 6 delta-scans; now 2 Spark jobs).
+    The update (l_orderkey % 10 < 2 => l_quantity += 25) shifts 20%
+    of the rows into a value region the training data never saw, so
+    this also exercises numeric-leaf domain extension. Output
     (pid, true_cnt, qerr_ok) is oracle-checked against DuckDB counts
     over the same CASE-updated table."""
     import copy
 
     from pyspark.sql import functions as F
 
-    from deepdb_public_spark.spn.incremental import absorb_delta, remove_delta
+    from deepdb_public_spark.spn.incremental import update_delta
 
     eng = _engine(spark, sf_dir)
     _ensure_models(eng, [({"lineitem"}, 60_000)])
@@ -1526,8 +1528,7 @@ def _m_update_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = eng.catalog["lineitem"]
     old = base.filter((F.col("l_orderkey") % 10) < 2)
     new = old.withColumn("l_quantity", F.col("l_quantity") + 25)
-    remove_delta(model, old, sample_budget=60_000)
-    absorb_delta(model, new, sample_budget=60_000)
+    update_delta(model, old, new, sample_budget=60_000)
     updated = base.filter((F.col("l_orderkey") % 10) >= 2).unionByName(new)
     cases = [
         ("u1", "l_quantity < 25", "lineitem.l_quantity < 25"),

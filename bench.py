@@ -180,9 +180,15 @@ def main() -> None:
             for m in eng.ensemble.models:
                 m.invalidate_cache()
             for sql in cases:
-                eng.ensemble.cardinality(eng.parse(sql))
-                n += 1
-        est_ms = round((time.perf_counter() - t0) / n * 1000, 3)
+                # a filtered smoke run (SPARK_GRAFT_BENCH_ONLY) may not
+                # have trained every model a case needs — skip, don't die
+                try:
+                    eng.ensemble.cardinality(eng.parse(sql))
+                    n += 1
+                except ValueError:
+                    if not only:
+                        raise
+        est_ms = round((time.perf_counter() - t0) / n * 1000, 3) if n else None
 
     total = round(sum(timings.values()), 4)
     payload = {

@@ -183,11 +183,18 @@ def encode_table(
 def encode_with_meta(df: DataFrame, meta: TableMeta) -> DataFrame:
     """Encode a NEW batch of rows with an EXISTING table's dictionary
     (incremental inserts, reference D5): categoricals map through the
-    stored value->code maps via a broadcast mapping join (never a
-    driver-side per-row map), timestamps become epoch micros. Unseen
+    stored value->code maps, timestamps become epoch micros. Unseen
     categorical values encode as NULL — they have no code; callers
     that must accept them should re-encode with an extended
-    dictionary."""
+    dictionary.
+
+    Small dictionaries (<= 256 codes, the usual case) become a
+    create_map LITERAL lookup — a pure JVM projection, no join, so a
+    delta's encode+aggregate plan stays one narrow scan (round 9: the
+    per-column broadcast joins dominated the incremental entries'
+    stats pass). Larger dictionaries keep the broadcast mapping join
+    (a 10k-literal expression tree is slower to plan than the join it
+    replaces, and never a driver-side per-row map either way)."""
     out = df
     spark = df.sparkSession
     for name, cm in meta.columns.items():
@@ -198,15 +205,27 @@ def encode_with_meta(df: DataFrame, meta: TableMeta) -> DataFrame:
                 name, F.unix_micros(F.col(name).cast("timestamp"))
             )
         elif cm.kind == "categorical" and cm.value_to_code is not None:
-            mapping = spark.createDataFrame(
-                [(v, int(c)) for v, c in cm.value_to_code.items()],
-                f"`{name}` string, __code bigint",
-            )
-            out = (
-                out.join(F.broadcast(mapping), on=name, how="left")
-                .drop(name)
-                .withColumnRenamed("__code", name)
-            )
+            if len(cm.value_to_code) <= 256:
+                kv = []
+                for v, c in cm.value_to_code.items():
+                    kv.append(F.lit(v))
+                    kv.append(F.lit(int(c)).cast("bigint"))
+                out = out.withColumn(
+                    name,
+                    F.create_map(*kv)[F.col(name)]
+                    if kv
+                    else F.lit(None).cast("bigint"),
+                )
+            else:
+                mapping = spark.createDataFrame(
+                    [(v, int(c)) for v, c in cm.value_to_code.items()],
+                    f"`{name}` string, __code bigint",
+                )
+                out = (
+                    out.join(F.broadcast(mapping), on=name, how="left")
+                    .drop(name)
+                    .withColumnRenamed("__code", name)
+                )
     return out
 
 

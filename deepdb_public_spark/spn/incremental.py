@@ -15,6 +15,23 @@ work stays in Spark:
   count; ``SPNModel.add_dataset`` weights the sampled mass so the
   delta's effective share matches n_delta / full_join_size.
 
+Job budget (round 9; the round-8 review ranked the incremental
+entries the m-plane's dominant bench cost): each delta pays exactly
+TWO Spark jobs — one fused stats pass (row count + unseen-categorical
+validation, which used to be two separate jobs: a count and a
+distinct+anti-join probe) and one data pass (bounded sample collect
+or histogram melt). UPDATE fuses further: ``update_delta`` tags the
+delete/insert deltas into one union, so both validations+counts ride
+one stats job and both bounded samples one stratified ``sampleBy``
+pass — two jobs for the whole update instead of six.
+
+Unseen categorical values still reject LOUDLY (encode_with_meta maps
+them to NULL codes, which would silently inflate null_prob): the
+fused stats pass counts rows whose raw value is NOT NULL but whose
+encoded value is (i.e. no dictionary code existed); only on that
+error path does a second diagnostic job run to NAME example values
+for the exception message.
+
 The delta is expressed in the model's relation (for single-table
 models: table rows), exactly the reference's add_dataset contract.
 """
@@ -30,6 +47,8 @@ from .leaves import Leaf
 from .model import SPNModel
 from .nodes import Sum, iter_leaves
 
+_OP = "__op"  # update_delta's delete/insert tag column
+
 
 def _iter_nodes(node):
     yield node
@@ -37,58 +56,70 @@ def _iter_nodes(node):
         yield from _iter_nodes(ch)
 
 
-def _encoded_delta(model: SPNModel, delta_df: DataFrame) -> DataFrame:
-    """Shared validation + encoding for insert/delete deltas."""
-    # Reject unseen categorical values LOUDLY: encode_with_meta maps
-    # them to NULL codes, which would silently inflate null_prob and
-    # give the real value zero mass (prep.py's contract says callers
-    # must re-encode with an extended dictionary). ONE bounded probe
-    # for ALL dictionary columns (round 7: the per-column probe ran a
-    # separate distinct+anti-join job per dictionary column; melting
-    # the columns into (__col, __val) pairs checks every dictionary
-    # in a single scan of the delta).
-    spark = delta_df.sparkSession
-    dict_cols = [
+def _dict_cols(model: SPNModel, df: DataFrame) -> list[str]:
+    return [
         c
         for c in model.column_names
         if (cm := model.meta.columns.get(c)) is not None
         and cm.kind == "categorical"
         and cm.value_to_code is not None
-        and c in delta_df.columns
+        and c in df.columns
     ]
-    if dict_cols:
-        stack = (
-            f"stack({len(dict_cols)}, "
-            + ", ".join(
-                f"'{c}', CAST(`{c}` AS STRING)" for c in dict_cols
-            )
-            + ") AS (__col, __val)"
-        )
-        dict_df = spark.createDataFrame(
-            [
-                (c, str(v))
-                for c in dict_cols
-                for v in model.meta.columns[c].value_to_code
-            ],
-            "__col string, __val string",
-        )
-        unseen = (
-            delta_df.selectExpr(stack)
-            .where(F.col("__val").isNotNull())
-            .distinct()
-            .join(F.broadcast(dict_df), ["__col", "__val"], "left_anti")
-            .limit(3)
-            .collect()
-        )
-        if unseen:
-            pairs = [(r["__col"], r["__val"]) for r in unseen]
-            raise ValueError(
-                f"delta has categorical values unseen at training time "
-                f"(e.g. {pairs}); re-encode with an extended dictionary "
-                "and retrain/extend the model instead of absorbing them "
-                "as NULL"
-            )
-    enc = encode_with_meta(delta_df, model.meta)
+
+
+def _raise_unseen(model: SPNModel, delta_df: DataFrame) -> None:
+    """ERROR PATH ONLY: name up to 3 unseen (column, value) pairs via
+    the bounded melt + anti-join probe, then raise. The happy path
+    never runs this job — the fused stats pass already proved
+    something is unseen before calling here."""
+    spark = delta_df.sparkSession
+    dict_cols = _dict_cols(model, delta_df)
+    stack = (
+        f"stack({len(dict_cols)}, "
+        + ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in dict_cols)
+        + ") AS (__col, __val)"
+    )
+    dict_df = spark.createDataFrame(
+        [
+            (c, str(v))
+            for c in dict_cols
+            for v in model.meta.columns[c].value_to_code
+        ],
+        "__col string, __val string",
+    )
+    unseen = (
+        delta_df.selectExpr(stack)
+        .where(F.col("__val").isNotNull())
+        .distinct()
+        .join(F.broadcast(dict_df), ["__col", "__val"], "left_anti")
+        .limit(3)
+        .collect()
+    )
+    pairs = [(r["__col"], r["__val"]) for r in unseen]
+    raise ValueError(
+        f"delta has categorical values unseen at training time "
+        f"(e.g. {pairs}); re-encode with an extended dictionary "
+        "and retrain/extend the model instead of absorbing them "
+        "as NULL"
+    )
+
+
+def _prepare_delta(
+    model: SPNModel, delta_df: DataFrame, tagged: bool = False
+) -> tuple[DataFrame, dict[str, int]]:
+    """Encode a delta with the model's dictionaries and compute its
+    row count(s) + unseen-categorical validation in ONE Spark job.
+
+    Returns ``(enc, counts)``: ``enc`` projects the model columns as
+    doubles (plus the ``__op`` tag when ``tagged``), ``counts`` maps
+    tag -> row count ('' when untagged). Raises via _raise_unseen if
+    any dictionary column carries a value with no code."""
+    dict_cols = _dict_cols(model, delta_df)
+    pre = delta_df
+    flags = {c: f"__nn_{c}" for c in dict_cols}
+    for c, fc in flags.items():
+        pre = pre.withColumn(fc, F.col(c).isNotNull())
+    enc = encode_with_meta(pre, model.meta)
     # boundary fanout columns (B11) describe children REFERENCING the
     # inserted rows — at insert time new parents have none, so mul=0 /
     # nn=0 (children arriving later update their own models; the
@@ -103,59 +134,68 @@ def _encoded_delta(model: SPNModel, delta_df: DataFrame) -> DataFrame:
     missing = [c for c in model.column_names if c not in enc.columns]
     if missing:
         raise ValueError(f"delta lacks model columns {missing}")
-    return enc.select(
-        *[F.col(c).cast("double").alias(c) for c in model.column_names]
+
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(
+            F.when(F.col(fc) & F.col(c).isNull(), 1).otherwise(0)
+        ).alias(f"__u_{i}")
+        for i, (c, fc) in enumerate(flags.items())
+    ]
+    if tagged:
+        stat_rows = enc.groupBy(_OP).agg(*aggs).collect()
+    else:
+        stat_rows = enc.groupBy().agg(*aggs).collect()
+    counts: dict[str, int] = {}
+    n_unseen = 0
+    for r in stat_rows:
+        counts[r[_OP] if tagged else ""] = int(r["__n"])
+        n_unseen += sum(int(r[f"__u_{i}"] or 0) for i in range(len(flags)))
+    if n_unseen:
+        _raise_unseen(model, delta_df)
+
+    keep = [_OP] if tagged else []
+    enc = enc.select(
+        *keep, *[F.col(c).cast("double").alias(c) for c in model.column_names]
     )
+    return enc, counts
 
 
-
-def _melted_histograms(model: SPNModel, enc: DataFrame) -> dict[str, list]:
+def _melted_histograms(
+    model: SPNModel, enc: DataFrame, tagged: bool = False
+) -> dict[str, dict[str, list]]:
     """One-pass melt of every model column into (__col, __val) counts
     — the shared machinery behind the exact insert AND delete paths
-    (they used to carry verbatim copies). NaN counts as NULL, matching
-    training (to_numpy(na_value=nan) -> Leaf.fit null mass): a NaN key
-    would otherwise corrupt the leaf's sorted-unique values invariant
-    and break searchsorted."""
+    (they used to carry verbatim copies). With ``tagged``, the single
+    pass also keys by the ``__op`` tag (update_delta). NaN counts as
+    NULL, matching training (to_numpy(na_value=nan) -> Leaf.fit null
+    mass): a NaN key would otherwise corrupt the leaf's sorted-unique
+    values invariant and break searchsorted."""
     cols = model.column_names
     stack = (
         f"stack({len(cols)}, "
         + ", ".join(f"'{c}', `{c}`" for c in cols)
         + ") AS (__col, __val)"
     )
-    hist = enc.selectExpr(stack).groupBy("__col", "__val").count().collect()
-    per_col: dict[str, list] = {}
+    keys = [_OP, "__col", "__val"] if tagged else ["__col", "__val"]
+    sel = enc.selectExpr(*([_OP] if tagged else []), stack)
+    hist = sel.groupBy(*keys).count().collect()
+    out: dict[str, dict[str, list]] = {}
     for r in hist:
         v = r["__val"]
         if v is not None and v != v:  # NaN -> NULL bucket
             v = None
-        per_col.setdefault(r["__col"], []).append((v, r["count"]))
-    return per_col
+        tag = r[_OP] if tagged else ""
+        out.setdefault(tag, {}).setdefault(r["__col"], []).append(
+            (v, r["count"])
+        )
+    return out
 
 
-def absorb_delta(
-    model: SPNModel,
-    delta_df: DataFrame,
-    sample_budget: int = 100_000,
-    seed: int = 42,
-) -> int:
-    """Absorb a Spark delta into ``model`` without retraining and
-    without any data-scale collect. Returns the delta row count."""
-    n_total = delta_df.count()
-    if n_total == 0:
-        return 0
-    enc = _encoded_delta(model, delta_df)
-
-    if any(isinstance(n, Sum) for n in _iter_nodes(model.root)):
-        frac = min(1.0, sample_budget / n_total)
-        sampled = enc.sample(fraction=frac, seed=seed) if frac < 1.0 else enc
-        pdf = sampled.toPandas()
-        rows = pdf.to_numpy(dtype=np.float64, na_value=np.nan)
-        model.add_dataset(rows, n_total=n_total)
-        return n_total
-
-    # exact path: one melt pass for every histogram delta at once
-    per_col = _melted_histograms(model, enc)
-
+def _apply_insert_hist(
+    model: SPNModel, per_col: dict[str, list], n_total: int
+) -> None:
+    """Merge exact per-column histogram deltas into the leaves
+    (sum-free models) and grow the row bookkeeping."""
     scale = model.sample_size / max(model.full_join_size, 1.0)
     for leaf in iter_leaves(model.root):
         name = model.column_names[leaf.scope[0]]
@@ -174,50 +214,13 @@ def absorb_delta(
     model.sample_size += n_total * scale
     model.full_join_size += n_total
     model.invalidate_cache()
-    return n_total
 
 
-def remove_delta(
-    model: SPNModel,
-    delta_df: DataFrame,
-    sample_budget: int = 100_000,
-    seed: int = 42,
-) -> int:
-    """Incremental DELETE support — beyond the reference (DeepDB's
-    paper handles inserts via add_dataset, D5, and lists deletes as
-    future work). The Spark shapes mirror absorb_delta exactly:
-
-    - Sum-free models: EXACT per-column histogram subtraction via the
-      same one-pass melt + groupBy — masses clamp at zero
-      (Leaf.remove_counts), so over-deletion of a value drops the
-      value instead of going negative.
-    - Models with Sum nodes: a BOUNDED weighted sample of the deleted
-      rows routes down the stored cluster centers and decrements
-      mixture weights + leaf masses (SPNModel.remove_dataset).
-
-    ``delta_df`` must contain the rows being deleted (same contract
-    as the insert path: callers supply the delta relation). Returns
-    the deleted row count."""
-    n_total = delta_df.count()
-    if n_total == 0:
-        return 0
-    if n_total >= model.full_join_size:
-        raise ValueError(
-            f"delta deletes {n_total} rows but the model holds "
-            f"{model.full_join_size:.0f}; retrain instead"
-        )
-    enc = _encoded_delta(model, delta_df)
-
-    if any(isinstance(n, Sum) for n in _iter_nodes(model.root)):
-        frac = min(1.0, sample_budget / n_total)
-        sampled = enc.sample(fraction=frac, seed=seed) if frac < 1.0 else enc
-        pdf = sampled.toPandas()
-        rows = pdf.to_numpy(dtype=np.float64, na_value=np.nan)
-        model.remove_dataset(rows, n_total=n_total)
-        return n_total
-
-    per_col = _melted_histograms(model, enc)
-
+def _apply_delete_hist(
+    model: SPNModel, per_col: dict[str, list], n_total: int
+) -> None:
+    """Subtract exact per-column histogram deltas (masses clamp at
+    zero, Leaf.remove_counts) and shrink the row bookkeeping."""
     scale = model.sample_size / max(model.full_join_size, 1.0)
     for leaf in iter_leaves(model.root):
         name = model.column_names[leaf.scope[0]]
@@ -236,4 +239,136 @@ def remove_delta(
     model.sample_size = max(1.0, model.sample_size - n_total * scale)
     model.full_join_size -= n_total
     model.invalidate_cache()
+
+
+def _has_sum(model: SPNModel) -> bool:
+    return any(isinstance(n, Sum) for n in _iter_nodes(model.root))
+
+
+def absorb_delta(
+    model: SPNModel,
+    delta_df: DataFrame,
+    sample_budget: int = 100_000,
+    seed: int = 42,
+) -> int:
+    """Absorb a Spark delta into ``model`` without retraining and
+    without any data-scale collect — two Spark jobs total (fused
+    stats, then sample/melt). Returns the delta row count."""
+    enc, counts = _prepare_delta(model, delta_df)
+    n_total = counts.get("", 0)
+    if n_total == 0:
+        return 0
+
+    if _has_sum(model):
+        frac = min(1.0, sample_budget / n_total)
+        sampled = enc.sample(fraction=frac, seed=seed) if frac < 1.0 else enc
+        pdf = sampled.toPandas()
+        rows = pdf.to_numpy(dtype=np.float64, na_value=np.nan)
+        model.add_dataset(rows, n_total=n_total)
+        return n_total
+
+    per_col = _melted_histograms(model, enc).get("", {})
+    _apply_insert_hist(model, per_col, n_total)
     return n_total
+
+
+def remove_delta(
+    model: SPNModel,
+    delta_df: DataFrame,
+    sample_budget: int = 100_000,
+    seed: int = 42,
+) -> int:
+    """Incremental DELETE support — beyond the reference (DeepDB's
+    paper handles inserts via add_dataset, D5, and lists deletes as
+    future work). The Spark shapes mirror absorb_delta exactly
+    (two jobs: fused stats, then sample/melt):
+
+    - Sum-free models: EXACT per-column histogram subtraction via the
+      same one-pass melt + groupBy — masses clamp at zero
+      (Leaf.remove_counts), so over-deletion of a value drops the
+      value instead of going negative.
+    - Models with Sum nodes: a BOUNDED weighted sample of the deleted
+      rows routes down the stored cluster centers and decrements
+      mixture weights + leaf masses (SPNModel.remove_dataset).
+
+    ``delta_df`` must contain the rows being deleted (same contract
+    as the insert path: callers supply the delta relation). Returns
+    the deleted row count."""
+    enc, counts = _prepare_delta(model, delta_df)
+    n_total = counts.get("", 0)
+    if n_total == 0:
+        return 0
+    if n_total >= model.full_join_size:
+        raise ValueError(
+            f"delta deletes {n_total} rows but the model holds "
+            f"{model.full_join_size:.0f}; retrain instead"
+        )
+
+    if _has_sum(model):
+        frac = min(1.0, sample_budget / n_total)
+        sampled = enc.sample(fraction=frac, seed=seed) if frac < 1.0 else enc
+        pdf = sampled.toPandas()
+        rows = pdf.to_numpy(dtype=np.float64, na_value=np.nan)
+        model.remove_dataset(rows, n_total=n_total)
+        return n_total
+
+    per_col = _melted_histograms(model, enc).get("", {})
+    _apply_delete_hist(model, per_col, n_total)
+    return n_total
+
+
+def update_delta(
+    model: SPNModel,
+    old_df: DataFrame,
+    new_df: DataFrame,
+    sample_budget: int = 100_000,
+    seed: int = 42,
+) -> tuple[int, int]:
+    """Incremental UPDATE = delete ``old_df`` + insert ``new_df``,
+    FUSED (round 9): the two deltas ride one tagged union, so the
+    whole update costs TWO Spark jobs — one stats pass validating and
+    counting both sides, then either one stratified ``sampleBy`` pass
+    collecting both bounded samples (mixture models; each tag gets
+    its own fraction so both samples honor ``sample_budget``) or one
+    tag-keyed histogram melt (sum-free models). Equivalent to
+    ``remove_delta(old) ; absorb_delta(new)`` — the delete is applied
+    before the insert, matching that sequence's semantics — at a
+    third of the Spark-job cost. Returns (n_deleted, n_inserted)."""
+    tagged = old_df.withColumn(_OP, F.lit("del")).unionByName(
+        new_df.withColumn(_OP, F.lit("ins"))
+    )
+    enc, counts = _prepare_delta(model, tagged, tagged=True)
+    n_old, n_new = counts.get("del", 0), counts.get("ins", 0)
+    if n_old == 0 and n_new == 0:
+        return 0, 0
+    if n_old >= model.full_join_size:
+        raise ValueError(
+            f"delta deletes {n_old} rows but the model holds "
+            f"{model.full_join_size:.0f}; retrain instead"
+        )
+
+    if _has_sum(model):
+        fracs = {
+            "del": min(1.0, sample_budget / max(n_old, 1)),
+            "ins": min(1.0, sample_budget / max(n_new, 1)),
+        }
+        pdf = enc.stat.sampleBy(_OP, fracs, seed).toPandas()
+        cols = list(model.column_names)
+        if n_old:
+            rows = pdf[pdf[_OP] == "del"][cols].to_numpy(
+                dtype=np.float64, na_value=np.nan
+            )
+            model.remove_dataset(rows, n_total=n_old)
+        if n_new:
+            rows = pdf[pdf[_OP] == "ins"][cols].to_numpy(
+                dtype=np.float64, na_value=np.nan
+            )
+            model.add_dataset(rows, n_total=n_new)
+        return n_old, n_new
+
+    hists = _melted_histograms(model, enc, tagged=True)
+    if n_old:
+        _apply_delete_hist(model, hists.get("del", {}), n_old)
+    if n_new:
+        _apply_insert_hist(model, hists.get("ins", {}), n_new)
+    return n_old, n_new

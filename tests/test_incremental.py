@@ -158,3 +158,87 @@ def test_remove_delta_rejects_full_wipe(spark):
     )
     with pytest.raises(ValueError, match="retrain"):
         remove_delta(model, eng.catalog["customer"])
+
+
+def test_update_delta_exact_path_equals_sequential(spark):
+    """Fused UPDATE on a sum-free model must be EXACTLY equivalent to
+    remove_delta(old) followed by absorb_delta(new) — both are exact
+    histogram arithmetic, so cardinalities and bookkeeping match to
+    float precision."""
+    import copy
+
+    from deepdb_public_spark.plans.query import Condition, Query
+    from deepdb_public_spark.spn.incremental import remove_delta, update_delta
+
+    eng = Engine(spark, SF_SMOKE)
+    model = train_spn_model(
+        eng.catalog, eng.schema, {"customer"}, 100_000,
+        LearnParams(min_instances_slice=10**9, adaptive_slice_floor=False),
+    )
+    seq = copy.deepcopy(model)
+    base = eng.catalog["customer"]
+    old = base.filter(F.pmod(F.xxhash64("c_custkey"), F.lit(5)) < 1)
+    new = old.withColumn("c_acctbal", F.col("c_acctbal") + 10_000.0)
+
+    n_old, n_new = update_delta(model, old, new)
+    remove_delta(seq, old)
+    absorb_delta(seq, new)
+
+    assert n_old == old.count() and n_new == n_old
+    assert model.full_join_size == pytest.approx(seq.full_join_size)
+    assert model.sample_size == pytest.approx(seq.sample_size)
+    for cond in [
+        ("customer", "c_mktsegment", "=", "BUILDING"),
+        ("customer", "c_acctbal", ">=", 10_000.0),
+    ]:
+        q = Query(table_set={"customer"})
+        q.add_where_condition(Condition(*cond))
+        assert model.cardinality(q) == pytest.approx(
+            seq.cardinality(q), rel=1e-9
+        ), cond
+
+
+def test_update_delta_sampled_path_with_sum_nodes(spark):
+    """Mixture-model UPDATE (the m10 shape): one stratified sampleBy
+    pass; estimates track the CASE-updated table within the q-error
+    budget, including the never-seen shifted value region."""
+    from deepdb_public_spark.plans.query import Condition, Query
+    from deepdb_public_spark.spn.incremental import update_delta
+
+    eng = Engine(spark, SF_SMOKE)
+    model = train_spn_model(eng.catalog, eng.schema, {"lineitem"}, 100_000)
+    base = eng.catalog["lineitem"]
+    old = base.filter((F.col("l_orderkey") % 10) < 2)
+    new = old.withColumn("l_quantity", F.col("l_quantity") + 25)
+    n_old, n_new = update_delta(model, old, new, sample_budget=10_000)
+    assert n_old == n_new == old.count()
+
+    updated = base.filter((F.col("l_orderkey") % 10) >= 2).unionByName(new)
+    assert model.full_join_size == pytest.approx(updated.count(), rel=1e-6)
+    for pred, cond in [
+        ("l_quantity < 25", ("lineitem", "l_quantity", "<", 25)),
+        ("l_quantity >= 50", ("lineitem", "l_quantity", ">=", 50)),
+        ("l_returnflag = 'A'", ("lineitem", "l_returnflag", "=", "A")),
+    ]:
+        q = Query(table_set={"lineitem"})
+        q.add_where_condition(Condition(*cond))
+        est = model.cardinality(q)
+        true = updated.filter(pred).count()
+        assert _qerr(est, true) < 1.5, (pred, est, true)
+
+
+def test_update_delta_rejects_unseen_value(spark):
+    """The fused stats pass must reject unseen categoricals on EITHER
+    side of the update, naming example pairs."""
+    from deepdb_public_spark.spn.incremental import update_delta
+
+    eng = Engine(spark, SF_SMOKE)
+    model = train_spn_model(
+        eng.catalog, eng.schema, {"customer"}, 100_000,
+        LearnParams(min_instances_slice=10**9, adaptive_slice_floor=False),
+    )
+    base = eng.catalog["customer"]
+    old = base.limit(10)
+    new = old.withColumn("c_mktsegment", F.lit("NO_SUCH_SEGMENT"))
+    with pytest.raises(ValueError, match="unseen"):
+        update_delta(model, old, new)
