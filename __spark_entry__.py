@@ -673,6 +673,22 @@ def _x_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY (round 9 — completes the tokenizer story:
+    x49 counts pairs, x50 learns merges, x51 tokenizes): the corpus
+    tokenized under 6 learned merges, top-20 (token, cnt) by
+    corpus-weighted frequency (operators/textstats.py::
+    bpe_token_counts — the learn loop's final vocabulary IS the
+    tokenized corpus, so apply adds one vocabulary-sized aggregate).
+    Oracle: the x50 unrolled DuckDB merge-replay chain, finished by
+    splitting the final encoded vocabulary into tokens
+    (_build_bpe_token_oracle) — rows+schema+hash checked."""
+    from deepdb_public_spark.operators.textstats import bpe_token_counts
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    return bpe_token_counts(docs, "text", n_merges=6, top_k=20)
+
+
 def _x_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram overlap decontamination (round 7 — the 13-gram-rule
     shape, n=8 for the synthetic docs): deterministic split, planted
@@ -2815,6 +2831,23 @@ _JACCARD_PAIRS_ORACLE = f"""
               / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
 """
 
+def _build_bpe_token_oracle(n_merges: int, top_k: int) -> str:
+    """DuckDB twin of bpe_token_counts (round 9): the same unrolled
+    merge-replay chain as _build_bpe_learn_oracle, finished by
+    splitting the final encoded vocabulary back into tokens and
+    aggregating corpus-weighted counts."""
+    return (
+        _bpe_chain_ctes(n_merges)
+        + f"""
+        SELECT token, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+            SELECT unnest(string_split(substr(e, 2, length(e) - 2),
+                                       '||')) AS token, c
+            FROM v{n_merges}
+        ) GROUP BY token ORDER BY cnt DESC, token ASC LIMIT {top_k}
+        """
+    )
+
+
 def _build_bpe_learn_oracle(n_merges: int) -> str:
     """DuckDB replay of the full greedy BPE merge loop (round 9 —
     closes the round-8 'x50 has no oracle' gap): the n_merges
@@ -2826,6 +2859,17 @@ def _build_bpe_learn_oracle(n_merges: int) -> str:
     specifies (shared boundaries are consumed by the match, so an
     overlapping second occurrence correctly does not re-merge, while
     disjoint adjacent occurrences keep their own delimiters and do)."""
+    sel = "\n        UNION ALL\n".join(
+        f'        SELECT CAST({k} AS INTEGER) AS step,'
+        f' a AS "left", b AS "right" FROM b{k}'
+        for k in range(1, n_merges + 1)
+    )
+    return _bpe_chain_ctes(n_merges) + "\n" + sel + "\n        ORDER BY step"
+
+
+def _bpe_chain_ctes(n_merges: int) -> str:
+    """The shared WITH chain: words -> char-encoded v0 -> n_merges
+    (pair-count, argmax, merge-apply) CTE triples ending at v{n}."""
     parts = [
         """
         WITH words AS (
@@ -2858,16 +2902,11 @@ def _build_bpe_learn_oracle(n_merges: int) -> str:
             FROM v{k - 1}, b{k}
         )"""
         )
-    sel = "\n        UNION ALL\n".join(
-        f'        SELECT CAST({k} AS INTEGER) AS step,'
-        f' a AS "left", b AS "right" FROM b{k}'
-        for k in range(1, n_merges + 1)
-    )
-    parts.append("\n" + sel + "\n        ORDER BY step")
     return "".join(parts)
 
 
 _BPE_LEARN_ORACLE = _build_bpe_learn_oracle(6)
+_BPE_TOKEN_ORACLE = _build_bpe_token_oracle(6, 20)
 
 _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "x01_doc_lang_stats": (
@@ -2913,6 +2952,7 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "x06_minhash_pairs": (_x_minhash_pairs, _JACCARD_PAIRS_ORACLE),
     "x07_simhash_pairs": (_x_simhash_pairs, None),
     "x50_bpe_learn": (_x_bpe_learn, _BPE_LEARN_ORACLE),
+    "x51_bpe_tokenize": (_x_bpe_tokens, _BPE_TOKEN_ORACLE),
     "x08_embed_neardup": (
         _x_embed_neardup,
         """

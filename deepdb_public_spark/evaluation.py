@@ -91,6 +91,8 @@ def evaluate_cardinalities(
         results.append(
             CardinalityResult(sql, est, truth, q_error(est, truth), latency)
         )
+    qs = np.array([r.q_error for r in results])
+    lat = np.array([r.latency_ms for r in results])
     if output_csv:
         with open(output_csv, "w", newline="") as f:
             w = csv.writer(f)
@@ -99,8 +101,18 @@ def evaluate_cardinalities(
             )
             for r in results:
                 w.writerow([r.query, r.estimate, r.truth, r.q_error, r.latency_ms])
-    qs = np.array([r.q_error for r in results])
-    lat = np.array([r.latency_ms for r in results])
+            # reference-style headline rows (round 9): the paper
+            # summarizes a corpus by median/p95/max q-error (~1.3
+            # median on JOB-light), so the committed CSV carries the
+            # same summary for at-a-glance round-over-round compare
+            w.writerow(
+                [f"__summary__ (n={len(results)})", "", "",
+                 f"median={np.median(qs):.4f}", f"mean={lat.mean():.4f}"]
+            )
+            w.writerow(
+                ["__summary_percentiles__", "", "",
+                 f"p95={np.percentile(qs, 95):.4f};max={qs.max():.4f}", ""]
+            )
     return {
         "n": len(results),
         "median_q_error": float(np.median(qs)),
@@ -258,12 +270,23 @@ def evaluate_aqp(
                     continue
                 rel = abs(m - t) / max(abs(t), 1e-9)
                 rows.append((sql, k, c, float(rel), latency))
+    errs = np.array([r[3] for r in rows]) if rows else np.array([0.0])
     if output_csv:
         with open(output_csv, "w", newline="") as f:
             w = csv.writer(f)
             w.writerow(["query", "group", "aggregate", "relative_error", "latency_ms"])
             w.writerows(rows)
-    errs = np.array([r[3] for r in rows]) if rows else np.array([0.0])
+            # headline summary rows (round 9), mirroring the
+            # cardinality CSV's reference-style at-a-glance compare
+            w.writerow(
+                [f"__summary__ (n_cells={len(rows)})", "", "",
+                 f"median={np.median(errs):.6f}", ""]
+            )
+            w.writerow(
+                ["__summary_percentiles__", "", "",
+                 f"p95={np.percentile(errs, 95):.6f};max={errs.max():.6f}",
+                 f"skipped={len(skipped)}"]
+            )
     return {
         "n_cells": len(rows),
         "mean_relative_error": float(errs.mean()),

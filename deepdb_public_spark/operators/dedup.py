@@ -134,7 +134,10 @@ def capped_bucket_pairs(
 
 
 def duplicate_clusters(
-    pairs: DataFrame, max_iter: int = 30, driver_max_edges: int = 2_000_000
+    pairs: DataFrame,
+    max_iter: int = 30,
+    driver_max_edges: int = 2_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: (id, cluster)
     with cluster = MIN id in the component — the step that turns
@@ -152,6 +155,13 @@ def duplicate_clusters(
     the logical plan so round N's analysis cost does not grow with N.
     Converges in O(component diameter) rounds — near-dup graphs are
     star/clique-like, so typically 2-3.
+
+    ``stats`` (optional, observability — round 9): filled with
+    {"branch": "driver"|"distributed", "n_edges": E, "rounds": k}
+    where k is the number of propagation rounds the distributed
+    branch ran (0 on the driver branch). The scale harness
+    (tools/scale_stress.py) and tests assert the round count stays
+    at the star-topology bound instead of trusting the prose.
     """
     if max_iter < 1:
         # max_iter <= 0 would skip the propagation loop while the
@@ -163,6 +173,12 @@ def duplicate_clusters(
     # front instead of recomputing upstream per scan
     pairs = pairs.persist()
     n_edges = pairs.count()
+    if stats is not None:
+        stats["n_edges"] = n_edges
+        stats["branch"] = (
+            "driver" if n_edges <= driver_max_edges else "distributed"
+        )
+        stats["rounds"] = 0
     try:
         if n_edges <= driver_max_edges:
             rows = pairs.select("id_a", "id_b").collect()
@@ -208,7 +224,9 @@ def duplicate_clusters(
         )
         try:
             changed = 0
-            for _ in range(max_iter):
+            for _round in range(max_iter):
+                if stats is not None:
+                    stats["rounds"] = _round + 1
                 nbr = (
                     edges.join(labels.withColumnRenamed("id", "src"), "src")
                     .groupBy(F.col("dst").alias("id"))

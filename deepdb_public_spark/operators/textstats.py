@@ -366,6 +366,36 @@ def bpe_learn(
     return merges, wc
 
 
+def bpe_token_counts(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 6,
+    top_k: int = 20,
+    min_word_count: int = 1,
+) -> DataFrame:
+    """Apply ``n_merges`` learned BPE merges to the corpus and count
+    the resulting tokens (round 9 — the APPLY half of the tokenizer
+    story; bpe_learn is the LEARN half): output (token, cnt), top_k
+    ordered (cnt DESC, token ASC), fully deterministic.
+
+    Scale shape: bpe_learn's final vocabulary table (symbols per
+    distinct word + word count) IS the tokenized corpus, so applying
+    the merges costs nothing beyond the learn loop; the token counts
+    are one additional vocabulary-sized explode + aggregate. Corpus
+    rows are touched exactly once (the learn loop's initial collapse).
+    (The reference has no text operators — extension surface.)"""
+    _merges, vocab = bpe_learn(
+        df, text_col, n_merges=n_merges, min_word_count=min_word_count
+    )
+    return (
+        vocab.select(F.explode("symbols").alias("token"), "c")
+        .groupBy("token")
+        .agg(F.sum("c").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(top_k)
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str,

@@ -184,6 +184,22 @@ class SPNEnsemble:
         ests = [est for est, _trace in self._variant_factors(query, max_variants)]
         return float(sum(ests) / len(ests))
 
+    def _ranked_variants_or_seed(self, query: Query) -> list:
+        """Ranked factorization anchors; when the ensemble covers NONE
+        of the query's tables and on-demand training is enabled
+        (round 9), seed one budgeted single-table model and re-rank —
+        _expand_factors trains any further missing tables edge by
+        edge, so the whole chain self-heals from an empty cover."""
+        variants = self._rank_first_factors(query)
+        if not variants:
+            if self._train_on_demand({min(query.table_set)}) is not None:
+                variants = self._rank_first_factors(query)
+        if not variants:
+            raise ValueError(
+                f"no model covers any of {sorted(query.table_set)}"
+            )
+        return variants
+
     def _variant_factors(
         self, query: Query, max_variants: int = 1, keep_traces: bool = False
     ) -> list[tuple[float, list[dict]]]:
@@ -192,11 +208,7 @@ class SPNEnsemble:
         cardinality() and explain_factors() go through here so the
         traces always correspond to the variants the estimate
         averaged."""
-        variants = self._rank_first_factors(query)
-        if not variants:
-            raise ValueError(
-                f"no model covers any of {sorted(query.table_set)}"
-            )
+        variants = self._ranked_variants_or_seed(query)
         out: list[tuple[float, list[dict]]] = []
         limit = max(1, max_variants)
         # walk the FULL ranking, keeping the first `limit` anchors
@@ -479,6 +491,31 @@ class SPNEnsemble:
                     )
                 )
             if not cands:
+                # round 9: same closure as the grouped plane — train a
+                # budgeted single-table model over the missing frontier
+                # table on demand (when enabled) instead of refusing;
+                # its boundary multiplier column makes it `usable` for
+                # fanout-weighted parent factors immediately
+                m_new = self._train_on_demand({new_t})
+                if m_new is not None:
+                    mi_of[id(m_new)] = len(self.models) - 1
+                    D = component(uncovered & m_new.table_set, new_t)
+                    cands.append(
+                        (
+                            edge.multiplier_attribute_name
+                            in m_new.column_names
+                            if parent_new
+                            else edge.end in m_new.table_set,
+                            len(D & cond_tables),
+                            len(m_new.table_set & covered & cond_tables),
+                            len(D),
+                            -len(m_new.table_set),
+                            -(len(self.models) - 1),
+                            D,
+                            m_new.table_set & covered & cond_tables,
+                        )
+                    )
+            if not cands:
                 raise ValueError(f"no model covers table {new_t!r}")
             cands.sort(key=lambda t: t[:6], reverse=True)
             usable, _nc, _no, _nd, _sz, neg_mi, D, overlap = cands[0]
@@ -722,11 +759,7 @@ class SPNEnsemble:
         cardinality(max_variants=1)."""
         import math as _m
 
-        variants = self._rank_first_factors(query)
-        if not variants:
-            raise ValueError(
-                f"no model covers any of {sorted(query.table_set)}"
-            )
+        variants = self._ranked_variants_or_seed(query)
         for _key, first, covered in variants:
             try:
                 est, rel_var = self._expand_factors(

@@ -21,6 +21,7 @@ from deepdb_public_spark.spn.ensemble import SPNEnsemble
 from deepdb_public_spark.spn.learn import LearnParams
 from deepdb_public_spark.spn.model import ModelPlaneUnsupported
 from deepdb_public_spark.spn.trainer import train_spn_model
+from tests.conftest import SF_SMOKE
 
 
 def _parent_child(spark):
@@ -150,3 +151,146 @@ def test_model_plane_inside_driver_window():
     m_entries = [n for n in entry_mod.queries() if n.startswith("m")]
     out = [n for n in m_entries if n not in window]
     assert out == ["m18_factorized_aqp"], out
+
+
+def test_label_propagation_rounds_bounded(spark):
+    """duplicate_clusters observability (round 9): the distributed
+    min-label branch reports its propagation round count, which on the
+    star topologies capped_bucket_pairs emits must stay at the
+    documented 2-3 bound (1 propagation + 1 confirmation here); the
+    driver union-find branch reports branch='driver', rounds=0."""
+    from deepdb_public_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 30)] + [(100, 101), (100, 102)],
+        "id_a long, id_b long",
+    )
+    st: dict = {}
+    out = duplicate_clusters(pairs, driver_max_edges=0, stats=st)
+    labels = {r["id"]: r["cluster"] for r in out.collect()}
+    assert st["branch"] == "distributed" and st["n_edges"] == 31
+    assert st["rounds"] <= 3, st
+    assert all(labels[i] == 0 for i in range(30))
+    assert labels[101] == labels[102] == labels[100] == 100
+
+    st2: dict = {}
+    out2 = duplicate_clusters(pairs, stats=st2)
+    assert st2["branch"] == "driver" and st2["rounds"] == 0
+    assert {r["id"]: r["cluster"] for r in out2.collect()} == labels
+
+
+@pytest.fixture(scope="module")
+def lineitem_ci_engine(spark):
+    from deepdb_public_spark.engine import Engine
+
+    eng = Engine(spark, SF_SMOKE)
+    ens = SPNEnsemble(eng.schema)
+    ens.add_model(train_spn_model(eng.catalog, eng.schema, {"lineitem"}, 60_000))
+    eng.ensemble = ens
+    return eng
+
+
+def test_distinct_ci_coverage_fuzz_band(lineitem_ci_engine):
+    """End-to-end coverage band for the round-8 COUNT(DISTINCT) CIs
+    (Poisson-occupancy moments), round-9 brief item 6: a seeded sweep
+    of 24 conjunctive / OR / grouped queries, each 0.95 interval
+    checked against the exact plane. The numpy calibration is already
+    property-pinned (test_round8_fixes); this band asserts the
+    EMPIRICAL coverage of the full query path stays >= nominal - eps
+    over a wider predicate space, like the factorized fuzz band does
+    for point estimates."""
+    import random
+
+    rng = random.Random(20260815)
+    eng = lineitem_ci_engine
+    preds = [
+        "lineitem.l_discount <= 0.0{}".format,
+        "lineitem.l_quantity < {}".format,
+        "lineitem.l_quantity >= {}".format,
+        "lineitem.l_tax <= 0.0{}".format,
+    ]
+
+    def _pred(p):
+        if "discount" in p("") or "tax" in p(""):
+            return p(rng.choice([3, 5, 7]))
+        return p(rng.choice([12, 22, 32, 42]))
+
+    covered, total = 0, 0
+    for _ in range(24):
+        a, b = rng.sample(preds, 2)
+        pa, pb = _pred(a), _pred(b)
+        where = f"({pa} OR {pb})" if rng.random() < 0.35 else f"{pa} AND {pb}"
+        gcol = rng.choice([None, "l_returnflag", "l_linestatus"])
+        group = f" GROUP BY lineitem.{gcol}" if gcol else ""
+        sql = (
+            "SELECT COUNT(DISTINCT lineitem.l_quantity) AS v FROM lineitem "
+            f"WHERE {where}{group}"
+        )
+        ci_rows = eng.ensemble.confidence_interval(
+            eng.parse(sql), confidence=0.95
+        )
+        exact = [r.asDict() for r in eng.query(sql).collect()]
+        if gcol:
+            cis = {r[gcol]: r for r in ci_rows}
+            for r in exact:
+                true = float(r["v"])
+                if true < 5:  # tiny domains are threshold-noise bound
+                    continue
+                ci = cis.get(r[gcol])
+                assert ci is not None, (sql, r)
+                total += 1
+                covered += ci["lo"] <= true <= ci["hi"] + 1e-9
+        else:
+            (ci,) = ci_rows
+            true = float(exact[0]["v"])
+            if true < 5:
+                continue
+            total += 1
+            covered += ci["lo"] <= true <= ci["hi"] + 1e-9
+    assert total >= 30, total  # the band actually exercised cases
+    # nominal 0.95 minus sampling slack over ~30-60 checks
+    assert covered / total >= 0.85, (covered, total)
+
+
+def test_on_demand_training_closes_ungrouped_chain(spark):
+    """Round-9 extension of the closure to the UNGROUPED factorized
+    chain: an ensemble with only a {child} model answers a
+    parent-join cardinality by training the {parent} model on demand
+    at the frontier edge (fanout-weighted, so the grp<->fanout
+    correlation is captured); and an ensemble with ZERO covering
+    models seeds itself for a single-table query."""
+    catalog, g, rel = _parent_child(spark)
+    params = LearnParams(min_instances_slice=200)
+    ens = SPNEnsemble(g)
+    ens.add_model(train_spn_model(catalog, g, {"child"}, 50_000, params))
+    ens.enable_on_demand_training(catalog, sample_budget=50_000, params=params)
+
+    q = Query(
+        query_type=QueryType.CARDINALITY,
+        table_set={"parent", "child"},
+        relationship_set={rel.identifier},
+        conditions=[
+            Condition("child", "v", "<=", 5.0),
+            Condition("parent", "grp", "=", "A"),
+        ],
+    )
+    est = ens.cardinality(q)
+    true = sum(1 for c in range(0, 1600) if c % 7 <= 5)
+    assert est == pytest.approx(true, rel=0.25), (est, true)
+    assert any(m.table_set == {"parent"} for m in ens.models)
+
+    # empty ensemble + single-table query: the anchor itself seeds
+    ens2 = SPNEnsemble(g)
+    ens2.enable_on_demand_training(catalog, sample_budget=50_000, params=params)
+    q2 = Query(
+        query_type=QueryType.CARDINALITY,
+        table_set={"parent"},
+        conditions=[Condition("parent", "grp", "=", "B")],
+    )
+    assert ens2.cardinality(q2) == pytest.approx(600, rel=0.2)
+    assert len(ens2.models) == 1
+
+    # and still refuses loudly when the feature is off
+    ens3 = SPNEnsemble(g)
+    with pytest.raises(ValueError, match="no model covers"):
+        ens3.cardinality(q2)

@@ -33,6 +33,7 @@ def main() -> None:
     from deepdb_public_spark.operators.dedup import (
         build_minhash_index,
         dedup_against_index,
+        duplicate_clusters,
         minhash_lsh_pairs,
         release_cached,
     )
@@ -179,6 +180,7 @@ def main() -> None:
 
     scales = [1, 2, 4]
     results: dict[str, list[tuple[int, float, int]]] = {k: [] for k in OPS}
+    prop_rounds: list[tuple[int, int, int]] = []
 
     def _time_op(fn, *args):
         best, out_n = float("inf"), 0
@@ -206,6 +208,44 @@ def main() -> None:
             best, out_n = _time_op(fn, d, e)
             results.setdefault(name, []).append((n, best, out_n))
             print(f"{k}x {name}: {best:.2f}s ({out_n} rows)", flush=True)
+        # distributed min-label propagation (round 9: x20's driver
+        # union-find path is capped at driver_max_edges; this measures
+        # the branch PAST the cap on the same dup-heavy pair graph).
+        # Pairs are materialized OUTSIDE the timer — the pair
+        # generation already has its own curve above; the branch's
+        # shuffle count grows with cluster diameter, so the measured
+        # rounds are asserted at the star-topology bound instead of
+        # trusting the docstring's 2-3 claim.
+        best, out_n, rounds, n_pairs = float("inf"), 0, 0, 0
+        for _rep in range(2):
+            # rebuild the pair graph fresh each rep: duplicate_clusters
+            # unpersists its input when done and release_cached() drops
+            # the generator's tracked localCheckpoints, so a shared
+            # handle cannot be recomputed on the second rep
+            pr = minhash_lsh_pairs(
+                d, "text", "doc_id", threshold=0.8, n_hashes=64, n_bands=16,
+                use_char_ngrams=True, ngram=5,
+            ).persist()
+            n_pairs = pr.count()  # materialized outside the timer
+            st: dict = {}
+            t0 = time.perf_counter()
+            out_n = duplicate_clusters(pr, driver_max_edges=0, stats=st).count()
+            best = min(best, time.perf_counter() - t0)
+            rounds = st["rounds"]
+            assert st["branch"] == "distributed", st
+            release_cached()
+        assert rounds <= 5, (
+            f"label propagation took {rounds} rounds at {k}x — the "
+            "near-dup star-topology bound (<=5) no longer holds"
+        )
+        name = "duplicate_clusters (distributed min-label)"
+        results.setdefault(name, []).append((n_pairs, best, out_n))
+        prop_rounds.append((k, n_pairs, rounds))
+        print(
+            f"{k}x {name}: {best:.2f}s ({out_n} rows, {n_pairs} edges, "
+            f"{rounds} rounds)",
+            flush=True,
+        )
         d.unpersist()
         e.unpersist()
 
@@ -246,6 +286,19 @@ def main() -> None:
             )
             + "\n"
         )
+        if prop_rounds:
+            f.write(
+                "\nDistributed min-label propagation (driver_max_edges=0,"
+                " forcing the\nbranch past the union-find cap):"
+                " rounds to convergence per scale =\n"
+                + ", ".join(
+                    f"{k}x: {r} rounds over {e} edges"
+                    for k, e, r in prop_rounds
+                )
+                + " — asserted <= 5 by the harness\n(the shuffle count"
+                " grows with cluster diameter; near-dup graphs stay\n"
+                "star-like, so the branch is iteration-bounded at scale).\n"
+            )
         if extra:
             f.write(extra)
     print("wrote SCALING.md")
