@@ -689,6 +689,27 @@ def _x_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(docs, "text", n_merges=6, top_k=20)
 
 
+def _x_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style repeated-span coverage (round 9 — the Lee et
+    al. 2021 dedup primitive): per document, the fraction of character
+    positions whose 20-char gram occurs >= 2 times corpus-wide
+    (operators/textstats.py::repeated_span_coverage — the k-gram
+    occurrence histogram is the distributable stand-in for the paper's
+    suffix array; two linear shuffles). Gram counts run over the FULL
+    corpus; output is bounded to the doc_id % 10 == 0 slice. Spark
+    shuffles 64-bit gram hashes while DuckDB compares raw substrings —
+    identical answers barring a 2^-64-class hash collision, so the
+    entry is rows+schema+hash checked."""
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.operators.textstats import repeated_span_coverage
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    return repeated_span_coverage(docs, "text", "doc_id", k=20).filter(
+        F.col("doc_id") % 10 == 0
+    )
+
+
 def _x_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram overlap decontamination (round 7 — the 13-gram-rule
     shape, n=8 for the synthetic docs): deterministic split, planted
@@ -2986,6 +3007,27 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "x07_simhash_pairs": (_x_simhash_pairs, None),
     "x50_bpe_learn": (_x_bpe_learn, _BPE_LEARN_ORACLE),
     "x51_bpe_tokenize": (_x_bpe_tokens, _BPE_TOKEN_ORACLE),
+    "x52_repeated_spans": (
+        _x_repeated_spans,
+        """
+        WITH grams AS (
+            SELECT doc_id,
+                   unnest([substr(text, i, 20)
+                           for i in range(1, greatest(length(text) - 18, 1))])
+                       AS g
+            FROM documents WHERE text IS NOT NULL
+        ),
+        counts AS (SELECT g, COUNT(*) AS occ FROM grams GROUP BY g)
+        SELECT doc_id, COUNT(*) AS n_pos,
+               CAST(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup,
+               ROUND(CAST(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS dup_frac
+        FROM grams JOIN counts USING (g)
+        WHERE doc_id % 10 = 0
+        GROUP BY doc_id
+        """,
+    ),
     "x08_embed_neardup": (
         _x_embed_neardup,
         """

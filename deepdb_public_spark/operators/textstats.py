@@ -366,6 +366,69 @@ def bpe_learn(
     return merges, wc
 
 
+def repeated_span_coverage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 20,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style repeated-span statistics (the dedup primitive
+    of Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better": drop spans that appear verbatim elsewhere in the
+    corpus): per document, the fraction of character positions whose
+    k-char gram occurs at least ``min_occurrences`` times corpus-wide
+    (counting all occurrences, including within the same document —
+    a position sits inside a length->=k repeated substring iff its
+    k-gram repeats). Output (id, n_pos, n_dup, dup_frac).
+
+    Scale shape: the paper builds a suffix array; the distributable
+    equivalent is the k-gram occurrence histogram — one posexplode of
+    per-position k-grams (hashed to 64-bit, so the shuffle moves longs
+    not strings), one gram-count aggregate, one broadcast-less join
+    back, one per-doc aggregate. Rows ~ corpus characters: strictly
+    linear, two shuffles, no driver state — the shape that survives
+    100 TB where a global suffix array cannot. (The reference has no
+    text operators — extension surface.)"""
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    grams = (
+        spread_small_input(df)
+        .filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.when(
+                    F.length(text_col) >= k,
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(text_col) - k + 1),
+                        lambda i: F.xxhash64(
+                            F.col(text_col).substr(i, F.lit(k))
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<bigint>"))
+            ).alias("g"),
+        )
+    )
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("occ"))
+    return (
+        grams.join(counts, "g")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.sum(
+                F.when(F.col("occ") >= min_occurrences, 1).otherwise(0)
+            ).alias("n_dup"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_pos",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_pos"), 6).alias("dup_frac"),
+        )
+    )
+
+
 def bpe_token_counts(
     df: DataFrame,
     text_col: str,

@@ -303,3 +303,58 @@ def test_bpe_pair_counts_plan_shape(engine):
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(w" in plan
     assert "hashpartitioning(pair" in plan
+
+
+def test_dense_index_probe_plan_shape(engine, spark):
+    """dedup_against_index with a dense-boundable index (round 9): the
+    verify step must be the broadcast bitmap AND+popcount — candidates
+    pick up their bitmap columns through BroadcastHashJoins (never a
+    shuffle of shingle arrays) — and no cartesian anywhere."""
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.operators.dedup import (
+        build_dense_index_verifier,
+        build_minhash_index,
+        dedup_against_index,
+        release_cached,
+    )
+
+    docs = engine.catalog["documents"]
+    index = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    bands, sets = build_minhash_index(
+        index, "text", "doc_id", n_hashes=64, n_bands=16,
+        use_char_ngrams=True, ngram=5,
+    )
+    dense = build_dense_index_verifier(sets)
+    assert dense is not None  # the fixture corpus is dense-boundable
+    out = dedup_against_index(
+        new, "text", "doc_id", bands, sets, threshold=0.8,
+        n_hashes=64, n_bands=16, use_char_ngrams=True, ngram=5,
+        dense_index=dense,
+    )
+    out.collect()
+    plan = _plan(out)
+    release_cached()
+    assert "CartesianProduct" not in plan
+    assert "bit_count" in plan  # bitmap verify, not array_intersect
+    assert "array_intersect" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repeated_span_coverage_plan_shape(engine):
+    """repeated_span_coverage (round 9): gram hashing stays JVM-side
+    (no Python in the row path), grams shuffle as 64-bit hashes on the
+    gram key and docs on the id key; no cartesian."""
+    from deepdb_public_spark.operators.textstats import (
+        repeated_span_coverage,
+    )
+
+    out = repeated_span_coverage(
+        engine.catalog["documents"], "text", "doc_id", k=20
+    )
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "hashpartitioning(g" in plan
+    assert "xxhash64" in plan.lower()
