@@ -2885,6 +2885,58 @@ _JACCARD_PAIRS_ORACLE = f"""
               / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
 """
 
+# DuckDB twin of simhash_pairs (round 10 — flips x07 from rows-only to
+# hash-green): replays the 64-bit signature exactly. portable_hash64 =
+# first 8 md5 bytes big-endian as signed bigint; per-bit votes via
+# (h >> j) & 1 (arithmetic shift fills the sign bit, so (h>>63)&1 is 1
+# for negatives in BOTH engines); signature assembled in HUGEINT and
+# wrapped to signed; hamming = bit_count(xor). The pigeonhole blocking
+# in the Spark operator is a complete candidate filter, so the result
+# IS the all-pairs hamming <= 3 set.
+_SIMHASH_PAIRS_ORACLE = r"""
+        WITH docs AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\s+'),
+                               t -> t <> '') AS toks
+            FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0
+        ),
+        th AS (
+            SELECT doc_id, CAST(
+                u::HUGEINT - CASE WHEN u >= 9223372036854775808::UBIGINT
+                             THEN 18446744073709551616::HUGEINT
+                             ELSE 0::HUGEINT END
+                AS BIGINT) AS h
+            FROM (
+                SELECT doc_id,
+                       ('0x' || substr(md5(t.tok), 1, 16))::UBIGINT AS u
+                FROM docs, unnest(toks) AS t(tok)
+            )
+        ),
+        bits AS (
+            SELECT doc_id, r.j AS j,
+                   SUM((h >> r.j) & 1) AS cnt, COUNT(*) AS n
+            FROM th, unnest(range(0, 64)) AS r(j)
+            GROUP BY doc_id, r.j
+        ),
+        sig AS (
+            SELECT doc_id, CAST(
+                SUM(CASE WHEN 2 * cnt > n
+                         THEN (1::HUGEINT << j) ELSE 0::HUGEINT END)
+                - CASE WHEN MAX(CASE WHEN j = 63 AND 2 * cnt > n
+                                     THEN 1 ELSE 0 END) = 1
+                       THEN 18446744073709551616::HUGEINT
+                       ELSE 0::HUGEINT END
+                AS BIGINT) AS sig
+            FROM bits GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
 def _build_bpe_token_oracle(n_merges: int, top_k: int) -> str:
     """DuckDB twin of bpe_token_counts (round 9): the same unrolled
     merge-replay chain as _build_bpe_learn_oracle, finished by
@@ -2999,12 +3051,18 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "x05_jaccard_pairs": (_x_jaccard_pairs, _JACCARD_PAIRS_ORACLE),
     # MinHash-LSH with exact-Jaccard verification returns the exact
     # threshold pair set when banding recall is ~1 (16 bands of 4:
-    # see _x_minhash_pairs) — same oracle as x05. SimHash remains a
-    # rows-only candidate generator (its hamming distance is over our
-    # custom 64-bit hash, not expressible in DuckDB);
-    # tests/test_dedup.py checks its pigeonhole completeness.
+    # see _x_minhash_pairs) — same oracle as x05.
     "x06_minhash_pairs": (_x_minhash_pairs, _JACCARD_PAIRS_ORACLE),
-    "x07_simhash_pairs": (_x_simhash_pairs, None),
+    # SimHash is oracle-green since round 10: the token hash is the
+    # md5-derived portable_hash64 (functions/hashing.py), which DuckDB
+    # reproduces bit-for-bit via ('0x'||substr(md5,1,16))::UBIGINT
+    # wrapped to signed. The oracle replays the exact signature (bit
+    # votes over token hashes, >>/&1 is arithmetic-shift-safe on
+    # negatives in both engines) and emits ALL pairs at hamming <= 3 —
+    # the pigeonhole blocking is a complete candidate filter, so the
+    # Spark pair set equals the all-pairs set (bucket caps never bind
+    # at test SFs; completeness is unit-tested in test_round8_fixes).
+    "x07_simhash_pairs": (_x_simhash_pairs, _SIMHASH_PAIRS_ORACLE),
     "x50_bpe_learn": (_x_bpe_learn, _BPE_LEARN_ORACLE),
     "x51_bpe_tokenize": (_x_bpe_tokens, _BPE_TOKEN_ORACLE),
     "x52_repeated_spans": (

@@ -60,15 +60,34 @@ def band_keys(signature: Column, n_bands: int, rows_per_band: int) -> Column:
     )
 
 
+def portable_hash64(col: Column) -> Column:
+    """Engine-portable 64-bit token hash: first 8 bytes of md5,
+    big-endian, as a SIGNED bigint.
+
+    Spark: conv(hex_prefix, 16, -10) — the negative toBase makes conv
+    interpret the 64-bit value as two's complement, so no overflow
+    under ANSI mode. DuckDB reproduces it bit-for-bit as
+    ('0x' || substr(md5(t), 1, 16))::UBIGINT wrapped to signed via a
+    HUGEINT subtract — the same md5-prefix determinism trick the
+    split/decontamination oracles use (x23/x47). md5 costs ~2x
+    xxhash64 per token, but token hashing is a small slice of the one
+    simhash aggregate pass and this keeps the whole simhash +
+    pigeonhole pipeline oracle-checkable cross-engine."""
+    return F.conv(F.substring(F.md5(col), 1, 16), 16, -10).cast("long")
+
+
 def simhash64(tokens: Column) -> Column:
     """64-bit SimHash over a token array -> bigint.
 
-    For each bit j: sum over tokens of (+1 if bit j of xxhash64(token)
-    else -1); bit j of the output is 1 iff the sum is positive. Near-
-    duplicate documents differ in few bits (small Hamming distance).
-    Bits fold most-significant-first via acc*2+bit in two 32-bit
-    halves joined with shiftleft|or — a plain 64-bit fold would trip
-    ANSI-mode overflow on the sign bit.
+    For each bit j: sum over tokens of (+1 if bit j of
+    portable_hash64(token) else -1); bit j of the output is 1 iff the
+    sum is positive. Near-duplicate documents differ in few bits
+    (small Hamming distance). The token hash is the md5-derived
+    portable_hash64 (not xxhash64) so DuckDB can replay the exact
+    signature — see portable_hash64's docstring for the cost
+    trade-off. Bits fold most-significant-first via acc*2+bit in two
+    32-bit halves joined with shiftleft|or — a plain 64-bit fold would
+    trip ANSI-mode overflow on the sign bit.
 
     ONE aggregate pass with a 64-long accumulator, not 64 aggregates:
     lambda bodies are inlined per use site, so a per-bit aggregate
@@ -88,7 +107,7 @@ def simhash64(tokens: Column) -> Column:
             acc,
             F.element_at(
                 F.transform(
-                    F.array(F.xxhash64(t)),
+                    F.array(portable_hash64(t)),
                     lambda h: F.transform(
                         seq64, lambda j: F.bit_get(h, j).cast("long")
                     ),

@@ -132,7 +132,9 @@ def test_parked_entries_keep_oracle_coverage():
     correctness artifact (round-8 ADVICE on q26)."""
     import __spark_entry__ as entry_mod
 
-    ROWS_ONLY_BY_DESIGN = {"x07_simhash_pairs", "x17_media_features"}
+    # x07 flipped to oracle-green in round 10 (portable md5-derived
+    # token hash); x17 stays rows-only (no media codecs in container)
+    ROWS_ONLY_BY_DESIGN = {"x17_media_features"}
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     for name in entry_mod._PRIORITY_TAIL:
