@@ -101,17 +101,18 @@ def evaluate_cardinalities(
             )
             for r in results:
                 w.writerow([r.query, r.estimate, r.truth, r.q_error, r.latency_ms])
-            # reference-style headline rows (round 9): the paper
-            # summarizes a corpus by median/p95/max q-error (~1.3
-            # median on JOB-light), so the committed CSV carries the
-            # same summary for at-a-glance round-over-round compare
-            w.writerow(
-                [f"__summary__ (n={len(results)})", "", "",
-                 f"median={np.median(qs):.4f}", f"mean={lat.mean():.4f}"]
+            # reference-style headline summary (round 9; round 10:
+            # emitted as '#' COMMENT lines, not pseudo-rows — a
+            # consumer parsing q_error as float over all data rows
+            # must not hit 'median=...' strings)
+            f.write(
+                f"# __summary__ n={len(results)} "
+                f"median_q_error={np.median(qs):.4f} "
+                f"mean_latency_ms={lat.mean():.4f}\n"
             )
-            w.writerow(
-                ["__summary_percentiles__", "", "",
-                 f"p95={np.percentile(qs, 95):.4f};max={qs.max():.4f}", ""]
+            f.write(
+                f"# __summary_percentiles__ p95={np.percentile(qs, 95):.4f} "
+                f"max={qs.max():.4f}\n"
             )
     return {
         "n": len(results),
@@ -276,16 +277,17 @@ def evaluate_aqp(
             w = csv.writer(f)
             w.writerow(["query", "group", "aggregate", "relative_error", "latency_ms"])
             w.writerows(rows)
-            # headline summary rows (round 9), mirroring the
-            # cardinality CSV's reference-style at-a-glance compare
-            w.writerow(
-                [f"__summary__ (n_cells={len(rows)})", "", "",
-                 f"median={np.median(errs):.6f}", ""]
+            # headline summary as '#' COMMENT lines (round 10),
+            # mirroring the cardinality CSV — keeps every data row
+            # machine-parseable as floats
+            f.write(
+                f"# __summary__ n_cells={len(rows)} "
+                f"median_rel_error={np.median(errs):.6f}\n"
             )
-            w.writerow(
-                ["__summary_percentiles__", "", "",
-                 f"p95={np.percentile(errs, 95):.6f};max={errs.max():.6f}",
-                 f"skipped={len(skipped)}"]
+            f.write(
+                f"# __summary_percentiles__ "
+                f"p95={np.percentile(errs, 95):.6f} max={errs.max():.6f} "
+                f"skipped={len(skipped)}\n"
             )
     return {
         "n_cells": len(rows),

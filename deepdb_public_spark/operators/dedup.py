@@ -460,9 +460,18 @@ def _bitmap_verify(
     bytes, so 100k reps is ~26 MB). ``bm_b`` supplies a SEPARATE
     bitmap table for the id_b side (round 9: dedup_against_index's
     new-batch vs corpus-index verify — the two id spaces need not be
-    disjoint, so one shared table could alias rows)."""
+    disjoint, so one shared table could alias rows).
+
+    When ``bm_b`` is supplied, ``broadcast_bm`` broadcasts ONLY the
+    id_b side: in the index-probe shape the id_b table is the gated
+    corpus index (bounded by build_dense_index_verifier's caps) while
+    the id_a table is the NEW batch, whose size the operator does not
+    control — broadcasting an arbitrarily large crawl batch could
+    blow the broadcast limit or executor memory, whereas a batch-keyed
+    shuffle join on id_a is linear in the batch and scale-safe."""
     maybe_b = F.broadcast if broadcast_bm else (lambda df: df)
-    left = maybe_b(
+    maybe_b_left = maybe_b if bm_b is None else (lambda df: df)
+    left = maybe_b_left(
         bm.select(
             F.col("id").alias("id_a"),
             F.col("sz").alias("sz_a"),
@@ -494,6 +503,92 @@ def _bitmap_verify(
     )
 
 
+def prepare_jaccard_corpus(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    use_char_ngrams: bool = False,
+    ngram: int = 5,
+    checkpoint: bool = False,
+) -> dict:
+    """Build the reusable corpus-side state for jaccard_pairs_exact:
+    hashed shingle-set groups, the dense-vocab gate decision, and
+    (when the vocabulary is dense-boundable) the bitmap encoding.
+
+    This is a pure function of (corpus, shingling) — the THRESHOLD
+    plays no part — so callers that pair the same corpus repeatedly
+    (threshold sweeps, bench reps) build it once and pass it back via
+    ``prepared=``; same memoization shape as the x35 incremental-dedup
+    index. ``checkpoint=True`` materializes the tables via eager
+    localCheckpoint so the state survives release_cached() and never
+    recomputes shingle arrays (callers own the lifetime; blocks free
+    when the returned refs drop).
+
+    Keys: groups (sh, ids), n_vocab, and — only when
+    n_vocab <= _DENSE_VOCAB_MAX — vocab (t, pos), n_words, bm
+    (per-rep bitmaps), n_reps; None/0 otherwise."""
+    df = spread_small_input(df)
+    shingle = (
+        char_ngrams(F.col(text_col), ngram)
+        if use_char_ngrams
+        else F.array_distinct(word_tokens(F.col(text_col)))
+    )
+    # shingles are carried as 64-bit hashes: set cardinalities (and so
+    # Jaccard) are preserved (collision odds ~2^-64 per pair) while
+    # intersections run on longs instead of strings — the verify step
+    # is the hot loop and gets ~5x cheaper.
+    # persist: without a materialization barrier Catalyst collapses the
+    # projection into downstream joins and recomputes shingle arrays
+    # per use instead of once per row
+    hashed = F.array_sort(
+        F.array_distinct(F.transform(shingle, lambda t: F.xxhash64(t)))
+    )
+    # empty/blank docs are excluded, matching minhash_lsh_pairs:
+    # Jaccard of empty sets is 0/0-undefined, and grouping them would
+    # emit bogus jaccard-1.0 "pairs". The explicit blank-text filter
+    # matters for the char-ngram path: char_ngrams('') yields ['']
+    # (one shingle), so F.size > 0 alone would NOT exclude blanks
+    docs = (
+        df.filter(
+            F.col(text_col).isNotNull()
+            & (F.length(F.trim(F.col(text_col))) > 0)
+        )
+        .select(F.col(id_col).alias("id"), hashed.alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    # collapse identical shingle sets: representatives carry the group
+    groups = docs.groupBy("sh").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
+    groups = groups.localCheckpoint() if checkpoint else _persist(groups)
+    s = groups.select(F.col("ids")[0].alias("id"), "sh")
+    # corpus-adaptive strategy choice (two cheap aggregates over the
+    # persisted groups): dense vocab -> bitmap encoding; dense vocab
+    # AND bounded rep count -> skip candidate generation entirely
+    vocab = s.select(F.explode("sh").alias("t")).distinct()
+    n_vocab = vocab.count()
+    prepared: dict = {
+        "groups": groups, "n_vocab": n_vocab,
+        "vocab": None, "n_words": 0, "bm": None, "n_reps": None,
+    }
+    if n_vocab <= _DENSE_VOCAB_MAX:
+        from pyspark.sql.window import Window
+
+        n_words = max(1, (n_vocab + 63) // 64)
+        # dense 0..V-1 positions: single-partition sort is fine at
+        # V <= _DENSE_VOCAB_MAX by construction
+        vocab = vocab.withColumn(
+            "pos", F.row_number().over(Window.orderBy("t")) - 1
+        )
+        bm = _dense_bitmaps(s, vocab, n_words)
+        if checkpoint:
+            vocab, bm = vocab.localCheckpoint(), bm.localCheckpoint()
+        prepared.update(
+            vocab=vocab, n_words=n_words, bm=bm, n_reps=groups.count()
+        )
+    return prepared
+
+
 def jaccard_pairs_exact(
     df: DataFrame,
     text_col: str,
@@ -502,6 +597,7 @@ def jaccard_pairs_exact(
     use_char_ngrams: bool = False,
     ngram: int = 5,
     frequency_order: bool = False,
+    prepared: dict | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs >= threshold via prefix filtering
     (PPJoin-style). Columns: id_a < id_b, jaccard.
@@ -540,56 +636,24 @@ def jaccard_pairs_exact(
     over <= 64 long columns (whole-stage codegen) instead of an
     array_intersect hash-set build per pair — decisive when prefix
     filtering degenerates toward all-pairs on self-similar corpora.
-    """
-    df = spread_small_input(df)
-    shingle = (
-        char_ngrams(F.col(text_col), ngram)
-        if use_char_ngrams
-        else F.array_distinct(word_tokens(F.col(text_col)))
-    )
-    # shingles are carried as 64-bit hashes: set cardinalities (and so
-    # Jaccard) are preserved (collision odds ~2^-64 per pair) while
-    # intersections run on longs instead of strings — the verify step
-    # is the hot loop and gets ~5x cheaper.
-    # persist: without a materialization barrier Catalyst collapses the
-    # projection into downstream joins and recomputes shingle arrays
-    # per use instead of once per row
-    hashed = F.array_sort(
-        F.array_distinct(F.transform(shingle, lambda t: F.xxhash64(t)))
-    )
-    # empty/blank docs are excluded, matching minhash_lsh_pairs:
-    # Jaccard of empty sets is 0/0-undefined, and grouping them would
-    # emit bogus jaccard-1.0 "pairs". The explicit blank-text filter
-    # matters for the char-ngram path: char_ngrams('') yields ['']
-    # (one shingle), so F.size > 0 alone would NOT exclude blanks
-    docs = (
-        df.filter(
-            F.col(text_col).isNotNull()
-            & (F.length(F.trim(F.col(text_col))) > 0)
-        )
-        .select(F.col(id_col).alias("id"), hashed.alias("sh"))
-        .filter(F.size("sh") > 0)
-    )
-    # collapse identical shingle sets: representatives carry the group
-    groups = _persist(
-        docs.groupBy("sh").agg(F.sort_array(F.collect_list("id")).alias("ids"))
-    )
-    s = groups.select(F.col("ids")[0].alias("id"), "sh")
-    # corpus-adaptive strategy choice (two cheap aggregates over the
-    # persisted groups): dense vocab -> bitmap encoding; dense vocab
-    # AND bounded rep count -> skip candidate generation entirely
-    vocab = s.select(F.explode("sh").alias("t")).distinct()
-    n_vocab = vocab.count()
-    if n_vocab <= _DENSE_VOCAB_MAX:
-        from pyspark.sql.window import Window
 
-        n_words = max(1, (n_vocab + 63) // 64)
-        # dense 0..V-1 positions: single-partition sort is fine at
-        # V <= _DENSE_VOCAB_MAX by construction
-        vocab = vocab.withColumn("pos", F.row_number().over(Window.orderBy("t")) - 1)
-        n_reps = groups.count()
+    ``prepared`` accepts a prepare_jaccard_corpus() result for the
+    same (corpus, shingling) so repeated pairings (threshold sweeps,
+    bench reps) skip the shingle hash + group + vocab + bitmap work.
+    """
+    if prepared is None:
+        prepared = prepare_jaccard_corpus(
+            df, text_col, id_col, use_char_ngrams, ngram
+        )
+    groups = prepared["groups"]
+    s = groups.select(F.col("ids")[0].alias("id"), "sh")
+    n_vocab = prepared["n_vocab"]
+    if n_vocab <= _DENSE_VOCAB_MAX:
+        vocab = prepared["vocab"]
+        n_words = prepared["n_words"]
+        bm = prepared["bm"]
+        n_reps = prepared["n_reps"]
         if n_reps <= _DENSE_ALLPAIRS_MAX:
-            bm = _dense_bitmaps(s, vocab, n_words)
             left = bm.select(
                 F.col("id").alias("id_a"),
                 F.col("sz").alias("sz_a"),
@@ -624,7 +688,7 @@ def jaccard_pairs_exact(
                 .filter(F.col("jaccard") >= threshold)
             )
             return _expand_rep_pairs(groups, rep_pairs)
-        dense_verify = (vocab, n_words, n_reps <= _DENSE_BROADCAST_MAX)
+        dense_verify = (bm, n_words, n_reps <= _DENSE_BROADCAST_MAX)
     else:
         dense_verify = None
     plen = F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh")) + 1
@@ -675,8 +739,7 @@ def jaccard_pairs_exact(
     # self-similar corpora, so per-pair cost decides the wall time.
     # Small vocab -> bitmap AND+popcount (codegen); else array verify.
     if dense_verify is not None:
-        vocab, n_words, bcast = dense_verify
-        bm = _dense_bitmaps(s, vocab, n_words)
+        bm, n_words, bcast = dense_verify
         rep_pairs = _bitmap_verify(cand, bm, n_words, broadcast_bm=bcast).filter(
             F.col("jaccard") >= threshold
         )

@@ -372,6 +372,7 @@ def repeated_span_coverage(
     id_col: str,
     k: int = 20,
     min_occurrences: int = 2,
+    salt: int = 0,
 ) -> DataFrame:
     """ExactSubstr-style repeated-span statistics (the dedup primitive
     of Lee et al. 2021, "Deduplicating Training Data Makes Language
@@ -383,15 +384,35 @@ def repeated_span_coverage(
     k-gram repeats). Output (id, n_pos, n_dup, dup_frac).
 
     Scale shape: the paper builds a suffix array; the distributable
-    equivalent is the k-gram occurrence histogram — one posexplode of
-    per-position k-grams (hashed to 64-bit, so the shuffle moves longs
-    not strings), one gram-count aggregate, one broadcast-less join
-    back, one per-doc aggregate. Rows ~ corpus characters: strictly
-    linear, two shuffles, no driver state — the shape that survives
-    100 TB where a global suffix array cannot. (The reference has no
-    text operators — extension surface.)"""
+    equivalent is the k-gram occurrence histogram — per-position
+    k-grams hashed to 64-bit longs, collapsed to (doc, gram, cnt),
+    one gram-occurrence aggregate, one join back, one per-doc
+    aggregate. Rows ~ corpus characters at the explode only; every
+    shuffle moves (doc, gram)-COLLAPSED rows. No driver state — the
+    shape that survives 100 TB where a global suffix array cannot.
+    (The reference has no text operators — extension surface.)
+
+    Skew (round 10): the raw per-position stream is dominated by
+    intra-document runs (whitespace padding, repeated boilerplate
+    inside one doc) — a single 1 MB whitespace run is ~1M identical
+    gram keys. The (doc, gram) collapse happens in the MAP-SIDE
+    partial aggregate, so those runs never reach a shuffle as more
+    than one row per (doc, gram): the dominant hot-key pathology is
+    eliminated structurally, not rebalanced after the fact. The
+    residual skew — one gram shared by millions of DOCS (cross-corpus
+    license headers) — still concentrates the gram join; AQE cannot
+    split it here (its skew rule only matches a sort-merge join whose
+    BOTH inputs are bare shuffle stages, and the occurrence side is an
+    aggregate that arrives pre-partitioned by gram), so ``salt > 0``
+    spreads each gram over ``salt`` sub-keys: the doc side salts by
+    hash(doc id), the vocabulary side replicates each gram ``salt``
+    times — vocab x salt rows, cheap when vocab << corpus. Default 0
+    keeps the un-salted plan (collapse alone bounds per-gram rows by
+    the sharing-doc count)."""
     if k < 1:
         raise ValueError(f"k must be >= 1 (got {k})")
+    if salt < 0:
+        raise ValueError(f"salt must be >= 0 (got {salt})")
     grams = (
         spread_small_input(df)
         .filter(F.col(text_col).isNotNull())
@@ -410,14 +431,30 @@ def repeated_span_coverage(
             ).alias("g"),
         )
     )
-    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("occ"))
+    # (doc, gram) collapse: partial agg runs map-side, so intra-doc
+    # repeated grams (runs, per-doc boilerplate) shuffle as ONE row
+    dg = grams.groupBy("__id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    occ = dg.groupBy("g").agg(F.sum("cnt").alias("occ"))
+    if salt > 0:
+        dg = dg.withColumn(
+            "__salt", F.pmod(F.xxhash64("__id"), F.lit(salt)).cast("int")
+        )
+        occ = occ.select(
+            "g",
+            "occ",
+            F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt"),
+        )
+        joined = dg.join(occ, ["g", "__salt"])
+    else:
+        joined = dg.join(occ, "g")
     return (
-        grams.join(counts, "g")
-        .groupBy("__id")
+        joined.groupBy("__id")
         .agg(
-            F.count(F.lit(1)).alias("n_pos"),
+            F.sum("cnt").alias("n_pos"),
             F.sum(
-                F.when(F.col("occ") >= min_occurrences, 1).otherwise(0)
+                F.when(F.col("occ") >= min_occurrences, F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
             ).alias("n_dup"),
         )
         .select(

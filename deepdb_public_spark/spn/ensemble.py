@@ -192,8 +192,14 @@ class SPNEnsemble:
         edge, so the whole chain self-heals from an empty cover."""
         variants = self._rank_first_factors(query)
         if not variants:
-            if self._train_on_demand({min(query.table_set)}) is not None:
-                variants = self._rank_first_factors(query)
+            # try EVERY query table in deterministic order, not just
+            # the lexicographically smallest: one table may be missing
+            # from the on-demand catalog while another is trainable
+            # (round-9 ADVICE) — stop at the first successful seed
+            for t in sorted(query.table_set):
+                if self._train_on_demand({t}) is not None:
+                    variants = self._rank_first_factors(query)
+                    break
         if not variants:
             raise ValueError(
                 f"no model covers any of {sorted(query.table_set)}"
@@ -1673,9 +1679,44 @@ class SPNEnsemble:
             parts.append(
                 (
                     [i for i, _gb in sub],
-                    [tuple(r[c] for c in cols) for r in m.aqp(lq)],
+                    [(tuple(r[c] for c in cols), float(r["v"])) for r in m.aqp(lq)],
                 )
             )
+        # per-piece mass pruning BEFORE the cross product (round 10):
+        # the caller re-thresholds every combined key at 0.5 expected
+        # chain rows, and a combined key's chain mass is bounded by
+        # T * p_i(k_i) for EVERY piece i (the other pieces' proportions
+        # are <= 1), so a piece key whose marginal proportion times the
+        # full-chain total T cannot reach the threshold can never
+        # survive in ANY combination — dropping it changes no estimate,
+        # only skips doomed chain evaluations. This raises the
+        # effective cardinality ceiling (a 200x200 raw grid whose true
+        # support is sparse now fits) without touching the cap. The
+        # 2x margin (0.25 vs 0.5) absorbs chain-vs-marginal estimation
+        # drift near the boundary.
+        if len(parts) > 1:
+            try:
+                chain_total = self._chain_count(query)
+            except ValueError:
+                chain_total = None
+            if chain_total is not None and chain_total > 0:
+                pruned_parts = []
+                for idxs, ks in parts:
+                    total_i = sum(v for _k, v in ks)
+                    if total_i > 0:
+                        kept = [
+                            (k, v)
+                            for k, v in ks
+                            if chain_total * (v / total_i) >= 0.25
+                        ]
+                        # never prune a piece to nothing: keep the
+                        # heaviest key so the cross product stays
+                        # non-empty (the caller's re-threshold decides)
+                        if not kept:
+                            kept = [max(ks, key=lambda kv: kv[1])]
+                        ks = kept
+                    pruned_parts.append((idxs, ks))
+                parts = pruned_parts
         # tighter cap than MAX_GROUPBY_CELLS: a covering anchor reads
         # its grid in ONE tree pass, but every cross-piece key costs a
         # full factorized chain evaluation downstream (~ms each), so
@@ -1691,7 +1732,7 @@ class SPNEnsemble:
             )
         n = len(query.group_bys)
         keys = []
-        for combo in _it.product(*(ks for _idx, ks in parts)):
+        for combo in _it.product(*([k for k, _v in ks] for _idx, ks in parts)):
             row: list = [None] * n
             for (idxs, _ks), kp in zip(parts, combo):
                 for i, v in zip(idxs, kp):

@@ -67,11 +67,22 @@ def _dict_cols(model: SPNModel, df: DataFrame) -> list[str]:
     ]
 
 
-def _raise_unseen(model: SPNModel, delta_df: DataFrame) -> None:
+def _raise_unseen(
+    model: SPNModel,
+    delta_df: DataFrame,
+    per_col_unseen: dict[str, int] | None = None,
+) -> None:
     """ERROR PATH ONLY: name up to 3 unseen (column, value) pairs via
     the bounded melt + anti-join probe, then raise. The happy path
     never runs this job — the fused stats pass already proved
-    something is unseen before calling here."""
+    something is unseen before calling here.
+
+    The probe compares CAST-to-STRING forms while the fused detection
+    uses the typed dictionary lookup; if they disagree (a non-string
+    categorical whose typed lookup misses but whose string form
+    matches) the probe comes back empty — in that case the message
+    falls back to ``per_col_unseen``, the per-column unseen counts the
+    fused stats pass already measured, instead of reading 'e.g. []'."""
     spark = delta_df.sparkSession
     dict_cols = _dict_cols(model, delta_df)
     stack = (
@@ -96,9 +107,15 @@ def _raise_unseen(model: SPNModel, delta_df: DataFrame) -> None:
         .collect()
     )
     pairs = [(r["__col"], r["__val"]) for r in unseen]
+    detail = (
+        f"e.g. {pairs}"
+        if pairs
+        else "string-form probe found no examples; per-column unseen "
+        f"row counts from the stats pass: {per_col_unseen or {}}"
+    )
     raise ValueError(
         f"delta has categorical values unseen at training time "
-        f"(e.g. {pairs}); re-encode with an extended dictionary "
+        f"({detail}); re-encode with an extended dictionary "
         "and retrain/extend the model instead of absorbing them "
         "as NULL"
     )
@@ -146,12 +163,15 @@ def _prepare_delta(
     else:
         stat_rows = enc.groupBy().agg(*aggs).collect()
     counts: dict[str, int] = {}
-    n_unseen = 0
+    per_col_unseen: dict[str, int] = {}
     for r in stat_rows:
         counts[r[_OP] if tagged else ""] = int(r["__n"])
-        n_unseen += sum(int(r[f"__u_{i}"] or 0) for i in range(len(flags)))
-    if n_unseen:
-        _raise_unseen(model, delta_df)
+        for i, c in enumerate(flags):
+            u = int(r[f"__u_{i}"] or 0)
+            if u:
+                per_col_unseen[c] = per_col_unseen.get(c, 0) + u
+    if per_col_unseen:
+        _raise_unseen(model, delta_df, per_col_unseen)
 
     keep = [_OP] if tagged else []
     enc = enc.select(

@@ -62,11 +62,13 @@ def test_evaluate_cardinalities_csv(spark, ensemble_path, tmp_path, capsys):
     assert rc == 0
     assert "median_q_error" in capsys.readouterr().out
     with open(out) as f:
-        all_rows = list(csv.DictReader(f))
-    # round 9: the CSV ends with reference-style summary rows
-    rows = [r for r in all_rows if not r["query"].startswith("__summary")]
-    assert len(all_rows) - len(rows) == 2  # summary + percentiles rows
-    assert any("median=" in (r["q_error"] or "") for r in all_rows)
+        lines = f.readlines()
+    # round 10: the reference-style summary is '#' COMMENT lines, so
+    # the data section parses as pure floats for any consumer
+    comments = [ln for ln in lines if ln.startswith("#")]
+    assert len(comments) == 2  # summary + percentiles
+    assert any("median_q_error=" in ln for ln in comments)
+    rows = list(csv.DictReader(ln for ln in lines if not ln.startswith("#")))
     assert [r["query"] for r in rows] == QUERIES
     for r in rows:
         assert float(r["q_error"]) < 3.0  # sanity budget at sf0.001

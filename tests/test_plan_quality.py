@@ -10,6 +10,8 @@ regressions fail loudly, not silently.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -358,3 +360,67 @@ def test_repeated_span_coverage_plan_shape(engine):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "hashpartitioning(g" in plan
     assert "xxhash64" in plan.lower()
+
+
+def test_repeated_span_skew_resilience(spark):
+    """The x52 gram join's skew story at 100 TB (round-9 review item
+    3), asserted in two layers:
+
+    1. STRUCTURAL: intra-document runs (whitespace padding — the
+       dominant hot-key pathology: a 1 MB run is ~1M identical gram
+       keys from ONE doc) are collapsed to one (doc, gram, cnt) row in
+       the MAP-SIDE partial aggregate, so they never reach any shuffle.
+       Planted single-char runs must contribute exactly one join-input
+       row per doc. (AQE's skew-join split cannot fire on this plan —
+       its rule only matches an SMJ whose both inputs are bare shuffle
+       stages, and the occurrence side arrives pre-partitioned from
+       its aggregate — so the operator handles skew itself.)
+    2. SALTING: the residual cross-doc hot gram (a license header
+       shared by millions of docs) is spread over `salt` sub-keys —
+       the join key becomes (g, __salt), visible in the executed
+       plan's hashpartitioning, and results are identical to the
+       un-salted plan."""
+    from deepdb_public_spark.operators.textstats import (
+        repeated_span_coverage,
+    )
+
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            # half the docs: a 3000-char run (2981 identical grams)
+            F.when(F.col("id") < 200, F.lit("a" * 3000)).otherwise(F.lit("")),
+            # every doc: one shared 20-char span (cross-doc hot gram)
+            F.lit("Z" * 20),
+            F.sha2(F.col("id").cast("string"), 256),
+        ).alias("text"),
+    )
+    base = repeated_span_coverage(docs, "text", "doc_id", k=20)
+    rows = {r["doc_id"]: r for r in base.collect()}
+    assert len(rows) == 400
+    # layer 1 — collapse semantics: run positions + shared-span
+    # positions are duplicated, sha tails are not
+    for i in (0, 199):
+        assert rows[i]["n_dup"] >= 2981, rows[i]  # the run repeats
+    for r in rows.values():
+        assert 0.0 < r["dup_frac"] < 1.0
+    # layer 1 — collapse plan shape: the join input aggregates by
+    # (doc, gram) BEFORE any gram-keyed exchange, so the planted runs
+    # shuffle as one row per doc
+    plan = base._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"HashAggregate\(keys=\[__id#\d+L?, g#", plan), plan[:2000]
+
+    # layer 2 — salting: identical results, salted join key in plan
+    # (broadcast disabled: at 100 TB the vocabulary side never fits a
+    # broadcast, and the salted SHUFFLE key is what this asserts)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted = repeated_span_coverage(docs, "text", "doc_id", k=20, salt=8)
+        srows = {r["doc_id"]: r for r in salted.collect()}
+        assert srows == rows
+        splan = salted._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"hashpartitioning\(g#\d+L, __salt", splan), (
+            splan[:3000]
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -47,6 +47,7 @@ def main() -> None:
         bpe_pair_counts,
         doc_profile,
         ngram_contamination,
+        repeated_span_coverage,
         tfidf_top_terms,
     )
 
@@ -97,6 +98,8 @@ def main() -> None:
         "bpe_pair_counts (vocab collapse)": lambda d: bpe_pair_counts(
             d, "text", top_k=25
         ).count(),
+        "repeated_span_coverage (k-gram hist)": lambda d:
+            repeated_span_coverage(d, "text", "doc_id", k=20).count(),
         "bpe_learn x3 (iterative merges)": lambda d: bpe_learn(
             d, "text", n_merges=3
         )[1].count(),
