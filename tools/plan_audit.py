@@ -133,6 +133,18 @@ def main() -> None:
         "comparison, no CartesianProduct.",
     )
     add(
+        "x52_repeated_spans",
+        "Repeated-span coverage (round 10 shape): per-position grams "
+        "collapse to (doc, gram, cnt) in a MAP-SIDE partial aggregate "
+        "(HashAggregate(keys=[__id, g]) below the first Exchange), so "
+        "intra-doc runs — the dominant hot-key pathology — never skew "
+        "a shuffle; the gram-occurrence join and per-doc aggregate "
+        "each cross one hashpartitioning exchange; a salt parameter "
+        "spreads residual cross-doc hot grams (license boilerplate) "
+        "over (g, __salt) sub-keys, asserted in "
+        "tests/test_plan_quality.py::test_repeated_span_skew_resilience.",
+    )
+    add(
         "x49_bpe_pairs",
         "BPE pair statistic (round 8): one explode to words, one "
         "hashpartitioning(w) exchange collapsing the corpus to its "
