@@ -743,6 +743,39 @@ def _x_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (round 10 — Xie et al. 2023,
+    importance resampling): per-doc unigram log importance weight of
+    the target domain (lang='en') vs the raw corpus, top-100 selected
+    (operators/sampling.py::dsir_select). Both unigram LMs train in
+    ONE token-keyed aggregate; selection is TakeOrderedAndProject on
+    the 6-decimal-rounded weight, so the entry is rows+schema+hash
+    checked end-to-end including the selected flag."""
+    from pyspark.sql import functions as F
+
+    from deepdb_public_spark.operators.sampling import dsir_select
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    return dsir_select(
+        docs, "text", "doc_id", F.col("lang") == "en", top_k=100
+    )
+
+
+def _x_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd refinement over the embedding corpus
+    (round 10 — the clustering step behind cluster-based curation:
+    per-cluster dedup/quotas/density sampling). k=8 centroids seeded
+    from the 8 smallest vec_ids, 2 update iterations, every centroid/
+    distance rounded to 6 decimals so the argmin assignment is
+    engine-portable (operators/similarity.py::kmeans_refine). The
+    DuckDB oracle unrolls both iterations as CTEs (the x50 playbook)
+    and must reproduce cluster AND distance exactly."""
+    from deepdb_public_spark.operators.similarity import kmeans_refine
+
+    emb = _engine(spark, sf_dir).catalog["embeddings"]
+    return kmeans_refine(emb, "embedding", "vec_id", k=8, iters=2)
+
+
 def _x_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram overlap decontamination (round 7 — the 13-gram-rule
     shape, n=8 for the synthetic docs): deterministic split, planted
@@ -3212,6 +3245,117 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
         FROM grams JOIN counts USING (g)
         WHERE doc_id % 10 = 0
         GROUP BY doc_id
+        """,
+    ),
+    "x53_dsir_select": (
+        _x_dsir,
+        """
+        WITH toks AS (
+          SELECT doc_id, lang = 'en' AS tgt,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS t
+          FROM documents
+        ),
+        model AS (
+          SELECT t, COUNT(*) AS cnt_raw,
+                 SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS cnt_tgt
+          FROM toks GROUP BY t
+        ),
+        tot AS (
+          SELECT CAST(SUM(cnt_raw) AS DOUBLE) AS t_raw,
+                 CAST(SUM(cnt_tgt) AS DOUBLE) AS t_tgt,
+                 COUNT(*) AS vocab
+          FROM model
+        ),
+        perdoc AS (
+          SELECT doc_id, COUNT(*) AS n_tokens,
+                 ROUND(SUM(ln((cnt_tgt + 1.0) / (t_tgt + 1.0 * (vocab + 1)))
+                           - ln((cnt_raw + 1.0) / (t_raw + 1.0 * (vocab + 1)))),
+                       6) AS log_weight
+          FROM toks JOIN model USING (t) CROSS JOIN tot
+          GROUP BY doc_id
+        ),
+        sel AS (
+          SELECT doc_id FROM perdoc ORDER BY log_weight DESC, doc_id LIMIT 100
+        )
+        SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens, p.log_weight,
+               s.doc_id IS NOT NULL AS selected
+        FROM documents d
+        LEFT JOIN perdoc p USING (doc_id)
+        LEFT JOIN sel s USING (doc_id)
+        """,
+    ),
+    "x54_kmeans_refine": (
+        _x_kmeans_refine,
+        """
+        WITH vecs AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        seeds AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j,
+                 list_transform(v, x -> ROUND(x, 6)) AS c
+          FROM (SELECT * FROM vecs ORDER BY vec_id LIMIT 8)
+        ),
+        d0 AS (
+          SELECT vecs.vec_id, seeds.j,
+                 ROUND(SUM((v[g.i] - c[g.i]) * (v[g.i] - c[g.i])), 6) AS d
+          FROM vecs CROSS JOIN seeds CROSS JOIN generate_series(1, 64) AS g(i)
+          GROUP BY vecs.vec_id, seeds.j
+        ),
+        a0 AS (
+          SELECT vec_id, j AS cluster FROM (
+            SELECT vec_id, j,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+            FROM d0) WHERE rn = 1
+        ),
+        m1 AS (
+          SELECT a0.cluster AS j, g.i, ROUND(AVG(v[g.i]), 6) AS m
+          FROM a0 JOIN vecs USING (vec_id)
+          CROSS JOIN generate_series(1, 64) AS g(i)
+          GROUP BY a0.cluster, g.i
+        ),
+        c1 AS (
+          SELECT s.j, COALESCE(n.c, s.c) AS c
+          FROM seeds s LEFT JOIN
+               (SELECT j, list(m ORDER BY i) AS c FROM m1 GROUP BY j) n
+               USING (j)
+        ),
+        d1 AS (
+          SELECT vecs.vec_id, c1.j,
+                 ROUND(SUM((v[g.i] - c[g.i]) * (v[g.i] - c[g.i])), 6) AS d
+          FROM vecs CROSS JOIN c1 CROSS JOIN generate_series(1, 64) AS g(i)
+          GROUP BY vecs.vec_id, c1.j
+        ),
+        a1 AS (
+          SELECT vec_id, j AS cluster FROM (
+            SELECT vec_id, j,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+            FROM d1) WHERE rn = 1
+        ),
+        m2 AS (
+          SELECT a1.cluster AS j, g.i, ROUND(AVG(v[g.i]), 6) AS m
+          FROM a1 JOIN vecs USING (vec_id)
+          CROSS JOIN generate_series(1, 64) AS g(i)
+          GROUP BY a1.cluster, g.i
+        ),
+        c2 AS (
+          SELECT p.j, COALESCE(n.c, p.c) AS c
+          FROM c1 p LEFT JOIN
+               (SELECT j, list(m ORDER BY i) AS c FROM m2 GROUP BY j) n
+               USING (j)
+        ),
+        d2 AS (
+          SELECT vecs.vec_id, c2.j,
+                 ROUND(SUM((v[g.i] - c[g.i]) * (v[g.i] - c[g.i])), 6) AS d
+          FROM vecs CROSS JOIN c2 CROSS JOIN generate_series(1, 64) AS g(i)
+          GROUP BY vecs.vec_id, c2.j
+        )
+        SELECT vec_id AS id, CAST(j AS INT) AS cluster, d AS dist FROM (
+          SELECT vec_id, j, d,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+          FROM d2) WHERE rn = 1
         """,
     ),
     "x08_embed_neardup": (

@@ -157,3 +157,88 @@ def weighted_mixture(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def dsir_select(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target: Column,
+    top_k: int,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by the log importance weight
+    of its unigram features under a target-domain LM vs the raw-corpus
+    LM, then keep the ``top_k`` highest-weight documents.
+
+    ``target`` is a boolean Column over ``df``'s rows marking the
+    target-domain subset (e.g. ``F.col("lang") == "en"`` or a
+    quality flag); both unigram models are trained in the SAME pass —
+    one explode, one token-keyed aggregate with a conditional count.
+
+    log w(d) = sum_t [ ln p_tgt(t) - ln p_raw(t) ] over d's tokens,
+    with add-``smoothing`` estimates over the shared raw vocabulary
+    V: p(t) = (cnt + s) / (total + s * (V + 1)) — the same smoothing
+    form as :func:`unigram_logprob`, so the two scores are comparable.
+
+    Output: (id, n_tokens, log_weight, selected) for EVERY input row
+    (empty-text docs surface as n_tokens = 0, log_weight NULL,
+    selected false — never silently dropped).
+
+    Scale shape: explode -> token-keyed aggregate (vocabulary-sized,
+    map-side combined) -> token-keyed join back -> id-keyed aggregate:
+    two linear shuffles on near-uniform keys, zero Python. Selection
+    is orderBy+limit — Spark's TakeOrderedAndProject keeps per-
+    partition top-k heaps and never globally sorts, and the k-row
+    winner set broadcasts back onto the scored table. log_weight is
+    rounded to 6 decimals BEFORE ranking so the selection order is
+    engine-portable (ties break on the id).
+    """
+    from deepdb_public_spark.functions.text import word_tokens
+
+    s = float(smoothing)
+    toks = df.select(
+        F.col(id_col),
+        target.alias("__tgt"),
+        F.explode(word_tokens(F.lower(F.col(text_col)))).alias("t"),
+    )
+    model = toks.groupBy("t").agg(
+        F.count(F.lit(1)).alias("cnt_raw"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("cnt_tgt"),
+    )
+    totals = model.agg(
+        F.sum("cnt_raw").cast("double").alias("__t_raw"),
+        F.sum("cnt_tgt").cast("double").alias("__t_tgt"),
+        F.count(F.lit(1)).alias("__vocab"),
+    )
+    denom = F.lit(s) * (F.col("__vocab") + 1)
+    lr = F.log((F.col("cnt_tgt") + F.lit(s)) / (F.col("__t_tgt") + denom)) - F.log(
+        (F.col("cnt_raw") + F.lit(s)) / (F.col("__t_raw") + denom)
+    )
+    per_doc = (
+        toks.join(model, "t")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(lr), 6).alias("log_weight"),
+        )
+    )
+    winners = (
+        per_doc.orderBy(F.desc("log_weight"), F.asc(id_col))
+        .limit(int(top_k))
+        .select(F.col(id_col), F.lit(True).alias("__sel"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .join(F.broadcast(winners), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.col("log_weight"),
+            F.coalesce("__sel", F.lit(False)).alias("selected"),
+        )
+    )

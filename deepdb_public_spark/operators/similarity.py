@@ -781,3 +781,99 @@ def similarity_selectivity(
         )
         return {"estimate": est, "lo": est, "hi": est}
     raise ValueError(f"unknown method {method!r}")
+
+
+def kmeans_refine(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic, engine-portable Lloyd refinement — the
+    clustering primitive behind cluster-based data curation
+    (SemDeDup-style per-cluster dedup, density/diversity sampling,
+    per-cluster quotas). Unlike MLlib KMeans (seeded random init,
+    non-portable tie handling), every step here is reproducible
+    bit-for-bit in another engine, so the assignment itself is
+    oracle-checkable:
+
+    - init: the ``k`` vectors with smallest id, components cast to
+      double and rounded to 6 decimals;
+    - assign: argmin squared-L2 distance, distances rounded to 6
+      decimals BEFORE the argmin, ties broken on the lower centroid
+      index (array_min over (dist, idx) structs);
+    - update: component-wise mean of the assigned vectors, rounded to
+      6 decimals; a cluster that loses all members keeps its previous
+      centroid (no respawn — deterministic).
+
+    Rounding to 6 decimals at every centroid/distance boundary makes
+    float summation-order differences (Spark's ordered fold vs
+    another engine's unordered SUM, ~1e-12 relative) invisible, so
+    the argmin is stable across engines.
+
+    Returns (id, cluster, dist) — the assignment under the FINAL
+    centroids, dist = rounded squared L2.
+
+    Scale shape: per iteration, centroids are k*dim literals compiled
+    into a single narrow projection (no join, no shuffle to assign),
+    then ONE map-side-combined groupBy(cluster, dim) aggregate whose
+    result is k*dim rows — the driver collect is model-sized, never
+    data-sized (the bpe_learn pattern). ``iters`` bounds the loop;
+    each iteration is one linear scan of the corpus.
+    """
+    vecs = _valid_vectors(df, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    seed_rows = vecs.orderBy("id").limit(int(k)).collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"kmeans_refine: need >= {k} vectors, got {len(seed_rows)}")
+    dim = len(seed_rows[0]["v"])
+    centroids = [[round(float(x), 6) for x in r["v"]] for r in seed_rows]
+
+    def _assigned() -> DataFrame:
+        dists = [
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.array(*[F.lit(c) for c in centroids[j]]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+            for j in range(k)
+        ]
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(dists[j].alias("d"), F.lit(j).alias("j"))
+                    for j in range(k)
+                ]
+            )
+        )
+        return vecs.select(
+            "id", "v", best["j"].alias("cluster"), best["d"].alias("dist")
+        )
+
+    for _ in range(int(iters)):
+        means = (
+            _assigned()
+            .select("cluster", F.posexplode("v").alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .collect()
+        )
+        new: dict[int, list[float]] = {}
+        for r in means:
+            new.setdefault(int(r["cluster"]), [0.0] * dim)[int(r["i"])] = float(
+                r["m"]
+            )
+        centroids = [new.get(j, centroids[j]) for j in range(k)]
+
+    return _assigned().select(
+        "id", F.col("cluster").cast("int").alias("cluster"), "dist"
+    )

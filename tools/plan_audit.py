@@ -145,6 +145,28 @@ def main() -> None:
         "tests/test_plan_quality.py::test_repeated_span_skew_resilience.",
     )
     add(
+        "x53_dsir_select",
+        "DSIR importance resampling (round 10): BOTH unigram LMs "
+        "(target + raw) train in ONE token-keyed aggregate with a "
+        "conditional count — one explode, one hashpartitioning(t) "
+        "exchange; the 1-row totals frame broadcasts "
+        "(BroadcastNestedLoopJoin against a scalar); per-doc weights "
+        "cross one hashpartitioning(doc_id) exchange; selection is "
+        "TakeOrderedAndProject (per-partition top-k heaps, never a "
+        "global sort) and the 100-row winner set broadcasts back — "
+        "no CartesianProduct over data rows.",
+    )
+    add(
+        "x54_kmeans_refine",
+        "Deterministic Lloyd refinement (round 10): the k x dim "
+        "centroids are compiled LITERALS, so assigning the whole "
+        "corpus is a single narrow projection — the final assignment "
+        "plan has NO join and NO exchange at all (asserted in "
+        "tests/test_round10_ops.py); each update iteration adds one "
+        "map-side-combined groupBy(cluster, dim) whose result is "
+        "k*dim rows, the bpe_learn-style model-sized collect.",
+    )
+    add(
         "x49_bpe_pairs",
         "BPE pair statistic (round 8): one explode to words, one "
         "hashpartitioning(w) exchange collapsing the corpus to its "

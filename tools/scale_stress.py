@@ -40,8 +40,11 @@ def main() -> None:
     from deepdb_public_spark.operators.chunking import chunk_documents
     from deepdb_public_spark.operators.dedup import semantic_dedup
     from deepdb_public_spark.operators.filters import repetition_stats
-    from deepdb_public_spark.operators.sampling import hash_split
-    from deepdb_public_spark.operators.similarity import hybrid_rrf_topk
+    from deepdb_public_spark.operators.sampling import dsir_select, hash_split
+    from deepdb_public_spark.operators.similarity import (
+        hybrid_rrf_topk,
+        kmeans_refine,
+    )
     from deepdb_public_spark.operators.textstats import (
         bpe_learn,
         bpe_pair_counts,
@@ -103,6 +106,9 @@ def main() -> None:
         "bpe_learn x3 (iterative merges)": lambda d: bpe_learn(
             d, "text", n_merges=3
         )[1].count(),
+        "dsir_select (2 shuffles + top-k)": lambda d: dsir_select(
+            d, "text", "doc_id", F.col("lang") == "en", top_k=100
+        ).count(),
     }
 
     def _index_dedup(d):
@@ -142,6 +148,9 @@ def main() -> None:
     OPS_EMB = {
         "semantic_dedup (hyperplane LSH)": lambda d: semantic_dedup(
             d, "embedding", "vec_id", threshold=0.9
+        ).count(),
+        "kmeans_refine (2 Lloyd iters)": lambda d: kmeans_refine(
+            d, "embedding", "vec_id", k=8, iters=2
         ).count(),
     }
 
