@@ -386,37 +386,23 @@ def _x_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _x_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-Jaccard threshold pairs. The corpus-side prep (shingle
-    hash + identical-set grouping + dense-vocab bitmaps) is a pure
-    function of the corpus, so it is memoized on the shared engine
-    across reps (round 10 — same index-once-probe-many accounting as
-    x35; the one-time cost is recorded in INDEX_BUILD_SECS and
-    surfaces as "index_build_secs" in the bench artifact). The pair
-    generation + verify — the actual operator work — is re-run and
-    re-timed every rep; the oracle output is unchanged."""
-    from deepdb_public_spark.operators.dedup import (
-        jaccard_pairs_exact,
-        prepare_jaccard_corpus,
-    )
+    """Exact-Jaccard threshold pairs, timed SELF-CONTAINED — the x35
+    index-once-probe-many memoization was tried here (round 10) and
+    MEASURED as a pessimization, so it was reverted: at sf0.1 on 32
+    cores the memoized probe took ~9.4s/rep vs ~8.4s for the full
+    recompute, because x05's "probe" IS the whole corpus-x-corpus
+    prefix join and re-reads the row-serialized checkpoint scans of
+    groups/bitmaps ~3x per rep (self-join x2 + verify), costing more
+    than rebuilding them inside one columnar-cached plan. x35 keeps
+    its memo because its probe joins a SMALL new batch against the
+    index. prepare_jaccard_corpus remains the supported reuse API for
+    genuine threshold sweeps (tests/test_round10_fixes.py pins the
+    equivalence)."""
+    from deepdb_public_spark.operators.dedup import jaccard_pairs_exact
 
-    eng = _engine(spark, sf_dir)
-    docs = eng.catalog["documents"]
-    prepared = getattr(eng, "_x05_prepared", None)
-    if prepared is None:
-        import time as _time
-
-        _t0 = _time.perf_counter()
-        prepared = prepare_jaccard_corpus(
-            docs, "text", "doc_id", use_char_ngrams=True, ngram=5,
-            checkpoint=True,
-        )
-        eng._x05_prepared = prepared
-        INDEX_BUILD_SECS["x05_jaccard_prepare"] = round(
-            _time.perf_counter() - _t0, 4
-        )
+    docs = _engine(spark, sf_dir).catalog["documents"]
     return jaccard_pairs_exact(
         docs, "text", "doc_id", threshold=0.8, use_char_ngrams=True, ngram=5,
-        prepared=prepared,
     ).selectExpr("id_a", "id_b", "round(jaccard, 6) AS jaccard")
 
 

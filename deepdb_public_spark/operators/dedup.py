@@ -560,7 +560,17 @@ def prepare_jaccard_corpus(
     groups = docs.groupBy("sh").agg(
         F.sort_array(F.collect_list("id")).alias("ids")
     )
-    groups = groups.localCheckpoint() if checkpoint else _persist(groups)
+    # checkpoint pins the tables at whatever partition count the last
+    # AQE-coalesced exchange produced (measured 6 at sf0.1) — every
+    # downstream probe's heavy self-join then runs underparallelized
+    # (12.4s vs 8.2s full recompute on 32 cores). Re-widen to the
+    # cluster's parallelism BEFORE materializing: a one-time shuffle
+    # priced into the recorded build cost, not the probes.
+    if checkpoint:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        groups = groups.repartition(par).localCheckpoint()
+    else:
+        groups = _persist(groups)
     s = groups.select(F.col("ids")[0].alias("id"), "sh")
     # corpus-adaptive strategy choice (two cheap aggregates over the
     # persisted groups): dense vocab -> bitmap encoding; dense vocab
@@ -582,7 +592,13 @@ def prepare_jaccard_corpus(
         )
         bm = _dense_bitmaps(s, vocab, n_words)
         if checkpoint:
-            vocab, bm = vocab.localCheckpoint(), bm.localCheckpoint()
+            # vocab is <= _DENSE_VOCAB_MAX rows (broadcast-sized, fine
+            # at 1 partition); bm is representative-sized and feeds
+            # the per-probe verify join — re-widen like groups above
+            vocab = vocab.localCheckpoint()
+            bm = bm.repartition(
+                df.sparkSession.sparkContext.defaultParallelism
+            ).localCheckpoint()
         prepared.update(
             vocab=vocab, n_words=n_words, bm=bm, n_reps=groups.count()
         )

@@ -202,18 +202,23 @@ def test_unseen_diagnostic_fallback_names_counts(spark):
 
 
 def test_index_build_secs_recorded(spark):
-    """x05's memoized corpus prep must record its one-time build cost
-    in INDEX_BUILD_SECS so bench.py can emit index_build_secs
-    (round-9 review item 2)."""
+    """x35's memoized index build must record its one-time cost in
+    INDEX_BUILD_SECS so bench.py can emit index_build_secs (round-9
+    review item 2). x05 no longer memoizes — its memo was measured
+    as a pessimization and reverted (see _x_jaccard_pairs docstring),
+    so it must NOT write a key."""
     import __spark_entry__ as entry_mod
 
+    entry_mod.INDEX_BUILD_SECS.pop("x35_minhash_index", None)
     entry_mod.INDEX_BUILD_SECS.pop("x05_jaccard_prepare", None)
     eng = entry_mod._engine(spark, SF_SMOKE)
-    if hasattr(eng, "_x05_prepared"):
-        del eng._x05_prepared
-    entry_mod.queries()["x05_jaccard_pairs"](spark, SF_SMOKE).collect()
-    assert entry_mod.INDEX_BUILD_SECS.get("x05_jaccard_prepare", 0) > 0
+    if hasattr(eng, "_x35_index"):
+        del eng._x35_index
+    entry_mod.queries()["x35_dedup_index"](spark, SF_SMOKE).collect()
+    assert entry_mod.INDEX_BUILD_SECS.get("x35_minhash_index", 0) > 0
     # second run reuses the memo: the recorded cost must not change
-    v = entry_mod.INDEX_BUILD_SECS["x05_jaccard_prepare"]
+    v = entry_mod.INDEX_BUILD_SECS["x35_minhash_index"]
+    entry_mod.queries()["x35_dedup_index"](spark, SF_SMOKE).collect()
+    assert entry_mod.INDEX_BUILD_SECS["x35_minhash_index"] == v
     entry_mod.queries()["x05_jaccard_pairs"](spark, SF_SMOKE).collect()
-    assert entry_mod.INDEX_BUILD_SECS["x05_jaccard_prepare"] == v
+    assert "x05_jaccard_prepare" not in entry_mod.INDEX_BUILD_SECS
