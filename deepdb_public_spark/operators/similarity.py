@@ -822,7 +822,13 @@ def kmeans_refine(
     data-sized (the bpe_learn pattern). ``iters`` bounds the loop;
     each iteration is one linear scan of the corpus.
     """
-    vecs = _valid_vectors(df, vec_col).select(
+    # NULL vectors only: unlike the cosine operators' _valid_vectors,
+    # a ZERO vector is a perfectly good point under squared-L2 (it has
+    # no direction, but it has a position) — and the DuckDB oracle
+    # twin filters exactly "embedding IS NOT NULL", so dropping
+    # zero-norm rows here would silently diverge on corpora that
+    # contain them
+    vecs = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     seed_rows = vecs.orderBy("id").limit(int(k)).collect()

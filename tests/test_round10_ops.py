@@ -84,6 +84,26 @@ def test_dsir_anchors_empty_docs(spark):
     assert sum(r["selected"] for r in out.values()) == 2
 
 
+def test_dsir_degenerate_target_sets(spark):
+    """All-target and no-target corpora must not divide by zero or
+    drop rows: with target == raw the per-token log-ratio collapses
+    to exactly 0 for every token (same counts, same totals), and with
+    an EMPTY target the weights are finite (add-one smoothing keeps
+    p_tgt > 0) — negative for every doc in this fixture, whose tokens
+    all repeat enough that the smoothed empty-target LM underprices
+    them."""
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "bb cc"), (3, "cc dd aa")],
+        "id long, text string",
+    )
+    all_tgt = dsir_select(df, "text", "id", F.lit(True), top_k=2).collect()
+    assert all(r["log_weight"] == 0.0 for r in all_tgt)
+    assert sum(r["selected"] for r in all_tgt) == 2
+    no_tgt = dsir_select(df, "text", "id", F.lit(False), top_k=2).collect()
+    assert all(r["log_weight"] < 0 for r in no_tgt)
+    assert sum(r["selected"] for r in no_tgt) == 2
+
+
 def test_dsir_plan_shape(docs):
     """Selection is distributed top-k (TakeOrderedAndProject), the
     winner set joins back via broadcast, and nothing plans a
@@ -161,6 +181,24 @@ def test_kmeans_assignment_plan_has_no_join(emb):
     plan = out._jdf.queryExecution().executedPlan().toString()
     for bad in ("Join", "CartesianProduct", "Exchange"):
         assert bad not in plan, f"{bad} in assignment plan:\n{plan[:2000]}"
+
+
+def test_kmeans_duplicate_seeds_and_empty_cluster(spark):
+    """Duplicate vectors among the seeds produce two IDENTICAL
+    centroids: every point ties between them and the lower index must
+    win (first-min rule), leaving the higher-index cluster empty —
+    which then keeps its previous centroid instead of crashing."""
+    rows = [(i, [float(i % 2), 0.0]) for i in range(10)]  # two point sites
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_refine(df, "embedding", "vec_id", k=4, iters=2).collect()
+    assert len(out) == 10
+    # seeds: ids 0..3 -> vectors [0,0],[1,0],[0,0],[1,0]; clusters 2/3
+    # duplicate 0/1 and must end up empty under the tie rule
+    used = {r["cluster"] for r in out}
+    assert used == {0, 1}
+    for r in out:
+        assert r["cluster"] == (0 if r["id"] % 2 == 0 else 1)
+        assert r["dist"] == 0.0
 
 
 def test_kmeans_needs_k_vectors(spark):
