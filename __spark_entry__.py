@@ -762,6 +762,24 @@ def _x_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_refine(emb, "embedding", "vec_id", k=8, iters=2)
 
 
+def _x_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling (round 10 — the cluster-then-curate
+    loop): kmeans_refine's deterministic clusters + an md5-ordered
+    per-cluster quota of 30, so every learned mode survives the
+    downsample (operators/similarity.py::cluster_balanced_sample).
+    The DuckDB oracle replays the full 2-iteration Lloyd chain (the
+    x54 CTEs) and then the same quota window — cluster AND selected
+    flag are both hash-checked."""
+    from deepdb_public_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    emb = _engine(spark, sf_dir).catalog["embeddings"]
+    return cluster_balanced_sample(
+        emb, "embedding", "vec_id", per_cluster=30, k=8, iters=2
+    )
+
+
 def _x_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram overlap decontamination (round 7 — the 13-gram-rule
     shape, n=8 for the synthetic docs): deterministic split, planted
@@ -3342,6 +3360,87 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
           SELECT vec_id, j, d,
                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
           FROM d2) WHERE rn = 1
+        """,
+    ),
+    "x55_cluster_sample": (
+        _x_cluster_sample,
+        """
+        WITH vecs AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        seeds AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j,
+                 list_transform(v, x -> ROUND(x, 6)) AS c
+          FROM (SELECT * FROM vecs ORDER BY vec_id LIMIT 8)
+        ),
+        d0 AS (
+          SELECT vecs.vec_id, seeds.j,
+                 ROUND(SUM((v[g.i] - c[g.i]) * (v[g.i] - c[g.i])), 6) AS d
+          FROM vecs CROSS JOIN seeds CROSS JOIN generate_series(1, 64) AS g(i)
+          GROUP BY vecs.vec_id, seeds.j
+        ),
+        a0 AS (
+          SELECT vec_id, j AS cluster FROM (
+            SELECT vec_id, j,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+            FROM d0) WHERE rn = 1
+        ),
+        m1 AS (
+          SELECT a0.cluster AS j, g.i, ROUND(AVG(v[g.i]), 6) AS m
+          FROM a0 JOIN vecs USING (vec_id)
+          CROSS JOIN generate_series(1, 64) AS g(i)
+          GROUP BY a0.cluster, g.i
+        ),
+        c1 AS (
+          SELECT s.j, COALESCE(n.c, s.c) AS c
+          FROM seeds s LEFT JOIN
+               (SELECT j, list(m ORDER BY i) AS c FROM m1 GROUP BY j) n
+               USING (j)
+        ),
+        d1 AS (
+          SELECT vecs.vec_id, c1.j,
+                 ROUND(SUM((v[g.i] - c[g.i]) * (v[g.i] - c[g.i])), 6) AS d
+          FROM vecs CROSS JOIN c1 CROSS JOIN generate_series(1, 64) AS g(i)
+          GROUP BY vecs.vec_id, c1.j
+        ),
+        a1 AS (
+          SELECT vec_id, j AS cluster FROM (
+            SELECT vec_id, j,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+            FROM d1) WHERE rn = 1
+        ),
+        m2 AS (
+          SELECT a1.cluster AS j, g.i, ROUND(AVG(v[g.i]), 6) AS m
+          FROM a1 JOIN vecs USING (vec_id)
+          CROSS JOIN generate_series(1, 64) AS g(i)
+          GROUP BY a1.cluster, g.i
+        ),
+        c2 AS (
+          SELECT p.j, COALESCE(n.c, p.c) AS c
+          FROM c1 p LEFT JOIN
+               (SELECT j, list(m ORDER BY i) AS c FROM m2 GROUP BY j) n
+               USING (j)
+        ),
+        d2 AS (
+          SELECT vecs.vec_id, c2.j,
+                 ROUND(SUM((v[g.i] - c[g.i]) * (v[g.i] - c[g.i])), 6) AS d
+          FROM vecs CROSS JOIN c2 CROSS JOIN generate_series(1, 64) AS g(i)
+          GROUP BY vecs.vec_id, c2.j
+        ),
+        a2 AS (
+          SELECT vec_id, j AS cluster FROM (
+            SELECT vec_id, j,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+            FROM d2) WHERE rn = 1
+        )
+        SELECT vec_id AS id, CAST(cluster AS INT) AS cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY cluster
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) <= 30 AS selected
+        FROM a2
         """,
     ),
     "x08_embed_neardup": (

@@ -883,3 +883,43 @@ def kmeans_refine(
     return _assigned().select(
         "id", F.col("cluster").cast("int").alias("cluster"), "dist"
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    per_cluster: int,
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Cluster-then-curate: the diversity-preserving sampling loop of
+    modern data curation (cluster the corpus in embedding space, then
+    take a bounded quota from EVERY cluster so rare modes survive the
+    downsample — the balancing step SemDeDup/DSIR-style pipelines run
+    after dedup). Clusters come from :func:`kmeans_refine`
+    (deterministic, engine-portable); the within-cluster quota is
+    chosen by md5-of-id order — uniform-pseudorandom but fixed across
+    runs, partitionings, and engines (the sampling.stratified_sample
+    rule, applied to LEARNED strata instead of a label column).
+
+    Returns (id, cluster, selected) for EVERY clustered row — the
+    kept set is the ``selected`` rows, and the flag itself is
+    oracle-checkable.
+
+    Scale shape: kmeans_refine's literal-centroid assignment (no join,
+    no shuffle) + ONE window partitioned by cluster — never a global
+    sort; quota selection is per-partition top-k within each cluster.
+    """
+    from pyspark.sql.window import Window
+
+    assigned = kmeans_refine(df, vec_col, id_col, k=k, iters=iters)
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col("id").cast("string")), F.col("id")
+    )
+    return (
+        assigned.withColumn("__rn", F.row_number().over(w))
+        .select(
+            "id", "cluster", (F.col("__rn") <= per_cluster).alias("selected")
+        )
+    )

@@ -201,6 +201,35 @@ def test_kmeans_duplicate_seeds_and_empty_cluster(spark):
         assert r["dist"] == 0.0
 
 
+def test_cluster_balanced_sample_quota_and_determinism(emb):
+    """Every cluster contributes min(per_cluster, |cluster|) selected
+    rows — the balancing guarantee — and the selected SET is stable
+    under repartitioning (md5-of-id order, not partition order)."""
+    from deepdb_public_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    out = cluster_balanced_sample(
+        emb, "embedding", "vec_id", per_cluster=25, k=8, iters=2
+    )
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r["selected"])
+    for c, flags in by_cluster.items():
+        assert sum(flags) == min(25, len(flags)), f"cluster {c} quota"
+    again = {
+        r["id"]
+        for r in cluster_balanced_sample(
+            emb.repartition(9), "embedding", "vec_id", per_cluster=25,
+            k=8, iters=2,
+        ).collect()
+        if r["selected"]
+    }
+    assert again == {r["id"] for r in rows if r["selected"]}
+
+
 def test_kmeans_needs_k_vectors(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"

@@ -167,6 +167,15 @@ def main() -> None:
         "k*dim rows, the bpe_learn-style model-sized collect.",
     )
     add(
+        "x55_cluster_sample",
+        "Cluster-balanced sampling (round 10): kmeans_refine's "
+        "join-free literal-centroid assignment followed by ONE window "
+        "partitioned by the learned cluster (md5-ordered quota) — the "
+        "only exchange is hashpartitioning(cluster), never a global "
+        "sort; quota selection is per-partition top-k within each "
+        "cluster.",
+    )
+    add(
         "x49_bpe_pairs",
         "BPE pair statistic (round 8): one explode to words, one "
         "hashpartitioning(w) exchange collapsing the corpus to its "
