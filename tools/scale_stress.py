@@ -42,6 +42,7 @@ def main() -> None:
     from deepdb_public_spark.operators.filters import repetition_stats
     from deepdb_public_spark.operators.sampling import dsir_select, hash_split
     from deepdb_public_spark.operators.similarity import (
+        cluster_balanced_sample,
         hybrid_rrf_topk,
         kmeans_refine,
     )
@@ -152,6 +153,10 @@ def main() -> None:
         "kmeans_refine (2 Lloyd iters)": lambda d: kmeans_refine(
             d, "embedding", "vec_id", k=8, iters=2
         ).count(),
+        "cluster_balanced_sample (quota window)": lambda d:
+            cluster_balanced_sample(
+                d, "embedding", "vec_id", per_cluster=30, k=8, iters=2
+            ).count(),
     }
 
     # ops over BOTH corpora (doc ids and vec ids replicate with the
