@@ -2595,6 +2595,85 @@ def _x_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared oracle CTE chain for the deterministic 2-iteration Lloyd
+# refinement (x54 final assignment; x55 adds the balanced quota on
+# top). Factored into ONE constant so the two oracles cannot drift
+# (round-10 ADVICE), and dimension-FREE: distances zip the full
+# vectors (list_zip + list_sum, sequential ascending order — matching
+# Spark's F.aggregate fold) and per-dimension means use
+# generate_subscripts/unnest over the actual list, so a fixture dim
+# change is computed correctly instead of silently sliced to 64
+# (round-10 ADVICE low).
+_LLOYD_CTE_2ITER = """
+        WITH vecs AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        seeds AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j,
+                 list_transform(v, x -> ROUND(x, 6)) AS c
+          FROM (SELECT * FROM vecs ORDER BY vec_id LIMIT 8)
+        ),
+        d0 AS (
+          SELECT vecs.vec_id, seeds.j,
+                 ROUND(list_sum(list_transform(list_zip(v, c),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d
+          FROM vecs CROSS JOIN seeds
+        ),
+        a0 AS (
+          SELECT vec_id, j AS cluster FROM (
+            SELECT vec_id, j,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+            FROM d0) WHERE rn = 1
+        ),
+        m1 AS (
+          SELECT j, i, ROUND(AVG(x), 6) AS m FROM (
+            SELECT a0.cluster AS j, generate_subscripts(v, 1) AS i,
+                   unnest(v) AS x
+            FROM a0 JOIN vecs USING (vec_id))
+          GROUP BY j, i
+        ),
+        c1 AS (
+          SELECT s.j, COALESCE(n.c, s.c) AS c
+          FROM seeds s LEFT JOIN
+               (SELECT j, list(m ORDER BY i) AS c FROM m1 GROUP BY j) n
+               USING (j)
+        ),
+        d1 AS (
+          SELECT vecs.vec_id, c1.j,
+                 ROUND(list_sum(list_transform(list_zip(v, c),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d
+          FROM vecs CROSS JOIN c1
+        ),
+        a1 AS (
+          SELECT vec_id, j AS cluster FROM (
+            SELECT vec_id, j,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+            FROM d1) WHERE rn = 1
+        ),
+        m2 AS (
+          SELECT j, i, ROUND(AVG(x), 6) AS m FROM (
+            SELECT a1.cluster AS j, generate_subscripts(v, 1) AS i,
+                   unnest(v) AS x
+            FROM a1 JOIN vecs USING (vec_id))
+          GROUP BY j, i
+        ),
+        c2 AS (
+          SELECT p.j, COALESCE(n.c, p.c) AS c
+          FROM c1 p LEFT JOIN
+               (SELECT j, list(m ORDER BY i) AS c FROM m2 GROUP BY j) n
+               USING (j)
+        ),
+        d2 AS (
+          SELECT vecs.vec_id, c2.j,
+                 ROUND(list_sum(list_transform(list_zip(v, c),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d
+          FROM vecs CROSS JOIN c2
+        )
+"""
+
+
 _PREP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # model-plane entries are hash-checked via the pattern documented
     # at _M01_CASES: exact ground truth from DuckDB + seeded-model
@@ -3291,71 +3370,8 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     ),
     "x54_kmeans_refine": (
         _x_kmeans_refine,
-        """
-        WITH vecs AS (
-          SELECT vec_id,
-                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM embeddings WHERE embedding IS NOT NULL
-        ),
-        seeds AS (
-          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j,
-                 list_transform(v, x -> ROUND(x, 6)) AS c
-          FROM (SELECT * FROM vecs ORDER BY vec_id LIMIT 8)
-        ),
-        d0 AS (
-          SELECT vecs.vec_id, seeds.j,
-                 ROUND(SUM((v[g.i] - c[g.i]) * (v[g.i] - c[g.i])), 6) AS d
-          FROM vecs CROSS JOIN seeds CROSS JOIN generate_series(1, 64) AS g(i)
-          GROUP BY vecs.vec_id, seeds.j
-        ),
-        a0 AS (
-          SELECT vec_id, j AS cluster FROM (
-            SELECT vec_id, j,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
-            FROM d0) WHERE rn = 1
-        ),
-        m1 AS (
-          SELECT a0.cluster AS j, g.i, ROUND(AVG(v[g.i]), 6) AS m
-          FROM a0 JOIN vecs USING (vec_id)
-          CROSS JOIN generate_series(1, 64) AS g(i)
-          GROUP BY a0.cluster, g.i
-        ),
-        c1 AS (
-          SELECT s.j, COALESCE(n.c, s.c) AS c
-          FROM seeds s LEFT JOIN
-               (SELECT j, list(m ORDER BY i) AS c FROM m1 GROUP BY j) n
-               USING (j)
-        ),
-        d1 AS (
-          SELECT vecs.vec_id, c1.j,
-                 ROUND(SUM((v[g.i] - c[g.i]) * (v[g.i] - c[g.i])), 6) AS d
-          FROM vecs CROSS JOIN c1 CROSS JOIN generate_series(1, 64) AS g(i)
-          GROUP BY vecs.vec_id, c1.j
-        ),
-        a1 AS (
-          SELECT vec_id, j AS cluster FROM (
-            SELECT vec_id, j,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
-            FROM d1) WHERE rn = 1
-        ),
-        m2 AS (
-          SELECT a1.cluster AS j, g.i, ROUND(AVG(v[g.i]), 6) AS m
-          FROM a1 JOIN vecs USING (vec_id)
-          CROSS JOIN generate_series(1, 64) AS g(i)
-          GROUP BY a1.cluster, g.i
-        ),
-        c2 AS (
-          SELECT p.j, COALESCE(n.c, p.c) AS c
-          FROM c1 p LEFT JOIN
-               (SELECT j, list(m ORDER BY i) AS c FROM m2 GROUP BY j) n
-               USING (j)
-        ),
-        d2 AS (
-          SELECT vecs.vec_id, c2.j,
-                 ROUND(SUM((v[g.i] - c[g.i]) * (v[g.i] - c[g.i])), 6) AS d
-          FROM vecs CROSS JOIN c2 CROSS JOIN generate_series(1, 64) AS g(i)
-          GROUP BY vecs.vec_id, c2.j
-        )
+        _LLOYD_CTE_2ITER
+        + """
         SELECT vec_id AS id, CAST(j AS INT) AS cluster, d AS dist FROM (
           SELECT vec_id, j, d,
                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
@@ -3364,72 +3380,9 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     ),
     "x55_cluster_sample": (
         _x_cluster_sample,
-        """
-        WITH vecs AS (
-          SELECT vec_id,
-                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM embeddings WHERE embedding IS NOT NULL
-        ),
-        seeds AS (
-          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j,
-                 list_transform(v, x -> ROUND(x, 6)) AS c
-          FROM (SELECT * FROM vecs ORDER BY vec_id LIMIT 8)
-        ),
-        d0 AS (
-          SELECT vecs.vec_id, seeds.j,
-                 ROUND(SUM((v[g.i] - c[g.i]) * (v[g.i] - c[g.i])), 6) AS d
-          FROM vecs CROSS JOIN seeds CROSS JOIN generate_series(1, 64) AS g(i)
-          GROUP BY vecs.vec_id, seeds.j
-        ),
-        a0 AS (
-          SELECT vec_id, j AS cluster FROM (
-            SELECT vec_id, j,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
-            FROM d0) WHERE rn = 1
-        ),
-        m1 AS (
-          SELECT a0.cluster AS j, g.i, ROUND(AVG(v[g.i]), 6) AS m
-          FROM a0 JOIN vecs USING (vec_id)
-          CROSS JOIN generate_series(1, 64) AS g(i)
-          GROUP BY a0.cluster, g.i
-        ),
-        c1 AS (
-          SELECT s.j, COALESCE(n.c, s.c) AS c
-          FROM seeds s LEFT JOIN
-               (SELECT j, list(m ORDER BY i) AS c FROM m1 GROUP BY j) n
-               USING (j)
-        ),
-        d1 AS (
-          SELECT vecs.vec_id, c1.j,
-                 ROUND(SUM((v[g.i] - c[g.i]) * (v[g.i] - c[g.i])), 6) AS d
-          FROM vecs CROSS JOIN c1 CROSS JOIN generate_series(1, 64) AS g(i)
-          GROUP BY vecs.vec_id, c1.j
-        ),
-        a1 AS (
-          SELECT vec_id, j AS cluster FROM (
-            SELECT vec_id, j,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
-            FROM d1) WHERE rn = 1
-        ),
-        m2 AS (
-          SELECT a1.cluster AS j, g.i, ROUND(AVG(v[g.i]), 6) AS m
-          FROM a1 JOIN vecs USING (vec_id)
-          CROSS JOIN generate_series(1, 64) AS g(i)
-          GROUP BY a1.cluster, g.i
-        ),
-        c2 AS (
-          SELECT p.j, COALESCE(n.c, p.c) AS c
-          FROM c1 p LEFT JOIN
-               (SELECT j, list(m ORDER BY i) AS c FROM m2 GROUP BY j) n
-               USING (j)
-        ),
-        d2 AS (
-          SELECT vecs.vec_id, c2.j,
-                 ROUND(SUM((v[g.i] - c[g.i]) * (v[g.i] - c[g.i])), 6) AS d
-          FROM vecs CROSS JOIN c2 CROSS JOIN generate_series(1, 64) AS g(i)
-          GROUP BY vecs.vec_id, c2.j
-        ),
-        a2 AS (
+        _LLOYD_CTE_2ITER
+        + """
+        , a2 AS (
           SELECT vec_id, j AS cluster FROM (
             SELECT vec_id, j,
                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn

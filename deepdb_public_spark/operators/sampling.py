@@ -166,6 +166,7 @@ def dsir_select(
     target: Column,
     top_k: int,
     smoothing: float = 1.0,
+    salt: int = 0,
 ) -> DataFrame:
     """DSIR-style data selection via importance resampling (Xie et
     al. 2023, "Data Selection for Language Models via Importance
@@ -187,26 +188,54 @@ def dsir_select(
     (empty-text docs surface as n_tokens = 0, log_weight NULL,
     selected false — never silently dropped).
 
-    Scale shape: explode -> token-keyed aggregate (vocabulary-sized,
-    map-side combined) -> token-keyed join back -> id-keyed aggregate:
-    two linear shuffles on near-uniform keys, zero Python. Selection
-    is orderBy+limit — Spark's TakeOrderedAndProject keeps per-
-    partition top-k heaps and never globally sorts, and the k-row
-    winner set broadcasts back onto the scored table. log_weight is
+    Scale shape: explode -> (doc, token) map-side collapse -> token-
+    keyed model aggregate -> token-keyed join back -> id-keyed
+    aggregate. The collapse to ``(id, t, cnt)`` happens in the
+    partial aggregate BEFORE the model join, so the join's document
+    side carries at most ONE row per (doc, token) — a billion
+    occurrences of "the" inside one document shuffle as one row, the
+    same structural hot-key elimination as
+    :func:`~deepdb_public_spark.operators.textstats.repeated_span_coverage`.
+    Residual cross-DOC hot tokens (every document contains "the"
+    once) still concentrate a join key; AQE's skew rule cannot split
+    it (both sides arrive from their own aggregates, not bare shuffle
+    stages), so ``salt > 0`` spreads each token over ``salt``
+    sub-keys — the doc side salts by hash(doc id), the model side
+    replicates each token ``salt`` times (vocab x salt rows, cheap
+    because vocab << corpus). Default 0 keeps the un-salted two-
+    shuffle plan. Selection is orderBy+limit — Spark's
+    TakeOrderedAndProject keeps per-partition top-k heaps and never
+    globally sorts, and the k-row winner set broadcasts back onto the
+    scored table. The scored ``per_doc`` subtree is consumed twice
+    (winner selection + final left join); Catalyst's ReuseExchange
+    dedupes the underlying shuffles, so the double traversal costs
+    one extra reduce stage, not a recompute — callers that disable
+    exchange reuse should persist the subtree instead. log_weight is
     rounded to 6 decimals BEFORE ranking so the selection order is
     engine-portable (ties break on the id).
     """
     from deepdb_public_spark.functions.text import word_tokens
 
+    if salt < 0:
+        raise ValueError(f"salt must be >= 0 (got {salt})")
     s = float(smoothing)
     toks = df.select(
         F.col(id_col),
         target.alias("__tgt"),
         F.explode(word_tokens(F.lower(F.col(text_col)))).alias("t"),
     )
-    model = toks.groupBy("t").agg(
-        F.count(F.lit(1)).alias("cnt_raw"),
-        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("cnt_tgt"),
+    # (doc, token) collapse BEFORE any join: the partial aggregate
+    # runs map-side, so intra-doc token repeats never shuffle as more
+    # than one row per (doc, token). __tgt is constant per doc, so
+    # grouping on it too costs nothing and keeps it available.
+    toks_c = toks.groupBy(id_col, "__tgt", "t").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    model = toks_c.groupBy("t").agg(
+        F.sum("cnt").alias("cnt_raw"),
+        F.sum(F.when(F.col("__tgt"), F.col("cnt")).otherwise(0)).alias(
+            "cnt_tgt"
+        ),
     )
     totals = model.agg(
         F.sum("cnt_raw").cast("double").alias("__t_raw"),
@@ -217,13 +246,25 @@ def dsir_select(
     lr = F.log((F.col("cnt_tgt") + F.lit(s)) / (F.col("__t_tgt") + denom)) - F.log(
         (F.col("cnt_raw") + F.lit(s)) / (F.col("__t_raw") + denom)
     )
+    if salt > 0:
+        dg = toks_c.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)).cast("int")
+        )
+        model_s = model.select(
+            "t",
+            "cnt_raw",
+            "cnt_tgt",
+            F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt"),
+        )
+        scored = dg.join(model_s, ["t", "__salt"])
+    else:
+        scored = toks_c.join(model, "t")
     per_doc = (
-        toks.join(model, "t")
-        .crossJoin(F.broadcast(totals))
+        scored.crossJoin(F.broadcast(totals))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.sum(lr), 6).alias("log_weight"),
+            F.sum("cnt").alias("n_tokens"),
+            F.round(F.sum(F.col("cnt") * lr), 6).alias("log_weight"),
         )
     )
     winners = (

@@ -892,6 +892,7 @@ def cluster_balanced_sample(
     per_cluster: int,
     k: int = 8,
     iters: int = 2,
+    salt: int = 16,
 ) -> DataFrame:
     """Cluster-then-curate: the diversity-preserving sampling loop of
     modern data curation (cluster the corpus in embedding space, then
@@ -908,15 +909,50 @@ def cluster_balanced_sample(
     oracle-checkable.
 
     Scale shape: kmeans_refine's literal-centroid assignment (no join,
-    no shuffle) + ONE window partitioned by cluster — never a global
-    sort; quota selection is per-partition top-k within each cluster.
+    no shuffle) + a TWO-PHASE quota. A single window partitioned by
+    ``cluster`` would shuffle the whole corpus into at most k tasks
+    and fully sort each cluster in one reducer — a straggler/OOM
+    shape at scale (k is small by construction). Instead phase 1
+    windows over ``(cluster, hash(id) % salt)`` — k*salt balanced
+    partitions, each keeping its local top-``per_cluster`` by the md5
+    order — and phase 2 merges the bounded survivors (at most
+    k*salt*per_cluster rows) with the per-cluster window. The global
+    top-N of each cluster under a fixed total order is contained in
+    the union of per-salt top-Ns, so the selected set is IDENTICAL to
+    the single-window plan; the winner set (k*per_cluster rows) is
+    broadcast back onto the assignment. ``salt=0`` keeps the
+    single-window plan for small inputs.
     """
     from pyspark.sql.window import Window
 
+    if salt < 0:
+        raise ValueError(f"salt must be >= 0 (got {salt})")
     assigned = kmeans_refine(df, vec_col, id_col, k=k, iters=iters)
-    w = Window.partitionBy("cluster").orderBy(
-        F.md5(F.col("id").cast("string")), F.col("id")
-    )
+    order = [F.md5(F.col("id").cast("string")), F.col("id")]
+    if salt > 0:
+        w1 = Window.partitionBy(
+            "cluster", F.pmod(F.xxhash64(F.col("id")), F.lit(salt))
+        ).orderBy(*order)
+        cands = (
+            assigned.select("id", "cluster")
+            .withColumn("__rn1", F.row_number().over(w1))
+            .filter(F.col("__rn1") <= per_cluster)
+        )
+        w2 = Window.partitionBy("cluster").orderBy(*order)
+        winners = (
+            cands.withColumn("__rn", F.row_number().over(w2))
+            .filter(F.col("__rn") <= per_cluster)
+            .select("id", F.lit(True).alias("__sel"))
+        )
+        return (
+            assigned.join(F.broadcast(winners), "id", "left")
+            .select(
+                "id",
+                "cluster",
+                F.coalesce("__sel", F.lit(False)).alias("selected"),
+            )
+        )
+    w = Window.partitionBy("cluster").orderBy(*order)
     return (
         assigned.withColumn("__rn", F.row_number().over(w))
         .select(
