@@ -53,13 +53,29 @@ FEATURE_SCHEMA = StructType(
 
 
 def fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
-    """Deterministic stand-in for a codec: hash-seeded pseudo-features.
-    Replace with PIL/torchaudio/ffmpeg frame sampling in production —
-    raise until then so misuse is loud."""
+    """Deterministic stand-in for a codec: md5-derived pseudo-features.
+    Feature i is the i-th 16-bit big-endian slice of md5(payload),
+    scaled to [0, 1] and rounded to 6 decimals — ENGINE-PORTABLE, so
+    a SQL oracle reproduces the whole bytes -> features -> stats
+    pipeline bit-for-bit (the x07/x23 md5 determinism trick; round 10
+    used an RNG seed here, which DuckDB could not replay). dim > 8
+    cycles the hash with a counter suffix. Replace with
+    PIL/torchaudio/ffmpeg frame sampling in production — raise until
+    then so misuse is loud."""
     if payload is None:
         raise NotImplementedError("real media decode requires codec libs")
-    seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little") % (2**32)
-    return np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
+    import hashlib
+
+    hexes = ""
+    block = 0
+    while len(hexes) < dim * 4:
+        suffix = b"" if block == 0 else b"#%d" % block
+        hexes += hashlib.md5(payload + suffix).hexdigest()
+        block += 1
+    return np.array(
+        [round(int(hexes[4 * i : 4 * i + 4], 16) / 65535.0, 6) for i in range(dim)],
+        dtype=np.float32,
+    )
 
 
 def extract_features(
@@ -72,11 +88,20 @@ def extract_features(
     if decode_fn is None:
         # closure-local default: a module-level function would pickle
         # by reference and require the package on the worker's path
+        # (same md5-derived portable features as fake_decode)
         def decode_fn(payload: bytes, dim: int = 8) -> np.ndarray:
             if payload is None:
                 raise NotImplementedError("real media decode requires codec libs")
-            seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little") % (2**32)
-            return np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
+            import hashlib
+
+            hexes = hashlib.md5(payload).hexdigest()
+            return np.array(
+                [
+                    round(int(hexes[4 * i : 4 * i + 4], 16) / 65535.0, 6)
+                    for i in range(dim)
+                ],
+                dtype=np.float32,
+            )
 
     fn = decode_fn
 

@@ -133,26 +133,39 @@ def test_parked_entries_keep_oracle_coverage():
     import __spark_entry__ as entry_mod
 
     # x07 flipped to oracle-green in round 10 (portable md5-derived
-    # token hash); x17 stays rows-only (no media codecs in container)
-    ROWS_ONLY_BY_DESIGN = {"x17_media_features"}
+    # token hash); x17 flipped in round 11 (md5-derived stand-in
+    # features over real document payloads) — the registry is now
+    # 122/122 oracle-checkable, so no rows-only exceptions remain
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     for name in entry_mod._PRIORITY_TAIL:
         assert name in qs, f"parked entry {name} missing from queries()"
-        if name not in ROWS_ONLY_BY_DESIGN:
-            assert name in oracles, f"parked entry {name} lost its oracle"
+        assert name in oracles, f"parked entry {name} lost its oracle"
 
 
 def test_model_plane_inside_driver_window():
-    """All m-plane entries except the documented overflow (m18, whose
-    capability m04/m06/m19/m20 cover in-window) must sit inside the
-    driver's 50-entry record window."""
+    """EVERY m-plane entry must sit inside the driver's 50-entry
+    record window (round-11 fix: m18 was the one overflow since it
+    landed; the rotation rule is to park a decorative q-entry instead,
+    never a model-plane entry)."""
     import __spark_entry__ as entry_mod
 
     window = list(entry_mod.queries())[:50]
     m_entries = [n for n in entry_mod.queries() if n.startswith("m")]
     out = [n for n in m_entries if n not in window]
-    assert out == ["m18_factorized_aqp"], out
+    assert out == [], out
+
+
+def test_every_entry_has_oracle():
+    """Round 11: the full registry is oracle-checkable — every
+    queries() entry has an oracle_sql() twin (x17 was the last
+    rows-only entry; its stand-in decoder is now md5-derived and
+    engine-portable)."""
+    import __spark_entry__ as entry_mod
+
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    missing = [n for n in qs if n not in oracles]
+    assert missing == [], missing
 
 
 def test_label_propagation_rounds_bounded(spark):
