@@ -397,7 +397,26 @@ def _x_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     its memo because its probe joins a SMALL new batch against the
     index. prepare_jaccard_corpus remains the supported reuse API for
     genuine threshold sweeps (tests/test_round10_fixes.py pins the
-    equivalence)."""
+    equivalence).
+
+    Round-11 floor measurement (sf0.1, 32 cores, min over reps in
+    quiet windows): prepare ~3.3s warm (5M char-gram hashes + groups
+    + bitmaps), candidate generation ~1.3s (20.1M raw prefix-join
+    rows), candidate distinct ~2.9s (20.1M -> 3.6M), broadcast bitmap
+    verify the balance; whole entry 5-9s depending on hypervisor
+    contention. Three shave attempts each measured WITHIN NOISE of
+    baseline and were not adopted: (a) frequency-ordered prefixes
+    (10.45s min — the 2041-token vocabulary is so dense that rare-
+    first ordering cannot shrink the inverted lists), (b) raising
+    _DENSE_ALLPAIRS_MAX to 8192 to skip candidate generation (9.10s
+    min — 12.4M size-filtered all-pairs popcounts cost what the
+    20M-row prefix path costs), (c) verifying raw candidates map-side
+    and deduping the 256 survivors instead of the 20M-row distinct
+    (5.6-5.9s vs 5.0-6.2s baseline, a wash: the broadcast verify is
+    already map-side, so the distinct shuffle and the extra 16.5M
+    popcounts price out even). The floor is prepare+verify-bound on
+    this corpus; further cuts need a cheaper shingle pass, not a
+    better join."""
     from deepdb_public_spark.operators.dedup import jaccard_pairs_exact
 
     docs = _engine(spark, sf_dir).catalog["documents"]

@@ -107,7 +107,7 @@ def main() -> None:
         "bpe_learn x3 (iterative merges)": lambda d: bpe_learn(
             d, "text", n_merges=3
         )[1].count(),
-        "dsir_select (2 shuffles + top-k)": lambda d: dsir_select(
+        "dsir_select (collapsed token join + top-k)": lambda d: dsir_select(
             d, "text", "doc_id", F.col("lang") == "en", top_k=100
         ).count(),
     }
@@ -153,7 +153,7 @@ def main() -> None:
         "kmeans_refine (2 Lloyd iters)": lambda d: kmeans_refine(
             d, "embedding", "vec_id", k=8, iters=2
         ).count(),
-        "cluster_balanced_sample (quota window)": lambda d:
+        "cluster_balanced_sample (two-phase quota)": lambda d:
             cluster_balanced_sample(
                 d, "embedding", "vec_id", per_cluster=30, k=8, iters=2
             ).count(),
