@@ -1006,6 +1006,20 @@ def _x_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs, "text", "doc_id")
 
 
+def _x_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity filter (round 11): mean log p(t_i|t_{i-1})
+    + perplexity per doc under the corpus-trained add-one bigram
+    model. The Spark plan zips each token array against its own tail
+    (pure projection, no positional self-join) and collapses to
+    (doc, bigram, cnt) map-side before the model joins; the DuckDB
+    twin rebuilds the same bigrams with a positional self-join —
+    different plans, identical counts, hash-identical scores."""
+    from deepdb_public_spark.operators.filters import bigram_logprob
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    return bigram_logprob(docs, "text", "doc_id")
+
+
 def _x_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality audit (word count / mean word length /
     symbol ratio / alphabetic fraction / stopword presence) — pure
@@ -3907,6 +3921,37 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
                  AS mean_logprob
         FROM toks LEFT JOIN model USING (t) CROSS JOIN tot
         GROUP BY doc_id
+        """,
+    ),
+    "x56_bigram_logprob": (
+        _x_bigram_logprob,
+        """
+        WITH toks AS (
+          SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS t
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS l
+                FROM documents)
+        ),
+        bg AS (
+          SELECT t1.doc_id, t1.t AS a, t2.t AS b, COUNT(*) AS cnt
+          FROM toks t1
+          JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+          GROUP BY t1.doc_id, t1.t, t2.t
+        ),
+        mab AS (SELECT a, b, SUM(cnt) AS c_ab FROM bg GROUP BY a, b),
+        ma AS (SELECT a, SUM(cnt) AS c_a FROM bg GROUP BY a),
+        voc AS (SELECT COUNT(DISTINCT t) AS v FROM toks),
+        perdoc AS (
+          SELECT bg.doc_id, SUM(cnt) AS n_bigrams,
+                 ROUND(SUM(cnt * ln((c_ab + 1.0) / (c_a + 1.0 * (v + 1))))
+                       / SUM(cnt), 6) AS mean_logprob
+          FROM bg JOIN mab USING (a, b) JOIN ma USING (a) CROSS JOIN voc
+          GROUP BY bg.doc_id
+        )
+        SELECT d.doc_id, CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               p.mean_logprob, ROUND(EXP(-p.mean_logprob), 6) AS ppl
+        FROM documents d LEFT JOIN perdoc p USING (doc_id)
         """,
     ),
     "x34_stratified_sample": (

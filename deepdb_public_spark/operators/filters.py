@@ -208,27 +208,34 @@ def unigram_logprob(
     Add-one smoothing over the vocabulary: p(t) = (cnt + s) /
     (total + s·(V+1)); unseen tokens get p = s / (total + s·(V+1)).
 
-    Scale shape: the model is a vocabulary-sized aggregate; scoring is
-    explode -> broadcast-or-shuffle join on token -> groupBy(id) mean.
-    Two shuffles on near-uniform keys, zero Python.
+    Scale shape: the model is a vocabulary-sized aggregate; scoring
+    collapses the token explode to (id, token, cnt) in a MAP-SIDE
+    partial aggregate BEFORE the model join (round 11 — the dsir_select
+    rule: a billion occurrences of "the" in one document shuffle as
+    one row, and the join's document side is bounded by per-doc
+    vocabulary, not length), then computes the occurrence-weighted
+    mean SUM(cnt*lp)/SUM(cnt) — identical math to the per-occurrence
+    AVG. Two linear shuffles, zero Python.
     """
     toks = df.select(
         F.col(id_col), F.explode(word_tokens(F.lower(F.col(text_col)))).alias("t")
     )
+    toks_c = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("__n"))
     model_src = (
         model_df.select(F.col("token").alias("t"), F.col("cnt"))
         if model_df is not None
-        else toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+        else toks_c.groupBy("t").agg(F.sum("__n").alias("cnt"))
     )
     # totals as a 1-row broadcast (crossJoin of a single aggregate row)
     totals = model_src.agg(
         F.sum("cnt").alias("__total"), F.count(F.lit(1)).alias("__vocab")
     )
     scored = (
-        toks.join(model_src, "t", "left")
+        toks_c.join(model_src, "t", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             F.col(id_col),
+            F.col("__n"),
             F.log(
                 (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(smoothing))
                 / (F.col("__total") + F.lit(smoothing) * (F.col("__vocab") + 1))
@@ -236,8 +243,10 @@ def unigram_logprob(
         )
     )
     per_doc = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+        F.sum("__n").alias("n_tokens"),
+        F.round(F.sum(F.col("__n") * F.col("lp")) / F.sum("__n"), 6).alias(
+            "mean_logprob"
+        ),
     )
     # anchor on the full id universe (like repetition_stats): empty/
     # NULL-text docs produce no token rows and silently VANISHED from
@@ -247,6 +256,97 @@ def unigram_logprob(
         df.select(F.col(id_col))
         .join(per_doc, id_col, "left")
         .fillna({"n_tokens": 0})
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    smoothing: float = 1.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Bigram-LM quality score — the CCNet/Wikipedia-LM perplexity
+    filter one order up from :func:`unigram_logprob`: mean
+    log p(t_i | t_{i-1}) per document under a corpus-trained add-k
+    bigram model, plus the perplexity exp(-mean). Output
+    (id, n_bigrams, mean_logprob, ppl) for EVERY input row; docs with
+    fewer than 2 tokens surface as n_bigrams = 0, NULL scores.
+
+    p(b|a) = (c(a,b) + s) / (c(a) + s·(V+1)) where c(a,b)/c(a) are
+    corpus bigram/context counts and V the corpus unigram vocabulary —
+    the same smoothing family as unigram_logprob, so scores are
+    comparable across the two filters.
+
+    Scale shape: bigrams come from zipping the token array against its
+    own tail — a pure projection, NO positional self-join; the stream
+    collapses map-side to (id, a, b, cnt) BEFORE any join (the
+    dsir_select/x52 rule), the bigram and context models are
+    vocabulary-bounded aggregates, and the per-doc score is the
+    weighted mean SUM(cnt·lp)/SUM(cnt). ``salt > 0`` spreads residual
+    cross-doc hot contexts ("the …") over salt sub-keys exactly as in
+    dsir_select: the doc side salts by hash(id), the model sides
+    replicate ``salt`` times. mean_logprob is rounded to 6 decimals
+    at the engine boundary; ppl = ROUND(exp(-mean_logprob), 6) is
+    computed FROM the rounded mean so both engines exponentiate the
+    same double."""
+    if salt < 0:
+        raise ValueError(f"salt must be >= 0 (got {salt})")
+    tk = word_tokens(F.lower(F.col(text_col)))
+    n = F.size(tk)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(tk, 1, n - 1),
+            F.slice(tk, 2, n - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    bg = df.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        F.col(id_col), F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+    # (doc, bigram) collapse in the map-side partial aggregate
+    bg_c = bg.groupBy(id_col, "a", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    m_ab = bg_c.groupBy("a", "b").agg(F.sum("cnt").alias("c_ab"))
+    m_a = bg_c.groupBy("a").agg(F.sum("cnt").alias("c_a"))
+    vocab = (
+        df.select(F.explode(tk).alias("t"))
+        .agg(F.count_distinct("t").alias("__v"))
+    )
+    if salt > 0:
+        bg_s = bg_c.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)).cast("int")
+        )
+        reps = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt")
+        scored = bg_s.join(
+            m_ab.select("a", "b", "c_ab", reps), ["a", "b", "__salt"]
+        ).join(m_a.select("a", "c_a", reps), ["a", "__salt"])
+    else:
+        scored = bg_c.join(m_ab, ["a", "b"]).join(m_a, "a")
+    s = float(smoothing)
+    lp = F.log(
+        (F.col("c_ab") + F.lit(s))
+        / (F.col("c_a") + F.lit(s) * (F.col("__v") + 1))
+    )
+    per_doc = (
+        scored.crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.round(F.sum(F.col("cnt") * lp) / F.sum("cnt"), 6).alias(
+                "mean_logprob"
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.col("mean_logprob"),
+            F.round(F.exp(-F.col("mean_logprob")), 6).alias("ppl"),
+        )
     )
 
 

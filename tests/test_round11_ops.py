@@ -142,3 +142,82 @@ def test_cluster_sample_rejects_negative_salt(emb):
         cluster_balanced_sample(
             emb, "embedding", "vec_id", per_cluster=5, salt=-2
         )
+
+
+# ------------------------------------------------------ bigram LM (x56)
+
+
+def test_bigram_logprob_semantics(spark):
+    """Hand-checkable corpus: p(b|a) add-one smoothed over the corpus
+    bigram/context counts; short docs anchor with n_bigrams=0."""
+    import math
+
+    from deepdb_public_spark.operators.filters import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "solo"), (4, None)],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in bigram_logprob(df, "text", "id").collect()}
+    assert len(rows) == 4
+    # corpus bigrams: doc1 {ab:2, ba:1}, doc2 {ab:1} -> c(ab)=3, c(ba)=1
+    # contexts: c(a)=3, c(b)=1; V = distinct unigrams = {a,b,solo} = 3
+    p_ab = (3 + 1) / (3 + 1 * (3 + 1))
+    p_ba = (1 + 1) / (1 + 1 * (3 + 1))
+    d1 = (2 * math.log(p_ab) + 1 * math.log(p_ba)) / 3
+    assert rows[1]["n_bigrams"] == 3
+    assert rows[1]["mean_logprob"] == round(d1, 6)
+    assert rows[2]["n_bigrams"] == 1
+    assert rows[2]["mean_logprob"] == round(math.log(p_ab), 6)
+    for i in (3, 4):  # one-token and NULL docs anchor, never vanish
+        assert rows[i]["n_bigrams"] == 0
+        assert rows[i]["mean_logprob"] is None and rows[i]["ppl"] is None
+    assert rows[1]["ppl"] == round(math.exp(-rows[1]["mean_logprob"]), 6)
+
+
+def test_bigram_logprob_plan_and_salt(spark, skew_docs):
+    """The model joins are fed by the (doc, a, b) map-side collapse —
+    no positional self-join, no cartesian — and salt>0 yields
+    identical scores with a salted join key."""
+    from deepdb_public_spark.operators.filters import bigram_logprob
+
+    base = bigram_logprob(skew_docs, "text", "doc_id")
+    plan = base._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert re.search(r"HashAggregate\(keys=\[doc_id#\d+L?, a#\d+, b#", plan), (
+        plan[:3000]
+    )
+    rows = {r["doc_id"]: (r["n_bigrams"], r["mean_logprob"], r["ppl"])
+            for r in base.collect()}
+    salted = bigram_logprob(skew_docs, "text", "doc_id", salt=4)
+    srows = {r["doc_id"]: (r["n_bigrams"], r["mean_logprob"], r["ppl"])
+             for r in salted.collect()}
+    assert srows == rows
+    with pytest.raises(ValueError, match="salt"):
+        bigram_logprob(skew_docs, "text", "doc_id", salt=-1)
+
+
+def test_bigram_logprob_deterministic_under_repartition(spark, skew_docs):
+    from deepdb_public_spark.operators.filters import bigram_logprob
+
+    a = {r["doc_id"]: r["mean_logprob"]
+         for r in bigram_logprob(skew_docs, "text", "doc_id").collect()}
+    b = {r["doc_id"]: r["mean_logprob"]
+         for r in bigram_logprob(
+             skew_docs.repartition(13), "text", "doc_id").collect()}
+    assert a == b
+
+
+def test_unigram_logprob_collapse_plan(spark, skew_docs):
+    """Round 11: unigram_logprob's model join is aggregate-fed too
+    (same fix as dsir_select) — one row per (doc, token)."""
+    from deepdb_public_spark.operators.filters import unigram_logprob
+
+    out = unigram_logprob(skew_docs, "text", "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"HashAggregate\(keys=\[doc_id#\d+L?, t#", plan), (
+        plan[:3000]
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # the planted 2000-occurrence run still counts per-OCCURRENCE
+    assert rows[0]["n_tokens"] >= 2000
