@@ -1020,6 +1020,31 @@ def _x_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(docs, "text", "doc_id")
 
 
+def _x_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline (round 11): quality predicate ->
+    exact-dedup keep-first -> per-lang balanced quota, one verdict row
+    per document with the FIRST failing stage named. The quality
+    predicate is the Gopher rule subset that fits a multilingual
+    corpus (word count, mean word length, symbol ratio, alpha
+    fraction — the stopword rule is English-only and stays off here,
+    exactly how production pipelines configure per-corpus rules). The
+    whole three-stage decision is replayed by one DuckDB CTE chain."""
+    from deepdb_public_spark.operators.curation import curate_corpus
+    from deepdb_public_spark.operators.filters import _gopher_exprs
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    flags, _keep, _n, _m = _gopher_exprs("text")
+    quality = (
+        flags["word_count_ok"]
+        & flags["mean_word_len_ok"]
+        & flags["symbol_ratio_ok"]
+        & flags["alpha_fraction_ok"]
+    )
+    return curate_corpus(
+        docs, "text", "doc_id", "lang", per_stratum=40, quality=quality
+    )
+
+
 def _x_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality audit (word count / mean word length /
     symbol ratio / alphabetic fraction / stopword presence) — pure
@@ -2736,6 +2761,32 @@ _LLOYD_CTE_2ITER = """
 """
 
 
+# Shared oracle CTE for the Gopher word-level metrics (t: tokenized
+# docs carrying lang+text; s: per-doc metrics) — factored so the x30
+# audit oracle and the x57 curation oracle cannot drift (the x54/x55
+# Lloyd-constant rule).
+_GOPHER_S_CTE = """
+        WITH t AS (
+          SELECT doc_id, lang, text,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+          FROM documents
+        ), s AS (
+          SELECT doc_id, lang, text,
+                 len(w) AS n_words,
+                 CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                   / greatest(len(w), 1) AS mwl,
+                 CAST((length(text) - length(replace(text, '#', '')))
+                      + ((length(text) - length(replace(text, '...', ''))) // 3) AS DOUBLE)
+                   / greatest(len(w), 1) AS symr,
+                 CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                   / greatest(len(w), 1) AS alphaf,
+                 len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
+                     ['the','be','to','of','and','that','have','with'])) AS nstop
+          FROM t
+        )
+"""
+
+
 _PREP_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # model-plane entries are hash-checked via the pattern documented
     # at _M01_CASES: exact ground truth from DuckDB + seeded-model
@@ -3536,25 +3587,8 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     ),
     "x30_gopher_flags": (
         _x_gopher_flags,
-        """
-        WITH t AS (
-          SELECT doc_id, text,
-                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
-          FROM documents
-        ), s AS (
-          SELECT doc_id,
-                 len(w) AS n_words,
-                 CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
-                   / greatest(len(w), 1) AS mwl,
-                 CAST((length(text) - length(replace(text, '#', '')))
-                      + ((length(text) - length(replace(text, '...', ''))) // 3) AS DOUBLE)
-                   / greatest(len(w), 1) AS symr,
-                 CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-                   / greatest(len(w), 1) AS alphaf,
-                 len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
-                     ['the','be','to','of','and','that','have','with'])) AS nstop
-          FROM t
-        )
+        _GOPHER_S_CTE
+        + """
         SELECT doc_id,
                CAST(n_words AS BIGINT) AS n_words,
                ROUND(mwl, 6) AS mean_word_len,
@@ -3566,6 +3600,40 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
                (n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
                 AND symr <= 0.1 AND alphaf >= 0.8 AND nstop >= 2) AS keep
         FROM s
+        """,
+    ),
+    "x57_curate_corpus": (
+        _x_curate,
+        _GOPHER_S_CTE
+        + """
+        , q AS (
+          SELECT doc_id, lang, md5(lower(text)) AS fp,
+                 (n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0
+                  AND mwl <= 10.0 AND symr <= 0.1 AND alphaf >= 0.8) AS ok
+          FROM s
+        ),
+        d AS (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rnd
+          FROM q WHERE ok
+        ),
+        wq AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnq
+          FROM d WHERE rnd = 1
+        )
+        SELECT q.doc_id, q.lang AS stratum,
+               CASE WHEN NOT q.ok THEN 'quality'
+                    WHEN d.rnd > 1 THEN 'duplicate'
+                    WHEN wq.rnq IS NULL OR wq.rnq > 40 THEN 'quota'
+                    ELSE 'kept' END AS stage,
+               (q.ok AND COALESCE(d.rnd, 0) = 1
+                AND COALESCE(wq.rnq, 9223372036854775807) <= 40) AS kept
+        FROM q
+        LEFT JOIN d USING (doc_id)
+        LEFT JOIN wq USING (doc_id)
         """,
     ),
     "x31_repetition_stats": (

@@ -221,3 +221,77 @@ def test_unigram_logprob_collapse_plan(spark, skew_docs):
     rows = {r["doc_id"]: r for r in out.collect()}
     # the planted 2000-occurrence run still counts per-OCCURRENCE
     assert rows[0]["n_tokens"] >= 2000
+
+
+# ------------------------------------------------- curation pipeline (x57)
+
+
+@pytest.fixture(scope="module")
+def curate_docs(spark):
+    """60 docs in 2 strata with planted failures for every stage:
+    ids 0-4 fail quality (short), ids 10/11 duplicate id 12's text
+    (case-insensitively), the rest compete for a per-stratum quota."""
+    return spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("en")).otherwise(F.lit("de"))
+            .alias("lang"),
+        F.when(F.col("id") < 5, F.lit("tiny"))
+        .when(F.col("id") == 10, F.lit("Shared Body Text A"))
+        .when(F.col("id") == 11, F.lit("SHARED BODY TEXT A"))
+        .when(F.col("id") == 12, F.lit("shared body text a"))
+        .otherwise(F.concat(F.lit("unique body text "), F.col("id")))
+        .alias("text"),
+    )
+
+
+def _curate(df, per_stratum, salt=16):
+    from deepdb_public_spark.operators.curation import curate_corpus
+
+    return curate_corpus(
+        df, "text", "doc_id", "lang", per_stratum,
+        quality=F.length("text") > 4, salt=salt,
+    )
+
+
+def test_curate_stage_precedence_and_keep_first(curate_docs):
+    rows = {r["doc_id"]: r for r in _curate(curate_docs, 100).collect()}
+    assert len(rows) == 60
+    for i in range(5):
+        assert rows[i]["stage"] == "quality" and not rows[i]["kept"]
+    # keep-first among case-normalized duplicates: lowest id (10) wins
+    assert rows[10]["stage"] == "kept"
+    assert rows[11]["stage"] == "duplicate" and not rows[11]["kept"]
+    assert rows[12]["stage"] == "duplicate" and not rows[12]["kept"]
+    assert all(r["stage"] in {"quality", "duplicate", "quota", "kept"}
+               for r in rows.values())
+
+
+def test_curate_quota_is_balanced_and_two_phase_matches(curate_docs):
+    single = {r["doc_id"]: (r["stage"], r["kept"])
+              for r in _curate(curate_docs, 10, salt=0).collect()}
+    two = {r["doc_id"]: (r["stage"], r["kept"])
+           for r in _curate(curate_docs, 10, salt=8).collect()}
+    assert two == single
+    kept_by = {}
+    for r in _curate(curate_docs, 10).collect():
+        if r["kept"]:
+            kept_by[r["stratum"]] = kept_by.get(r["stratum"], 0) + 1
+    assert kept_by == {"en": 10, "de": 10}
+
+
+def test_curate_deterministic_under_repartition(curate_docs):
+    a = {r["doc_id"]: (r["stage"], r["kept"])
+         for r in _curate(curate_docs, 7).collect()}
+    b = {r["doc_id"]: (r["stage"], r["kept"])
+         for r in _curate(curate_docs.repartition(11), 7).collect()}
+    assert a == b
+
+
+def test_curate_plan_shape(curate_docs):
+    out = _curate(curate_docs, 10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "pmod" in plan  # two-phase quota sub-window
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    with pytest.raises(ValueError, match="salt"):
+        _curate(curate_docs, 10, salt=-1)

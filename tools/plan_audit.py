@@ -146,15 +146,22 @@ def main() -> None:
     )
     add(
         "x53_dsir_select",
-        "DSIR importance resampling (round 10): BOTH unigram LMs "
-        "(target + raw) train in ONE token-keyed aggregate with a "
-        "conditional count — one explode, one hashpartitioning(t) "
-        "exchange; the 1-row totals frame broadcasts "
-        "(BroadcastNestedLoopJoin against a scalar); per-doc weights "
-        "cross one hashpartitioning(doc_id) exchange; selection is "
-        "TakeOrderedAndProject (per-partition top-k heaps, never a "
-        "global sort) and the 100-row winner set broadcasts back — "
-        "no CartesianProduct over data rows.",
+        "DSIR importance resampling (round 11 shape): the token "
+        "explode collapses to (doc, __tgt, token, cnt) in a MAP-SIDE "
+        "partial aggregate BEFORE anything else — "
+        "HashAggregate(keys=[doc_id, __tgt, t]) below the first "
+        "Exchange — so the model join's document side carries at most "
+        "one row per (doc, token) and intra-doc token runs never skew "
+        "a shuffle (the x52 rule; the round-10 review's one weak "
+        "finding, closed). BOTH unigram LMs train from that collapsed "
+        "table in one token-keyed aggregate with a conditional "
+        "weighted count; a salt parameter spreads residual cross-doc "
+        "hot tokens over (t, __salt) sub-keys (asserted in "
+        "tests/test_round11_ops.py); the 1-row totals frame "
+        "broadcasts; per-doc weights SUM(cnt*lr) across one "
+        "hashpartitioning(doc_id) exchange; selection is "
+        "TakeOrderedAndProject and the 100-row winner set broadcasts "
+        "back — no CartesianProduct over data rows.",
     )
     add(
         "x54_kmeans_refine",
@@ -168,12 +175,42 @@ def main() -> None:
     )
     add(
         "x55_cluster_sample",
-        "Cluster-balanced sampling (round 10): kmeans_refine's "
-        "join-free literal-centroid assignment followed by ONE window "
-        "partitioned by the learned cluster (md5-ordered quota) — the "
-        "only exchange is hashpartitioning(cluster), never a global "
-        "sort; quota selection is per-partition top-k within each "
-        "cluster.",
+        "Cluster-balanced sampling (round 11 shape): kmeans_refine's "
+        "join-free literal-centroid assignment followed by a "
+        "TWO-PHASE quota (the round-10 ADVICE medium, closed): phase "
+        "1 windows over (cluster, pmod(hash(id), salt)) — k*salt "
+        "balanced partitions, each keeping its local md5-ordered "
+        "top-per_cluster — and phase 2 merges the bounded survivors "
+        "(<= k*salt*per_cluster rows) in a per-cluster window whose "
+        "input is winner-set-sized, not corpus-sized; the k*"
+        "per_cluster winner set broadcasts back onto the assignment. "
+        "No window in the plan sorts a full cluster in one task; "
+        "identical selected set to the single-window plan (asserted "
+        "in tests/test_round11_ops.py).",
+    )
+    add(
+        "x56_bigram_logprob",
+        "Bigram-LM perplexity (round 11): bigrams come from zipping "
+        "the token array against its own tail — a pure projection, no "
+        "positional self-join — then collapse to (doc, a, b, cnt) in "
+        "a map-side partial aggregate before the vocabulary-bounded "
+        "bigram/context model joins (the dsir/x52 rule, salt "
+        "available); per-doc scores are the weighted mean across one "
+        "hashpartitioning(doc_id) exchange; the 1-row vocabulary "
+        "frame broadcasts.",
+    )
+    add(
+        "x57_curate_corpus",
+        "Curation pipeline (round 11): stage 1 quality is a pure "
+        "projection (no shuffle); stage 2's dedup window partitions "
+        "by md5 content fingerprint — corpus-cardinality keys with "
+        "dup-cluster-sized groups, the skew-free window shape; stage "
+        "3's per-stratum quota is TWO-PHASE (salted (stratum, "
+        "hash(id) % salt) sub-window, then a merge window over the "
+        "bounded survivors) because stratum cardinality is small — no "
+        "window sorts a whole stratum in one task; the "
+        "strata*per_stratum winner set broadcasts back. No "
+        "CartesianProduct.",
     )
     add(
         "x49_bpe_pairs",

@@ -38,8 +38,12 @@ def main() -> None:
         release_cached,
     )
     from deepdb_public_spark.operators.chunking import chunk_documents
+    from deepdb_public_spark.operators.curation import curate_corpus
     from deepdb_public_spark.operators.dedup import semantic_dedup
-    from deepdb_public_spark.operators.filters import repetition_stats
+    from deepdb_public_spark.operators.filters import (
+        bigram_logprob,
+        repetition_stats,
+    )
     from deepdb_public_spark.operators.sampling import dsir_select, hash_split
     from deepdb_public_spark.operators.similarity import (
         cluster_balanced_sample,
@@ -109,6 +113,12 @@ def main() -> None:
         )[1].count(),
         "dsir_select (collapsed token join + top-k)": lambda d: dsir_select(
             d, "text", "doc_id", F.col("lang") == "en", top_k=100
+        ).count(),
+        "bigram_logprob (zip + collapsed model join)": lambda d:
+            bigram_logprob(d, "text", "doc_id").count(),
+        "curate_corpus (3-stage pipeline)": lambda d: curate_corpus(
+            d, "text", "doc_id", "lang", per_stratum=200,
+            quality=F.length("text") > 40,
         ).count(),
     }
 
