@@ -1045,6 +1045,24 @@ def _x_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static mixture planning (round 11): per-source token supply ->
+    floor-allocated token targets under a 1M budget with DoReMi-style
+    weights (named sources upweighted, default 0.5 for the long
+    tail). Pure two-aggregate arithmetic, replayed exactly in SQL."""
+    from deepdb_public_spark.operators.sampling import mixture_plan
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    return mixture_plan(
+        docs,
+        "text",
+        "source",
+        weights={"src0": 3.0, "src1": 1.5, "src2": 1.0},
+        token_budget=1_000_000,
+        default_weight=0.5,
+    )
+
+
 def _x_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality audit (word count / mean word length /
     symbol ratio / alphabetic fraction / stopword presence) — pure
@@ -3600,6 +3618,26 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
                (n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
                 AND symr <= 0.1 AND alphaf >= 0.8 AND nstop >= 2) AS keep
         FROM s
+        """,
+    ),
+    "x58_mixture_plan": (
+        _x_mixture_plan,
+        """
+        WITH counts AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 SUM(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> x <> ''))) AS n_tokens,
+                 CAST(CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 1.5
+                                  WHEN 'src2' THEN 1.0 ELSE 0.5 END
+                      AS DOUBLE) AS weight
+          FROM documents GROUP BY source
+        ),
+        tot AS (SELECT CAST(SUM(weight) AS DOUBLE) AS wsum FROM counts)
+        SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, weight,
+               CAST(FLOOR(1000000 * weight / wsum) AS BIGINT) AS target_tokens,
+               ROUND(CAST(FLOOR(1000000 * weight / wsum) AS BIGINT)
+                     / CAST(n_tokens AS BIGINT), 6) AS fraction
+        FROM counts CROSS JOIN tot
         """,
     ),
     "x57_curate_corpus": (

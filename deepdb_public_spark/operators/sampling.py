@@ -159,6 +159,67 @@ def weighted_mixture(
     return out
 
 
+def mixture_plan(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Static mixture planning (the DoReMi/LLaMA-style recipe step):
+    given per-source mixture ``weights`` and a total ``token_budget``,
+    measure what each source can supply and emit the sampling plan —
+    (source, n_docs, n_tokens, weight, target_tokens, fraction).
+
+    weight        raw weight for the source (``default_weight`` when
+                  unlisted; 0 drops the source from the budget).
+    target_tokens floor(budget * weight / sum-of-present-weights) —
+                  floor, not round, so the plan never overshoots the
+                  budget and the arithmetic is engine-exact.
+    fraction      target_tokens / n_tokens rounded to 6 decimals;
+                  > 1 means the source repeats (epochs), the standard
+                  small-high-quality-corpus case.
+
+    Scale shape: ONE groupBy(source) aggregate over the corpus (token
+    counts via the portable whitespace tokenizer), a 1-row weight-sum
+    frame broadcast back — no window, no join on data rows. The
+    weights map is compiled into a literal CASE expression, so the
+    whole plan is two aggregates at any corpus size."""
+    from deepdb_public_spark.functions.text import token_count
+
+    w_expr = F.lit(float(default_weight))
+    for name, w in sorted(weights.items()):
+        w_expr = F.when(F.col("source") == name, F.lit(float(w))).otherwise(
+            w_expr
+        )
+    counts = (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+        )
+        .withColumn("weight", w_expr.alias("weight"))
+    )
+    wsum = counts.agg(F.sum("weight").alias("__wsum"))
+    return (
+        counts.crossJoin(F.broadcast(wsum))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "weight",
+            F.floor(
+                F.lit(int(token_budget)) * F.col("weight") / F.col("__wsum")
+            ).cast("long").alias("target_tokens"),
+        )
+        .withColumn(
+            "fraction",
+            F.round(F.col("target_tokens") / F.col("n_tokens"), 6),
+        )
+    )
+
+
 def dsir_select(
     df: DataFrame,
     text_col: str,

@@ -295,3 +295,93 @@ def test_curate_plan_shape(curate_docs):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     with pytest.raises(ValueError, match="salt"):
         _curate(curate_docs, 10, salt=-1)
+
+
+# --------------------------------------------------- mixture plan (x58)
+
+
+def test_mixture_plan_math(spark):
+    """Floor allocation never overshoots the budget; unlisted sources
+    take the default weight; fraction > 1 marks the repeat-epochs
+    case; weight 0 drops a source from the budget."""
+    from deepdb_public_spark.operators.sampling import mixture_plan
+
+    df = spark.createDataFrame(
+        [("web", "a b c d e f g h"), ("web", "i j k l"),
+         ("code", "x y"), ("books", "m n o"), ("junk", "z z z")],
+        "source string, text string",
+    )
+    rows = {r["source"]: r for r in mixture_plan(
+        df, "text", "source",
+        weights={"web": 2.0, "code": 1.0, "junk": 0.0},
+        token_budget=120, default_weight=1.0,
+    ).collect()}
+    # wsum = 2 + 1 + 0 + 1(default for books) = 4
+    assert rows["web"]["n_tokens"] == 12
+    assert rows["web"]["target_tokens"] == 60      # 120*2/4
+    assert rows["code"]["target_tokens"] == 30     # 120*1/4
+    assert rows["books"]["target_tokens"] == 30    # default weight
+    assert rows["junk"]["target_tokens"] == 0      # zero weight
+    assert sum(r["target_tokens"] for r in rows.values()) <= 120
+    assert rows["code"]["fraction"] == 15.0        # 30 tokens / 2 = epochs
+    assert rows["web"]["fraction"] == 5.0
+    assert rows["junk"]["fraction"] == 0.0
+
+
+def test_mixture_plan_is_two_aggregates(spark):
+    """The plan is aggregate + broadcast of a 1-row frame — no window,
+    no join keyed on data rows, no cartesian over data."""
+    from deepdb_public_spark.operators.sampling import mixture_plan
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = mixture_plan(docs, "text", "source", {"src0": 2.0}, 10_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+# -------------------------------------- curation invariants (hypothesis)
+
+
+def test_curate_invariants_random_corpora(spark):
+    """Property-style sweep over randomized corpora: every input row
+    verdicts exactly once; kept implies quality-pass; per-stratum kept
+    counts never exceed the quota; dedup keeps exactly one doc per
+    duplicated fingerprint among quality passers."""
+    import random
+
+    from deepdb_public_spark.operators.curation import curate_corpus
+
+    rnd = random.Random(7)
+    for trial in range(3):
+        n = rnd.randint(20, 60)
+        quota = rnd.randint(1, 6)
+        rows = []
+        for i in range(n):
+            text = rnd.choice(
+                ["dup body one", "dup body two", f"unique {i}", "x"]
+            )
+            rows.append((i, rnd.choice(["a", "b", "c"]), text))
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        out = curate_corpus(
+            df, "text", "doc_id", "lang", quota,
+            quality=F.length("text") > 2, salt=rnd.choice([0, 4]),
+        ).collect()
+        assert len(out) == n and len({r["doc_id"] for r in out}) == n
+        kept_by: dict[str, int] = {}
+        for r in out:
+            if r["kept"]:
+                assert r["stage"] == "kept"
+                kept_by[r["stratum"]] = kept_by.get(r["stratum"], 0) + 1
+        for c, k in kept_by.items():
+            assert k <= quota, (trial, c, k, quota)
+        # keep-first: among quality passers sharing a fingerprint,
+        # exactly one is NOT stage='duplicate'
+        by_fp: dict[str, list] = {}
+        for i, lang, text in rows:
+            if len(text) > 2:
+                by_fp.setdefault(text.lower(), []).append(i)
+        verdict = {r["doc_id"]: r["stage"] for r in out}
+        for fp, ids in by_fp.items():
+            non_dup = [i for i in ids if verdict[i] != "duplicate"]
+            assert len(non_dup) == 1 and non_dup[0] == min(ids), (fp, ids)
