@@ -213,6 +213,15 @@ def main() -> None:
         "CartesianProduct.",
     )
     add(
+        "x58_mixture_plan",
+        "Static mixture planning (round 11): one groupBy(source) "
+        "aggregate over the corpus (token counts via the portable "
+        "tokenizer, weights compiled to a literal CASE), a 1-row "
+        "weight-sum frame broadcast back, floor-allocated targets — "
+        "no window, no join keyed on data rows; two aggregates at any "
+        "corpus size.",
+    )
+    add(
         "x49_bpe_pairs",
         "BPE pair statistic (round 8): one explode to words, one "
         "hashpartitioning(w) exchange collapsing the corpus to its "

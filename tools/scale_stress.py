@@ -44,7 +44,11 @@ def main() -> None:
         bigram_logprob,
         repetition_stats,
     )
-    from deepdb_public_spark.operators.sampling import dsir_select, hash_split
+    from deepdb_public_spark.operators.sampling import (
+        dsir_select,
+        hash_split,
+        mixture_plan,
+    )
     from deepdb_public_spark.operators.similarity import (
         cluster_balanced_sample,
         hybrid_rrf_topk,
@@ -119,6 +123,9 @@ def main() -> None:
         "curate_corpus (3-stage pipeline)": lambda d: curate_corpus(
             d, "text", "doc_id", "lang", per_stratum=200,
             quality=F.length("text") > 40,
+        ).count(),
+        "mixture_plan (2 aggregates)": lambda d: mixture_plan(
+            d, "text", "source", {"src0": 2.0}, 1_000_000
         ).count(),
     }
 
