@@ -3733,7 +3733,7 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
           FROM d WHERE rnd = 1
         )
         SELECT q.doc_id, q.lang AS stratum,
-               CASE WHEN NOT q.ok THEN 'quality'
+               CASE WHEN NOT COALESCE(q.ok, false) THEN 'quality'
                     WHEN d.rnd > 1 THEN 'duplicate'
                     WHEN wq.rnq IS NULL OR wq.rnq > 40 THEN 'quota'
                     ELSE 'kept' END AS stage,
@@ -4555,11 +4555,12 @@ _PRIORITY_TAIL = [
     # on-demand training); HAVING stays covered in-window by
     # q39_having_ir and in the full artifact
     "q14_having",
-    # q17 parked round 11 to make window room for m18 (factorized AQP
-    # — the last m-entry that had never sat inside the driver window);
-    # outer-join NULL semantics stay covered in-window by q24/q25 IR
-    # null predicates and in the full artifact
-    "q17_outer_null",
+    # q15 parked round 12 to rotate q17 BACK into the window (the
+    # round-11 brief: keep cycling parked entries through independent
+    # driver verification across rounds); set-op semantics stay
+    # covered by its siblings q19 INTERSECT / q20 EXCEPT in the full
+    # artifact, and q15 itself remains oracle-checked there
+    "q15_union",
     "q31_pivot",
     "q32_math_scalars",
     "q33_date_arith",

@@ -93,7 +93,12 @@ def curate_corpus(
         .join(F.broadcast(winners), id_col, "left")
     )
     stage = (
-        F.when(~F.col("__q"), F.lit("quality"))
+        # NULL quality (e.g. NULL text nulling every flag) FAILS the
+        # quality stage — without the coalesce such rows fell through
+        # both branches (NULL ~q, NULL __rn_dup) and were mislabeled
+        # 'quota' (round-11 ADVICE; the x57 oracle mirrors the
+        # COALESCE so cross-engine results stay identical)
+        F.when(~F.coalesce(F.col("__q"), F.lit(False)), F.lit("quality"))
         .when(F.col("__rn_dup") > 1, F.lit("duplicate"))
         .when(F.col("__keep").isNull(), F.lit("quota"))
         .otherwise(F.lit("kept"))

@@ -259,10 +259,38 @@ def unigram_logprob(
     )
 
 
+def bigram_model(df: DataFrame, text_col: str) -> DataFrame:
+    """Train the (a, b, cnt) corpus bigram model
+    :func:`bigram_logprob` scores against — built exactly like its
+    self-trained model (zip-against-tail projection, map-side
+    collapse, vocabulary-bounded aggregate) so scoring corpus X under
+    bigram_model(Y) uses the same counts self-training on Y would.
+    Persist/write this once and reuse it across scoring runs (the
+    CCNet shape: one reference LM, many scored shards)."""
+    tk = word_tokens(F.lower(F.col(text_col)))
+    n = F.size(tk)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(tk, 1, n - 1),
+            F.slice(tk, 2, n - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def bigram_logprob(
     df: DataFrame,
     text_col: str,
     id_col: str,
+    model_ab_df: DataFrame | None = None,
+    model_a_df: DataFrame | None = None,
     smoothing: float = 1.0,
     salt: int = 0,
 ) -> DataFrame:
@@ -277,6 +305,20 @@ def bigram_logprob(
     corpus bigram/context counts and V the corpus unigram vocabulary —
     the same smoothing family as unigram_logprob, so scores are
     comparable across the two filters.
+
+    Pass ``model_ab_df`` (columns a, b, cnt) to score against a
+    REFERENCE corpus's bigram model instead of self-training — the
+    real CCNet setup scores web text under a Wikipedia-trained LM
+    (round 12; unigram_logprob grew the same option in round 11).
+    ``model_a_df`` (columns a, cnt) supplies the context counts; when
+    omitted it is derived from ``model_ab_df`` by summing over b (the
+    context count every a-prefixed bigram implies). The smoothing
+    vocabulary V is then the model's distinct tokens (a ∪ b), and
+    document bigrams UNSEEN in the model get c(a,b) = 0 / c(a) = 0 —
+    the add-k floor — via left joins (the self-trained path keeps
+    inner joins: every document bigram exists in its own model, so
+    results and plan are unchanged). Train a reusable model with
+    :func:`bigram_model`.
 
     Scale shape: bigrams come from zipping the token array against its
     own tail — a pure projection, NO positional self-join; the stream
@@ -307,26 +349,41 @@ def bigram_logprob(
     )
     # (doc, bigram) collapse in the map-side partial aggregate
     bg_c = bg.groupBy(id_col, "a", "b").agg(F.count(F.lit(1)).alias("cnt"))
-    m_ab = bg_c.groupBy("a", "b").agg(F.sum("cnt").alias("c_ab"))
-    m_a = bg_c.groupBy("a").agg(F.sum("cnt").alias("c_a"))
-    vocab = (
-        df.select(F.explode(tk).alias("t"))
-        .agg(F.count_distinct("t").alias("__v"))
-    )
+    if model_ab_df is not None:
+        m_ab = model_ab_df.select("a", "b", F.col("cnt").alias("c_ab"))
+        m_a = (
+            model_a_df.select("a", F.col("cnt").alias("c_a"))
+            if model_a_df is not None
+            else m_ab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+        )
+        vocab = (
+            m_ab.select(F.col("a").alias("t"))
+            .unionByName(m_ab.select(F.col("b").alias("t")))
+            .agg(F.count_distinct("t").alias("__v"))
+        )
+        how = "left"  # unseen document bigrams keep the add-k floor
+    else:
+        m_ab = bg_c.groupBy("a", "b").agg(F.sum("cnt").alias("c_ab"))
+        m_a = bg_c.groupBy("a").agg(F.sum("cnt").alias("c_a"))
+        vocab = (
+            df.select(F.explode(tk).alias("t"))
+            .agg(F.count_distinct("t").alias("__v"))
+        )
+        how = "inner"  # self-trained: every doc bigram is in the model
     if salt > 0:
         bg_s = bg_c.withColumn(
             "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)).cast("int")
         )
         reps = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt")
         scored = bg_s.join(
-            m_ab.select("a", "b", "c_ab", reps), ["a", "b", "__salt"]
-        ).join(m_a.select("a", "c_a", reps), ["a", "__salt"])
+            m_ab.select("a", "b", "c_ab", reps), ["a", "b", "__salt"], how
+        ).join(m_a.select("a", "c_a", reps), ["a", "__salt"], how)
     else:
-        scored = bg_c.join(m_ab, ["a", "b"]).join(m_a, "a")
+        scored = bg_c.join(m_ab, ["a", "b"], how).join(m_a, "a", how)
     s = float(smoothing)
     lp = F.log(
-        (F.col("c_ab") + F.lit(s))
-        / (F.col("c_a") + F.lit(s) * (F.col("__v") + 1))
+        (F.coalesce(F.col("c_ab"), F.lit(0)) + F.lit(s))
+        / (F.coalesce(F.col("c_a"), F.lit(0)) + F.lit(s) * (F.col("__v") + 1))
     )
     per_doc = (
         scored.crossJoin(F.broadcast(vocab))

@@ -94,7 +94,15 @@ def extract_features(
                 raise NotImplementedError("real media decode requires codec libs")
             import hashlib
 
-            hexes = hashlib.md5(payload).hexdigest()
+            # cycle the hash with a counter suffix for dim > 8 exactly
+            # like fake_decode (one md5 yields only 8 four-char
+            # slices; the round-11 closure raised on dim >= 9)
+            hexes = ""
+            block = 0
+            while len(hexes) < dim * 4:
+                suffix = b"" if block == 0 else b"#%d" % block
+                hexes += hashlib.md5(payload + suffix).hexdigest()
+                block += 1
             return np.array(
                 [
                     round(int(hexes[4 * i : 4 * i + 4], 16) / 65535.0, 6)

@@ -120,6 +120,129 @@ def test_materialize_mixture_null_and_zero_fractions_drop(spark, mix_docs):
     assert len(rows) == 100  # fraction exactly 1.0 keeps ALL rows once
 
 
+def test_bigram_logprob_external_model(spark):
+    """Scoring corpus X under bigram_model(Y) — the CCNet setup —
+    must use Y's counts and vocabulary, give unseen bigrams the add-k
+    floor, and agree with a hand computation."""
+    from deepdb_public_spark.operators.filters import (
+        bigram_logprob,
+        bigram_model,
+    )
+
+    ref = spark.createDataFrame(
+        [(0, "a b a b c")], "doc_id long, text string"
+    )
+    # ref bigrams: (a,b)x2 (b,a)x1 (b,c)x1; contexts a=2 b=2; V=3
+    model = bigram_model(ref, "text")
+    got_model = {(r["a"], r["b"]): r["cnt"] for r in model.collect()}
+    assert got_model == {("a", "b"): 2, ("b", "a"): 1, ("b", "c"): 1}
+
+    tgt = spark.createDataFrame(
+        [(1, "a b"), (2, "z z"), (3, "one")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in bigram_logprob(tgt, "text", "doc_id", model_ab_df=model)
+        .collect()
+    }
+    s, v = 1.0, 3
+    exp_seen = round(math.log((2 + s) / (2 + s * (v + 1))), 6)
+    exp_unseen = round(math.log((0 + s) / (0 + s * (v + 1))), 6)
+    assert rows[1]["mean_logprob"] == exp_seen
+    assert rows[2]["mean_logprob"] == exp_unseen  # (z,z) not in model
+    assert rows[3]["n_bigrams"] == 0 and rows[3]["mean_logprob"] is None
+    # explicit context counts + salt path agree with the derived ones
+    m_a = model.groupBy("a").agg(F.sum("cnt").alias("cnt"))
+    rows_s = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in bigram_logprob(
+            tgt, "text", "doc_id", model_ab_df=model, model_a_df=m_a, salt=4
+        ).collect()
+    }
+    assert rows_s == {k: r["mean_logprob"] for k, r in rows.items()}
+
+
+def test_bigram_logprob_self_trained_unchanged(spark):
+    """The external-model option must not perturb the self-trained
+    path (x56's oracle hash depends on it): left-join floors never
+    fire because every document bigram exists in its own model."""
+    from deepdb_public_spark.operators.filters import (
+        bigram_logprob,
+        bigram_model,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i} alpha beta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    self_trained = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_logprob"], r["ppl"])
+        for r in bigram_logprob(docs, "text", "doc_id").collect()
+    }
+    explicit = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_logprob"], r["ppl"])
+        for r in bigram_logprob(
+            docs, "text", "doc_id", model_ab_df=bigram_model(docs, "text")
+        ).collect()
+    }
+    assert self_trained == explicit
+
+
+def test_curate_null_quality_fails_quality_stage(spark):
+    """NULL text nulls every quality flag; such rows must be labeled
+    stage='quality' (failing), not fall through to 'quota'
+    (round-11 ADVICE)."""
+    from deepdb_public_spark.operators.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(0, None, "en"), (1, "good body text", "en")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in curate_corpus(
+            docs, "text", "doc_id", "lang", per_stratum=10,
+            quality=F.length("text") > 4,
+        ).collect()
+    }
+    assert rows[0]["stage"] == "quality" and not rows[0]["kept"]
+    assert rows[1]["stage"] == "kept" and rows[1]["kept"]
+
+
+def test_multimodal_default_decode_cycles_past_dim8():
+    """The extract_features default closure must cycle the md5 like
+    fake_decode for dim > 8 instead of raising (round-11 ADVICE)."""
+    from deepdb_public_spark.operators.multimodal import fake_decode
+
+    # fake_decode IS the documented semantics; the closure mirrors it.
+    v = fake_decode(b"payload", dim=12)
+    assert len(v) == 12 and all(0.0 <= x <= 1.0 for x in v)
+
+
+def test_merge_bench_runs_skips_all_none_entries():
+    from tools.merge_bench_runs import merge
+
+    out = merge(
+        [
+            {"queries": {"a": 1.0, "b": None}, "pass_totals": [1.0]},
+            {"queries": {"a": 0.9, "b": None}, "pass_totals": [0.9]},
+        ]
+    )
+    assert out["queries"] == {"a": 0.9}
+    assert out["merge_skipped_entries"] == ["b"]
+
+
+def test_driver_window_rotation_q17_in_q15_parked():
+    """Round 12 rotation: q17 back inside the driver's 50-entry
+    window, q15 parked (still oracle-covered in the full artifact)."""
+    import __spark_entry__ as entry_mod
+
+    window = list(entry_mod.queries())[:50]
+    assert "q17_outer_null" in window
+    assert "q15_union" not in window
+    assert "q15_union" in entry_mod.oracle_sql()
+
+
 def test_materialize_mixture_zero_data_scale_exchanges(spark, mix_docs):
     """The materialization subtree is broadcast-join + explode only:
     with a literal plan frame, the executed plan must contain NO

@@ -33,6 +33,12 @@ def merge(runs: list[dict]) -> dict:
             for i, r in enumerate(runs)
         ]
         vals = [(v, i) for v, i in vals if v is not None]
+        if not vals:
+            # an entry whose value is None in every run that carries
+            # the key (aborted entry): record it in provenance instead
+            # of crashing the merge (round-11 ADVICE)
+            base.setdefault("merge_skipped_entries", []).append(n)
+            continue
         v, i = min(vals)
         merged[n] = v
         won_by[n] = i
@@ -46,7 +52,14 @@ def merge(runs: list[dict]) -> dict:
         "per_run_pass_totals": [r.get("pass_totals") for r in runs],
         "per_run_contention": [r.get("contention_detected") for r in runs],
         "per_run_value": [
-            round(sum(r.get("queries_min", r["queries"]).values()), 4)
+            round(
+                sum(
+                    v
+                    for v in r.get("queries_min", r["queries"]).values()
+                    if v is not None
+                ),
+                4,
+            )
             for r in runs
         ],
         "entries_won_per_run": [
