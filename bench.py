@@ -50,6 +50,34 @@ import time
 
 from pyspark.sql import SparkSession
 
+# Documented floors for the two most expensive stable entries at
+# sf0.1 (round-11 verdict: the contention detector compares pass
+# totals, which a UNIFORM whole-run slowdown fools — the only
+# flag-false round-11 run was the uniformly slow 150.9s one). These
+# floors were measured across rounds 10-11 on quiet windows (x20
+# ~3.3-4s via three clean runs + a judge re-bench; x05 ~9-10.5s via
+# the round-11 three-way shave experiment documented in the entry
+# docstring). A run whose MIN for a sentinel sits above its ceiling
+# was slowed by something external for its entire duration — external
+# evidence the pass-divergence detector cannot see.
+SENTINEL_FLOORS = {  # entry -> (documented_floor_lo, ceiling)
+    "x20_dup_clusters": (3.3, 4.5),
+    "x05_jaccard_pairs": (9.0, 10.5),
+}
+
+
+def _loadavg() -> float:
+    """1-minute load average — external-contention evidence for the
+    artifact. Sampled BEFORE Spark starts (ambient load; the round-11
+    host sat at 5-12 for hours with zero user processes) and at pass
+    boundaries (where it mostly reflects our own 32-core work — kept
+    for forensics, not for the clean verdict)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError):  # pragma: no cover - non-Linux
+        return -1.0
+
 
 def _jvm_gc(spark) -> None:
     """Best-effort full JVM GC between entries, OUTSIDE any timer.
@@ -75,6 +103,9 @@ def main() -> None:
         sf = float(sf_dir.rstrip("/").split("sf")[-1])
     except ValueError:
         sf = -1.0
+
+    load_pre = _loadavg()  # ambient load BEFORE our own Spark starts
+    load_samples: list[dict] = [{"at": "pre_run", "load1m": load_pre}]
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -116,6 +147,9 @@ def main() -> None:
 
     pass_idx = 0
     while pass_idx < passes:
+        load_samples.append(
+            {"at": f"pass_{pass_idx}_start", "load1m": _loadavg()}
+        )
         pass_min: dict[str, float] = {}
         for name in names:
             if name not in timings_first:
@@ -190,6 +224,33 @@ def main() -> None:
                         raise
         est_ms = round((time.perf_counter() - t0) / n * 1000, 3) if n else None
 
+    load_samples.append({"at": "post_run", "load1m": _loadavg()})
+
+    # sentinel-vs-floor adjudication (round-12 brief item 2): a run is
+    # "clean" iff ambient pre-run load was near zero AND every sentinel
+    # entry's min sits within its documented floor ceiling. This is
+    # external evidence, orthogonal to the pass-divergence flag: a
+    # UNIFORM slowdown fools the divergence check but not the floors.
+    # Floors are documented at sf0.1 only; at other SFs the check
+    # records not-applicable and the verdict falls back to load alone.
+    sentinel_applicable = abs(sf - 0.1) < 1e-9
+    sentinel_check: dict = {"sf_applicable": sentinel_applicable}
+    sentinels_ok = True
+    if sentinel_applicable:
+        for s_name, (lo, hi) in SENTINEL_FLOORS.items():
+            v = timings.get(s_name)
+            ok = v is not None and v <= hi
+            sentinel_check[s_name] = {
+                "min_sec": v,
+                "documented_floor": [lo, hi],
+                "within": ok,
+            }
+            sentinels_ok = sentinels_ok and ok
+    sentinel_check["all_within"] = sentinels_ok if sentinel_applicable else None
+    clean_run = (0.0 <= load_pre < 1.0) and (
+        sentinels_ok if sentinel_applicable else True
+    )
+
     total = round(sum(timings.values()), 4)
     payload = {
         "metric": "headline_queries_total_wall",
@@ -216,6 +277,12 @@ def main() -> None:
         "bench_passes": len(pass_totals),
         "pass_totals": pass_totals,
         "contention_detected": contention,
+        "load_samples": load_samples,
+        "sentinel_check": sentinel_check,
+        # clean = ambient pre-run load < 1 AND sentinels within floors
+        # (pass-divergence "contention_detected" stays alongside; the
+        # two flags catch different failure shapes)
+        "clean_run": clean_run,
         "methodology": "v3: min over passes x reps; see bench.py docstring",
         "estimate_ms_mean": est_ms,
     }

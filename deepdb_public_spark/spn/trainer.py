@@ -79,7 +79,21 @@ def _mllib_top_split(
             scaled.append(F.lit(0.0))
     feat = encoded.withColumn("__f", array_to_vector(F.array(*scaled)))
     km = KMeans(k=params.n_clusters, seed=seed, maxIter=20, featuresCol="__f")
-    kmodel = km.fit(feat)
+    # fit on the BOUNDED sample, assign on the full relation (round 12:
+    # at 10x scale MLlib's 20 Lloyd iterations over the full 6M-row
+    # join were 121s of a 202s training wall; cluster structure from a
+    # sample_budget-sized draw is statistically the same split, and
+    # kmodel.transform is a single JVM projection pass either way —
+    # the same fit-on-sample/assign-on-all shape as
+    # operators/similarity.kmeans_refine's literal-centroid assign).
+    # The recursion underneath resamples per cluster, so fit rows are
+    # never reused as training rows.
+    n_rows = int(stats["__n"])
+    fit_frac = min(1.0, sample_budget / max(n_rows, 1))
+    fit_src = feat if fit_frac >= 1.0 else feat.sample(
+        fraction=fit_frac, seed=seed
+    )
+    kmodel = km.fit(fit_src)
     t0 = _mark("kmeans_fit", t0)
     # persist: the sizes collect and every per-cluster sample re-ran
     # the encode joins + transform over the full relation otherwise

@@ -232,6 +232,46 @@ def test_merge_bench_runs_skips_all_none_entries():
     assert out["merge_skipped_entries"] == ["b"]
 
 
+def test_merge_bench_runs_sentinel_adjudication():
+    """The merged artifact re-checks the documented sf0.1 sentinel
+    floors against the MERGED per-entry mins and carries per-run
+    load/clean evidence in provenance (round-12 brief item 2)."""
+    from tools.merge_bench_runs import merge
+
+    runs = [
+        {
+            "sf": 0.1,
+            "queries": {"x20_dup_clusters": 8.0, "x05_jaccard_pairs": 9.5},
+            "pass_totals": [17.5],
+            "load_samples": [{"at": "pre_run", "load1m": 6.2}],
+            "clean_run": False,
+        },
+        {
+            "sf": 0.1,
+            "queries": {"x20_dup_clusters": 3.6, "x05_jaccard_pairs": 9.4},
+            "pass_totals": [13.0],
+            "load_samples": [{"at": "pre_run", "load1m": 0.1}],
+            "clean_run": True,
+        },
+    ]
+    out = merge(runs)
+    sc = out["sentinel_check"]
+    assert sc["all_within"] is True  # merged mins: 3.6 and 9.4
+    assert sc["x20_dup_clusters"]["min_sec"] == 3.6
+    assert out["merge_provenance"]["per_run_clean"] == [False, True]
+    # a merged headline whose mins breach the ceiling is flagged
+    bad = merge([runs[0]])
+    assert bad["sentinel_check"]["all_within"] is False
+
+
+def test_bench_loadavg_readable():
+    from bench import SENTINEL_FLOORS, _loadavg
+
+    v = _loadavg()
+    assert v >= 0.0
+    assert set(SENTINEL_FLOORS) == {"x20_dup_clusters", "x05_jaccard_pairs"}
+
+
 def test_driver_window_rotation_q17_in_q15_parked():
     """Round 12 rotation: q17 back inside the driver's 50-entry
     window, q15 parked (still oracle-covered in the full artifact)."""

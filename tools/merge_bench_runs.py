@@ -17,6 +17,20 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _sentinel_floors() -> dict[str, tuple[float, float]]:
+    """One source of truth: bench.py's documented sf0.1 floors."""
+    try:
+        from bench import SENTINEL_FLOORS
+
+        return SENTINEL_FLOORS
+    except Exception:  # pragma: no cover - bench moved/renamed
+        return {}
 
 
 def merge(runs: list[dict]) -> dict:
@@ -65,10 +79,33 @@ def merge(runs: list[dict]) -> dict:
         "entries_won_per_run": [
             sum(1 for i in won_by.values() if i == j) for j in range(len(runs))
         ],
+        # external-contention evidence per run (round-12: loadavg +
+        # sentinel floors make cleanliness adjudicable even when a
+        # uniform slowdown fools the pass-divergence flag)
+        "per_run_load_samples": [r.get("load_samples") for r in runs],
+        "per_run_sentinel_check": [r.get("sentinel_check") for r in runs],
+        "per_run_clean": [r.get("clean_run") for r in runs],
     }
     base["contention_detected"] = any(
         r.get("contention_detected") for r in runs
     )
+    # adjudicate the MERGED headline against the documented floors:
+    # per-entry mins are what the headline claims, so the sentinel
+    # comparison belongs on the merged values, not just the raw runs
+    if abs(float(base.get("sf", -1)) - 0.1) < 1e-9:
+        check: dict = {"sf_applicable": True}
+        ok = True
+        for name, (lo, hi) in _sentinel_floors().items():
+            v = merged.get(name)
+            within = v is not None and v <= hi
+            check[name] = {
+                "min_sec": v,
+                "documented_floor": [lo, hi],
+                "within": within,
+            }
+            ok = ok and within
+        check["all_within"] = ok
+        base["sentinel_check"] = check
     base["methodology"] = (
         f"v4: per-entry min across {len(runs)} v3 runs; "
         "selection provenance in merge_provenance"

@@ -222,6 +222,16 @@ def main() -> None:
         "corpus size.",
     )
     add(
+        "x59_materialize_mixture",
+        "Mixture-plan execution (round 12): the per-source plan frame "
+        "(mixture_plan's two aggregates) BROADCASTS onto the corpus "
+        "scan; epochs come from exploding a per-row int sequence — a "
+        "generator, not a shuffle. The materialization subtree adds "
+        "ZERO hash-partitioned exchanges beyond the plan's own "
+        "aggregates: one corpus scan in, 0..ceil(fraction) rows per "
+        "doc out, the cost of writing the output.",
+    )
+    add(
         "x49_bpe_pairs",
         "BPE pair statistic (round 8): one explode to words, one "
         "hashpartitioning(w) exchange collapsing the corpus to its "

@@ -47,6 +47,7 @@ def main() -> None:
     from deepdb_public_spark.operators.sampling import (
         dsir_select,
         hash_split,
+        materialize_mixture,
         mixture_plan,
     )
     from deepdb_public_spark.operators.similarity import (
@@ -127,7 +128,27 @@ def main() -> None:
         "mixture_plan (2 aggregates)": lambda d: mixture_plan(
             d, "text", "source", {"src0": 2.0}, 1_000_000
         ).count(),
+        "materialize_mixture (broadcast plan + explode)": lambda d:
+            materialize_mixture(
+                d, "doc_id", "source",
+                mixture_plan(
+                    d, "text", "source", {"src0": 3.0, "src1": 1.5},
+                    1_000_000, default_weight=0.05,
+                ),
+            ).count(),
     }
+
+    # skew-sensitive operators get an extra 8x point (round-12 brief:
+    # observe the salt/two-phase behavior on one more doubling and
+    # ASSERT the slope) — these are the ops whose scale story depends
+    # on hot-key defenses, not just linear scan growth
+    SKEW_OPS = [
+        "dsir_select (collapsed token join + top-k)",
+        "bigram_logprob (zip + collapsed model join)",
+        "curate_corpus (3-stage pipeline)",
+        "cluster_balanced_sample (two-phase quota)",
+    ]
+    SKEW_SLOPE_CAP = 2.5  # max tolerated t(2k)/t(k) per doubling
 
     def _index_dedup(d):
         idx = d.filter(F.col("doc_id") % 5 != 0)
@@ -283,6 +304,37 @@ def main() -> None:
         d.unpersist()
         e.unpersist()
 
+    # extra 8x point for the skew-sensitive operators (round-12 brief:
+    # one more doubling past 4x so the salt / two-phase-quota defenses
+    # are OBSERVED where hot keys have 8x the mass, with the slope
+    # asserted instead of trusted)
+    d8 = corpus(8).persist()
+    n8 = d8.count()
+    e8 = emb_corpus(8).persist()
+    n8_e = e8.count()
+    for name in SKEW_OPS:
+        if name in OPS:
+            best, out_n = _time_op(OPS[name], d8)
+            results[name].append((n8, best, out_n))
+        else:
+            best, out_n = _time_op(OPS_EMB[name], e8)
+            results[name].append((n8_e, best, out_n))
+        print(f"8x {name}: {best:.2f}s ({out_n} rows)", flush=True)
+    d8.unpersist()
+    e8.unpersist()
+    slope_lines = []
+    for name in SKEW_OPS:
+        t4, t8 = results[name][2][1], results[name][3][1]
+        slope = t8 / max(t4, 1e-9)
+        # sub-second absolute times are scheduler-noise-dominated; the
+        # cap guards the operators that actually cost something
+        assert slope <= SKEW_SLOPE_CAP or t8 < 1.0, (
+            f"{name}: t(8x)/t(4x) = {slope:.2f} exceeds the "
+            f"{SKEW_SLOPE_CAP}x-per-doubling cap — a hot-key defense "
+            "stopped holding between 4x and 8x"
+        )
+        slope_lines.append(f"{name}: {slope:.2f}")
+
     # preserve hand-maintained sections (the training-at-scale record)
     # across regenerations of the measured table
     scaling_path = os.path.join(REPO, "SCALING.md")
@@ -302,14 +354,23 @@ def main() -> None:
             "dedup corpora have. `t(4x)/t(1x)` near 4 = linear; the LSH\n"
             "operators stay near-linear because candidate pairs come from\n"
             "band buckets, never an O(N^2) join.\n\n"
-            "| operator | 1x secs | 2x secs | 4x secs | t(4x)/t(1x) |\n"
-            "|---|---|---|---|---|\n"
+            "| operator | 1x secs | 2x secs | 4x secs | 8x secs "
+            "| t(4x)/t(1x) |\n"
+            "|---|---|---|---|---|---|\n"
         )
         for name, rows in results.items():
-            t1, t2, t4 = (r[1] for r in rows)
+            t1, t2, t4 = (r[1] for r in rows[:3])
+            t8 = f"{rows[3][1]:.2f}" if len(rows) > 3 else "—"
             f.write(
-                f"| {name} | {t1:.2f} | {t2:.2f} | {t4:.2f} | "
+                f"| {name} | {t1:.2f} | {t2:.2f} | {t4:.2f} | {t8} | "
                 f"{t4 / max(t1, 1e-9):.2f} |\n"
+            )
+        if slope_lines:
+            f.write(
+                "\n8x points are measured for the skew-sensitive "
+                "operators only; the\nharness ASSERTS "
+                f"t(8x)/t(4x) <= {SKEW_SLOPE_CAP} per doubling "
+                "(observed: " + "; ".join(slope_lines) + ").\n"
             )
         f.write(
             "\nOutput row counts per scale (pair counts grow with the\n"
