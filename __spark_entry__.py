@@ -1287,7 +1287,27 @@ def _x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     static index inside foreachBatch (one definition, two execution
     modes — streaming_index_dedup reuses dedup_against_index
     verbatim). The drained output therefore equals the batch result,
-    so the entry shares x35's DuckDB oracle."""
+    so the entry shares x35's DuckDB oracle.
+
+    FLOOR NOTE (round 12, the x05-style measured explanation): the
+    ~5.4s committed cost is PROBE-BOUND, not data-bound — each
+    micro-batch's dedup_against_index pays the full index-side cost
+    (band join against the checkpointed index + dense-bitmap verify),
+    which is nearly independent of how many documents the batch
+    carries. Measured in one session at sf0.1 (same contention
+    window, best-of-3): direct batch twin over ALL 500 new docs
+    4.1s; a 1-micro-batch variant (maxFilesPerTrigger=4) 4.6s —
+    i.e. one probe + ~0.5s streaming machinery; the shipped
+    2-micro-batch entry = TWO probes + machinery, consistent with
+    the committed 5.38s against x35's committed 3.11s single-probe
+    entry. Collapsing to one batch would shave ~2s but reduce the
+    entry to batch-in-a-stream — the multi-micro-batch drain (offset
+    log, per-batch idempotent partition overwrite, index reuse
+    ACROSS batches) is exactly what x42 exists to demonstrate, so
+    the floor is documented instead of shaved. At scale the shape is
+    right: probe cost is O(batch + hit buckets) and the index is
+    never re-paired; the per-batch fixed cost amortizes over real
+    (much larger) crawl batches."""
     import shutil
     import tempfile
 
