@@ -1092,6 +1092,27 @@ def _x_materialize_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture planning (round 12): weights derived
+    FROM the data as n_tokens^alpha with alpha = 0.5 — the
+    multilingual temperature-sampling standard (XLM-R/mT5 family)
+    that upweights low-resource sources without hand-written weights.
+    alpha = 0.5 routes through sqrt, which IEEE 754 requires to be
+    correctly rounded, so the derived weights are bit-identical in
+    Spark and DuckDB; everything downstream is the x58 floor-allocate
+    arithmetic."""
+    from deepdb_public_spark.operators.sampling import mixture_plan
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    return mixture_plan(
+        docs,
+        "text",
+        "source",
+        token_budget=1_000_000,
+        temperature_alpha=0.5,
+    )
+
+
 def _x_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality audit (word count / mean word length /
     symbol ratio / alphabetic fraction / stopword presence) — pure
@@ -3679,6 +3700,26 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
                  CAST(CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 1.5
                                   WHEN 'src2' THEN 1.0 ELSE 0.5 END
                       AS DOUBLE) AS weight
+          FROM documents GROUP BY source
+        ),
+        tot AS (SELECT CAST(SUM(weight) AS DOUBLE) AS wsum FROM counts)
+        SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, weight,
+               CAST(FLOOR(1000000 * weight / wsum) AS BIGINT) AS target_tokens,
+               ROUND(CAST(FLOOR(1000000 * weight / wsum) AS BIGINT)
+                     / CAST(n_tokens AS BIGINT), 6) AS fraction
+        FROM counts CROSS JOIN tot
+        """,
+    ),
+    "x60_temperature_plan": (
+        _x_temperature_plan,
+        """
+        WITH counts AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 SUM(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> x <> ''))) AS n_tokens,
+                 ROUND(SQRT(CAST(SUM(len(list_filter(
+                     string_split_regex(lower(text), '\\s+'),
+                     x -> x <> ''))) AS DOUBLE)), 6) AS weight
           FROM documents GROUP BY source
         ),
         tot AS (SELECT CAST(SUM(weight) AS DOUBLE) AS wsum FROM counts)

@@ -163,9 +163,10 @@ def mixture_plan(
     df: DataFrame,
     text_col: str,
     source_col: str,
-    weights: dict[str, float],
-    token_budget: int,
+    weights: dict[str, float] | None = None,
+    token_budget: int = 0,
     default_weight: float = 0.0,
+    temperature_alpha: float | None = None,
 ) -> DataFrame:
     """Static mixture planning (the DoReMi/LLaMA-style recipe step):
     given per-source mixture ``weights`` and a total ``token_budget``,
@@ -174,6 +175,21 @@ def mixture_plan(
 
     weight        raw weight for the source (``default_weight`` when
                   unlisted; 0 drops the source from the budget).
+                  ALTERNATIVELY pass ``temperature_alpha`` to derive
+                  the weights FROM the data: weight = n_tokens^alpha,
+                  the multilingual temperature-sampling standard
+                  (alpha = 1 reproduces natural proportions, alpha ->
+                  0 approaches uniform; XLM-R uses 0.3, mT5 0.3-0.7
+                  — upweights low-resource sources without
+                  hand-written weights). Mutually exclusive with
+                  ``weights``. alpha = 0.5 computes via sqrt, which
+                  IEEE 754 REQUIRES to be correctly rounded, so the
+                  weights are bit-identical across engines; other
+                  alphas use pow (last-ulp engine drift possible —
+                  weights are rounded to 6 decimals at birth to make
+                  downstream arithmetic identical, but a result
+                  landing within 1 ulp of a rounding boundary could
+                  in principle differ).
     target_tokens floor(budget * weight / sum-of-present-weights) —
                   floor, not round, so the plan never overshoots the
                   budget and the arithmetic is engine-exact.
@@ -188,19 +204,28 @@ def mixture_plan(
     whole plan is two aggregates at any corpus size."""
     from deepdb_public_spark.functions.text import token_count
 
-    w_expr = F.lit(float(default_weight))
-    for name, w in sorted(weights.items()):
-        w_expr = F.when(F.col("source") == name, F.lit(float(w))).otherwise(
-            w_expr
+    if (weights is not None) == (temperature_alpha is not None):
+        raise ValueError(
+            "pass exactly one of weights= or temperature_alpha="
         )
-    counts = (
-        df.groupBy(F.col(source_col).alias("source"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(token_count(F.col(text_col))).alias("n_tokens"),
-        )
-        .withColumn("weight", w_expr.alias("weight"))
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
     )
+    if temperature_alpha is not None:
+        a = float(temperature_alpha)
+        nt = F.col("n_tokens").cast("double")
+        w_expr = F.sqrt(nt) if a == 0.5 else F.pow(nt, F.lit(a))
+        # round at birth: every downstream use (wsum, target) then
+        # starts from the same double in every engine
+        counts = counts.withColumn("weight", F.round(w_expr, 6))
+    else:
+        w_expr = F.lit(float(default_weight))
+        for name, w in sorted(weights.items()):
+            w_expr = F.when(
+                F.col("source") == name, F.lit(float(w))
+            ).otherwise(w_expr)
+        counts = counts.withColumn("weight", w_expr.alias("weight"))
     wsum = counts.agg(F.sum("weight").alias("__wsum"))
     return (
         counts.crossJoin(F.broadcast(wsum))

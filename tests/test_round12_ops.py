@@ -120,6 +120,34 @@ def test_materialize_mixture_null_and_zero_fractions_drop(spark, mix_docs):
     assert len(rows) == 100  # fraction exactly 1.0 keeps ALL rows once
 
 
+def test_mixture_plan_temperature(spark, mix_docs):
+    """temperature_alpha derives weights from the data as
+    n_tokens^alpha (alpha=0.5 via correctly-rounded sqrt); passing
+    both or neither weight source is an error."""
+    from deepdb_public_spark.operators.sampling import mixture_plan
+
+    plan = {
+        r["source"]: r
+        for r in mixture_plan(
+            mix_docs, "text", "source", token_budget=1000,
+            temperature_alpha=0.5,
+        ).collect()
+    }
+    assert len(plan) == 4
+    for r in plan.values():
+        assert r["weight"] == round(math.sqrt(r["n_tokens"]), 6)
+        assert r["target_tokens"] <= 1000  # floor never overshoots
+    # equal-sized sources -> equal weights -> equal targets
+    assert len({r["target_tokens"] for r in plan.values()}) <= 2
+    with pytest.raises(ValueError, match="exactly one"):
+        mixture_plan(mix_docs, "text", "source", token_budget=1000)
+    with pytest.raises(ValueError, match="exactly one"):
+        mixture_plan(
+            mix_docs, "text", "source", weights={"src0": 1.0},
+            token_budget=1000, temperature_alpha=0.5,
+        )
+
+
 def test_bigram_logprob_external_model(spark):
     """Scoring corpus X under bigram_model(Y) — the CCNet setup —
     must use Y's counts and vocabulary, give unseen bigrams the add-k
