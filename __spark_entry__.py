@@ -828,6 +828,57 @@ def _x_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_prototype_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality pruning (round 12 — Sorscher et al. 2022,
+    "Beyond neural scaling laws"): per learned cluster keep the 30
+    vectors CLOSEST to the final centroid, ranked on kmeans_refine's
+    6-decimal-rounded squared-L2 with id ties
+    (operators/similarity.py::prototype_select — the two-phase salted
+    quota of x55 applied to the geometric order instead of the md5
+    shuffle order). The DuckDB oracle replays the full 2-iteration
+    Lloyd chain (the shared x54 CTEs) and the same (dist, id) window —
+    cluster, dist AND selected flag are all hash-checked."""
+    from deepdb_public_spark.operators.similarity import prototype_select
+
+    emb = _engine(spark, sf_dir).catalog["embeddings"]
+    return prototype_select(
+        emb, "embedding", "vec_id", per_cluster=30, k=8, iters=2
+    )
+
+
+def _x_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL (round 12 — the rewrite half of Lee et
+    al. 2021; x52 measures duplication, this entry deletes it): every
+    token position covered by a 5-token gram occurring >= 2 times
+    corpus-wide is dropped and the survivors re-joined
+    (operators/textstats.py::remove_repeated_spans). Gram keys are md5
+    over the unit-separator window join, so DuckDB replays the exact
+    selection; the entry hash-checks token counts, removal counts AND
+    the reconstructed text of every document."""
+    from deepdb_public_spark.operators.textstats import (
+        remove_repeated_spans,
+    )
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    return remove_repeated_spans(
+        docs, "text", "doc_id", n=5, min_occurrences=2
+    )
+
+
+def _x_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix (round 12): distinct 5-token
+    grams shared between every pair of corpus sources, with gram-set
+    Jaccard (operators/textstats.py::source_overlap) — the audit a
+    mixture plan (x58/x60) runs first, since an overlapping source
+    pair double-counts its weight. Per-gram join fan-out is bounded by
+    the source count, so the pair join is sources^2-bounded, never a
+    data-scale cartesian."""
+    from deepdb_public_spark.operators.textstats import source_overlap
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    return source_overlap(docs, "text", "doc_id", "source", n=5)
+
+
 def _x_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram overlap decontamination (round 7 — the 13-gram-rule
     shape, n=8 for the synthetic docs): deterministic split, planted
@@ -3595,6 +3646,97 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
                ) <= 30 AS selected
         FROM a2
+        """,
+    ),
+    "x63_prototype_select": (
+        _x_prototype_select,
+        _LLOYD_CTE_2ITER
+        + """
+        , a2 AS (
+          SELECT vec_id, j AS cluster, d AS dist FROM (
+            SELECT vec_id, j, d,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+            FROM d2) WHERE rn = 1
+        )
+        SELECT vec_id AS id, CAST(cluster AS INT) AS cluster, dist,
+               ROW_NUMBER() OVER (
+                 PARTITION BY cluster ORDER BY dist, vec_id
+               ) <= 30 AS selected
+        FROM a2
+        """,
+    ),
+    "x61_remove_spans": (
+        _x_remove_spans,
+        """
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+                             x -> x <> '') AS l
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, i,
+                 md5(array_to_string(list_slice(l, i, i + 4), chr(31))) AS g
+          FROM (SELECT doc_id, l,
+                       unnest(range(1, greatest(len(l) - 3, 1))) AS i
+                FROM base)
+        ),
+        hot AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+        covered AS (
+          SELECT DISTINCT doc_id, unnest(range(i, i + 5)) AS p
+          FROM grams JOIN hot USING (g)
+        ),
+        tokpos AS (
+          SELECT doc_id, generate_subscripts(l, 1) AS p, unnest(l) AS tok
+          FROM base
+        ),
+        kept AS (
+          SELECT t.doc_id, t.p, t.tok
+          FROM tokpos t ANTI JOIN covered c
+            ON t.doc_id = c.doc_id AND t.p = c.p
+        ),
+        recon AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 string_agg(tok, ' ' ORDER BY p) AS text_clean
+          FROM kept GROUP BY doc_id
+        )
+        SELECT b.doc_id, len(b.l) AS n_tokens,
+               len(b.l) - COALESCE(r.n_kept, 0) AS n_removed,
+               COALESCE(r.text_clean, '') AS text_clean
+        FROM base b LEFT JOIN recon r USING (doc_id)
+        """,
+    ),
+    "x62_source_overlap": (
+        _x_source_overlap,
+        """
+        WITH base AS (
+          SELECT source,
+                 list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+                             x -> x <> '') AS l
+          FROM documents
+        ),
+        sg AS (
+          SELECT DISTINCT source,
+                 md5(array_to_string(list_slice(l, i, i + 4), chr(31))) AS g
+          FROM (SELECT source, l,
+                       unnest(range(1, greatest(len(l) - 3, 1))) AS i
+                FROM base)
+        ),
+        sizes AS (SELECT source, COUNT(*) AS n_grams FROM sg GROUP BY source),
+        shared AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+                 COUNT(*) AS shared_ngrams
+          FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+          GROUP BY a.source, b.source
+        )
+        SELECT s.src_a, s.src_b, s.shared_ngrams,
+               za.n_grams AS n_a, zb.n_grams AS n_b,
+               ROUND(CAST(s.shared_ngrams AS DOUBLE)
+                     / (za.n_grams + zb.n_grams - s.shared_ngrams), 6)
+                 AS jaccard
+        FROM shared s
+        JOIN sizes za ON za.source = s.src_a
+        JOIN sizes zb ON zb.source = s.src_b
         """,
     ),
     "x08_embed_neardup": (

@@ -959,3 +959,68 @@ def cluster_balanced_sample(
             "id", "cluster", (F.col("__rn") <= per_cluster).alias("selected")
         )
     )
+
+
+def prototype_select(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    per_cluster: int,
+    k: int = 8,
+    iters: int = 2,
+    salt: int = 16,
+) -> DataFrame:
+    """Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws": rank examples by distance to their cluster
+    prototype and keep the informative ones): per learned cluster,
+    keep the ``per_cluster`` vectors CLOSEST to the centroid —
+    deterministic ties on id. The complement of
+    :func:`cluster_balanced_sample`'s uniform quota: same strata, but
+    the within-cluster order is the geometry (rounded squared-L2 to
+    the final centroid, already engine-portable from
+    :func:`kmeans_refine`) instead of the md5 shuffle order.
+
+    Returns (id, cluster, dist, selected) for every clustered row.
+
+    Scale shape: identical to cluster_balanced_sample — literal-
+    centroid assignment (no join, no shuffle), then the TWO-PHASE
+    quota so no reducer ever sorts a whole cluster: phase 1 takes the
+    local top-``per_cluster`` within ``(cluster, hash(id) % salt)``
+    sub-windows, phase 2 merges the bounded survivors (<= k * salt *
+    per_cluster rows); the winner set broadcasts back onto the
+    assignment. The global per-cluster top-N under the fixed
+    (dist, id) order is contained in the union of per-salt top-Ns, so
+    the selection is identical to the single-window plan. ``salt=0``
+    keeps the single-window plan for small inputs.
+    """
+    from pyspark.sql.window import Window
+
+    if salt < 0:
+        raise ValueError(f"salt must be >= 0 (got {salt})")
+    assigned = kmeans_refine(df, vec_col, id_col, k=k, iters=iters)
+    order = [F.col("dist"), F.col("id")]
+    if salt > 0:
+        w1 = Window.partitionBy(
+            "cluster", F.pmod(F.xxhash64(F.col("id")), F.lit(salt))
+        ).orderBy(*order)
+        cands = (
+            assigned.select("id", "cluster", "dist")
+            .withColumn("__rn1", F.row_number().over(w1))
+            .filter(F.col("__rn1") <= per_cluster)
+        )
+        w2 = Window.partitionBy("cluster").orderBy(*order)
+        winners = (
+            cands.withColumn("__rn", F.row_number().over(w2))
+            .filter(F.col("__rn") <= per_cluster)
+            .select("id", F.lit(True).alias("__sel"))
+        )
+        return assigned.join(F.broadcast(winners), "id", "left").select(
+            "id",
+            "cluster",
+            "dist",
+            F.coalesce("__sel", F.lit(False)).alias("selected"),
+        )
+    w = Window.partitionBy("cluster").orderBy(*order)
+    return assigned.withColumn("__rn", F.row_number().over(w)).select(
+        "id", "cluster", "dist", (F.col("__rn") <= per_cluster).alias("selected")
+    )

@@ -19,6 +19,7 @@ from ..functions.text import (
     quality_features,
     rolling_hash64,
     token_count,
+    word_tokens,
 )
 
 
@@ -462,6 +463,218 @@ def repeated_span_coverage(
             "n_pos",
             "n_dup",
             F.round(F.col("n_dup") / F.col("n_pos"), 6).alias("dup_frac"),
+        )
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_occurrences: int = 2,
+    salt: int = 0,
+) -> DataFrame:
+    """ExactSubstr-style span REMOVAL (the rewrite half of Lee et al.
+    2021 — ``repeated_span_coverage`` above measures duplication, this
+    operator actually deletes it): every token position covered by an
+    ``n``-token gram that occurs at least ``min_occurrences`` times
+    corpus-wide (all occurrences, including intra-document repeats) is
+    dropped, and the surviving tokens are re-joined into the cleaned
+    text. Output (id, n_tokens, n_removed, text_clean) — one row per
+    input document, including fully-removed and empty documents.
+
+    Token-level rather than character-level: tokens are the
+    whitespace words (``word_tokens``), gram keys are md5 over the
+    unit-separator join of each n-token window — portable, so DuckDB
+    replays the selection bit-for-bit. The reference has no text
+    operators — extension surface.
+
+    Scale shape: the paper's suffix array is replaced by the same
+    distributable gram-histogram as x52 — per-position gram keys,
+    (doc, gram) map-side collapse so intra-document runs shuffle as
+    ONE row into the occurrence count, one gram aggregate, one join
+    of the per-position frame against the (small) hot-gram set, then
+    interval expansion (``sequence(start, start+n-1)``, a bounded n×
+    fan-out of hot starts only), a (doc, pos) distinct whose partial
+    agg dedups map-side, one anti-join at token granularity, and one
+    per-doc reconstruction aggregate. Every shuffle key is (doc) or
+    (doc, pos/gram); nothing is driver-side, no global order.
+
+    Skew: same two-layer defense as x52. Intra-doc runs collapse
+    before the occurrence COUNT; the hot-START join (which genuinely
+    needs positions) can still concentrate a cross-corpus gram, so
+    ``salt > 0`` spreads it — the position side salts by
+    hash(doc id) % salt, the hot-gram side replicates salt× (hot set
+    ≪ corpus). Output is salt-invariant.
+
+    Reconstruction note: ``collect_list(struct(pos, tok))`` +
+    ``array_sort`` keeps the per-doc sort inside one aggregate buffer
+    — bounded by document length, never by corpus size (a document
+    that doesn't fit in one buffer doesn't fit in a training example
+    either)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1 (got {n})")
+    if salt < 0:
+        raise ValueError(f"salt must be >= 0 (got {salt})")
+    sep = "\x1f"
+    base = spread_small_input(df).select(
+        F.col(id_col).alias("__id"),
+        word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__l"),
+    )
+    # per-position gram keys; posexplode's index is 0-based, so the
+    # 1-based start of the gram at index k is k+1
+    starts = base.select(
+        "__id",
+        F.posexplode(
+            F.when(
+                F.size("__l") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__l") - n + 1),
+                    lambda i: F.md5(F.array_join(F.slice("__l", i, n), sep)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("__k", "g"),
+    )
+    # (doc, gram) collapse BEFORE the occurrence count: intra-doc runs
+    # reach the gram aggregate as one row per doc (the x52 lesson)
+    dg = starts.groupBy("__id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    hot = (
+        dg.groupBy("g")
+        .agg(F.sum("cnt").alias("occ"))
+        .filter(F.col("occ") >= min_occurrences)
+        .select("g")
+    )
+    if salt > 0:
+        s_side = starts.withColumn(
+            "__salt", F.pmod(F.xxhash64("__id"), F.lit(salt)).cast("int")
+        )
+        h_side = hot.select(
+            "g",
+            F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt"),
+        )
+        hot_starts = s_side.join(h_side, ["g", "__salt"])
+    else:
+        hot_starts = starts.join(hot, "g")
+    # covered token positions = start .. start+n-1 (1-based); distinct
+    # dedups overlapping windows map-side
+    covered = hot_starts.select(
+        "__id",
+        F.explode(F.sequence(F.col("__k") + 1, F.col("__k") + n)).alias("p"),
+    ).distinct()
+    tokpos = base.select(
+        "__id", F.posexplode("__l").alias("__k", "tok")
+    ).select("__id", (F.col("__k") + 1).alias("p"), "tok")
+    kept = tokpos.join(covered, ["__id", "p"], "left_anti")
+    recon = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("__clean"),
+    )
+    return (
+        base.select("__id", F.size("__l").cast("bigint").alias("n_tokens"))
+        .join(recon, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("__clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, the number of distinct ``n``-token grams they share and
+    the gram-set Jaccard. The standard pre-training audit before
+    mixing sources — a high-overlap pair means one source leaks into
+    another (mirror sites, cross-posted content, benchmark text
+    syndicated into web scrape), so its mixture weight double-counts.
+    Output (src_a, src_b, shared_ngrams, n_a, n_b, jaccard), one row
+    per unordered source pair that shares at least one gram
+    (src_a < src_b). The reference has no text operators — extension
+    surface.
+
+    Scale shape: per-doc gram keys (same md5 construction as
+    ``remove_repeated_spans``) collapse to DISTINCT (source, gram)
+    rows in a map-side partial aggregate — the corpus-sized explode
+    never crosses a shuffle un-deduplicated. The pair join is a
+    self-join of that deduplicated frame on the gram key: per-gram
+    fan-out is bounded by the number of SOURCES (tens, not rows), so
+    the worst-case join output is n_grams x sources^2 — no data-scale
+    cartesian. Source sizes ride the same frame; jaccard is a
+    projection over one final sources^2-row aggregate."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1 (got {n})")
+    sep = "\x1f"
+    sg = (
+        spread_small_input(df)
+        .select(
+            F.col(source_col).alias("__src"),
+            word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__l"),
+        )
+        .select(
+            "__src",
+            F.explode(
+                F.when(
+                    F.size("__l") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("__l") - n + 1),
+                        lambda i: F.md5(
+                            F.array_join(F.slice("__l", i, n), sep)
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    sizes = sg.groupBy("__src").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = sg.select(F.col("__src").alias("src_a"), "g")
+    b = sg.select(F.col("__src").alias("src_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+    return (
+        shared.join(
+            sizes.select(
+                F.col("__src").alias("src_a"), F.col("n_grams").alias("n_a")
+            ),
+            "src_a",
+        )
+        .join(
+            sizes.select(
+                F.col("__src").alias("src_b"), F.col("n_grams").alias("n_b")
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "shared_ngrams",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("shared_ngrams")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared_ngrams")),
+                6,
+            ).alias("jaccard"),
         )
     )
 

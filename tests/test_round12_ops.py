@@ -323,3 +323,164 @@ def test_materialize_mixture_zero_data_scale_exchanges(spark, mix_docs):
     assert "BroadcastHashJoin" in s, s[:3000]
     assert "Generate explode" in s, s[:3000]
     assert not re.search(r"Exchange hashpartitioning", s), s[:3000]
+
+
+# --- round-12 batch 2: span removal, source overlap, prototype select ---
+
+
+def test_remove_repeated_spans_semantics(spark):
+    """Hand-computed span removal: a cross-doc shared 5-gram is
+    removed from both sharers (and ONLY its 5 positions — windows
+    overlapping into unique context are unique grams); a fully
+    duplicated doc empties; an intra-doc repeat self-removes; unique,
+    short, and NULL docs pass through."""
+    from deepdb_public_spark.operators.textstats import (
+        remove_repeated_spans,
+    )
+
+    rows = [
+        (0, "u0a u0b DUP1 DUP2 DUP3 DUP4 DUP5 u0c u0d"),
+        (1, "v1a DUP1 DUP2 DUP3 DUP4 DUP5 v1b"),
+        (2, "W1 W2 W3 W4 W5"),
+        (3, "W1 W2 W3 W4 W5"),
+        (4, "only unique tokens live here today"),
+        (5, None),
+        (6, "too short anyway"),
+        (7, "R1 R2 R3 R4 R5 x R1 R2 R3 R4 R5"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_spans(docs, "text", "doc_id").collect()
+    }
+    assert len(out) == 8
+    assert out[0]["text_clean"] == "u0a u0b u0c u0d"
+    assert (out[0]["n_tokens"], out[0]["n_removed"]) == (9, 5)
+    assert out[1]["text_clean"] == "v1a v1b"
+    assert (out[1]["n_tokens"], out[1]["n_removed"]) == (7, 5)
+    for i in (2, 3):
+        assert out[i]["text_clean"] == ""
+        assert (out[i]["n_tokens"], out[i]["n_removed"]) == (5, 5)
+    assert out[4]["text_clean"] == "only unique tokens live here today"
+    assert out[4]["n_removed"] == 0
+    assert (out[5]["n_tokens"], out[5]["n_removed"], out[5]["text_clean"]) == (
+        0,
+        0,
+        "",
+    )
+    assert out[6]["text_clean"] == "too short anyway"
+    # intra-doc repeat: both occurrences covered, the pivot survives
+    assert out[7]["text_clean"] == "x"
+    assert (out[7]["n_tokens"], out[7]["n_removed"]) == (11, 10)
+
+
+def test_remove_repeated_spans_salt_invariance_and_plan(spark):
+    """The x52 two-layer skew defense, inherited by the removal
+    operator: (1) the occurrence count is fed by a map-side (doc,
+    gram) collapse — planted intra-doc runs shuffle as one row; (2)
+    salt spreads the hot-start join key to (g, __salt) with output
+    identical to the un-salted plan."""
+    from deepdb_public_spark.operators.textstats import (
+        remove_repeated_spans,
+    )
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            # every doc: the same 6-token hot span
+            F.lit("H1 H2 H3 H4 H5 H6 "),
+            # plus a unique tail so docs differ
+            F.sha2(F.col("id").cast("string"), 256),
+            F.lit(" t"),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    base = remove_repeated_spans(docs, "text", "doc_id", n=5)
+    rows = {r["doc_id"]: r for r in base.collect()}
+    assert len(rows) == 200
+    # the 6 hot-span tokens are covered by two overlapping hot 5-grams
+    for r in rows.values():
+        assert r["n_removed"] == 6, r
+        assert not r["text_clean"].startswith("H1"), r
+    plan = base._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"HashAggregate\(keys=\[__id#\d+L?, g#", plan), (
+        plan[:2000]
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted = remove_repeated_spans(docs, "text", "doc_id", n=5, salt=8)
+        srows = {r["doc_id"]: r for r in salted.collect()}
+        assert srows == rows
+        splan = salted._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"hashpartitioning\(g#\d+, __salt", splan), (
+            splan[:3000]
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_source_overlap_semantics(spark):
+    """Hand-computed contamination matrix: 5-token docs are exactly
+    one gram each, so the pair counts and Jaccard are enumerable."""
+    from deepdb_public_spark.operators.textstats import source_overlap
+
+    rows = [
+        (0, "sA", "a b c d e"),
+        (1, "sA", "f g h i j"),
+        (2, "sB", "a b c d e"),
+        (3, "sB", "k l m n o"),
+        (4, "sC", "p q r s t"),
+        (5, "sC", None),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in source_overlap(docs, "text", "doc_id", "source").collect()
+    }
+    assert set(out) == {("sA", "sB")}
+    r = out[("sA", "sB")]
+    assert (r["shared_ngrams"], r["n_a"], r["n_b"]) == (1, 2, 2)
+    assert r["jaccard"] == pytest.approx(1.0 / 3.0, abs=1e-6)
+
+
+def test_prototype_select_two_phase_matches_single_window(spark):
+    """The salted two-phase quota selects EXACTLY the single-window
+    per-cluster closest set (the x55 containment argument applied to
+    the geometric (dist, id) order), and selection is a prefix of
+    each cluster's (dist, id) order."""
+    from deepdb_public_spark.operators.similarity import prototype_select
+
+    vecs = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"),
+            ((F.col("id") * 3) % 5).cast("double"),
+            (F.col("id") % 2).cast("double"),
+        ).alias("embedding"),
+    )
+    salted = prototype_select(
+        vecs, "embedding", "vec_id", per_cluster=5, k=4, salt=8
+    ).collect()
+    plain = prototype_select(
+        vecs, "embedding", "vec_id", per_cluster=5, k=4, salt=0
+    ).collect()
+    key = lambda r: (r["id"], r["cluster"], r["dist"], r["selected"])
+    assert sorted(map(key, salted)) == sorted(map(key, plain))
+    by_cluster: dict[int, list] = {}
+    for r in salted:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    assert sum(1 for r in salted if r["selected"]) == sum(
+        min(5, len(v)) for v in by_cluster.values()
+    )
+    for members in by_cluster.values():
+        sel = sorted(
+            (r["dist"], r["id"]) for r in members if r["selected"]
+        )
+        unsel = sorted(
+            (r["dist"], r["id"]) for r in members if not r["selected"]
+        )
+        if sel and unsel:
+            assert sel[-1] < unsel[0]

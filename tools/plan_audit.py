@@ -232,6 +232,42 @@ def main() -> None:
         "doc out, the cost of writing the output.",
     )
     add(
+        "x60_temperature_plan",
+        "Temperature-scaled mixture planning (round 12): same "
+        "two-aggregate shape as x58 — the alpha-scaled weights are "
+        "derived from the per-source token counts themselves (one "
+        "groupBy(source)), normalized against a 1-row broadcast sum; "
+        "no window, no data-keyed join.",
+    )
+    add(
+        "x61_remove_spans",
+        "ExactSubstr span removal (round 12): the occurrence count is "
+        "fed by a map-side HashAggregate(keys=[__id, g]) collapse (the "
+        "x52 lesson — intra-doc runs shuffle as one row); the hot-start "
+        "join expands to covered positions with a generator (sequence, "
+        "not a shuffle); the anti-join and the per-doc reconstruction "
+        "aggregate are both (doc, pos)/(doc)-keyed — no data-scale "
+        "cartesian, no global sort (array_sort is per-doc, inside the "
+        "aggregate buffer).",
+    )
+    add(
+        "x62_source_overlap",
+        "Cross-source contamination matrix (round 12): the corpus-"
+        "sized gram explode collapses to DISTINCT (source, gram) in a "
+        "map-side partial aggregate BEFORE any join; the pair self-"
+        "join fans out at most sources-per-gram (tens), never rows; "
+        "final aggregate is sources^2-bounded.",
+    )
+    add(
+        "x63_prototype_select",
+        "Prototypicality pruning (round 12): literal-centroid "
+        "assignment (no join, no exchange to assign — the x54 trick), "
+        "then the TWO-PHASE quota: phase-1 window partitioned by "
+        "(cluster, pmod(hash(id), salt)) keeps local top-N, phase-2 "
+        "merges <= k*salt*N survivors, winners broadcast back "
+        "(BroadcastHashJoin) — no reducer ever sorts a whole cluster.",
+    )
+    add(
         "x49_bpe_pairs",
         "BPE pair statistic (round 8): one explode to words, one "
         "hashpartitioning(w) exchange collapsing the corpus to its "

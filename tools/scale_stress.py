@@ -54,13 +54,16 @@ def main() -> None:
         cluster_balanced_sample,
         hybrid_rrf_topk,
         kmeans_refine,
+        prototype_select,
     )
     from deepdb_public_spark.operators.textstats import (
         bpe_learn,
         bpe_pair_counts,
         doc_profile,
         ngram_contamination,
+        remove_repeated_spans,
         repeated_span_coverage,
+        source_overlap,
         tfidf_top_terms,
     )
 
@@ -128,6 +131,10 @@ def main() -> None:
         "mixture_plan (2 aggregates)": lambda d: mixture_plan(
             d, "text", "source", {"src0": 2.0}, 1_000_000
         ).count(),
+        "remove_repeated_spans (gram hist + rewrite)": lambda d:
+            remove_repeated_spans(d, "text", "doc_id", n=5).count(),
+        "source_overlap (distinct gram pair join)": lambda d:
+            source_overlap(d, "text", "doc_id", "source", n=5).count(),
         "materialize_mixture (broadcast plan + explode)": lambda d:
             materialize_mixture(
                 d, "doc_id", "source",
@@ -147,6 +154,7 @@ def main() -> None:
         "bigram_logprob (zip + collapsed model join)",
         "curate_corpus (3-stage pipeline)",
         "cluster_balanced_sample (two-phase quota)",
+        "remove_repeated_spans (gram hist + rewrite)",
     ]
     SKEW_SLOPE_CAP = 2.5  # max tolerated t(2k)/t(k) per doubling
 
@@ -193,6 +201,10 @@ def main() -> None:
         ).count(),
         "cluster_balanced_sample (two-phase quota)": lambda d:
             cluster_balanced_sample(
+                d, "embedding", "vec_id", per_cluster=30, k=8, iters=2
+            ).count(),
+        "prototype_select (two-phase geometric quota)": lambda d:
+            prototype_select(
                 d, "embedding", "vec_id", per_cluster=30, k=8, iters=2
             ).count(),
     }
