@@ -865,6 +865,33 @@ def _x_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (round 12 — the CCNet/FineWeb
+    classifier-filter pattern): a logistic head with literal weights
+    over the exact Gopher feature arithmetic x30 uses
+    (operators/filters.py::quality_classifier). Pure projection — the
+    model is constants folded into the plan; the logit is rounded to
+    6 decimals before the sigmoid so DuckDB reproduces score AND keep
+    decision exactly."""
+    from deepdb_public_spark.operators.filters import quality_classifier
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    return quality_classifier(docs, "text", "doc_id")
+
+
+def _x_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule (round 12 — short-to-long ordering): token-
+    count quartile bands from ONE exact-percentile aggregate broadcast
+    back onto the corpus, md5 position key within each band
+    (operators/sampling.py::curriculum_order). No global row-number —
+    the operator emits the SORT KEY and leaves ordering to the
+    consumer's distributed sort."""
+    from deepdb_public_spark.operators.sampling import curriculum_order
+
+    docs = _engine(spark, sf_dir).catalog["documents"]
+    return curriculum_order(docs, "text", "doc_id", phases=4)
+
+
 def _x_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination matrix (round 12): distinct 5-token
     grams shared between every pair of corpus sources, with gram-set
@@ -3737,6 +3764,42 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
         FROM shared s
         JOIN sizes za ON za.source = s.src_a
         JOIN sizes zb ON zb.source = s.src_b
+        """,
+    ),
+    "x64_quality_classifier": (
+        _x_quality_classifier,
+        _GOPHER_S_CTE
+        + """
+        SELECT doc_id, score, score >= 0.5 AS keep FROM (
+          SELECT doc_id,
+                 ROUND(1.0 / (1.0 + EXP(-ROUND(
+                   -3.0 + 0.35 * ln(1.0 + n_words) + 0.25 * mwl
+                   - 4.0 * symr + 2.0 * alphaf + 0.3 * nstop, 6))), 6)
+                   AS score
+          FROM s)
+        """,
+    ),
+    "x65_curriculum_order": (
+        _x_curriculum_order,
+        """
+        WITH t AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(COALESCE(text, ''),
+                                                    '\\s+'),
+                                 x -> x <> '')) AS n
+          FROM documents
+        ),
+        b AS (
+          SELECT ROUND(quantile_cont(n, 0.25), 6) AS b1,
+                 ROUND(quantile_cont(n, 0.50), 6) AS b2,
+                 ROUND(quantile_cont(n, 0.75), 6) AS b3
+          FROM t
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+               CAST((n > b1)::INT + (n > b2)::INT + (n > b3)::INT AS INT)
+                 AS phase,
+               md5(CAST(doc_id AS VARCHAR)) AS seq
+        FROM t CROSS JOIN b
         """,
     ),
     "x08_embed_neardup": (

@@ -50,10 +50,11 @@ def _sum_lengths(toks: Column) -> Column:
     )
 
 
-def _gopher_exprs(text_col: str) -> tuple[dict[str, Column], Column, Column, Column]:
-    """(flag columns, keep column, n_words, mean_word_len) — shared by
-    the audit view and the filter so both are pure expressions over
-    the input row (no joins anywhere)."""
+def _gopher_features(text_col: str) -> dict[str, Column]:
+    """Raw Gopher feature columns (pure expressions, no joins) —
+    shared by the rule-based flags and the logistic
+    :func:`quality_classifier` so both planes score the exact same
+    arithmetic (and the DuckDB twin replays it from one CTE)."""
     text = F.col(text_col)
     toks = word_tokens(text)
     toks_lower = F.transform(toks, lambda t: F.lower(t))
@@ -69,6 +70,25 @@ def _gopher_exprs(text_col: str) -> tuple[dict[str, Column], Column, Column, Col
     alpha_fraction = n_alpha.cast("double") / nw
     stop = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
     n_stop_distinct = F.size(F.array_intersect(F.array_distinct(toks_lower), stop))
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "alpha_fraction": alpha_fraction,
+        "n_stop_distinct": n_stop_distinct,
+    }
+
+
+def _gopher_exprs(text_col: str) -> tuple[dict[str, Column], Column, Column, Column]:
+    """(flag columns, keep column, n_words, mean_word_len) — shared by
+    the audit view and the filter so both are pure expressions over
+    the input row (no joins anywhere)."""
+    feats = _gopher_features(text_col)
+    n_words = feats["n_words"]
+    mean_word_len = feats["mean_word_len"]
+    symbol_ratio = feats["symbol_ratio"]
+    alpha_fraction = feats["alpha_fraction"]
+    n_stop_distinct = feats["n_stop_distinct"]
 
     flags = {
         "word_count_ok": (n_words >= MIN_WORDS) & (n_words <= MAX_WORDS),
@@ -120,6 +140,75 @@ def gopher_filter(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     materializes (a broadcast keep-list would be corpus-sized)."""
     _flags, keep, _n, _m = _gopher_exprs(text_col)
     return df.filter(keep)
+
+
+#: Default logistic head over the Gopher features: rewards length,
+#: word shape, alphabetic fraction and stopword evidence, punishes
+#: symbol noise. Literal stand-ins for a trained classifier — the
+#: PLUMBING (features as column expressions, model as constants
+#: compiled into the projection) is what ships; real deployments swap
+#: in trained weights.
+QUALITY_CLF_WEIGHTS: dict[str, float] = {
+    "log1p_n_words": 0.35,
+    "mean_word_len": 0.25,
+    "symbol_ratio": -4.0,
+    "alpha_fraction": 2.0,
+    "n_stop_distinct": 0.3,
+}
+QUALITY_CLF_BIAS: float = -3.0
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    bias: float | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Model-based quality scoring (the CCNet/FineWeb pattern: a
+    trained classifier — fastText, a linear probe — scores every
+    document and a threshold keeps the confident ones), as a logistic
+    head over the Gopher features with LITERAL weights. Output
+    (id, score, keep), score = sigmoid of the weighted feature sum.
+
+    The weights here are fixed constants (a real deployment trains
+    them and passes ``weights=``); what matters at 100 TB is the
+    shape: features are pure column expressions (``_gopher_features``,
+    the exact arithmetic the rule-based x30 flags use), the model is
+    constants folded into the projection — zero shuffle, zero UDF,
+    zero join. The logit is rounded to 6 decimals before the sigmoid
+    and the score after it, so the decision is engine-portable (the
+    x38/x56 ln/exp discipline).
+
+    Weight keys: ``log1p_n_words`` (ln(1 + word count)),
+    ``mean_word_len``, ``symbol_ratio``, ``alpha_fraction``,
+    ``n_stop_distinct``. (The reference has no text operators —
+    extension surface.)"""
+    w = dict(QUALITY_CLF_WEIGHTS)
+    if weights is not None:
+        unknown = set(weights) - set(w)
+        if unknown:
+            raise ValueError(f"unknown feature weights: {sorted(unknown)}")
+        w.update(weights)
+    b = QUALITY_CLF_BIAS if bias is None else float(bias)
+    feats = _gopher_features(text_col)
+    z = F.round(
+        F.lit(b)
+        + F.lit(w["log1p_n_words"])
+        * F.log(F.lit(1.0) + feats["n_words"].cast("double"))
+        + F.lit(w["mean_word_len"]) * feats["mean_word_len"]
+        + F.lit(w["symbol_ratio"]) * feats["symbol_ratio"]
+        + F.lit(w["alpha_fraction"]) * feats["alpha_fraction"]
+        + F.lit(w["n_stop_distinct"]) * feats["n_stop_distinct"].cast("double"),
+        6,
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return df.select(
+        F.col(id_col),
+        score.alias("score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+    )
 
 
 def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

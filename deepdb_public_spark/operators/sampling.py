@@ -441,3 +441,56 @@ def dsir_select(
             F.coalesce("__sel", F.lit(False)).alias("selected"),
         )
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    phases: int = 4,
+) -> DataFrame:
+    """Length-based curriculum schedule (short-to-long ordering — the
+    classic curriculum-learning heuristic of Bengio et al. 2009,
+    applied corpus-wide): split the corpus into ``phases`` token-count
+    quantile bands and give every document a deterministic position
+    key inside its band. Output (id, n_tokens, phase, seq) — training
+    consumes the corpus ordered by (phase, seq).
+
+    ``phase`` is the number of exact quantile boundaries the document
+    exceeds (0 = shortest band); ``seq`` is md5(id) — the portable
+    pseudorandom order used by every sampler in this module, so docs
+    WITHIN a band stream in shuffled-but-reproducible order.
+
+    Scale shape: ONE aggregate computes the phase boundaries (exact
+    interpolated percentiles, rounded to 6 decimals so the comparison
+    is engine-portable), broadcast back as a 1-row frame; phase
+    assignment and the seq key are pure projections. Deliberately NO
+    global row_number — a total order would funnel the corpus through
+    one task; emitting the SORT KEY instead leaves the ordering to
+    the consumer's distributed sort. At 100 TB swap the exact
+    percentile for approx_percentile (one line); the exact one keeps
+    the operator oracle-checkable."""
+    if phases < 2:
+        raise ValueError(f"phases must be >= 2 (got {phases})")
+    from deepdb_public_spark.functions.text import token_count
+
+    n = token_count(F.coalesce(F.col(text_col), F.lit("")))
+    base = df.select(F.col(id_col).alias("__id"), n.alias("__n"))
+    bounds = base.agg(
+        *[
+            F.round(
+                F.percentile(F.col("__n"), F.lit(i / phases)), 6
+            ).alias(f"__b{i}")
+            for i in range(1, phases)
+        ]
+    )
+    phase = None
+    for i in range(1, phases):
+        hit = (F.col("__n") > F.col(f"__b{i}")).cast("int")
+        phase = hit if phase is None else phase + hit
+    return base.crossJoin(F.broadcast(bounds)).select(
+        F.col("__id").alias(id_col),
+        F.col("__n").cast("bigint").alias("n_tokens"),
+        phase.cast("int").alias("phase"),
+        F.md5(F.col("__id").cast("string")).alias("seq"),
+    )

@@ -484,3 +484,88 @@ def test_prototype_select_two_phase_matches_single_window(spark):
         )
         if sel and unsel:
             assert sel[-1] < unsel[0]
+
+
+def test_quality_classifier_hand_computed(spark):
+    """Score replays the logistic arithmetic on a crafted doc, keep
+    flips with the threshold, unknown weight keys are rejected."""
+    from deepdb_public_spark.operators.filters import quality_classifier
+
+    text = "the cat sat on the mat with a hat"  # 9 words, all alpha
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = quality_classifier(docs, "text", "doc_id").collect()[0]
+    n_words = 9
+    mwl = (3 + 3 + 3 + 2 + 3 + 3 + 4 + 1 + 3) / 9.0
+    nstop = 2  # the, with (distinct hits in the 8-word GOPHER list)
+    z = round(
+        -3.0 + 0.35 * math.log(1.0 + n_words) + 0.25 * mwl
+        - 4.0 * 0.0 + 2.0 * 1.0 + 0.3 * nstop,
+        6,
+    )
+    expected = 1.0 / (1.0 + math.exp(-z))
+    assert r["score"] == pytest.approx(expected, abs=1e-6)
+    assert bool(r["keep"]) == (r["score"] >= 0.5)
+    strict = quality_classifier(
+        docs, "text", "doc_id", threshold=0.99
+    ).collect()[0]
+    assert not strict["keep"]
+    with pytest.raises(ValueError, match="unknown feature"):
+        quality_classifier(docs, "text", "doc_id", weights={"nope": 1.0})
+
+
+def test_quality_classifier_pure_projection(spark):
+    """The classifier is constants folded into one projection — the
+    executed plan has NO exchange, join, or window."""
+    from deepdb_public_spark.operators.filters import quality_classifier
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("some text no "), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    df = quality_classifier(docs, "text", "doc_id")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Exchange", "Join", "Window"):
+        assert bad not in plan, plan[:2000]
+
+
+def test_curriculum_order_phases(spark):
+    """Quartile bands over known token counts: 8 docs with counts
+    1..8 -> exact quantile_cont boundaries 2.75 / 4.5 / 6.25, so
+    phases are 0,0,1,1,2,2,3,3; seq is the md5 of the id."""
+    from deepdb_public_spark.operators.sampling import curriculum_order
+
+    rows = [(i, " ".join(["w"] * i)) for i in range(1, 9)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in curriculum_order(docs, "text", "doc_id", phases=4).collect()
+    }
+    expected_phase = {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 3, 8: 3}
+    for i, ph in expected_phase.items():
+        assert out[i]["phase"] == ph, (i, out[i])
+        assert out[i]["n_tokens"] == i
+        assert out[i]["seq"] == hashlib.md5(str(i).encode()).hexdigest()
+    with pytest.raises(ValueError, match="phases"):
+        curriculum_order(docs, "text", "doc_id", phases=1)
+
+
+def test_curriculum_order_no_global_sort(spark):
+    """The schedule is a sort KEY, not a row number: the executed plan
+    has no Window and no Sort over the corpus — one percentile
+    aggregate broadcast back, then projections."""
+    from deepdb_public_spark.operators.sampling import curriculum_order
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("a b c d "), F.col("id").cast("string")).alias("text"),
+    )
+    df = curriculum_order(docs, "text", "doc_id")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        plan[:2000]
+    )

@@ -268,6 +268,24 @@ def main() -> None:
         "(BroadcastHashJoin) — no reducer ever sorts a whole cluster.",
     )
     add(
+        "x64_quality_classifier",
+        "Model-based quality filter (round 12): logistic head with "
+        "literal weights over the Gopher feature expressions — the "
+        "model is constants folded into ONE projection; no exchange, "
+        "no join, no window, no UDF. The shape of classifier-based "
+        "filtering at 100 TB: scoring costs exactly one columnar scan.",
+    )
+    add(
+        "x65_curriculum_order",
+        "Curriculum schedule (round 12): ONE exact-percentile "
+        "aggregate computes the phase boundaries, broadcast back as a "
+        "1-row frame (BroadcastNestedLoopJoin on a scalar — the "
+        "scale-safe scalar-broadcast idiom); phase assignment and the "
+        "md5 sort key are projections. Deliberately NO global "
+        "row_number/Window — ordering is left to the consumer's "
+        "distributed sort.",
+    )
+    add(
         "x49_bpe_pairs",
         "BPE pair statistic (round 8): one explode to words, one "
         "hashpartitioning(w) exchange collapsing the corpus to its "

@@ -42,9 +42,11 @@ def main() -> None:
     from deepdb_public_spark.operators.dedup import semantic_dedup
     from deepdb_public_spark.operators.filters import (
         bigram_logprob,
+        quality_classifier,
         repetition_stats,
     )
     from deepdb_public_spark.operators.sampling import (
+        curriculum_order,
         dsir_select,
         hash_split,
         materialize_mixture,
@@ -135,6 +137,10 @@ def main() -> None:
             remove_repeated_spans(d, "text", "doc_id", n=5).count(),
         "source_overlap (distinct gram pair join)": lambda d:
             source_overlap(d, "text", "doc_id", "source", n=5).count(),
+        "quality_classifier (pure projection)": lambda d:
+            quality_classifier(d, "text", "doc_id").count(),
+        "curriculum_order (percentile broadcast)": lambda d:
+            curriculum_order(d, "text", "doc_id", phases=4).count(),
         "materialize_mixture (broadcast plan + explode)": lambda d:
             materialize_mixture(
                 d, "doc_id", "source",
