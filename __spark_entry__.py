@@ -497,7 +497,18 @@ def _x_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the exact near-dup (Jaccard >= 0.8)
     pairs: every involved doc labeled with the MIN doc_id of its
     component — oracle-checked against a DuckDB recursive-CTE
-    transitive closure."""
+    transitive closure.
+
+    Cost note (round 12): the driver regenerated the testdata at
+    round-12 start and this entry's cost moved from ~3.3-4s to
+    ~5.4-6.3s at sf0.1 with ZERO dedup-code changes. Measured cause:
+    on the new generation the doc_id < 1000 slice is shingle-dense —
+    499,476 of the 499,500 possible doc pairs share at least one
+    5-gram (DuckDB count), while only 7 pairs clear Jaccard >= 0.8 —
+    so the exact-verify stage prices a near-complete candidate
+    universe. Quiet-window standalone reps: 6.15/6.27s; best in-bench
+    min 5.44s; the bench sentinel floor was re-pinned accordingly
+    (bench.py::SENTINEL_FLOORS)."""
     from pyspark.sql import functions as F
 
     from deepdb_public_spark.operators.dedup import (
