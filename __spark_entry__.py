@@ -903,6 +903,40 @@ def _x_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_order(docs, "text", "doc_id", phases=4)
 
 
+def _x_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode (round 12 — Jégou et al. 2011, the
+    billion-vector ANN workhorse): the 64-dim embeddings split into 2
+    subspaces, an 8-codeword codebook fit per subspace with the
+    deterministic Lloyd (the x54 math on sliced vectors), every vector
+    encoded as its per-subspace nearest-codeword index
+    (operators/similarity.py::pq_encode). The DuckDB oracle replays
+    BOTH per-subspace Lloyd chains (the x54 CTEs parametrized by
+    list_slice bounds) — the code assignment is hash-checked for
+    every vector."""
+    from deepdb_public_spark.operators.similarity import pq_encode
+
+    emb = _engine(spark, sf_dir).catalog["embeddings"]
+    codes, _ = pq_encode(emb, "embedding", "vec_id", m=2, k=8, iters=2)
+    return codes
+
+
+def _x_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ search (round 12): top-10 by ADC
+    distance to the vec_id=0 query — lookup table computed driver-side
+    from the collected query row (m*k doubles, model-sized) and
+    compiled to literal arrays, scoring a pure projection over the
+    codes, selection a distributed TakeOrderedAndProject
+    (operators/similarity.py::pq_topk). Per-subspace LUT entries are
+    rounded to 6 decimals (total re-rounded), so DuckDB reproduces
+    distance and the selected set exactly."""
+    from deepdb_public_spark.operators.similarity import pq_topk
+
+    emb = _engine(spark, sf_dir).catalog["embeddings"]
+    return pq_topk(
+        emb, "embedding", "vec_id", query_id=0, top_k=10, m=2, k=8, iters=2
+    )
+
+
 def _x_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination matrix (round 12): distinct 5-token
     grams shared between every pair of corpus sources, with gram-set
@@ -2938,6 +2972,76 @@ _LLOYD_CTE_2ITER = """
 """
 
 
+def _pq_lloyd_cte(sfx: str, lo: int, hi: int) -> str:
+    """The x54 2-iteration Lloyd CTE chain parametrized for a PQ
+    subspace (x66/x67): identical seed/rounding/tie rules, but over
+    ``list_slice(embedding, lo, hi)``. Emits CTE definitions suffixed
+    ``sfx`` (comma-joined, no WITH); the final code assignment is
+    ``a2{sfx}(vec_id, code)`` and the final codebook ``c2{sfx}(j, c)``.
+    Generating the SQL instead of hand-writing two 60-line copies
+    keeps the subspace chains provably identical to the x54 oracle."""
+
+    def dist(src: str) -> str:
+        return (
+            f"SELECT vecs{sfx}.vec_id, {src}.j,"
+            f" ROUND(list_sum(list_transform(list_zip(v, c),"
+            f" z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d"
+            f" FROM vecs{sfx} CROSS JOIN {src}"
+        )
+
+    def argmin(dsrc: str, out: str) -> str:
+        return (
+            f"SELECT vec_id, j AS {out} FROM ("
+            f"SELECT vec_id, j, ROW_NUMBER() OVER"
+            f" (PARTITION BY vec_id ORDER BY d, j) AS rn"
+            f" FROM {dsrc}) WHERE rn = 1"
+        )
+
+    def means(asrc: str) -> str:
+        return (
+            f"SELECT j, i, ROUND(AVG(x), 6) AS m FROM ("
+            f"SELECT {asrc}.cluster AS j, generate_subscripts(v, 1) AS i,"
+            f" unnest(v) AS x FROM {asrc} JOIN vecs{sfx} USING (vec_id))"
+            f" GROUP BY j, i"
+        )
+
+    def update(prev: str, msrc: str) -> str:
+        return (
+            f"SELECT p.j, COALESCE(n.c, p.c) AS c FROM {prev} p"
+            f" LEFT JOIN (SELECT j, list(m ORDER BY i) AS c"
+            f" FROM {msrc} GROUP BY j) n USING (j)"
+        )
+
+    parts = [
+        f"vecs{sfx} AS (SELECT vec_id,"
+        f" list_transform(list_slice(embedding, {lo}, {hi}),"
+        f" x -> CAST(x AS DOUBLE)) AS v"
+        f" FROM embeddings WHERE embedding IS NOT NULL)",
+        f"seeds{sfx} AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j,"
+        f" list_transform(v, x -> ROUND(x, 6)) AS c"
+        f" FROM (SELECT * FROM vecs{sfx} ORDER BY vec_id LIMIT 8))",
+        f"d0{sfx} AS ({dist(f'seeds{sfx}')})",
+        f"a0{sfx} AS ({argmin(f'd0{sfx}', 'cluster')})",
+        f"m1{sfx} AS ({means(f'a0{sfx}')})",
+        f"c1{sfx} AS ({update(f'seeds{sfx}', f'm1{sfx}')})",
+        f"d1{sfx} AS ({dist(f'c1{sfx}')})",
+        f"a1{sfx} AS ({argmin(f'd1{sfx}', 'cluster')})",
+        f"m2{sfx} AS ({means(f'a1{sfx}')})",
+        f"c2{sfx} AS ({update(f'c1{sfx}', f'm2{sfx}')})",
+        f"d2{sfx} AS ({dist(f'c2{sfx}')})",
+        f"a2{sfx} AS ({argmin(f'd2{sfx}', 'code')})",
+    ]
+    return ",\n        ".join(parts)
+
+
+_PQ_CTES = (
+    "        WITH "
+    + _pq_lloyd_cte("s0", 1, 32)
+    + ",\n        "
+    + _pq_lloyd_cte("s1", 33, 64)
+)
+
+
 # Shared oracle CTE for the Gopher word-level metrics (t: tokenized
 # docs carrying lang+text; s: per-doc metrics) — factored so the x30
 # audit oracle and the x57 curation oracle cannot drift (the x54/x55
@@ -3811,6 +3915,43 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
                  AS phase,
                md5(CAST(doc_id AS VARCHAR)) AS seq
         FROM t CROSS JOIN b
+        """,
+    ),
+    "x66_pq_encode": (
+        _x_pq_encode,
+        _PQ_CTES
+        + """
+        SELECT a2s0.vec_id AS id, CAST(a2s0.code AS INT) AS code_0,
+               CAST(a2s1.code AS INT) AS code_1
+        FROM a2s0 JOIN a2s1 USING (vec_id)
+        """,
+    ),
+    "x67_pq_topk": (
+        _x_pq_topk,
+        _PQ_CTES
+        + """,
+        q0 AS (SELECT list_transform(list_slice(embedding, 1, 32),
+                      x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+        q1 AS (SELECT list_transform(list_slice(embedding, 33, 64),
+                      x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+        lut0 AS (SELECT c2s0.j,
+                        ROUND(list_sum(list_transform(list_zip(qv, c),
+                              z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d
+                 FROM c2s0 CROSS JOIN q0),
+        lut1 AS (SELECT c2s1.j,
+                        ROUND(list_sum(list_transform(list_zip(qv, c),
+                              z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d
+                 FROM c2s1 CROSS JOIN q1),
+        scored AS (
+          SELECT e0.vec_id, ROUND(l0.d + l1.d, 6) AS adc_dist
+          FROM a2s0 e0 JOIN a2s1 e1 USING (vec_id)
+          JOIN lut0 l0 ON l0.j = e0.code
+          JOIN lut1 l1 ON l1.j = e1.code
+        )
+        SELECT vec_id AS id, adc_dist FROM scored
+        QUALIFY ROW_NUMBER() OVER (ORDER BY adc_dist, vec_id) <= 10
         """,
     ),
     "x08_embed_neardup": (

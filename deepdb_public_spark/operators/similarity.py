@@ -831,43 +831,64 @@ def kmeans_refine(
     vecs = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    centroids = _lloyd_fit(vecs, k, iters, op_name="kmeans_refine")
+    return _lloyd_assign(vecs, centroids).select(
+        "id", F.col("cluster").cast("int").alias("cluster"), "dist"
+    )
+
+
+def _lloyd_assign(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Assign each (id, v) row to its nearest centroid — the centroids
+    are compiled to literals, so assignment is one narrow projection
+    (no join, no shuffle). Distances rounded to 6 decimals BEFORE the
+    argmin, ties to the lower index (kmeans_refine's portable rule).
+    Returns (id, v, cluster, dist)."""
+    k = len(centroids)
+    dists = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(c) for c in centroids[j]]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        for j in range(k)
+    ]
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(dists[j].alias("d"), F.lit(j).alias("j"))
+                for j in range(k)
+            ]
+        )
+    )
+    return vecs.select(
+        "id", "v", best["j"].alias("cluster"), best["d"].alias("dist")
+    )
+
+
+def _lloyd_fit(
+    vecs: DataFrame, k: int, iters: int, op_name: str = "lloyd"
+) -> list[list[float]]:
+    """The deterministic Lloyd loop of :func:`kmeans_refine`, factored
+    out so product quantization can fit per-subspace codebooks with
+    the exact same engine-portable math (seeds = k smallest ids
+    rounded to 6; per-iteration means rounded to 6; empty clusters
+    keep their previous centroid). Returns the FINAL centroids; each
+    iteration is one linear scan + one model-sized collect."""
     seed_rows = vecs.orderBy("id").limit(int(k)).collect()
     if len(seed_rows) < k:
-        raise ValueError(f"kmeans_refine: need >= {k} vectors, got {len(seed_rows)}")
+        raise ValueError(f"{op_name}: need >= {k} vectors, got {len(seed_rows)}")
     dim = len(seed_rows[0]["v"])
     centroids = [[round(float(x), 6) for x in r["v"]] for r in seed_rows]
-
-    def _assigned() -> DataFrame:
-        dists = [
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("v"),
-                        F.array(*[F.lit(c) for c in centroids[j]]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            )
-            for j in range(k)
-        ]
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(dists[j].alias("d"), F.lit(j).alias("j"))
-                    for j in range(k)
-                ]
-            )
-        )
-        return vecs.select(
-            "id", "v", best["j"].alias("cluster"), best["d"].alias("dist")
-        )
-
     for _ in range(int(iters)):
         means = (
-            _assigned()
+            _lloyd_assign(vecs, centroids)
             .select("cluster", F.posexplode("v").alias("i", "x"))
             .groupBy("cluster", "i")
             .agg(F.round(F.avg("x"), 6).alias("m"))
@@ -879,10 +900,7 @@ def kmeans_refine(
                 r["m"]
             )
         centroids = [new.get(j, centroids[j]) for j in range(k)]
-
-    return _assigned().select(
-        "id", F.col("cluster").cast("int").alias("cluster"), "dist"
-    )
+    return centroids
 
 
 def cluster_balanced_sample(
@@ -1023,4 +1041,131 @@ def prototype_select(
     w = Window.partitionBy("cluster").orderBy(*order)
     return assigned.withColumn("__rn", F.row_number().over(w)).select(
         "id", "cluster", "dist", (F.col("__rn") <= per_cluster).alias("selected")
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 2,
+    k: int = 8,
+    iters: int = 2,
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Product quantization (Jégou et al. 2011, the workhorse of
+    billion-vector ANN): split the vector into ``m`` contiguous
+    subspaces, learn a ``k``-codeword codebook per subspace with the
+    deterministic Lloyd of :func:`kmeans_refine` (seeds = smallest
+    ids, everything rounded to 6 decimals — so the codebooks AND the
+    codes reproduce bit-for-bit in another engine), and encode every
+    vector as its per-subspace nearest-codeword index. Returns
+    (codes DataFrame (id, code_0..code_{m-1}), codebooks[m][k][w]).
+
+    Scale shape: fitting is m small Lloyd loops (each one linear scan
+    + model-sized collect per iteration); encoding compiles all m*k
+    codewords to literals in ONE narrow projection — no join, no
+    shuffle, the x54 trick per subspace. At 100 TB the codes are
+    m bytes per vector (k <= 256) versus 4*dim for the raw floats —
+    the compression that makes exhaustive candidate scoring feasible.
+    """
+    if m < 1:
+        raise ValueError(f"m must be >= 1 (got {m})")
+    vecs = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    first = vecs.select(F.size("v").alias("d")).first()
+    if first is None:
+        raise ValueError("pq_encode: empty input")
+    dim = int(first["d"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    w = dim // m
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        sub = vecs.select("id", F.slice("v", j * w + 1, w).alias("v"))
+        codebooks.append(_lloyd_fit(sub, k, iters, op_name="pq_encode"))
+    cols = [F.col("id")]
+    for j in range(m):
+        subv = F.slice("v", j * w + 1, w)
+        dists = [
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        subv,
+                        F.array(*[F.lit(c) for c in codebooks[j][c_i]]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+            for c_i in range(k)
+        ]
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(dists[c_i].alias("d"), F.lit(c_i).alias("j"))
+                    for c_i in range(k)
+                ]
+            )
+        )
+        cols.append(best["j"].cast("int").alias(f"code_{j}"))
+    return vecs.select(*cols), codebooks
+
+
+def pq_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id,
+    top_k: int = 10,
+    m: int = 2,
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Asymmetric-distance PQ search (the ADC of Jégou et al. 2011):
+    score every encoded vector against the query whose id is
+    ``query_id`` using the lookup table ||q_j - codeword||^2 per
+    subspace, and return the ``top_k`` by approximate distance
+    (ties on id; the query itself participates and scores ~0).
+    Output (id, adc_dist).
+
+    Scale shape: the lookup table is m*k doubles computed DRIVER-side
+    from the collected query row (model-sized, never data-sized) and
+    compiled to literal arrays; scoring is element_at(lut_j, code_j+1)
+    summed — a pure projection over the m-byte codes, no join — and
+    selection is a distributed TakeOrderedAndProject. Per-subspace
+    LUT entries are rounded to 6 decimals and the total re-rounded,
+    so DuckDB reproduces distance AND the selected set exactly."""
+    codes, codebooks = pq_encode(df, vec_col, id_col, m=m, k=k, iters=iters)
+    qrow = (
+        df.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .first()
+    )
+    if qrow is None:
+        raise ValueError(f"pq_topk: query id {query_id!r} not found")
+    q = [float(x) for x in qrow["v"]]
+    w = len(q) // m
+    luts: list[list[float]] = []
+    for j in range(m):
+        qj = q[j * w : (j + 1) * w]
+        luts.append(
+            [
+                round(sum((a - b) * (a - b) for a, b in zip(qj, c)), 6)
+                for c in codebooks[j]
+            ]
+        )
+    total = None
+    for j in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(d) for d in luts[j]]), F.col(f"code_{j}") + 1
+        )
+        total = term if total is None else total + term
+    return (
+        codes.select("id", F.round(total, 6).alias("adc_dist"))
+        .orderBy("adc_dist", "id")
+        .limit(int(top_k))
     )

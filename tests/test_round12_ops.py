@@ -569,3 +569,96 @@ def test_curriculum_order_no_global_sort(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
         plan[:2000]
     )
+
+
+def test_pq_encode_codes_match_subspace_argmin(spark):
+    """PQ codes equal the per-subspace nearest-codeword argmin
+    computed in Python from the returned codebooks (rounded-at-6
+    distances, low-index ties — the kmeans_refine rule)."""
+    from deepdb_public_spark.operators.similarity import pq_encode
+
+    vecs = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                ((F.col("id") * (i + 3)) % 11).cast("double")
+                for i in range(8)
+            ]
+        ).alias("embedding"),
+    )
+    codes_df, codebooks = pq_encode(
+        vecs, "embedding", "vec_id", m=2, k=4, iters=2
+    )
+    assert len(codebooks) == 2 and all(len(cb) == 4 for cb in codebooks)
+    rows = {r["id"]: r for r in codes_df.collect()}
+    raw = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+    for vid, v in raw.items():
+        for j in range(2):
+            sub = v[j * 4 : (j + 1) * 4]
+            dists = [
+                round(sum((a - b) * (a - b) for a, b in zip(sub, c)), 6)
+                for c in codebooks[j]
+            ]
+            expect = min(range(4), key=lambda i: (dists[i], i))
+            assert rows[vid][f"code_{j}"] == expect, (vid, j, dists)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_encode(vecs, "embedding", "vec_id", m=3)
+
+
+def test_pq_topk_adc_matches_python_and_plan(spark):
+    """pq_topk's result equals the Python replay of the ADC math over
+    the codes, the query scores (near) zero against itself, and the
+    scoring plan is join-free with a distributed TakeOrdered."""
+    from deepdb_public_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+    )
+
+    vecs = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                ((F.col("id") * (i + 2)) % 7).cast("double")
+                for i in range(8)
+            ]
+        ).alias("embedding"),
+    )
+    top = pq_topk(
+        vecs, "embedding", "vec_id", query_id=0, top_k=5, m=2, k=4, iters=2
+    )
+    got = [(r["id"], r["adc_dist"]) for r in top.collect()]
+    # Python replay
+    codes_df, codebooks = pq_encode(
+        vecs, "embedding", "vec_id", m=2, k=4, iters=2
+    )
+    raw = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+    q = raw[0]
+    luts = [
+        [
+            round(
+                sum(
+                    (a - b) * (a - b)
+                    for a, b in zip(q[j * 4 : (j + 1) * 4], c)
+                ),
+                6,
+            )
+            for c in codebooks[j]
+        ]
+        for j in range(2)
+    ]
+    dists = []
+    for r in codes_df.collect():
+        dists.append(
+            (
+                round(luts[0][r["code_0"]] + luts[1][r["code_1"]], 6),
+                r["id"],
+            )
+        )
+    expect = [(vid, d) for d, vid in sorted(dists)[:5]]
+    assert got == expect
+    # the query's own code cell contains it, so its ADC dist is the
+    # distance to its own codewords — the minimum of its cells
+    assert got[0][1] == min(d for d, _ in dists)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "Join" not in plan, plan[:1500]

@@ -286,6 +286,23 @@ def main() -> None:
         "distributed sort.",
     )
     add(
+        "x66_pq_encode",
+        "Product quantization encode (round 12): per-subspace "
+        "codebooks fit by the deterministic Lloyd (model-sized "
+        "collects), then ALL m*k codewords compiled to literals in "
+        "ONE narrow projection — no join, no exchange to encode; the "
+        "x54 literal-centroid trick per subspace.",
+    )
+    add(
+        "x67_pq_topk",
+        "ADC search (round 12): the m*k lookup table is computed "
+        "driver-side from the collected query row and folded into the "
+        "projection as literal arrays (element_at by code); selection "
+        "is TakeOrderedAndProject — join-free scoring over m-byte "
+        "codes, the plan shape that makes exhaustive candidate "
+        "scoring feasible at billions of vectors.",
+    )
+    add(
         "x49_bpe_pairs",
         "BPE pair statistic (round 8): one explode to words, one "
         "hashpartitioning(w) exchange collapsing the corpus to its "

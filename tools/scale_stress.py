@@ -56,6 +56,7 @@ def main() -> None:
         cluster_balanced_sample,
         hybrid_rrf_topk,
         kmeans_refine,
+        pq_topk,
         prototype_select,
     )
     from deepdb_public_spark.operators.textstats import (
@@ -212,6 +213,10 @@ def main() -> None:
         "prototype_select (two-phase geometric quota)": lambda d:
             prototype_select(
                 d, "embedding", "vec_id", per_cluster=30, k=8, iters=2
+            ).count(),
+        "pq_topk (codebook fit + ADC projection)": lambda d:
+            pq_topk(
+                d, "embedding", "vec_id", query_id=0, top_k=10, m=2, k=8
             ).count(),
     }
 
