@@ -937,6 +937,34 @@ def _x_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (round 12 — the IVFADC layout of Jégou et al.
+    2011 §V, by_residual=false): an 8-cell coarse quantizer (the x54
+    Lloyd on the full 64-dim vectors) plus the x66 PQ codes; the
+    vec_id=0 query probes its 2 nearest cells and ADC-scores only
+    those rows (operators/similarity.py::ivfpq_topk). Cell, codes and
+    LUT sum are ONE literal-compiled projection with the probe filter
+    on top — at warehouse scale that filter is partition pruning over
+    a cell-partitioned code index. The DuckDB oracle replays the
+    coarse chain (the x54 CTEs verbatim), both subspace chains (the
+    x66 template), the probe selection AND the ADC top-10."""
+    from deepdb_public_spark.operators.similarity import ivfpq_topk
+
+    emb = _engine(spark, sf_dir).catalog["embeddings"]
+    return ivfpq_topk(
+        emb,
+        "embedding",
+        "vec_id",
+        query_id=0,
+        top_k=10,
+        nc=8,
+        nprobe=2,
+        m=2,
+        k=8,
+        iters=2,
+    )
+
+
 def _x_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination matrix (round 12): distinct 5-token
     grams shared between every pair of corpus sources, with gram-set
@@ -3951,6 +3979,55 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
           JOIN lut1 l1 ON l1.j = e1.code
         )
         SELECT vec_id AS id, adc_dist FROM scored
+        QUALIFY ROW_NUMBER() OVER (ORDER BY adc_dist, vec_id) <= 10
+        """,
+    ),
+    "x68_ivfpq_topk": (
+        _x_ivfpq_topk,
+        _PQ_CTES
+        + ",\n        "
+        # the coarse quantizer is EXACTLY the x54 fit (k=8, 2 iters,
+        # full vectors), so its oracle chain is reused verbatim —
+        # only the leading WITH is stripped to splice it in
+        + _LLOYD_CTE_2ITER.lstrip().removeprefix("WITH ")
+        + """,
+        a2c AS (
+          SELECT vec_id, j AS cell FROM (
+            SELECT vec_id, j,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+            FROM d2) WHERE rn = 1
+        ),
+        qf AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+        probe AS (
+          SELECT j FROM (
+            SELECT c2.j, ROUND(list_sum(list_transform(list_zip(qv, c),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d
+            FROM c2 CROSS JOIN qf)
+          QUALIFY ROW_NUMBER() OVER (ORDER BY d, j) <= 2
+        ),
+        q0 AS (SELECT list_transform(list_slice(embedding, 1, 32),
+                      x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+        q1 AS (SELECT list_transform(list_slice(embedding, 33, 64),
+                      x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+        lut0 AS (SELECT c2s0.j,
+                        ROUND(list_sum(list_transform(list_zip(qv, c),
+                              z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d
+                 FROM c2s0 CROSS JOIN q0),
+        lut1 AS (SELECT c2s1.j,
+                        ROUND(list_sum(list_transform(list_zip(qv, c),
+                              z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d
+                 FROM c2s1 CROSS JOIN q1),
+        scored AS (
+          SELECT a2c.vec_id, a2c.cell, ROUND(l0.d + l1.d, 6) AS adc_dist
+          FROM a2c JOIN a2s0 e0 USING (vec_id) JOIN a2s1 e1 USING (vec_id)
+          JOIN lut0 l0 ON l0.j = e0.code
+          JOIN lut1 l1 ON l1.j = e1.code
+          WHERE a2c.cell IN (SELECT j FROM probe)
+        )
+        SELECT vec_id AS id, CAST(cell AS INT) AS cell, adc_dist FROM scored
         QUALIFY ROW_NUMBER() OVER (ORDER BY adc_dist, vec_id) <= 10
         """,
     ),

@@ -1169,3 +1169,122 @@ def pq_topk(
         .orderBy("adc_dist", "id")
         .limit(int(top_k))
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id,
+    top_k: int = 10,
+    nc: int = 8,
+    nprobe: int = 2,
+    m: int = 2,
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF-PQ search (Jégou et al. 2011 §V — the IVFADC layout that is
+    the billion-vector default in practice, here in its
+    ``by_residual=false`` variant: codes quantize the raw vectors, not
+    the cell residuals, so the PQ codebooks are shared with
+    :func:`pq_encode` unchanged): a coarse quantizer of ``nc``
+    centroids (the :func:`kmeans_refine` deterministic Lloyd on the
+    FULL vectors) partitions the corpus into inverted lists, and a
+    query scores by asymmetric distance ONLY the rows in its
+    ``nprobe`` nearest lists. Output (id, cell, adc_dist) — the
+    ``top_k`` by (adc_dist, id) among probed cells.
+
+    Scale shape: the probe set is chosen DRIVER-side from the nc
+    coarse centroids (model-sized); cell assignment, per-subspace
+    codes, and the LUT-summed ADC distance are ONE literal-compiled
+    narrow projection over the vectors — no join, no shuffle — and
+    the ``cell IN probed`` filter sits directly on that projection.
+    At warehouse scale cell and codes are precomputed index columns
+    with the table partitioned by ``cell``, so the probe filter is
+    partition PRUNING: a query touches nprobe/nc of the corpus and
+    reads m bytes per candidate instead of 4*dim. Selection is a
+    distributed TakeOrderedAndProject. Same rounding discipline as
+    :func:`pq_topk` (every distance rounded to 6 before any argmin
+    or sum), so DuckDB replays cells, probes, and distances exactly.
+    """
+    if not 0 < nprobe <= nc:
+        raise ValueError(f"need 0 < nprobe <= nc (got {nprobe}, {nc})")
+    vecs = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    coarse = _lloyd_fit(vecs, nc, iters, op_name="ivfpq_topk")
+    _, codebooks = pq_encode(df, vec_col, id_col, m=m, k=k, iters=iters)
+    qrow = (
+        df.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .first()
+    )
+    if qrow is None:
+        raise ValueError(f"ivfpq_topk: query id {query_id!r} not found")
+    q = [float(x) for x in qrow["v"]]
+    w = len(q) // m
+    # probe selection: nprobe nearest coarse cells, rounded-at-6
+    # distances with low-index ties — the _lloyd_assign rule, replayed
+    # driver-side over the model-sized centroid list
+    cell_d = sorted(
+        (round(sum((a - b) * (a - b) for a, b in zip(q, c)), 6), j)
+        for j, c in enumerate(coarse)
+    )
+    probed = sorted(j for _, j in cell_d[:nprobe])
+    luts = [
+        [
+            round(
+                sum(
+                    (a - b) * (a - b)
+                    for a, b in zip(q[j * w : (j + 1) * w], c)
+                ),
+                6,
+            )
+            for c in codebooks[j]
+        ]
+        for j in range(m)
+    ]
+
+    def _best(subv, cents):
+        dists = [
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        subv,
+                        F.array(*[F.lit(x) for x in cents[c_i]]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+            for c_i in range(len(cents))
+        ]
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(dists[c_i].alias("d"), F.lit(c_i).alias("j"))
+                    for c_i in range(len(cents))
+                ]
+            )
+        )["j"]
+
+    total = None
+    for j in range(m):
+        code_j = _best(F.slice("v", j * w + 1, w), codebooks[j])
+        term = F.element_at(
+            F.array(*[F.lit(d) for d in luts[j]]), code_j + 1
+        )
+        total = term if total is None else total + term
+    scored = vecs.select(
+        "id",
+        _best(F.col("v"), coarse).cast("int").alias("cell"),
+        F.round(total, 6).alias("adc_dist"),
+    )
+    return (
+        scored.filter(F.col("cell").isin(*[int(j) for j in probed]))
+        .orderBy("adc_dist", "id")
+        .limit(int(top_k))
+    )

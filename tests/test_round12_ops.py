@@ -662,3 +662,98 @@ def test_pq_topk_adc_matches_python_and_plan(spark):
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:1500]
     assert "Join" not in plan, plan[:1500]
+
+
+def test_ivfpq_topk_matches_python_replay_and_plan(spark):
+    """ivfpq_topk equals the Python replay (coarse assignment ->
+    probe the query's nprobe nearest cells -> ADC top-k over probed
+    rows only), and the whole search is one join-free projection with
+    a distributed TakeOrdered."""
+    from deepdb_public_spark.operators.similarity import (
+        _lloyd_fit,
+        ivfpq_topk,
+        pq_encode,
+    )
+
+    vecs = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                ((F.col("id") * (i + 2)) % 7).cast("double")
+                for i in range(8)
+            ]
+        ).alias("embedding"),
+    )
+    top = ivfpq_topk(
+        vecs,
+        "embedding",
+        "vec_id",
+        query_id=0,
+        top_k=5,
+        nc=4,
+        nprobe=2,
+        m=2,
+        k=4,
+        iters=2,
+    )
+    got = [(r["id"], r["cell"], r["adc_dist"]) for r in top.collect()]
+    # Python replay
+    raw = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+    sub = vecs.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    coarse = _lloyd_fit(sub, 4, 2)
+    _, codebooks = pq_encode(vecs, "embedding", "vec_id", m=2, k=4, iters=2)
+
+    def nearest(v, cents):
+        d = [
+            round(sum((a - b) * (a - b) for a, b in zip(v, c)), 6)
+            for c in cents
+        ]
+        return min(range(len(cents)), key=lambda i: (d[i], i))
+
+    q = raw[0]
+    qd = sorted(
+        (round(sum((a - b) * (a - b) for a, b in zip(q, c)), 6), j)
+        for j, c in enumerate(coarse)
+    )
+    probed = {j for _, j in qd[:2]}
+    luts = [
+        [
+            round(
+                sum(
+                    (a - b) * (a - b)
+                    for a, b in zip(q[j * 4 : (j + 1) * 4], c)
+                ),
+                6,
+            )
+            for c in codebooks[j]
+        ]
+        for j in range(2)
+    ]
+    cand = []
+    for vid, v in raw.items():
+        cell = nearest(v, coarse)
+        if cell not in probed:
+            continue
+        adc = round(
+            sum(
+                luts[j][nearest(v[j * 4 : (j + 1) * 4], codebooks[j])]
+                for j in range(2)
+            ),
+            6,
+        )
+        cand.append((adc, vid, cell))
+    expect = [(vid, cell, adc) for adc, vid, cell in sorted(cand)[:5]]
+    assert got == expect
+    # the query's nearest cell is probed by construction, so the
+    # query itself is among the candidates
+    assert 0 in {vid for _, vid, _c in cand}
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "Join" not in plan, plan[:1500]
+    with pytest.raises(ValueError, match="nprobe"):
+        ivfpq_topk(
+            vecs, "embedding", "vec_id", query_id=0, nc=4, nprobe=5
+        )

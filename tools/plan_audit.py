@@ -303,6 +303,17 @@ def main() -> None:
         "scoring feasible at billions of vectors.",
     )
     add(
+        "x68_ivfpq_topk",
+        "IVF-PQ search (round 12): coarse cell, per-subspace codes, "
+        "and the LUT-summed ADC distance are ONE literal-compiled "
+        "join-free projection with the nprobe cell filter directly on "
+        "top and TakeOrderedAndProject selection. At warehouse scale "
+        "cell/codes are precomputed index columns with the table "
+        "partitioned by cell, so the probe filter is partition "
+        "pruning: a query touches nprobe/nc of the corpus at m bytes "
+        "per candidate — the IVFADC layout.",
+    )
+    add(
         "x49_bpe_pairs",
         "BPE pair statistic (round 8): one explode to words, one "
         "hashpartitioning(w) exchange collapsing the corpus to its "

@@ -55,6 +55,7 @@ def main() -> None:
     from deepdb_public_spark.operators.similarity import (
         cluster_balanced_sample,
         hybrid_rrf_topk,
+        ivfpq_topk,
         kmeans_refine,
         pq_topk,
         prototype_select,
@@ -217,6 +218,11 @@ def main() -> None:
         "pq_topk (codebook fit + ADC projection)": lambda d:
             pq_topk(
                 d, "embedding", "vec_id", query_id=0, top_k=10, m=2, k=8
+            ).count(),
+        "ivfpq_topk (coarse probe + ADC projection)": lambda d:
+            ivfpq_topk(
+                d, "embedding", "vec_id", query_id=0, top_k=10,
+                nc=8, nprobe=2, m=2, k=8
             ).count(),
     }
 
