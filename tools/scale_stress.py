@@ -240,6 +240,17 @@ def main() -> None:
         "hybrid_rrf_topk (BM25 + cosine fusion)": _hybrid,
     }
 
+    # SPARK_GRAFT_SCALE_ONLY=<comma-separated name prefixes> restricts
+    # the run (used to measure newly added operators without paying a
+    # full-table regen; results are appended to SCALING.md by hand
+    # with a provenance note)
+    only = os.environ.get("SPARK_GRAFT_SCALE_ONLY", "").strip()
+    if only:
+        pre = tuple(p.strip() for p in only.split(",") if p.strip())
+        OPS = {k: v for k, v in OPS.items() if k.startswith(pre)}
+        OPS_EMB = {k: v for k, v in OPS_EMB.items() if k.startswith(pre)}
+        OPS_BOTH = {k: v for k, v in OPS_BOTH.items() if k.startswith(pre)}
+
     # warmup: run every op once untimed (JVM/codegen warm, parquet
     # footers cached) so the 1x timings measure the operator, not the
     # first-query compilation
@@ -300,6 +311,11 @@ def main() -> None:
         # shuffle count grows with cluster diameter, so the measured
         # rounds are asserted at the star-topology bound instead of
         # trusting the docstring's 2-3 claim.
+        if only:
+            # filtered run: measured ops only, skip the min-label block
+            d.unpersist()
+            e.unpersist()
+            continue
         best, out_n, rounds, n_pairs = float("inf"), 0, 0, 0
         for _rep in range(2):
             # rebuild the pair graph fresh each rep: duplicate_clusters
@@ -337,11 +353,12 @@ def main() -> None:
     # one more doubling past 4x so the salt / two-phase-quota defenses
     # are OBSERVED where hot keys have 8x the mass, with the slope
     # asserted instead of trusted)
+    skew_run = [n for n in SKEW_OPS if n in OPS or n in OPS_EMB]
     d8 = corpus(8).persist()
     n8 = d8.count()
     e8 = emb_corpus(8).persist()
     n8_e = e8.count()
-    for name in SKEW_OPS:
+    for name in skew_run:
         if name in OPS:
             best, out_n = _time_op(OPS[name], d8)
             results[name].append((n8, best, out_n))
@@ -352,7 +369,7 @@ def main() -> None:
     d8.unpersist()
     e8.unpersist()
     slope_lines = []
-    for name in SKEW_OPS:
+    for name in skew_run:
         t4, t8 = results[name][2][1], results[name][3][1]
         slope = t8 / max(t4, 1e-9)
         # sub-second absolute times are scheduler-noise-dominated; the
@@ -363,6 +380,20 @@ def main() -> None:
             "stopped holding between 4x and 8x"
         )
         slope_lines.append(f"{name}: {slope:.2f}")
+
+    if only:
+        # filtered run: print markdown rows for hand-merging into
+        # SCALING.md, never overwrite the full table
+        for name, rows in results.items():
+            t1, t2, t4 = (r[1] for r in rows[:3])
+            t8 = f"{rows[3][1]:.2f}" if len(rows) > 3 else "—"
+            print(
+                f"ROW | {name} | {t1:.2f} | {t2:.2f} | {t4:.2f} | {t8} | "
+                f"{t4 / max(t1, 1e-9):.2f} | counts="
+                f"{[r[2] for r in rows]}"
+            )
+        spark.stop()
+        return
 
     # preserve hand-maintained sections (the training-at-scale record)
     # across regenerations of the measured table
