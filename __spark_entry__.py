@@ -818,7 +818,7 @@ def _x_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepdb_public_spark.operators.similarity import kmeans_refine
 
     emb = _engine(spark, sf_dir).catalog["embeddings"]
-    return kmeans_refine(emb, "embedding", "vec_id", k=8, iters=2)
+    return kmeans_refine(emb, "embedding", "vec_id", k=_COARSE_K, iters=2)
 
 
 def _x_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -835,7 +835,7 @@ def _x_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _engine(spark, sf_dir).catalog["embeddings"]
     return cluster_balanced_sample(
-        emb, "embedding", "vec_id", per_cluster=30, k=8, iters=2
+        emb, "embedding", "vec_id", per_cluster=30, k=_COARSE_K, iters=2
     )
 
 
@@ -853,7 +853,7 @@ def _x_prototype_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _engine(spark, sf_dir).catalog["embeddings"]
     return prototype_select(
-        emb, "embedding", "vec_id", per_cluster=30, k=8, iters=2
+        emb, "embedding", "vec_id", per_cluster=30, k=_COARSE_K, iters=2
     )
 
 
@@ -872,7 +872,7 @@ def _x_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _engine(spark, sf_dir).catalog["documents"]
     return remove_repeated_spans(
-        docs, "text", "doc_id", n=5, min_occurrences=2
+        docs, "text", "doc_id", n=_SPAN_N, min_occurrences=_SPAN_MIN_OCC
     )
 
 
@@ -916,7 +916,7 @@ def _x_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepdb_public_spark.operators.similarity import pq_encode
 
     emb = _engine(spark, sf_dir).catalog["embeddings"]
-    codes, _ = pq_encode(emb, "embedding", "vec_id", m=2, k=8, iters=2)
+    codes, _ = pq_encode(emb, "embedding", "vec_id", m=_PQ_M, k=_PQ_K, iters=2)
     return codes
 
 
@@ -933,7 +933,8 @@ def _x_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _engine(spark, sf_dir).catalog["embeddings"]
     return pq_topk(
-        emb, "embedding", "vec_id", query_id=0, top_k=10, m=2, k=8, iters=2
+        emb, "embedding", "vec_id", query_id=0,
+        top_k=_PQ_TOPK, m=_PQ_M, k=_PQ_K, iters=2,
     )
 
 
@@ -968,11 +969,11 @@ def _x_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         "vec_id",
         query_id=0,
-        top_k=10,
-        nc=8,
-        nprobe=2,
-        m=2,
-        k=8,
+        top_k=_PQ_TOPK,
+        nc=_COARSE_K,
+        nprobe=_IVFPQ_NPROBE,
+        m=_PQ_M,
+        k=_PQ_K,
         iters=2,
     )
 
@@ -988,7 +989,7 @@ def _x_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepdb_public_spark.operators.textstats import source_overlap
 
     docs = _engine(spark, sf_dir).catalog["documents"]
-    return source_overlap(docs, "text", "doc_id", "source", n=5)
+    return source_overlap(docs, "text", "doc_id", "source", n=_SPAN_N)
 
 
 def _x_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2942,8 +2943,16 @@ def _x_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # generate_subscripts/unnest over the actual list, so a fixture dim
 # change is computed correctly instead of silently sliced to 64
 # (round-10 ADVICE low).
-_LLOYD_CTE_2ITER = """
-        WITH vecs AS (
+#
+# _COARSE_K is the coarse Lloyd k shared by the x54/x55/x63/x68
+# entry functions AND this oracle chain — the SQL LIMIT is generated
+# from the same constant the Spark calls pass, so the two cannot
+# desynchronize (round-12 ADVICE). The chain is kept BODY-ONLY (no
+# leading WITH) so x68 can splice it mid-chain without string
+# surgery; the standalone WITH form is derived right below.
+_COARSE_K = 8
+
+_LLOYD_CTE_2ITER_BODY = f"""vecs AS (
           SELECT vec_id,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings WHERE embedding IS NOT NULL
@@ -2951,7 +2960,7 @@ _LLOYD_CTE_2ITER = """
         seeds AS (
           SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j,
                  list_transform(v, x -> ROUND(x, 6)) AS c
-          FROM (SELECT * FROM vecs ORDER BY vec_id LIMIT 8)
+          FROM (SELECT * FROM vecs ORDER BY vec_id LIMIT {_COARSE_K})
         ),
         d0 AS (
           SELECT vecs.vec_id, seeds.j,
@@ -3011,8 +3020,10 @@ _LLOYD_CTE_2ITER = """
         )
 """
 
+_LLOYD_CTE_2ITER = "\n        WITH " + _LLOYD_CTE_2ITER_BODY
 
-def _pq_lloyd_cte(sfx: str, lo: int, hi: int) -> str:
+
+def _pq_lloyd_cte(sfx: str, lo: int, hi: int, k: int = 8) -> str:
     """The x54 2-iteration Lloyd CTE chain parametrized for a PQ
     subspace (x66/x67): identical seed/rounding/tie rules, but over
     ``list_slice(embedding, lo, hi)``. Emits CTE definitions suffixed
@@ -3059,7 +3070,7 @@ def _pq_lloyd_cte(sfx: str, lo: int, hi: int) -> str:
         f" FROM embeddings WHERE embedding IS NOT NULL)",
         f"seeds{sfx} AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j,"
         f" list_transform(v, x -> ROUND(x, 6)) AS c"
-        f" FROM (SELECT * FROM vecs{sfx} ORDER BY vec_id LIMIT 8))",
+        f" FROM (SELECT * FROM vecs{sfx} ORDER BY vec_id LIMIT {k}))",
         f"d0{sfx} AS ({dist(f'seeds{sfx}')})",
         f"a0{sfx} AS ({argmin(f'd0{sfx}', 'cluster')})",
         f"m1{sfx} AS ({means(f'a0{sfx}')})",
@@ -3074,11 +3085,28 @@ def _pq_lloyd_cte(sfx: str, lo: int, hi: int) -> str:
     return ",\n        ".join(parts)
 
 
-_PQ_CTES = (
-    "        WITH "
-    + _pq_lloyd_cte("s0", 1, 32)
-    + ",\n        "
-    + _pq_lloyd_cte("s1", 33, 64)
+# PQ parameters shared by the x66/x67/x68 entry functions AND their
+# oracle chains — slice bounds, codebook size, probe count and top-k
+# in the SQL are all generated from the SAME constants the Spark
+# calls pass, so changing an entry's m/k/nprobe without the oracle
+# following is impossible (round-12 ADVICE).
+_PQ_M = 2
+_PQ_K = 8
+_PQ_DIM = 64  # embeddings fixture dimension (TESTDATA.md)
+_PQ_W = _PQ_DIM // _PQ_M
+_PQ_TOPK = 10
+_IVFPQ_NPROBE = 2
+
+# x61/x62 gram width + x61 occurrence threshold, shared between the
+# entry functions and the oracle SQL (same no-desync rule as the PQ
+# constants above — round-12 ADVICE: the SQL's slice arithmetic is
+# generated from the SAME n the Spark entries pass)
+_SPAN_N = 5
+_SPAN_MIN_OCC = 2
+
+_PQ_CTES = "        WITH " + ",\n        ".join(
+    _pq_lloyd_cte(f"s{j}", j * _PQ_W + 1, (j + 1) * _PQ_W, k=_PQ_K)
+    for j in range(_PQ_M)
 )
 
 
@@ -3849,7 +3877,7 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     ),
     "x61_remove_spans": (
         _x_remove_spans,
-        """
+        f"""
         WITH base AS (
           SELECT doc_id,
                  list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
@@ -3858,14 +3886,17 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
         ),
         grams AS (
           SELECT doc_id, i,
-                 md5(array_to_string(list_slice(l, i, i + 4), chr(31))) AS g
+                 md5(array_to_string(list_slice(l, i, i + {_SPAN_N - 1}),
+                                     chr(31))) AS g
           FROM (SELECT doc_id, l,
-                       unnest(range(1, greatest(len(l) - 3, 1))) AS i
+                       unnest(range(1, greatest(len(l) - {_SPAN_N - 2}, 1)))
+                         AS i
                 FROM base)
         ),
-        hot AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+        hot AS (SELECT g FROM grams GROUP BY g
+                HAVING COUNT(*) >= {_SPAN_MIN_OCC}),
         covered AS (
-          SELECT DISTINCT doc_id, unnest(range(i, i + 5)) AS p
+          SELECT DISTINCT doc_id, unnest(range(i, i + {_SPAN_N})) AS p
           FROM grams JOIN hot USING (g)
         ),
         tokpos AS (
@@ -3890,7 +3921,7 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     ),
     "x62_source_overlap": (
         _x_source_overlap,
-        """
+        f"""
         WITH base AS (
           SELECT source,
                  list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
@@ -3899,9 +3930,11 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
         ),
         sg AS (
           SELECT DISTINCT source,
-                 md5(array_to_string(list_slice(l, i, i + 4), chr(31))) AS g
+                 md5(array_to_string(list_slice(l, i, i + {_SPAN_N - 1}),
+                                     chr(31))) AS g
           FROM (SELECT source, l,
-                       unnest(range(1, greatest(len(l) - 3, 1))) AS i
+                       unnest(range(1, greatest(len(l) - {_SPAN_N - 2}, 1)))
+                         AS i
                 FROM base)
         ),
         sizes AS (SELECT source, COUNT(*) AS n_grams FROM sg GROUP BY source),
@@ -3969,11 +4002,12 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "x67_pq_topk": (
         _x_pq_topk,
         _PQ_CTES
-        + """,
-        q0 AS (SELECT list_transform(list_slice(embedding, 1, 32),
+        + f""",
+        q0 AS (SELECT list_transform(list_slice(embedding, 1, {_PQ_W}),
                       x -> CAST(x AS DOUBLE)) AS qv
                FROM embeddings WHERE vec_id = 0),
-        q1 AS (SELECT list_transform(list_slice(embedding, 33, 64),
+        q1 AS (SELECT list_transform(
+                      list_slice(embedding, {_PQ_W + 1}, {2 * _PQ_W}),
                       x -> CAST(x AS DOUBLE)) AS qv
                FROM embeddings WHERE vec_id = 0),
         lut0 AS (SELECT c2s0.j,
@@ -3991,18 +4025,19 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
           JOIN lut1 l1 ON l1.j = e1.code
         )
         SELECT vec_id AS id, adc_dist FROM scored
-        QUALIFY ROW_NUMBER() OVER (ORDER BY adc_dist, vec_id) <= 10
+        QUALIFY ROW_NUMBER() OVER (ORDER BY adc_dist, vec_id) <= {_PQ_TOPK}
         """,
     ),
     "x68_ivfpq_topk": (
         _x_ivfpq_topk,
         _PQ_CTES
         + ",\n        "
-        # the coarse quantizer is EXACTLY the x54 fit (k=8, 2 iters,
-        # full vectors), so its oracle chain is reused verbatim —
-        # only the leading WITH is stripped to splice it in
-        + _LLOYD_CTE_2ITER.lstrip().removeprefix("WITH ")
-        + """,
+        # the coarse quantizer is EXACTLY the x54 fit (k=_COARSE_K,
+        # 2 iters, full vectors), so its oracle chain is spliced in
+        # verbatim via the body-only constant (no string surgery —
+        # round-12 ADVICE)
+        + _LLOYD_CTE_2ITER_BODY
+        + f""",
         a2c AS (
           SELECT vec_id, j AS cell FROM (
             SELECT vec_id, j,
@@ -4016,12 +4051,13 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
             SELECT c2.j, ROUND(list_sum(list_transform(list_zip(qv, c),
                    z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d
             FROM c2 CROSS JOIN qf)
-          QUALIFY ROW_NUMBER() OVER (ORDER BY d, j) <= 2
+          QUALIFY ROW_NUMBER() OVER (ORDER BY d, j) <= {_IVFPQ_NPROBE}
         ),
-        q0 AS (SELECT list_transform(list_slice(embedding, 1, 32),
+        q0 AS (SELECT list_transform(list_slice(embedding, 1, {_PQ_W}),
                       x -> CAST(x AS DOUBLE)) AS qv
                FROM embeddings WHERE vec_id = 0),
-        q1 AS (SELECT list_transform(list_slice(embedding, 33, 64),
+        q1 AS (SELECT list_transform(
+                      list_slice(embedding, {_PQ_W + 1}, {2 * _PQ_W}),
                       x -> CAST(x AS DOUBLE)) AS qv
                FROM embeddings WHERE vec_id = 0),
         lut0 AS (SELECT c2s0.j,
@@ -4040,7 +4076,7 @@ _EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
           WHERE a2c.cell IN (SELECT j FROM probe)
         )
         SELECT vec_id AS id, CAST(cell AS INT) AS cell, adc_dist FROM scored
-        QUALIFY ROW_NUMBER() OVER (ORDER BY adc_dist, vec_id) <= 10
+        QUALIFY ROW_NUMBER() OVER (ORDER BY adc_dist, vec_id) <= {_PQ_TOPK}
         """,
     ),
     "x08_embed_neardup": (
@@ -5062,12 +5098,12 @@ _PRIORITY_TAIL = [
     # on-demand training); HAVING stays covered in-window by
     # q39_having_ir and in the full artifact
     "q14_having",
-    # q15 parked round 12 to rotate q17 BACK into the window (the
-    # round-11 brief: keep cycling parked entries through independent
-    # driver verification across rounds); set-op semantics stay
-    # covered by its siblings q19 INTERSECT / q20 EXCEPT in the full
-    # artifact, and q15 itself remains oracle-checked there
-    "q15_union",
+    # q15 returned to the window in round 13 (rotation rule: parked
+    # entries keep cycling through independent driver verification);
+    # q16 parked in its place — rollup's grouping-set semantics stay
+    # covered in the full artifact by q21 cube and q29 grouping sets,
+    # and q16 itself remains oracle-checked there
+    "q16_rollup",
     "q31_pivot",
     "q32_math_scalars",
     "q33_date_arith",

@@ -484,11 +484,22 @@ def curriculum_order(
             for i in range(1, phases)
         ]
     )
+    # the percentile aggregate returns NULL on an empty (or all-null-
+    # token-count) input, which would silently yield NULL phases for
+    # every later row — fail fast instead (round-12 ADVICE; mirrors
+    # pq_encode's empty-input check). The collected row doubles as the
+    # broadcast: boundaries compile to literals, so phase assignment
+    # is a pure projection with no join at all.
+    brow = bounds.first()
+    if brow is None or any(brow[f"__b{i}"] is None for i in range(1, phases)):
+        raise ValueError(
+            "curriculum_order: empty input — percentile boundaries are NULL"
+        )
     phase = None
     for i in range(1, phases):
-        hit = (F.col("__n") > F.col(f"__b{i}")).cast("int")
+        hit = (F.col("__n") > F.lit(float(brow[f"__b{i}"]))).cast("int")
         phase = hit if phase is None else phase + hit
-    return base.crossJoin(F.broadcast(bounds)).select(
+    return base.select(
         F.col("__id").alias(id_col),
         F.col("__n").cast("bigint").alias("n_tokens"),
         phase.cast("int").alias("phase"),

@@ -354,20 +354,25 @@ def main() -> None:
     # are OBSERVED where hot keys have 8x the mass, with the slope
     # asserted instead of trusted)
     skew_run = [n for n in SKEW_OPS if n in OPS or n in OPS_EMB]
-    d8 = corpus(8).persist()
-    n8 = d8.count()
-    e8 = emb_corpus(8).persist()
-    n8_e = e8.count()
-    for name in skew_run:
-        if name in OPS:
-            best, out_n = _time_op(OPS[name], d8)
-            results[name].append((n8, best, out_n))
-        else:
-            best, out_n = _time_op(OPS_EMB[name], e8)
-            results[name].append((n8_e, best, out_n))
-        print(f"8x {name}: {best:.2f}s ({out_n} rows)", flush=True)
-    d8.unpersist()
-    e8.unpersist()
+    if skew_run:
+        # guard the 8x corpus build too: a SPARK_GRAFT_SCALE_ONLY run
+        # that filters out every skew op must not pay minutes building
+        # and counting d8/e8 just to iterate an empty list (round-12
+        # ADVICE)
+        d8 = corpus(8).persist()
+        n8 = d8.count()
+        e8 = emb_corpus(8).persist()
+        n8_e = e8.count()
+        for name in skew_run:
+            if name in OPS:
+                best, out_n = _time_op(OPS[name], d8)
+                results[name].append((n8, best, out_n))
+            else:
+                best, out_n = _time_op(OPS_EMB[name], e8)
+                results[name].append((n8_e, best, out_n))
+            print(f"8x {name}: {best:.2f}s ({out_n} rows)", flush=True)
+        d8.unpersist()
+        e8.unpersist()
     slope_lines = []
     for name in skew_run:
         t4, t8 = results[name][2][1], results[name][3][1]
