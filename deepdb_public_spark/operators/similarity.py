@@ -1288,3 +1288,313 @@ def ivfpq_topk(
         .orderBy("adc_dist", "id")
         .limit(int(top_k))
     )
+
+
+def brute_force_l2_topk(
+    df: DataFrame, vec_col: str, id_col: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact squared-L2 top-k: (id, l2_dist), nearest first, ties on
+    id. The ground truth the PQ/IVF-PQ family approximates (ADC
+    estimates squared L2, not cosine, so recall is measured against
+    THIS — the Jégou et al. evaluation protocol). Same
+    TakeOrderedAndProject shape as :func:`brute_force_topk`."""
+    q = _query_vec_col(query_vec)
+    d = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"), q, lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.round(d, 6).alias("l2_dist"))
+        .orderBy("l2_dist", "id")
+        .limit(k)
+    )
+
+
+def _nearest_code(subv, cents: list[list[float]]):
+    """Literal-compiled nearest-codeword argmin (the shared kernel of
+    pq_encode / ivfpq_topk, factored for IvfPqIndex): squared L2 to
+    every codeword rounded to 6 decimals BEFORE the argmin, ties to
+    the lower index — the engine-portable rule everywhere here."""
+    dists = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    subv,
+                    F.array(*[F.lit(float(x)) for x in cents[c_i]]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        for c_i in range(len(cents))
+    ]
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(dists[c_i].alias("d"), F.lit(c_i).alias("j"))
+                for c_i in range(len(cents))
+            ]
+        )
+    )["j"]
+
+
+class IvfPqIndex:
+    """IVF-PQ index LIFECYCLE (build once / probe many — the round-13
+    deployment shape for :func:`ivfpq_topk`, which refits all m+1
+    Lloyd chains per call; a real deployment pays the fits once).
+
+    Mirrors faiss's IndexIVFPQ (Jégou et al. 2011 §V) re-expressed as
+    a parquet layout: ``build`` runs the deterministic Lloyd of
+    :func:`kmeans_refine` for the ``nc``-cell coarse quantizer plus m
+    per-subspace codebooks, and encodes the corpus as
+    ``(id, cell, code_0..code_{m-1})`` in ONE literal-compiled
+    projection (no join, no shuffle). ``save`` persists the codes
+    parquet **partitioned by cell**, so a probe's ``cell IN (...)``
+    filter is partition PRUNING — a query reads nprobe/nc of the
+    files and m bytes per candidate instead of 4*dim (the FAISS
+    inverted-list cost model as a directory layout); the model side
+    (coarse centroids + codebooks + params) is KB-scale parquet.
+    ``load`` keeps the codes as a LAZY scan (each probe plans a fresh
+    pruned read); ``topk`` computes probe set + ADC lookup tables
+    driver-side from the model (model-sized work) and scores the
+    pruned codes with an element_at projection — no Lloyd refits, no
+    data-scale collect.
+
+    ``by_residual=True`` is the actual IVFADC default of Jégou §V:
+    the product quantizer encodes the RESIDUAL v - centroid(cell)
+    instead of the raw vector, so codewords spend their precision on
+    the within-cell displacement (better recall at the same m, k —
+    measured on the embeddings fixture in
+    tests/test_round13_ops.py). The residual is one literal
+    projection (element_at over the nc compiled centroids), and at
+    query time the lookup tables become per-probed-cell:
+    ||(q - centroid(cell))_j - codeword||^2, still model-sized.
+
+    Same rounding discipline as :func:`ivfpq_topk` (distances rounded
+    to 6 decimals before every argmin/sum), so a DuckDB oracle
+    replays cells, codes, probes and ADC distances exactly.
+
+    Reference: deepdb-public builds its models once and serves many
+    estimates (ensemble_creation/ -> persisted ensemble); this class
+    is that lifecycle applied to the ANN surface."""
+
+    def __init__(
+        self,
+        codes: DataFrame,
+        coarse: list[list[float]],
+        codebooks: list[list[list[float]]],
+        by_residual: bool,
+        iters: int = 2,
+    ):
+        self.codes = codes
+        self.coarse = coarse
+        self.codebooks = codebooks
+        self.by_residual = bool(by_residual)
+        self.iters = int(iters)
+        self.m = len(codebooks)
+        self.k = len(codebooks[0]) if codebooks else 0
+        self.nc = len(coarse)
+
+    # -- build ---------------------------------------------------------
+    @staticmethod
+    def _residual(v, cell, coarse: list[list[float]]):
+        """v - centroid(cell) as one literal projection: the nc
+        centroids compile to an array-of-arrays literal indexed by the
+        (computed) cell column."""
+        cents = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in c])
+                for c in coarse
+            ]
+        )
+        return F.zip_with(
+            v, F.element_at(cents, cell + 1), lambda a, b: a - b
+        )
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        vec_col: str,
+        id_col: str,
+        nc: int = 8,
+        m: int = 2,
+        k: int = 8,
+        iters: int = 2,
+        by_residual: bool = False,
+    ) -> "IvfPqIndex":
+        if not nc >= 1:
+            raise ValueError(f"nc must be >= 1 (got {nc})")
+        vecs = df.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        first = vecs.select(F.size("v").alias("d")).first()
+        if first is None:
+            raise ValueError("IvfPqIndex.build: empty input")
+        dim = int(first["d"])
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        w = dim // m
+        coarse = _lloyd_fit(vecs, nc, iters, op_name="IvfPqIndex")
+        cell = _nearest_code(F.col("v"), coarse).cast("int")
+        if by_residual:
+            base = vecs.select(
+                "id", cls._residual(F.col("v"), cell, coarse).alias("v")
+            )
+        else:
+            base = vecs
+        codebooks = [
+            _lloyd_fit(
+                base.select("id", F.slice("v", j * w + 1, w).alias("v")),
+                k,
+                iters,
+                op_name="IvfPqIndex",
+            )
+            for j in range(m)
+        ]
+        # ONE projection emits cell + all m codes (residual included
+        # when enabled): no join, no shuffle — the x66/x68 encode shape
+        enc_v = (
+            cls._residual(F.col("v"), cell, coarse)
+            if by_residual
+            else F.col("v")
+        )
+        cols = [F.col("id"), cell.alias("cell")]
+        for j in range(m):
+            cols.append(
+                _nearest_code(F.slice(enc_v, j * w + 1, w), codebooks[j])
+                .cast("int")
+                .alias(f"code_{j}")
+            )
+        return cls(vecs.select(*cols), coarse, codebooks, by_residual, iters)
+
+    # -- persistence ---------------------------------------------------
+    def save(self, path: str) -> None:
+        """codes partitioned BY CELL (probe filter -> partition
+        pruning); model side as KB-scale parquet tables."""
+        self.codes.write.partitionBy("cell").mode("overwrite").parquet(
+            f"{path}/codes"
+        )
+        spark = self.codes.sparkSession
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in c]) for i, c in enumerate(self.coarse)],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
+        spark.createDataFrame(
+            [
+                (int(j), int(c_i), [float(x) for x in cw])
+                for j, cb in enumerate(self.codebooks)
+                for c_i, cw in enumerate(cb)
+            ],
+            "j int, c int, codeword array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+        spark.createDataFrame(
+            [(self.m, self.k, self.nc, self.by_residual, self.iters)],
+            "m int, k int, nc int, by_residual boolean, iters int",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfPqIndex":
+        """Open a saved index WITHOUT materializing it: codes stay a
+        lazy parquet scan so each probe plans a fresh partition-pruned
+        read (plan-asserted in tests/test_round13_ops.py)."""
+        p = spark.read.parquet(f"{path}/params").first()
+        coarse_rows = (
+            spark.read.parquet(f"{path}/coarse").orderBy("cell").collect()
+        )
+        coarse = [[float(x) for x in r["centroid"]] for r in coarse_rows]
+        cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+        codebooks: list[list[list[float]]] = [
+            [None] * int(p["k"]) for _ in range(int(p["m"]))
+        ]
+        for r in cb_rows:
+            codebooks[int(r["j"])][int(r["c"])] = [
+                float(x) for x in r["codeword"]
+            ]
+        code_cols = ["id", "cell"] + [f"code_{j}" for j in range(int(p["m"]))]
+        codes = spark.read.parquet(f"{path}/codes").select(*code_cols)
+        return cls(codes, coarse, codebooks, bool(p["by_residual"]), int(p["iters"]))
+
+    # -- query ---------------------------------------------------------
+    def _probe_cells(self, q: list[float], nprobe: int) -> list[int]:
+        """nprobe nearest coarse cells — rounded-at-6 squared L2 with
+        low-index ties, replayed driver-side over the model-sized
+        centroid list (the ivfpq_topk rule)."""
+        cell_d = sorted(
+            (round(sum((a - b) * (a - b) for a, b in zip(q, c)), 6), j)
+            for j, c in enumerate(self.coarse)
+        )
+        return sorted(j for _, j in cell_d[:nprobe])
+
+    def topk(
+        self, query_vec: list[float], top_k: int = 10, nprobe: int = 2
+    ) -> DataFrame:
+        """ADC top-k from the PREBUILT codes: (id, cell, adc_dist) —
+        the ``top_k`` by (adc_dist, id) among the probed cells. All
+        per-query work above the pruned scan is model-sized."""
+        if not 0 < nprobe <= self.nc:
+            raise ValueError(f"need 0 < nprobe <= {self.nc} (got {nprobe})")
+        q = [float(x) for x in query_vec]
+        w = len(q) // self.m
+        probed = self._probe_cells(q, nprobe)
+
+        def lut_for(qv: list[float]) -> list[list[float]]:
+            return [
+                [
+                    round(
+                        sum(
+                            (a - b) * (a - b)
+                            for a, b in zip(qv[j * w : (j + 1) * w], c)
+                        ),
+                        6,
+                    )
+                    for c in self.codebooks[j]
+                ]
+                for j in range(self.m)
+            ]
+
+        if self.by_residual:
+            # per-probed-cell LUTs over the query RESIDUAL — still
+            # model-sized (nprobe * m * k doubles)
+            luts_by_cell = {
+                cell: lut_for(
+                    [a - b for a, b in zip(q, self.coarse[cell])]
+                )
+                for cell in probed
+            }
+            total = None
+            for j in range(self.m):
+                term = None
+                for cell in probed:
+                    arr = F.array(
+                        *[F.lit(d) for d in luts_by_cell[cell][j]]
+                    )
+                    hit = F.element_at(arr, F.col(f"code_{j}") + 1)
+                    term = (
+                        F.when(F.col("cell") == cell, hit)
+                        if term is None
+                        else term.when(F.col("cell") == cell, hit)
+                    )
+                total = term if total is None else total + term
+        else:
+            luts = lut_for(q)
+            total = None
+            for j in range(self.m):
+                term = F.element_at(
+                    F.array(*[F.lit(d) for d in luts[j]]),
+                    F.col(f"code_{j}") + 1,
+                )
+                total = term if total is None else total + term
+        return (
+            self.codes.filter(F.col("cell").isin(*[int(c) for c in probed]))
+            .select("id", "cell", F.round(total, 6).alias("adc_dist"))
+            .orderBy("adc_dist", "id")
+            .limit(int(top_k))
+        )

@@ -1,0 +1,232 @@
+"""Round 13: IvfPqIndex lifecycle (build/save/load/topk), by_residual
+IVFADC, PQ-family recall floors, and nit regressions.
+
+Reference parity: deepdb-public persists its trained ensembles and
+serves many estimates from one build (ensemble_creation/ ->
+maqp.py's --load path); IvfPqIndex is that lifecycle applied to the
+ANN surface (Jégou et al. 2011 §V layout)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+
+
+def _ids(rows):
+    return [r["id"] for r in rows]
+
+
+def _recall_at_k(got_ids, truth_ids):
+    return len(set(got_ids) & set(truth_ids)) / len(truth_ids)
+
+
+# --------------------------------------------- lifecycle equivalence
+
+
+def test_prebuilt_topk_equals_inline_ivfpq(spark, emb, qvec, tmp_path):
+    """The saved-index probe must reproduce ivfpq_topk EXACTLY at the
+    same parameters (same Lloyd math, same rounding, same ties) —
+    this is what lets x69 share x68's DuckDB oracle."""
+    from deepdb_public_spark.operators.similarity import (
+        IvfPqIndex,
+        ivfpq_topk,
+    )
+
+    ref = [
+        (r["id"], r["cell"], r["adc_dist"])
+        for r in ivfpq_topk(
+            emb, "embedding", "vec_id", query_id=0, top_k=10,
+            nc=8, nprobe=2, m=2, k=8, iters=2,
+        ).collect()
+    ]
+    idx = IvfPqIndex.build(
+        emb, "embedding", "vec_id", nc=8, m=2, k=8, iters=2
+    )
+    path = str(tmp_path / "ivfpq")
+    idx.save(path)
+    loaded = IvfPqIndex.load(spark, path)
+    got = [
+        (r["id"], r["cell"], r["adc_dist"])
+        for r in loaded.topk(qvec, top_k=10, nprobe=2).collect()
+    ]
+    assert got == ref
+
+
+def test_save_load_roundtrip_preserves_model(spark, emb, tmp_path):
+    from deepdb_public_spark.operators.similarity import IvfPqIndex
+
+    idx = IvfPqIndex.build(
+        emb, "embedding", "vec_id", nc=4, m=2, k=4, iters=2,
+        by_residual=True,
+    )
+    path = str(tmp_path / "ivfpq_r")
+    idx.save(path)
+    loaded = IvfPqIndex.load(spark, path)
+    assert loaded.by_residual is True
+    assert loaded.m == 2 and loaded.k == 4 and loaded.nc == 4
+    assert loaded.coarse == idx.coarse
+    assert loaded.codebooks == idx.codebooks
+    # persisted codes match the built codes row-for-row
+    built = sorted(
+        (r["id"], r["cell"], r["code_0"], r["code_1"])
+        for r in idx.codes.collect()
+    )
+    persisted = sorted(
+        (r["id"], r["cell"], r["code_0"], r["code_1"])
+        for r in loaded.codes.collect()
+    )
+    assert built == persisted
+
+
+def test_loaded_probe_partition_prunes(spark, emb, qvec, tmp_path):
+    """The probe's parquet scan must carry the cell membership as a
+    PARTITION filter over the cell directory layout — the FAISS
+    inverted-list cost model as partition pruning (the round-12
+    verdict's 'done' criterion for the index lifecycle)."""
+    from deepdb_public_spark.operators.similarity import IvfPqIndex
+
+    idx = IvfPqIndex.build(emb, "embedding", "vec_id", nc=8, m=2, k=8)
+    path = str(tmp_path / "ivfpq_p")
+    idx.save(path)
+    loaded = IvfPqIndex.load(spark, path)
+    df = loaded.topk(qvec, top_k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan_lines and any(
+        "cell" in l and "IN (" in l for l in scan_lines
+    ), plan
+
+
+def test_residual_codes_differ_from_raw(emb):
+    """by_residual must actually change the encoding (codes quantize
+    the displacement, not the raw vector) while cells stay identical
+    (the coarse quantizer is shared)."""
+    from deepdb_public_spark.operators.similarity import IvfPqIndex
+
+    raw = IvfPqIndex.build(emb, "embedding", "vec_id", nc=8, m=2, k=8)
+    res = IvfPqIndex.build(
+        emb, "embedding", "vec_id", nc=8, m=2, k=8, by_residual=True
+    )
+    j = (
+        raw.codes.select("id", "cell", "code_0")
+        .withColumnRenamed("code_0", "raw_c")
+        .join(
+            res.codes.select(
+                "id",
+                F.col("cell").alias("cell_r"),
+                F.col("code_0").alias("res_c"),
+            ),
+            "id",
+        )
+    )
+    rows = j.collect()
+    assert all(r["cell"] == r["cell_r"] for r in rows)
+    assert any(r["raw_c"] != r["res_c"] for r in rows)
+
+
+# --------------------------------------------------------- recall
+
+
+def test_pq_family_recall_floors(spark, emb, qvec, tmp_path):
+    """Measured recall@10 vs exact squared-L2 (the Jégou evaluation
+    protocol — ADC approximates L2, so THAT is the ground truth).
+    Floors pin the m=2/k=8 regime on the sf0.001 fixture; the
+    by_residual variant must be at least as good as raw-vector PQ at
+    identical parameters (Jégou §V's stated motivation)."""
+    from deepdb_public_spark.operators.similarity import (
+        IvfPqIndex,
+        brute_force_l2_topk,
+        pq_topk,
+    )
+
+    truth = _ids(
+        brute_force_l2_topk(emb, "embedding", "vec_id", qvec, k=10).collect()
+    )
+
+    pq_ids = _ids(
+        pq_topk(
+            emb, "embedding", "vec_id", query_id=0, top_k=10, m=2, k=8
+        ).collect()
+    )
+    pq_recall = _recall_at_k(pq_ids, truth)
+
+    raw = IvfPqIndex.build(emb, "embedding", "vec_id", nc=8, m=2, k=8)
+    res = IvfPqIndex.build(
+        emb, "embedding", "vec_id", nc=8, m=2, k=8, by_residual=True
+    )
+    raw_ids = _ids(raw.topk(qvec, top_k=10, nprobe=2).collect())
+    res_ids = _ids(res.topk(qvec, top_k=10, nprobe=2).collect())
+    raw_recall = _recall_at_k(raw_ids, truth)
+    res_recall = _recall_at_k(res_ids, truth)
+
+    # floors are the MEASURED values on this fixture (deterministic
+    # math — m=2 over 64 dims is a very coarse quantizer, so absolute
+    # recall is low by construction; measured sf0.001: pq=0.2,
+    # ivfpq_raw=0.2, ivfpq_residual=0.4; sf0.01: 0.2/0.3/0.4. The
+    # numbers are quoted in the x67/x69/x70 entry docstrings.)
+    assert pq_recall >= 0.2, (pq_recall, pq_ids, truth)
+    assert raw_recall >= 0.2, (raw_recall, raw_ids, truth)
+    assert res_recall >= 0.4, (res_recall, res_ids, truth)
+    assert res_recall >= raw_recall, (res_recall, raw_recall)
+
+
+# ----------------------------------------------------- error paths
+
+
+def test_build_validations(spark, emb):
+    from deepdb_public_spark.operators.similarity import IvfPqIndex
+
+    with pytest.raises(ValueError, match="not divisible"):
+        IvfPqIndex.build(emb, "embedding", "vec_id", nc=4, m=3)
+    empty = emb.filter("vec_id < 0")
+    with pytest.raises(ValueError, match="empty input"):
+        IvfPqIndex.build(empty, "embedding", "vec_id")
+
+
+def test_topk_nprobe_bounds(emb, qvec):
+    from deepdb_public_spark.operators.similarity import IvfPqIndex
+
+    idx = IvfPqIndex.build(emb, "embedding", "vec_id", nc=4, m=2, k=4)
+    with pytest.raises(ValueError, match="nprobe"):
+        idx.topk(qvec, top_k=5, nprobe=9)
+    with pytest.raises(ValueError, match="nprobe"):
+        idx.topk(qvec, top_k=5, nprobe=0)
+
+
+def test_curriculum_order_empty_input_raises(spark):
+    """Round-12 ADVICE regression: NULL percentile bounds must fail
+    fast instead of yielding NULL phases downstream."""
+    from deepdb_public_spark.operators.sampling import curriculum_order
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="empty input"):
+        curriculum_order(empty, "text", "doc_id")
+
+
+def test_curriculum_order_matches_previous_plan(spark):
+    """The literal-compiled boundary variant must produce the same
+    (phase, seq) assignment the crossJoin(broadcast) plan did."""
+    from deepdb_public_spark.operators.sampling import curriculum_order
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = curriculum_order(docs, "text", "doc_id", phases=4).collect()
+    assert len(out) == docs.count()
+    phases = {r["phase"] for r in out}
+    assert phases <= {0, 1, 2, 3} and len(phases) >= 2
+    # quantile-band sizes: each band holds a nonzero share
+    from collections import Counter
+
+    c = Counter(r["phase"] for r in out)
+    assert all(v > 0 for v in c.values())
