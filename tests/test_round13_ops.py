@@ -230,3 +230,65 @@ def test_curriculum_order_matches_previous_plan(spark):
 
     c = Counter(r["phase"] for r in out)
     assert all(v > 0 for v in c.values())
+
+
+# ------------------------------- reference-model scoring (x71/x72)
+
+
+def test_fixture_has_genuinely_unseen_bigrams(spark):
+    """The x71 'done' criterion requires the add-k floor to actually
+    fire on the fixture: src0 documents must carry bigrams ABSENT
+    from src1's model. (The sources share their full unigram
+    vocabulary at every SF — measured 0 unseen tokens — so the
+    UNIGRAM floor is pinned by the synthetic unit test below, not by
+    the fixture.)"""
+    from deepdb_public_spark.operators.filters import bigram_model
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    model = bigram_model(docs.filter("source = 'src1'"), "text")
+    tgt = bigram_model(docs.filter("source = 'src0'"), "text")
+    unseen = tgt.join(model.select("a", "b"), ["a", "b"], "left_anti")
+    assert unseen.count() > 0
+
+
+def test_bigram_xscore_floor_arithmetic(spark):
+    """Hand-computed add-k floor on a 2-doc fixture: the scored doc's
+    bigrams are all UNSEEN (c_ab=0) and one context is unseen too
+    (c_a=0) — the exact branch filters.py's left joins exist for."""
+    import math
+
+    from deepdb_public_spark.operators.filters import (
+        bigram_logprob,
+        bigram_model,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "a b a b c")], "doc_id bigint, text string"
+    )
+    tgt = spark.createDataFrame(
+        [(10, "a x b")], "doc_id bigint, text string"
+    )
+    model = bigram_model(ref, "text")
+    # ref bigrams: (a,b)x2 (b,a) (b,c); contexts a:2 b:2; vocab {a,b,c}=3
+    out = bigram_logprob(tgt, "text", "doc_id", model_ab_df=model).collect()
+    assert len(out) == 1 and out[0]["n_bigrams"] == 2
+    # (a,x): c_ab=0, c_a=2 -> ln(1/(2+4)); (x,b): c_ab=0, c_a=0 -> ln(1/4)
+    expect = round((math.log(1 / 6) + math.log(1 / 4)) / 2, 6)
+    assert out[0]["mean_logprob"] == expect
+    assert out[0]["ppl"] == round(math.exp(-expect), 6)
+
+
+def test_unigram_xscore_floor_arithmetic(spark):
+    import math
+
+    from deepdb_public_spark.operators.filters import unigram_logprob
+
+    model = spark.createDataFrame(
+        [("a", 3), ("b", 1)], "token string, cnt bigint"
+    )
+    tgt = spark.createDataFrame([(10, "a z")], "doc_id bigint, text string")
+    out = unigram_logprob(tgt, "text", "doc_id", model_df=model).collect()
+    # total=4, V=2: p(a)=(3+1)/(4+3)=4/7, p(z)=1/7 (the floor)
+    expect = round((math.log(4 / 7) + math.log(1 / 7)) / 2, 6)
+    assert len(out) == 1 and out[0]["n_tokens"] == 2
+    assert out[0]["mean_logprob"] == expect
