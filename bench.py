@@ -72,9 +72,21 @@ from pyspark.sql import SparkSession
 # standalone under residual load; x05 8.44/8.50 across two bench
 # runs, 10.5-16.1 under load 5-10. Re-pin these on every testdata
 # refresh before trusting a clean_run verdict.
-SENTINEL_FLOORS = {  # entry -> (documented_floor_lo, ceiling)
-    "x20_dup_clusters": (4.5, 6.5),
-    "x05_jaccard_pairs": (8.0, 10.0),
+# Round-13 hardening (judge item 4): a THIRD sentinel
+# (x36_table_profile — a stable full-scan profile with no dedup
+# structure sensitivity; observed clean mins 3.3-3.7 across the four
+# r12 runs) plus MEDIAN-over-reps adjudication. The min-based check
+# is one-sided — a contended run can still land one lucky fast rep
+# (r12 run2: x36 min 2.94 INSIDE a flagged window) — while the
+# median of 4 reps across both passes moves with sustained load
+# (r12 contended x20 medians 9.4-10.4 vs clean 5.45). A run is clean
+# iff load is quiet AND every sentinel's min AND median sit inside
+# their ceilings. Median ceilings measured from the r12 clean run
+# (x20 5.45, x05 9.80, x36 4.20) with ~30% headroom.
+SENTINEL_FLOORS = {  # entry -> (floor_lo, min_ceiling, median_ceiling)
+    "x20_dup_clusters": (4.5, 6.5, 7.0),
+    "x05_jaccard_pairs": (8.0, 10.0, 11.5),
+    "x36_table_profile": (2.8, 4.5, 5.5),
 }
 
 
@@ -249,15 +261,20 @@ def main() -> None:
     sentinel_check: dict = {"sf_applicable": sentinel_applicable}
     sentinels_ok = True
     if sentinel_applicable:
-        for s_name, (lo, hi) in SENTINEL_FLOORS.items():
+        for s_name, (lo, hi, hi_med) in SENTINEL_FLOORS.items():
             v = timings.get(s_name)
-            ok = v is not None and v <= hi
+            v_med = timings_median.get(s_name)
+            ok_min = v is not None and v <= hi
+            ok_med = v_med is not None and v_med <= hi_med
             sentinel_check[s_name] = {
                 "min_sec": v,
                 "documented_floor": [lo, hi],
-                "within": ok,
+                "within": ok_min,
+                "median_sec": v_med,
+                "median_ceiling": hi_med,
+                "median_within": ok_med,
             }
-            sentinels_ok = sentinels_ok and ok
+            sentinels_ok = sentinels_ok and ok_min and ok_med
     sentinel_check["all_within"] = sentinels_ok if sentinel_applicable else None
     clean_run = (0.0 <= load_pre < 1.0) and (
         sentinels_ok if sentinel_applicable else True

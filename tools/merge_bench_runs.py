@@ -85,6 +85,20 @@ def merge(runs: list[dict]) -> dict:
         "per_run_load_samples": [r.get("load_samples") for r in runs],
         "per_run_sentinel_check": [r.get("sentinel_check") for r in runs],
         "per_run_clean": [r.get("clean_run") for r in runs],
+        # entries whose merged value rests on a SINGLE run's
+        # measurement (typically entries added between runs): the min
+        # had no second sample to beat, so flag them for the judge
+        # (round-12 verdict item 4)
+        "entries_single_run": sorted(
+            n
+            for n in merged
+            if sum(
+                1
+                for r in runs
+                if r.get("queries_min", r["queries"]).get(n) is not None
+            )
+            == 1
+        ),
     }
     base["contention_detected"] = any(
         r.get("contention_detected") for r in runs
@@ -95,7 +109,10 @@ def merge(runs: list[dict]) -> dict:
     if abs(float(base.get("sf", -1)) - 0.1) < 1e-9:
         check: dict = {"sf_applicable": True}
         ok = True
-        for name, (lo, hi) in _sentinel_floors().items():
+        for name, (lo, hi, _hi_med) in _sentinel_floors().items():
+            # merged values are per-entry MINS, so only the min band
+            # applies here; median adjudication lives in the per-run
+            # sentinel_check blocks recorded above
             v = merged.get(name)
             within = v is not None and v <= hi
             check[name] = {
