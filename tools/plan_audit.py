@@ -314,6 +314,18 @@ def main() -> None:
         "per candidate — the IVFADC layout.",
     )
     add(
+        "x69_ivfpq_index_topk",
+        "IVF-PQ probe against the PREBUILT persisted index (round "
+        "13): the scan reads the cell-partitioned codes parquet with "
+        "the probe membership as PartitionFilters (directory pruning "
+        "— the FAISS inverted-list cost model as a layout; the build "
+        "that wrote it is priced separately in index_build_secs); "
+        "scoring is a pure element_at projection over the m int "
+        "codes — NO Lloyd fits, no join — and selection is "
+        "TakeOrderedAndProject. Per-query work above the pruned scan "
+        "is model-sized (driver LUT from the KB-scale codebooks).",
+    )
+    add(
         "x49_bpe_pairs",
         "BPE pair statistic (round 8): one explode to words, one "
         "hashpartitioning(w) exchange collapsing the corpus to its "

@@ -53,6 +53,7 @@ def main() -> None:
         mixture_plan,
     )
     from deepdb_public_spark.operators.similarity import (
+        IvfPqIndex,
         cluster_balanced_sample,
         hybrid_rrf_topk,
         ivfpq_topk,
@@ -163,6 +164,14 @@ def main() -> None:
         "curate_corpus (3-stage pipeline)",
         "cluster_balanced_sample (two-phase quota)",
         "remove_repeated_spans (gram hist + rewrite)",
+        # round-13: one doubling past 4x for every op with a join or a
+        # fit (the r12 verdict's remaining super-linear-risk rows —
+        # x62's pair join and the PQ Lloyd fits) plus the prebuilt
+        # probe, whose 8x point demonstrates probed-rows-only cost
+        "source_overlap (distinct gram pair join)",
+        "pq_topk (codebook fit + ADC projection)",
+        "ivfpq_topk (coarse probe + ADC projection)",
+        "ivfpq_index_probe (prebuilt, partition-pruned)",
     ]
     SKEW_SLOPE_CAP = 2.5  # max tolerated t(2k)/t(k) per doubling
 
@@ -200,7 +209,27 @@ def main() -> None:
             out = out.unionByName(p)
         return out
 
+    # prebuilt-index serving path (x69): build+save once per scale —
+    # the FIRST rep pays it, best-of-2 keeps the probe-only rep — so
+    # the recorded number is load + partition-pruned probe. The row
+    # this produces backs the x69 claim: query cost scales with the
+    # PROBED rows (nprobe/nc of the corpus), not the corpus.
+    _ivfpq_saved: dict[int, str] = {}
+
+    def _ivfpq_probe(d):
+        import tempfile
+
+        key = id(d)
+        if key not in _ivfpq_saved:
+            p = tempfile.mkdtemp(prefix="scale_ivfpq_")
+            IvfPqIndex.build(d, "embedding", "vec_id", nc=8, m=2, k=8).save(p)
+            _ivfpq_saved[key] = p
+        idx = IvfPqIndex.load(spark, _ivfpq_saved[key])
+        q = [float(x) for x in d.filter("vec_id = 0").first()["embedding"]]
+        return idx.topk(q, top_k=10, nprobe=2).count()
+
     OPS_EMB = {
+        "ivfpq_index_probe (prebuilt, partition-pruned)": _ivfpq_probe,
         "semantic_dedup (hyperplane LSH)": lambda d: semantic_dedup(
             d, "embedding", "vec_id", threshold=0.9
         ).count(),
