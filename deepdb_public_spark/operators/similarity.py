@@ -1459,21 +1459,48 @@ class IvfPqIndex:
             )
             for j in range(m)
         ]
-        # ONE projection emits cell + all m codes (residual included
-        # when enabled): no join, no shuffle — the x66/x68 encode shape
+        idx = cls(None, coarse, codebooks, by_residual, iters)
+        idx.codes = idx.encode(df, vec_col, id_col)
+        return idx
+
+    def encode(self, df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+        """Encode vectors with the EXISTING model: cell + all m codes
+        (residual included when enabled) in ONE literal-compiled
+        projection — no join, no shuffle, the x66/x68 encode shape.
+        Used by build for the initial corpus and by append_to_saved
+        for ingestion batches (the standard IVF insert: no retrain)."""
+        vecs = df.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        w = len(self.coarse[0]) // self.m
+        cell = _nearest_code(F.col("v"), self.coarse).cast("int")
         enc_v = (
-            cls._residual(F.col("v"), cell, coarse)
-            if by_residual
+            self._residual(F.col("v"), cell, self.coarse)
+            if self.by_residual
             else F.col("v")
         )
         cols = [F.col("id"), cell.alias("cell")]
-        for j in range(m):
+        for j in range(self.m):
             cols.append(
-                _nearest_code(F.slice(enc_v, j * w + 1, w), codebooks[j])
+                _nearest_code(F.slice(enc_v, j * w + 1, w), self.codebooks[j])
                 .cast("int")
                 .alias(f"code_{j}")
             )
-        return cls(vecs.select(*cols), coarse, codebooks, by_residual, iters)
+        return vecs.select(*cols)
+
+    def append_to_saved(
+        self, path: str, df: DataFrame, vec_col: str, id_col: str
+    ) -> None:
+        """Append a new batch to a SAVED index: encode with the
+        existing model + partition-append into the cell layout
+        (mirrors IvfIndex.append_to_saved — the ingestion loop).
+        Probes pick the rows up with no rebuild; drift handling at
+        scale follows IvfIndex.maintain_saved's partition-surgery
+        pattern."""
+        self.encode(df, vec_col, id_col).write.mode("append").partitionBy(
+            "cell"
+        ).parquet(f"{path}/codes")
 
     # -- persistence ---------------------------------------------------
     def save(self, path: str) -> None:

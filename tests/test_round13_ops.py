@@ -292,3 +292,33 @@ def test_unigram_xscore_floor_arithmetic(spark):
     expect = round((math.log(4 / 7) + math.log(1 / 7)) / 2, 6)
     assert len(out) == 1 and out[0]["n_tokens"] == 2
     assert out[0]["mean_logprob"] == expect
+
+
+def test_append_to_saved_roundtrip(spark, emb, qvec, tmp_path):
+    """Ingestion path: a saved index absorbs an appended batch via the
+    literal-compiled encode (no retrain) and a later probe sees the
+    new rows; appended codes equal a fresh encode of the same rows."""
+    from deepdb_public_spark.operators.similarity import IvfPqIndex
+
+    old = emb.filter("vec_id % 5 != 0")
+    new = emb.filter("vec_id % 5 = 0")
+    idx = IvfPqIndex.build(old, "embedding", "vec_id", nc=4, m=2, k=4)
+    path = str(tmp_path / "ivfpq_a")
+    idx.save(path)
+    idx.append_to_saved(path, new, "embedding", "vec_id")
+    loaded = IvfPqIndex.load(spark, path)
+    assert loaded.codes.count() == emb.count()
+    # appended rows carry exactly the codes a fresh encode produces
+    fresh = sorted(
+        (r["id"], r["cell"], r["code_0"], r["code_1"])
+        for r in idx.encode(new, "embedding", "vec_id").collect()
+    )
+    persisted = sorted(
+        (r["id"], r["cell"], r["code_0"], r["code_1"])
+        for r in loaded.codes.filter("id % 5 = 0").collect()
+    )
+    assert fresh == persisted
+    # a probe over the appended index can return new-batch rows
+    # (vec_id 0 is in the appended batch and is its own best match)
+    got = loaded.topk(qvec, top_k=5, nprobe=4).collect()
+    assert got[0]["id"] == 0
