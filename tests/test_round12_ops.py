@@ -266,25 +266,36 @@ def test_merge_bench_runs_sentinel_adjudication():
     load/clean evidence in provenance (round-12 brief item 2)."""
     from tools.merge_bench_runs import merge
 
+    # round-13: fixtures carry the third sentinel (x36) too — merge
+    # adjudication stays strict: every documented sentinel must be
+    # present and within its min ceiling
     runs = [
         {
             "sf": 0.1,
-            "queries": {"x20_dup_clusters": 8.0, "x05_jaccard_pairs": 9.5},
-            "pass_totals": [17.5],
+            "queries": {
+                "x20_dup_clusters": 8.0,
+                "x05_jaccard_pairs": 9.5,
+                "x36_table_profile": 5.1,
+            },
+            "pass_totals": [22.6],
             "load_samples": [{"at": "pre_run", "load1m": 6.2}],
             "clean_run": False,
         },
         {
             "sf": 0.1,
-            "queries": {"x20_dup_clusters": 3.6, "x05_jaccard_pairs": 9.4},
-            "pass_totals": [13.0],
+            "queries": {
+                "x20_dup_clusters": 3.6,
+                "x05_jaccard_pairs": 9.4,
+                "x36_table_profile": 3.5,
+            },
+            "pass_totals": [16.5],
             "load_samples": [{"at": "pre_run", "load1m": 0.1}],
             "clean_run": True,
         },
     ]
     out = merge(runs)
     sc = out["sentinel_check"]
-    assert sc["all_within"] is True  # merged mins: 3.6 and 9.4
+    assert sc["all_within"] is True  # merged mins: 3.6, 9.4, 3.5
     assert sc["x20_dup_clusters"]["min_sec"] == 3.6
     assert out["merge_provenance"]["per_run_clean"] == [False, True]
     # a merged headline whose mins breach the ceiling is flagged
@@ -297,17 +308,23 @@ def test_bench_loadavg_readable():
 
     v = _loadavg()
     assert v >= 0.0
-    assert set(SENTINEL_FLOORS) == {"x20_dup_clusters", "x05_jaccard_pairs"}
+    assert set(SENTINEL_FLOORS) == {
+        "x20_dup_clusters",
+        "x05_jaccard_pairs",
+        "x36_table_profile",
+    }
 
 
-def test_driver_window_rotation_q17_in_q15_parked():
-    """Round 12 rotation: q17 back inside the driver's 50-entry
-    window, q15 parked (still oracle-covered in the full artifact)."""
+def test_driver_window_rotation():
+    """Rotation history: round 12 brought q17 back; round 13 brought
+    q15 back and parked q16 (both stay oracle-covered in the full
+    artifact)."""
     import __spark_entry__ as entry_mod
 
     window = list(entry_mod.queries())[:50]
     assert "q17_outer_null" in window
-    assert "q15_union" not in window
+    assert "q15_union" in window
+    assert "q16_rollup" not in window
     assert "q15_union" in entry_mod.oracle_sql()
 
 
@@ -554,8 +571,11 @@ def test_curriculum_order_phases(spark):
 
 def test_curriculum_order_no_global_sort(spark):
     """The schedule is a sort KEY, not a row number: the executed plan
-    has no Window and no Sort over the corpus — one percentile
-    aggregate broadcast back, then projections."""
+    has no Window and no Sort over the corpus. Since round 13 the
+    collected boundary row doubles as the broadcast (compiled to
+    literals), so the scoring plan is a PURE PROJECTION — no join,
+    no exchange of any kind (stronger than the round-12 shape, which
+    carried a scalar BroadcastNestedLoopJoin)."""
     from deepdb_public_spark.operators.sampling import curriculum_order
 
     docs = spark.range(500).select(
@@ -566,9 +586,7 @@ def test_curriculum_order_no_global_sort(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan[:2000]
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
-        plan[:2000]
-    )
+    assert "Join" not in plan and "Exchange" not in plan, plan[:2000]
 
 
 def test_pq_encode_codes_match_subspace_argmin(spark):
