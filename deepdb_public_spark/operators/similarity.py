@@ -32,7 +32,9 @@ _VALIDATED_SKETCHES: "weakref.WeakSet" = weakref.WeakSet()
 
 
 def _query_vec_col(query_vec: list[float]):
-    return F.array(*[F.lit(float(x)) for x in query_vec])
+    # one expr() round-trip instead of dim F.lit calls (see
+    # _nearest_struct_sql on why that matters)
+    return F.expr(_arr_sql(query_vec))
 
 
 def _valid_vectors(df: DataFrame, vec_col: str) -> DataFrame:
@@ -837,36 +839,64 @@ def kmeans_refine(
     )
 
 
+def _dlit(x: float) -> str:
+    """Shortest round-trip SQL double literal for a Python float.
+    ``repr`` emits the shortest decimal that parses back to the same
+    IEEE double, and Spark's double-literal parser is correctly
+    rounding, so ``expr(_dlit(x))`` reproduces ``F.lit(float(x))``
+    bit-for-bit."""
+    return repr(float(x)) + "D"
+
+
+def _arr_sql(vals) -> str:
+    """SQL text for an array<double> literal."""
+    return "array(" + ",".join(_dlit(v) for v in vals) + ")"
+
+
+def _sqdist_sql(subv_sql: str, cent: list[float]) -> str:
+    """SQL text for the rounded squared-L2 distance of a (sub)vector
+    column expression to one literal centroid — the exact zip_with /
+    ordered-fold / round-to-6 chain the Column-based builder used
+    (``0.0D + t1 == t1`` exactly, so the fold order matches)."""
+    return (
+        f"round(aggregate(zip_with({subv_sql}, {_arr_sql(cent)}, "
+        f"(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x), 6)"
+    )
+
+
+def _nearest_struct_sql(subv_sql: str, cents: list[list[float]]) -> str:
+    """SQL text for the nearest-centroid (dist, index) struct:
+    distances rounded to 6 decimals BEFORE the argmin, ties to the
+    lower index — array_min over (d, j) structs, the engine-portable
+    rule everywhere here.
+
+    Why SQL text instead of Column objects (round 13, guide §4 — the
+    Python/JVM boundary applies to PLAN CONSTRUCTION too): building
+    these k*dim-literal trees out of F.lit/F.array/F.aggregate costs
+    one Py4J round-trip per node (~16,700 round-trips ≈ 4.3s of a
+    5.6s pq_encode rep, cProfile-measured); one expr() string is a
+    single round-trip and the JVM parses it in milliseconds. The
+    parsed plan is identical."""
+    structs = ",".join(
+        f"named_struct('d', {_sqdist_sql(subv_sql, c)}, 'j', {j})"
+        for j, c in enumerate(cents)
+    )
+    return f"array_min(array({structs}))"
+
+
+def _nearest_code_sql(subv_sql: str, cents: list[list[float]]) -> str:
+    """SQL text for the nearest-codeword INDEX (the argmin of
+    :func:`_nearest_struct_sql`)."""
+    return f"{_nearest_struct_sql(subv_sql, cents)}.j"
+
+
 def _lloyd_assign(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """Assign each (id, v) row to its nearest centroid — the centroids
     are compiled to literals, so assignment is one narrow projection
     (no join, no shuffle). Distances rounded to 6 decimals BEFORE the
     argmin, ties to the lower index (kmeans_refine's portable rule).
     Returns (id, v, cluster, dist)."""
-    k = len(centroids)
-    dists = [
-        F.round(
-            F.aggregate(
-                F.zip_with(
-                    F.col("v"),
-                    F.array(*[F.lit(c) for c in centroids[j]]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        )
-        for j in range(k)
-    ]
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(dists[j].alias("d"), F.lit(j).alias("j"))
-                for j in range(k)
-            ]
-        )
-    )
+    best = F.expr(_nearest_struct_sql("v", centroids))
     return vecs.select(
         "id", "v", best["j"].alias("cluster"), best["d"].alias("dist")
     )
@@ -880,27 +910,122 @@ def _lloyd_fit(
     the exact same engine-portable math (seeds = k smallest ids
     rounded to 6; per-iteration means rounded to 6; empty clusters
     keep their previous centroid). Returns the FINAL centroids; each
-    iteration is one linear scan + one model-sized collect."""
-    seed_rows = vecs.orderBy("id").limit(int(k)).collect()
-    if len(seed_rows) < k:
-        raise ValueError(f"{op_name}: need >= {k} vectors, got {len(seed_rows)}")
+    iteration is one linear scan + one model-sized collect.
+
+    Since round 13 this is a single-spec wrapper over
+    :func:`_lloyd_fit_multi` (one fused job per iteration instead of
+    the posexplode + groupBy(cluster, i) shuffle per fit)."""
+    return _lloyd_fit_multi(vecs, [(None, None, int(k))], iters, op_name)[0]
+
+
+def _lloyd_fit_multi(
+    vecs: DataFrame,
+    specs: list[tuple[int | None, int | None, int]],
+    iters: int,
+    op_name: str = "lloyd",
+    seed_rows: list | None = None,
+) -> list[list[list[float]]]:
+    """Fit SEVERAL deterministic Lloyd codebooks over the same (id, v)
+    relation in ONE pass per iteration (round-13 optimization, guide
+    §1.2/§2.4: the PQ family used to run m+1 independent fit chains —
+    m+1 seed collects plus m+1 scan+shuffle jobs per iteration — over
+    the same vectors; at corpus scale each chain is a redundant full
+    scan, and at bench scale each action pays full plan/analysis
+    overhead).
+
+    ``specs`` is a list of ``(start, width, k)``: fit a ``k``-codeword
+    codebook over ``v[start : start+width]`` (0-based start; ``None``
+    start/width = the full vector). Returns codebooks aligned with
+    ``specs``.
+
+    The math is bit-compatible with the per-fit loop it replaces:
+
+    - seeds: the ``max(k)`` smallest-id rows are collected ONCE; each
+      spec slices its subspace out of those rows and rounds to 6
+      decimals (slice-then-round == round-then-slice, elementwise);
+    - assignment: each spec's argmin over its own centroids with
+      distances rounded to 6 BEFORE the argmin, ties to the lower
+      index — the exact :func:`_lloyd_assign` rule, computed as S
+      parallel key columns in one projection;
+    - update: ONE groupBy over the joint (c_0..c_{S-1}) key with a
+      COUNT plus per-dimension SUMs (at most prod(k_s) groups — model
+      -sized), marginalized driver-side per spec and rounded to 6.
+      ``sum/count`` equals the old per-fit ``avg`` up to float
+      summation order, which the established round-to-6 contract
+      absorbs (same tolerance the DuckDB oracles rely on); empty
+      clusters keep their previous centroid.
+
+    Scale shape: per iteration exactly ONE linear scan, no explode
+    fan-out (the old path shuffled n*dim posexploded rows; this
+    aggregates dim sum columns into <= prod(k_s) groups map-side).
+    The joint-key group count caps at prod(k_s) — fine for the ANN
+    regimes here (8^3 = 512); for very many wide specs, split the
+    call."""
+    specs = [
+        (None if s is None else int(s), None if w is None else int(w), int(k))
+        for s, w, k in specs
+    ]
+    max_k = max(k for _s, _w, k in specs)
+    if seed_rows is None:
+        seed_rows = vecs.orderBy("id").limit(max_k).collect()
+    if len(seed_rows) < max_k:
+        raise ValueError(
+            f"{op_name}: need >= {max_k} vectors, got {len(seed_rows)}"
+        )
     dim = len(seed_rows[0]["v"])
-    centroids = [[round(float(x), 6) for x in r["v"]] for r in seed_rows]
+    cents: list[list[list[float]]] = []
+    for start, width, k in specs:
+        s0 = 0 if start is None else start
+        w = dim if width is None else width
+        cents.append(
+            [
+                [round(float(x), 6) for x in r["v"][s0 : s0 + w]]
+                for r in seed_rows[:k]
+            ]
+        )
+    n_specs = len(specs)
     for _ in range(int(iters)):
-        means = (
-            _lloyd_assign(vecs, centroids)
-            .select("cluster", F.posexplode("v").alias("i", "x"))
-            .groupBy("cluster", "i")
-            .agg(F.round(F.avg("x"), 6).alias("m"))
+        keys = []
+        for s, (start, width, k) in enumerate(specs):
+            subv_sql = (
+                "v" if start is None else f"slice(v, {start + 1}, {width})"
+            )
+            keys.append(
+                F.expr(_nearest_code_sql(subv_sql, cents[s])).alias(f"__c{s}")
+            )
+        aggs = [F.count(F.lit(1)).alias("__n")] + [
+            F.expr(f"sum(element_at(v, {i + 1})) AS __s{i}")
+            for i in range(dim)
+        ]
+        rows = (
+            vecs.select(*keys, "v")
+            .groupBy(*[f"__c{s}" for s in range(n_specs)])
+            .agg(*aggs)
             .collect()
         )
-        new: dict[int, list[float]] = {}
-        for r in means:
-            new.setdefault(int(r["cluster"]), [0.0] * dim)[int(r["i"])] = float(
-                r["m"]
+        new_cents: list[list[list[float]]] = []
+        for s, (start, width, k) in enumerate(specs):
+            s0 = 0 if start is None else start
+            w = dim if width is None else width
+            sums = [[0.0] * w for _ in range(k)]
+            cnt = [0] * k
+            for r in rows:
+                j = int(r[f"__c{s}"])
+                cnt[j] += int(r["__n"])
+                for i in range(w):
+                    sums[j][i] += float(r[f"__s{s0 + i}"])
+            new_cents.append(
+                [
+                    (
+                        [round(sums[j][i] / cnt[j], 6) for i in range(w)]
+                        if cnt[j]
+                        else cents[s][j]
+                    )
+                    for j in range(k)
+                ]
             )
-        centroids = [new.get(j, centroids[j]) for j in range(k)]
-    return centroids
+        cents = new_cents
+    return cents
 
 
 def cluster_balanced_sample(
@@ -1074,44 +1199,30 @@ def pq_encode(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    first = vecs.select(F.size("v").alias("d")).first()
-    if first is None:
+    # one seed collect serves dim-derivation AND every subspace fit
+    # (round 13: was a separate size() probe plus one seed collect per
+    # subspace — the k smallest ids are the same rows for all of them)
+    seed_rows = vecs.orderBy("id").limit(int(k)).collect()
+    if not seed_rows:
         raise ValueError("pq_encode: empty input")
-    dim = int(first["d"])
+    dim = len(seed_rows[0]["v"])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     w = dim // m
-    codebooks: list[list[list[float]]] = []
-    for j in range(m):
-        sub = vecs.select("id", F.slice("v", j * w + 1, w).alias("v"))
-        codebooks.append(_lloyd_fit(sub, k, iters, op_name="pq_encode"))
-    cols = [F.col("id")]
-    for j in range(m):
-        subv = F.slice("v", j * w + 1, w)
-        dists = [
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        subv,
-                        F.array(*[F.lit(c) for c in codebooks[j][c_i]]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            )
-            for c_i in range(k)
-        ]
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(dists[c_i].alias("d"), F.lit(c_i).alias("j"))
-                    for c_i in range(k)
-                ]
-            )
+    codebooks = _lloyd_fit_multi(
+        vecs,
+        [(j * w, w, k) for j in range(m)],
+        iters,
+        op_name="pq_encode",
+        seed_rows=seed_rows,
+    )
+    cols = [F.col("id")] + [
+        F.expr(
+            f"CAST({_nearest_code_sql(f'slice(v, {j * w + 1}, {w})', codebooks[j])}"
+            f" AS INT) AS code_{j}"
         )
-        cols.append(best["j"].cast("int").alias(f"code_{j}"))
+        for j in range(m)
+    ]
     return vecs.select(*cols), codebooks
 
 
@@ -1158,14 +1269,11 @@ def pq_topk(
                 for c in codebooks[j]
             ]
         )
-    total = None
-    for j in range(m):
-        term = F.element_at(
-            F.array(*[F.lit(d) for d in luts[j]]), F.col(f"code_{j}") + 1
-        )
-        total = term if total is None else total + term
+    total = " + ".join(
+        f"element_at({_arr_sql(luts[j])}, code_{j} + 1)" for j in range(m)
+    )
     return (
-        codes.select("id", F.round(total, 6).alias("adc_dist"))
+        codes.select("id", F.expr(f"round({total}, 6) AS adc_dist"))
         .orderBy("adc_dist", "id")
         .limit(int(top_k))
     )
@@ -1213,8 +1321,36 @@ def ivfpq_topk(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    coarse = _lloyd_fit(vecs, nc, iters, op_name="ivfpq_topk")
-    _, codebooks = pq_encode(df, vec_col, id_col, m=m, k=k, iters=iters)
+    # fuse the coarse fit and the m subspace fits into ONE Lloyd chain
+    # (round 13): all m+1 codebooks iterate over the same vectors, so
+    # one seed collect + one scan/aggregate per iteration replaces the
+    # previous m+1 independent chains (each a redundant full scan at
+    # corpus scale). Seeds, assignment rule and rounded means are
+    # bit-compatible — the DuckDB oracle replays the same chain.
+    seed_rows = vecs.orderBy("id").limit(max(int(nc), int(k))).collect()
+    if len(seed_rows) < nc:
+        raise ValueError(
+            f"ivfpq_topk: need >= {nc} vectors, got {len(seed_rows)}"
+        )
+    dim = len(seed_rows[0]["v"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if len(seed_rows) < k:
+        # the subspace-fit precondition, raised with the same message
+        # as the pre-fusion pq_encode call site
+        raise ValueError(
+            f"pq_encode: need >= {k} vectors, got {len(seed_rows)}"
+        )
+    w_sub = dim // m
+    fitted = _lloyd_fit_multi(
+        vecs,
+        [(None, None, int(nc))]
+        + [(j * w_sub, w_sub, int(k)) for j in range(m)],
+        iters,
+        op_name="ivfpq_topk",
+        seed_rows=seed_rows,
+    )
+    coarse, codebooks = fitted[0], fitted[1:]
     qrow = (
         df.filter(F.col(id_col) == query_id)
         .select(F.col(vec_col).cast("array<double>").alias("v"))
@@ -1246,42 +1382,15 @@ def ivfpq_topk(
         for j in range(m)
     ]
 
-    def _best(subv, cents):
-        dists = [
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        subv,
-                        F.array(*[F.lit(x) for x in cents[c_i]]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            )
-            for c_i in range(len(cents))
-        ]
-        return F.array_min(
-            F.array(
-                *[
-                    F.struct(dists[c_i].alias("d"), F.lit(c_i).alias("j"))
-                    for c_i in range(len(cents))
-                ]
-            )
-        )["j"]
-
-    total = None
-    for j in range(m):
-        code_j = _best(F.slice("v", j * w + 1, w), codebooks[j])
-        term = F.element_at(
-            F.array(*[F.lit(d) for d in luts[j]]), code_j + 1
-        )
-        total = term if total is None else total + term
+    total = " + ".join(
+        f"element_at({_arr_sql(luts[j])}, "
+        f"({_nearest_code_sql(f'slice(v, {j * w + 1}, {w})', codebooks[j])}) + 1)"
+        for j in range(m)
+    )
     scored = vecs.select(
         "id",
-        _best(F.col("v"), coarse).cast("int").alias("cell"),
-        F.round(total, 6).alias("adc_dist"),
+        F.expr(f"CAST({_nearest_code_sql('v', coarse)} AS INT) AS cell"),
+        F.expr(f"round({total}, 6) AS adc_dist"),
     )
     return (
         scored.filter(F.col("cell").isin(*[int(j) for j in probed]))
@@ -1312,36 +1421,6 @@ def brute_force_l2_topk(
         .orderBy("l2_dist", "id")
         .limit(k)
     )
-
-
-def _nearest_code(subv, cents: list[list[float]]):
-    """Literal-compiled nearest-codeword argmin (the shared kernel of
-    pq_encode / ivfpq_topk, factored for IvfPqIndex): squared L2 to
-    every codeword rounded to 6 decimals BEFORE the argmin, ties to
-    the lower index — the engine-portable rule everywhere here."""
-    dists = [
-        F.round(
-            F.aggregate(
-                F.zip_with(
-                    subv,
-                    F.array(*[F.lit(float(x)) for x in cents[c_i]]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        )
-        for c_i in range(len(cents))
-    ]
-    return F.array_min(
-        F.array(
-            *[
-                F.struct(dists[c_i].alias("d"), F.lit(c_i).alias("j"))
-                for c_i in range(len(cents))
-            ]
-        )
-    )["j"]
 
 
 class IvfPqIndex:
@@ -1403,18 +1482,14 @@ class IvfPqIndex:
 
     # -- build ---------------------------------------------------------
     @staticmethod
-    def _residual(v, cell, coarse: list[list[float]]):
-        """v - centroid(cell) as one literal projection: the nc
-        centroids compile to an array-of-arrays literal indexed by the
-        (computed) cell column."""
-        cents = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in c])
-                for c in coarse
-            ]
-        )
-        return F.zip_with(
-            v, F.element_at(cents, cell + 1), lambda a, b: a - b
+    def _residual_sql(v_sql: str, cell_sql: str, coarse: list[list[float]]) -> str:
+        """SQL text for v - centroid(cell) as one literal projection:
+        the nc centroids compile to an array-of-arrays literal indexed
+        by the (computed) cell expression."""
+        cents = "array(" + ",".join(_arr_sql(c) for c in coarse) + ")"
+        return (
+            f"zip_with({v_sql}, element_at({cents}, ({cell_sql}) + 1), "
+            f"(a, b) -> a - b)"
         )
 
     @classmethod
@@ -1435,30 +1510,47 @@ class IvfPqIndex:
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("v"),
         )
-        first = vecs.select(F.size("v").alias("d")).first()
-        if first is None:
+        # one seed collect serves dim-derivation, the coarse fit and
+        # (raw-vector mode) every subspace fit — round 13, the
+        # ivfpq_topk fusion applied to the build path
+        seed_rows = vecs.orderBy("id").limit(max(int(nc), int(k))).collect()
+        if not seed_rows:
             raise ValueError("IvfPqIndex.build: empty input")
-        dim = int(first["d"])
+        dim = len(seed_rows[0]["v"])
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible by m={m}")
         w = dim // m
-        coarse = _lloyd_fit(vecs, nc, iters, op_name="IvfPqIndex")
-        cell = _nearest_code(F.col("v"), coarse).cast("int")
         if by_residual:
+            # the subspace codebooks fit over RESIDUALS, which need the
+            # finished coarse quantizer first — two fused chains
+            coarse = _lloyd_fit_multi(
+                vecs,
+                [(None, None, int(nc))],
+                iters,
+                op_name="IvfPqIndex",
+                seed_rows=seed_rows,
+            )[0]
+            cell_sql = f"CAST({_nearest_code_sql('v', coarse)} AS INT)"
             base = vecs.select(
-                "id", cls._residual(F.col("v"), cell, coarse).alias("v")
+                "id",
+                F.expr(cls._residual_sql("v", cell_sql, coarse) + " AS v"),
             )
-        else:
-            base = vecs
-        codebooks = [
-            _lloyd_fit(
-                base.select("id", F.slice("v", j * w + 1, w).alias("v")),
-                k,
+            codebooks = _lloyd_fit_multi(
+                base,
+                [(j * w, w, int(k)) for j in range(m)],
                 iters,
                 op_name="IvfPqIndex",
             )
-            for j in range(m)
-        ]
+        else:
+            fitted = _lloyd_fit_multi(
+                vecs,
+                [(None, None, int(nc))]
+                + [(j * w, w, int(k)) for j in range(m)],
+                iters,
+                op_name="IvfPqIndex",
+                seed_rows=seed_rows,
+            )
+            coarse, codebooks = fitted[0], fitted[1:]
         idx = cls(None, coarse, codebooks, by_residual, iters)
         idx.codes = idx.encode(df, vec_col, id_col)
         return idx
@@ -1474,20 +1566,29 @@ class IvfPqIndex:
             F.col(vec_col).cast("array<double>").alias("v"),
         )
         w = len(self.coarse[0]) // self.m
-        cell = _nearest_code(F.col("v"), self.coarse).cast("int")
-        enc_v = (
-            self._residual(F.col("v"), cell, self.coarse)
-            if self.by_residual
-            else F.col("v")
+        # two-step select: the cell argmin is computed once as a named
+        # column and the (possibly residual) code columns reference it
+        # by name — both projections collapse into one codegen stage
+        base = vecs.select(
+            "id",
+            "v",
+            F.expr(
+                f"CAST({_nearest_code_sql('v', self.coarse)} AS INT) AS cell"
+            ),
         )
-        cols = [F.col("id"), cell.alias("cell")]
-        for j in range(self.m):
-            cols.append(
-                _nearest_code(F.slice(enc_v, j * w + 1, w), self.codebooks[j])
-                .cast("int")
-                .alias(f"code_{j}")
+        enc_v_sql = (
+            self._residual_sql("v", "cell", self.coarse)
+            if self.by_residual
+            else "v"
+        )
+        cols = [F.col("id"), F.col("cell")] + [
+            F.expr(
+                f"CAST({_nearest_code_sql(f'slice({enc_v_sql}, {j * w + 1}, {w})', self.codebooks[j])}"
+                f" AS INT) AS code_{j}"
             )
-        return vecs.select(*cols)
+            for j in range(self.m)
+        ]
+        return base.select(*cols)
 
     def append_to_saved(
         self, path: str, df: DataFrame, vec_col: str, id_col: str
@@ -1596,32 +1697,25 @@ class IvfPqIndex:
                 )
                 for cell in probed
             }
-            total = None
-            for j in range(self.m):
-                term = None
-                for cell in probed:
-                    arr = F.array(
-                        *[F.lit(d) for d in luts_by_cell[cell][j]]
-                    )
-                    hit = F.element_at(arr, F.col(f"code_{j}") + 1)
-                    term = (
-                        F.when(F.col("cell") == cell, hit)
-                        if term is None
-                        else term.when(F.col("cell") == cell, hit)
-                    )
-                total = term if total is None else total + term
+            total = " + ".join(
+                "CASE "
+                + " ".join(
+                    f"WHEN cell = {int(cell)} THEN "
+                    f"element_at({_arr_sql(luts_by_cell[cell][j])}, code_{j} + 1)"
+                    for cell in probed
+                )
+                + " END"
+                for j in range(self.m)
+            )
         else:
             luts = lut_for(q)
-            total = None
-            for j in range(self.m):
-                term = F.element_at(
-                    F.array(*[F.lit(d) for d in luts[j]]),
-                    F.col(f"code_{j}") + 1,
-                )
-                total = term if total is None else total + term
+            total = " + ".join(
+                f"element_at({_arr_sql(luts[j])}, code_{j} + 1)"
+                for j in range(self.m)
+            )
         return (
             self.codes.filter(F.col("cell").isin(*[int(c) for c in probed]))
-            .select("id", "cell", F.round(total, 6).alias("adc_dist"))
+            .select("id", "cell", F.expr(f"round({total}, 6) AS adc_dist"))
             .orderBy("adc_dist", "id")
             .limit(int(top_k))
         )
