@@ -1960,11 +1960,24 @@ def _card_oracle(cases) -> str:
 
 
 def _qerr_rows(eng, cases) -> list[tuple]:
+    # truth counts collected CONCURRENTLY (round 13, guide §1.2): the
+    # per-case exact counts are independent sub-second jobs, and
+    # running them serially paid scheduler + plan latency once per
+    # case (m01: 19 tiny jobs, ~0.9s of gaps per rep). Thread-pooled
+    # collects overlap that latency; each count is deterministic, so
+    # the rows are byte-identical to the serial loop's.
+    from concurrent.futures import ThreadPoolExecutor
+
+    qs = [(qid, eng.parse(sql)) for qid, sql in cases]
+    # plan compilation stays serial (the engine's estimate-priced join
+    # ordering shares caches); only the independent collect()s overlap
+    dfs = [eng.query(q) for _qid, q in qs]
+    with ThreadPoolExecutor(max_workers=len(dfs)) as ex:
+        futs = [ex.submit(df.collect) for df in dfs]
+        trues = [int(f.result()[0][0]) for f in futs]
     rows = []
-    for qid, sql in cases:
-        q = eng.parse(sql)
+    for (qid, q), true in zip(qs, trues):
         est = float(eng.ensemble.cardinality(q))
-        true = int(eng.query(q).collect()[0][0])
         qerr = max(est / max(true, 1), true / max(est, 1e-9))
         rows.append((qid, true, bool(qerr < _MODEL_QERR_BUDGET)))
     return rows
@@ -2057,11 +2070,18 @@ def _m_multi_spn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
             ({"customer"}, 60_000),
         ],
     )
+    # same concurrent-truth shape as _qerr_rows; only the estimator
+    # call differs (variant averaging)
+    from concurrent.futures import ThreadPoolExecutor
+
+    qs = [(qid, eng.parse(sql)) for qid, sql in _M03_CASES]
+    dfs = [eng.query(q) for _qid, q in qs]
+    with ThreadPoolExecutor(max_workers=len(dfs)) as ex:
+        futs = [ex.submit(df.collect) for df in dfs]
+        trues = [int(f.result()[0][0]) for f in futs]
     rows = []
-    for qid, sql in _M03_CASES:
-        q = eng.parse(sql)
+    for (qid, q), true in zip(qs, trues):
         est = float(eng.ensemble.cardinality(q, max_variants=2))
-        true = int(eng.query(q).collect()[0][0])
         qerr = max(est / max(true, 1), true / max(est, 1e-9))
         rows.append((qid, true, bool(qerr < _MODEL_QERR_BUDGET)))
     return spark.createDataFrame(
@@ -2611,6 +2631,25 @@ def _m_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice",
         ),
     ]
+    # ONE truth job for all cases (round 13, guide §1.2/§2.4: was one
+    # full-scan percentile job per case — 3 serial scans of lineitem).
+    # An aggregate FILTER clause is definitionally identical to
+    # filtering before the aggregate, so each fused truth equals the
+    # per-case job it replaces; ROUND(.., 4) keeps the float
+    # hash-comparable against DuckDB's quantile_cont exactly as before.
+    truth_exprs = [
+        (
+            f"ROUND(percentile({spark_col}, {frac})"
+            + (
+                f" FILTER (WHERE {pred.replace('lineitem.', '')})"
+                if pred
+                else ""
+            )
+            + f", 4) AS `{qid}`"
+        )
+        for qid, _col, frac, pred, spark_col in cases
+    ]
+    truths = eng.catalog["lineitem"].selectExpr(*truth_exprs).collect()[0]
     out = []
     for qid, col, frac, pred, spark_col in cases:
         q = (
@@ -2619,17 +2658,7 @@ def _m_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             else Query(table_set={"lineitem"})
         )
         (est,) = eng.ensemble.quantile(q, col, [frac])
-        base = eng.catalog["lineitem"]
-        if pred:
-            base = base.filter(pred.replace("lineitem.", ""))
-        # exact interpolated percentile, rounded so the float is
-        # hash-comparable against DuckDB's quantile_cont (both use
-        # standard linear interpolation)
-        true = float(
-            base.selectExpr(
-                f"ROUND(percentile({spark_col}, {frac}), 4)"
-            ).collect()[0][0]
-        )
+        true = float(truths[qid])
         ok = abs(est - true) <= 0.10 * max(abs(true), 1e-9)
         out.append((qid, true, bool(ok)))
     return spark.createDataFrame(out, "qid string, true_q double, ok boolean")
