@@ -3035,7 +3035,7 @@ def _m_sim_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from deepdb_public_spark.operators.similarity import (
         build_sim_sketches,
-        similarity_selectivity,
+        similarity_selectivity_many,
     )
 
     emb = _engine(spark, sf_dir).catalog["embeddings"]
@@ -3045,20 +3045,25 @@ def _m_sim_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     sk, planes = build_sim_sketches(emb, "embedding", "vec_id", n_bits=256)
     sk = sk.persist()
-    out = []
     try:
-        for qid in _M13_QUERY_IDS:
-            exact = similarity_selectivity(
-                emb, "embedding", "vec_id", qvecs[qid], 0.3
-            )["estimate"]
-            est = similarity_selectivity(
-                emb, "embedding", "vec_id", qvecs[qid], 0.3,
-                method="sketch", sketches=sk, planes=planes,
-            )["estimate"]
-            qerr = max(est / max(exact, 1.0), exact / max(est, 1e-9))
-            out.append((qid, int(exact), bool(qerr < 10.0)))
+        # batch both methods (round 13): one exact scan-aggregate and
+        # one sketch scan-aggregate for ALL queries, replacing one
+        # count job per (query, method) — counts identical
+        exacts = similarity_selectivity_many(
+            emb, "embedding", "vec_id", qvecs, 0.3
+        )
+        ests = similarity_selectivity_many(
+            emb, "embedding", "vec_id", qvecs, 0.3,
+            method="sketch", sketches=sk, planes=planes,
+        )
     finally:
         sk.unpersist()
+    out = []
+    for qid in _M13_QUERY_IDS:
+        exact = exacts[qid]["estimate"]
+        est = ests[qid]["estimate"]
+        qerr = max(est / max(exact, 1.0), exact / max(est, 1e-9))
+        out.append((qid, int(exact), bool(qerr < 10.0)))
     return spark.createDataFrame(out, "qid long, true_cnt long, qerr_ok boolean")
 
 

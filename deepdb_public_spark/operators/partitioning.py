@@ -108,3 +108,76 @@ def release_local_checkpoints(spark=None) -> int:
             # hygiene
             continue
     return released
+
+
+def _sql_literal(v, typ: str) -> str:
+    """Render one Python value as a Spark SQL literal of ``typ``.
+    Doubles go through repr() — the shortest decimal that parses back
+    to the identical IEEE double — so the frame is bit-equal to the
+    createDataFrame it replaces."""
+    if v is None:
+        return f"CAST(NULL AS {typ})"
+    t = typ.strip().lower()
+    if t.startswith("array<"):
+        inner = typ.strip()[6:-1]
+        items = ",".join(_sql_literal(x, inner) for x in v)
+        return f"CAST(array({items}) AS {typ})" if not items else f"array({items})"
+    if t in ("double", "float"):
+        return repr(float(v)) + "D"
+    if t in ("int", "integer", "smallint", "tinyint"):
+        return str(int(v))
+    if t in ("bigint", "long"):
+        return str(int(v)) + "L"
+    if t == "boolean":
+        return "true" if bool(v) else "false"
+    if t in ("string", "varchar"):
+        s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+    raise ValueError(f"tiny_literal_frame: unsupported type {typ!r}")
+
+
+def tiny_literal_frame(spark, rows, schema_ddl: str) -> DataFrame:
+    """Model-sized literal DataFrame as a pure-JVM VALUES plan.
+
+    Drop-in for ``spark.createDataFrame(rows, schema_ddl)`` on
+    KB-scale model state (centroids, codebooks, params): the classic
+    createDataFrame path backs the frame with a pickled Python RDD,
+    so every downstream action — a parquet write in particular —
+    launches Python workers (measured 4.3-4.6s per tiny model-table
+    write in IvfPqIndex.save, round 13). A VALUES plan with explicit
+    casts stays entirely in the JVM (measured 0.17s for the same
+    write) and produces the identical schema and values.
+
+    ``schema_ddl`` is the same DDL string createDataFrame took, e.g.
+    ``"cell int, centroid array<double>"`` (no maps/structs — the
+    model tables here don't need them)."""
+    # split the DDL on top-level commas (array<...> has no commas;
+    # nested generics with commas are rejected by _sql_literal anyway)
+    parts = []
+    depth = 0
+    cur = ""
+    for ch in schema_ddl:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        parts.append(cur)
+    cols = []
+    for p in parts:
+        name, typ = p.strip().split(None, 1)
+        cols.append((name, typ.strip()))
+    if not rows:
+        sel = ",".join(f"CAST(NULL AS {t}) AS {n}" for n, t in cols)
+        return spark.sql(f"SELECT {sel} WHERE 1=0")
+    vals = ",".join(
+        "(" + ",".join(_sql_literal(v, t) for v, (_n, t) in zip(r, cols)) + ")"
+        for r in rows
+    )
+    sel = ",".join(f"CAST(col{i + 1} AS {t}) AS {n}" for i, (n, t) in enumerate(cols))
+    return spark.sql(f"SELECT {sel} FROM VALUES {vals}")

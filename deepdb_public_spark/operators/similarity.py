@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine, hyperplane_sign_bits  # noqa: F401 (sign_bits used by lsh_topk)
 
 
-from .partitioning import spread_small_input, track_local_checkpoint
+from .partitioning import (
+    spread_small_input,
+    tiny_literal_frame,
+    track_local_checkpoint,
+)
 
 
 import weakref
@@ -248,8 +252,8 @@ class IvfIndex:
         rows = [
             (int(i), [float(x) for x in c]) for i, c in enumerate(self.centroids)
         ]
-        spark.createDataFrame(
-            rows, "cell int, centroid array<double>"
+        tiny_literal_frame(
+            spark, rows, "cell int, centroid array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
     def assign(self, df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
@@ -266,8 +270,12 @@ class IvfIndex:
         cent_rows = [
             (int(i), [float(x) for x in c]) for i, c in enumerate(self.centroids)
         ]
+        # pure-JVM literal frame: the probe/append job that consumes
+        # this broadcast no longer launches Python workers for it
         cent = F.broadcast(
-            spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
+            tiny_literal_frame(
+                spark, cent_rows, "cell int, centroid array<double>"
+            )
         )
         dist = F.aggregate(
             F.zip_with(
@@ -411,7 +419,8 @@ class IvfIndex:
                     centroids.append([float(x) for x in subc[p]])
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        spark.createDataFrame(
+        tiny_literal_frame(
+            spark,
             [(i, c) for i, c in enumerate(centroids)],
             "cell int, centroid array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
@@ -783,6 +792,112 @@ def similarity_selectivity(
         )
         return {"estimate": est, "lo": est, "hi": est}
     raise ValueError(f"unknown method {method!r}")
+
+
+def _pack_query_sketch(planes: np.ndarray, query_vec: list[float]) -> list[int]:
+    """Driver-side hyperplane sketch of one query vector as signed
+    64-bit words — the packing `similarity_selectivity` inlines,
+    factored for the batch variant."""
+    n_bits = planes.shape[0]
+    qbits = (planes @ np.asarray(query_vec, dtype=float)) > 0
+    qwords = []
+    for w in range(0, n_bits, 64):
+        key = 0
+        for b in qbits[w : w + 64]:
+            key = ((key << 1) | int(b)) & 0xFFFFFFFFFFFFFFFF
+        qwords.append(key - (1 << 64) if key >= (1 << 63) else key)
+    return qwords
+
+
+def similarity_selectivity_many(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vecs: dict,
+    threshold: float,
+    method: str = "exact",
+    sketches: DataFrame | None = None,
+    planes: np.ndarray | None = None,
+) -> dict:
+    """Batch form of :func:`similarity_selectivity` for the exact and
+    sketch methods: ALL queries answered in ONE scan-aggregate
+    (round 13, guide §1.2/§2.4 — the per-query loop scheduled one
+    full-scan count job per query per method; the conditional-sum
+    fusion reads the corpus once for the whole batch, which is also
+    the 100 TB shape: selectivity probes are cheap, scans are not).
+
+    ``query_vecs`` maps key -> query vector. Returns key ->
+    {"estimate", "lo", "hi"}, each entry numerically identical to the
+    single-query method (a conditional SUM over the same predicate is
+    the same count as filter+count; NULL cosines fall into the
+    otherwise(0) branch exactly as filter() drops them)."""
+    from ..functions.vectors import cosine as _cosine
+    from ..functions.vectors import sketch_hamming
+
+    keys = list(query_vecs)
+    if not keys:
+        return {}
+    if method == "exact":
+        aggs = [
+            F.sum(
+                F.when(
+                    _cosine(F.col(vec_col), F.expr(_arr_sql(query_vecs[k])))
+                    >= threshold,
+                    1,
+                ).otherwise(0)
+            ).alias(f"__c{i}")
+            for i, k in enumerate(keys)
+        ]
+        row = spread_small_input(df).agg(*aggs).collect()[0]
+        return {
+            k: {
+                "estimate": float(row[f"__c{i}"] or 0),
+                "lo": float(row[f"__c{i}"] or 0),
+                "hi": float(row[f"__c{i}"] or 0),
+            }
+            for i, k in enumerate(keys)
+        }
+    if method == "sketch":
+        if sketches is None or planes is None:
+            raise ValueError("sketch method needs build_sim_sketches output")
+        n_bits = planes.shape[0]
+        if planes.size == 0:
+            return {k: {"estimate": 0.0, "lo": 0.0, "hi": 0.0} for k in keys}
+        if sketches not in _VALIDATED_SKETCHES:
+            row = sketches.select(F.size("sk").alias("n")).first()
+            if row is not None and row["n"] * 64 != n_bits:
+                raise ValueError(
+                    f"sketches carry {row['n'] * 64} bits but planes "
+                    f"define {n_bits} — mixed build_sim_sketches outputs"
+                )
+            _VALIDATED_SKETCHES.add(sketches)
+        h_max = int(np.floor(n_bits * np.arccos(threshold) / np.pi + 1e-9))
+        aggs = []
+        for i, k in enumerate(keys):
+            qsk = F.expr(
+                "array("
+                + ",".join(
+                    f"{w}L" for w in _pack_query_sketch(planes, query_vecs[k])
+                )
+                + ")"
+            )
+            aggs.append(
+                F.sum(
+                    F.when(
+                        sketch_hamming(F.col("sk"), qsk) <= h_max, 1
+                    ).otherwise(0)
+                ).alias(f"__c{i}")
+            )
+        row = sketches.agg(*aggs).collect()[0]
+        return {
+            k: {
+                "estimate": float(row[f"__c{i}"] or 0),
+                "lo": float(row[f"__c{i}"] or 0),
+                "hi": float(row[f"__c{i}"] or 0),
+            }
+            for i, k in enumerate(keys)
+        }
+    raise ValueError(f"unknown method {method!r} (batch supports exact/sketch)")
 
 
 def kmeans_refine(
@@ -1611,11 +1726,16 @@ class IvfPqIndex:
             f"{path}/codes"
         )
         spark = self.codes.sparkSession
-        spark.createDataFrame(
+        # tiny_literal_frame: the classic createDataFrame path made
+        # each of these KB-scale writes launch Python workers —
+        # 4.3-4.6s apiece, ~13s of every save (round 13, measured)
+        tiny_literal_frame(
+            spark,
             [(int(i), [float(x) for x in c]) for i, c in enumerate(self.coarse)],
             "cell int, centroid array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
-        spark.createDataFrame(
+        tiny_literal_frame(
+            spark,
             [
                 (int(j), int(c_i), [float(x) for x in cw])
                 for j, cb in enumerate(self.codebooks)
@@ -1623,7 +1743,8 @@ class IvfPqIndex:
             ],
             "j int, c int, codeword array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
-        spark.createDataFrame(
+        tiny_literal_frame(
+            spark,
             [(self.m, self.k, self.nc, self.by_residual, self.iters)],
             "m int, k int, nc int, by_residual boolean, iters int",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")

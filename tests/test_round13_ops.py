@@ -322,3 +322,42 @@ def test_append_to_saved_roundtrip(spark, emb, qvec, tmp_path):
     # (vec_id 0 is in the appended batch and is its own best match)
     got = loaded.topk(qvec, top_k=5, nprobe=4).collect()
     assert got[0]["id"] == 0
+
+
+# ------------------------------------------ batch selectivity fusion
+
+
+def test_selectivity_many_equals_per_query(spark, emb):
+    """similarity_selectivity_many (round-13 fusion: one scan for the
+    whole query batch) must return exactly the per-query results for
+    both the exact and sketch methods."""
+    from deepdb_public_spark.operators.similarity import (
+        build_sim_sketches,
+        similarity_selectivity,
+        similarity_selectivity_many,
+    )
+
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin([0, 7, 31])).collect()
+    }
+    sk, planes = build_sim_sketches(emb, "embedding", "vec_id", n_bits=256)
+    sk = sk.persist()
+    try:
+        many_exact = similarity_selectivity_many(
+            emb, "embedding", "vec_id", qvecs, 0.3
+        )
+        many_sketch = similarity_selectivity_many(
+            emb, "embedding", "vec_id", qvecs, 0.3,
+            method="sketch", sketches=sk, planes=planes,
+        )
+        for qid, qv in qvecs.items():
+            one = similarity_selectivity(emb, "embedding", "vec_id", qv, 0.3)
+            assert many_exact[qid] == one
+            one_sk = similarity_selectivity(
+                emb, "embedding", "vec_id", qv, 0.3,
+                method="sketch", sketches=sk, planes=planes,
+            )
+            assert many_sketch[qid] == one_sk
+    finally:
+        sk.unpersist()
