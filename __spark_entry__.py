@@ -2347,10 +2347,6 @@ def _m_factorized_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT COUNT(DISTINCT lineitem.l_quantity) AS v " + joins +
         "AND customer.c_mktsegment = 'BUILDING' AND lineitem.l_discount <= 0.06"
     )
-    (e1,) = eng.ensemble.aqp(eng.parse(sql1))
-    t1 = int(eng.query(sql1).collect()[0]["v"])
-    out.append(("d1", t1, ok(float(e1["v"]), t1)))
-
     # g:<flag>: grouped, group + distinct co-modeled in the lineitem
     # anchor, remote customer predicate scales the grid
     sql2 = (
@@ -2358,12 +2354,6 @@ def _m_factorized_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AND customer.c_mktsegment = 'BUILDING' AND lineitem.l_discount <= 0.06 "
         "GROUP BY lineitem.l_returnflag"
     )
-    est2 = {r["l_returnflag"]: float(r["v"]) for r in eng.ensemble.aqp(eng.parse(sql2))}
-    for r in eng.query(sql2).collect():
-        t = int(r["v"])
-        e = est2.get(r["l_returnflag"])
-        out.append((f"g:{r['l_returnflag']}", t, e is not None and ok(e, t)))
-
     # o:<flag>: grouped SPLIT anchor — distinct column (orders) and
     # group column (lineitem) in different models; each group key is
     # pinned on the factorized chain
@@ -2372,20 +2362,44 @@ def _m_factorized_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AND customer.c_mktsegment = 'BUILDING' AND lineitem.l_discount <= 0.06 "
         "GROUP BY lineitem.l_returnflag"
     )
-    est3 = {r["l_returnflag"]: float(r["v"]) for r in eng.ensemble.aqp(eng.parse(sql3))}
-    for r in eng.query(sql3).collect():
-        t = int(r["v"])
-        e = est3.get(r["l_returnflag"])
-        out.append((f"o:{r['l_returnflag']}", t, e is not None and ok(e, t)))
-
     # d4: cross-column OR across models — inclusion-exclusion signs
     # the per-value masses of each (factorized) term
     sql4 = (
         "SELECT COUNT(DISTINCT lineitem.l_quantity) AS v " + joins +
         "AND (customer.c_mktsegment = 'BUILDING' OR lineitem.l_quantity < 10)"
     )
+    # truth queries collected CONCURRENTLY (round 13, guide §1.2 /
+    # §2.6 — same shape as _qerr_rows): the four exact COUNT(DISTINCT)
+    # joins are independent ~0.4s jobs; the serial loop paid their
+    # full latency end-to-end. Plan compilation stays serial (shared
+    # estimate caches); only the collect()s overlap, so the rows are
+    # byte-identical to the serial loop's.
+    from concurrent.futures import ThreadPoolExecutor
+
+    dfs = [eng.query(s) for s in (sql1, sql2, sql3, sql4)]
+    with ThreadPoolExecutor(max_workers=len(dfs)) as ex:
+        r1, r2, r3, r4 = [
+            f.result() for f in [ex.submit(df.collect) for df in dfs]
+        ]
+
+    (e1,) = eng.ensemble.aqp(eng.parse(sql1))
+    t1 = int(r1[0]["v"])
+    out.append(("d1", t1, ok(float(e1["v"]), t1)))
+
+    est2 = {r["l_returnflag"]: float(r["v"]) for r in eng.ensemble.aqp(eng.parse(sql2))}
+    for r in r2:
+        t = int(r["v"])
+        e = est2.get(r["l_returnflag"])
+        out.append((f"g:{r['l_returnflag']}", t, e is not None and ok(e, t)))
+
+    est3 = {r["l_returnflag"]: float(r["v"]) for r in eng.ensemble.aqp(eng.parse(sql3))}
+    for r in r3:
+        t = int(r["v"])
+        e = est3.get(r["l_returnflag"])
+        out.append((f"o:{r['l_returnflag']}", t, e is not None and ok(e, t)))
+
     (e4,) = eng.ensemble.aqp(eng.parse(sql4))
-    t4 = int(eng.query(sql4).collect()[0]["v"])
+    t4 = int(r4[0]["v"])
     out.append(("d4", t4, ok(float(e4["v"]), t4)))
 
     return spark.createDataFrame(

@@ -799,7 +799,11 @@ def bm25_topk(
         .withColumnRenamed("token", "term")
     )
     tf = toks.groupBy("__doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    doclen = toks.groupBy("__doc").agg(F.count(F.lit(1)).alias("dl"))
+    # doclen derives from tf (Σ tf per doc == token count per doc):
+    # the corpus is tokenized ONCE instead of twice, and doclen's
+    # input is the (doc, term)-collapsed tf output, not the raw
+    # explode (round 13, guide §1.2/§2.3; dfreq already derived so)
+    doclen = tf.groupBy("__doc").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
     # aggregate each side to one row FIRST; the previous form routed
     # every corpus row through a nested-loop join just to count them
