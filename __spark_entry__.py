@@ -1181,21 +1181,35 @@ def _x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _x_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile sketch surface: exact interpolated quartiles (hash-
     checked vs DuckDB quantile_cont) next to approx_percentile
-    within-2%-relative-error flags (Spark's KLL-style sketch)."""
-    return _engine(spark, sf_dir).sql(
-        """
-        WITH q AS (
-            SELECT percentile(l_extendedprice, array(0.25, 0.5, 0.75)) AS ex,
-                   approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000) AS ap
-            FROM lineitem
-        )
-        SELECT ROUND(ex[0], 6) AS p25, ROUND(ex[1], 6) AS p50, ROUND(ex[2], 6) AS p75,
-               ABS(ap[0] - ex[0]) < 0.02 * ex[0] AS p25_ok,
-               ABS(ap[1] - ex[1]) < 0.02 * ex[1] AS p50_ok,
-               ABS(ap[2] - ex[2]) < 0.02 * ex[2] AS p75_ok
-        FROM q
-        """
+    within-2%-relative-error flags (Spark's KLL-style sketch).
+
+    Round 13 (guide §1.1/§2.5): the single `percentile` aggregate
+    merged a near-unique 583k-entry value map in ONE final task
+    (2.9-3.9s measured, scan cost 0.2s). The exact quartiles now come
+    from operators/quantiles.exact_interpolated_percentiles — three
+    bounded fused scans, bit-identical interpolation (guarded
+    fallback keeps exactness independent of the sketch bound) — and
+    the final ROUND/ABS arithmetic runs in-plane over the
+    repr-round-tripped doubles, exactly as the one-aggregate form."""
+    from deepdb_public_spark.operators.partitioning import spread_small_input
+    from deepdb_public_spark.operators.quantiles import (
+        exact_interpolated_percentiles,
     )
+
+    li = spread_small_input(_engine(spark, sf_dir).catalog["lineitem"])
+    res = exact_interpolated_percentiles(
+        li, [(None, "l_extendedprice", p) for p in (0.25, 0.5, 0.75)]
+    )
+    sel = []
+    for name, r in zip(("p25", "p50", "p75"), res):
+        ex, ap = r["exact"], r["approx"]
+        sel.append(f"ROUND({ex!r}, 6) AS {name}")
+        sel.append(f"ABS({ap!r} - {ex!r}) < 0.02 * {ex!r} AS {name}_ok")
+    # column order matches the previous SQL form: values then flags
+    order = ["p25", "p50", "p75", "p25_ok", "p50_ok", "p75_ok"]
+    return spark.sql(
+        "SELECT " + ", ".join(sel)
+    ).select(*order)
 
 
 def _x_embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2645,25 +2659,42 @@ def _m_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice",
         ),
     ]
-    # ONE truth job for all cases (round 13, guide §1.2/§2.4: was one
-    # full-scan percentile job per case — 3 serial scans of lineitem).
-    # An aggregate FILTER clause is definitionally identical to
-    # filtering before the aggregate, so each fused truth equals the
-    # per-case job it replaces; ROUND(.., 4) keeps the float
-    # hash-comparable against DuckDB's quantile_cont exactly as before.
-    truth_exprs = [
-        (
-            f"ROUND(percentile({spark_col}, {frac})"
-            + (
-                f" FILTER (WHERE {pred.replace('lineitem.', '')})"
-                if pred
-                else ""
+    # Truths via the banded two-phase exact-percentile operator
+    # (round 13, guide §1.1/§2.5 — see operators/quantiles.py: the
+    # one-aggregate FILTER form still merged the near-unique value
+    # map in a single final task). Results are bit-identical to
+    # percentile(...) FILTER (...) — same interpolation expression,
+    # guarded fallback — and ROUND(.., 4) half-away rounding stays
+    # driver-free (Python round is banker's): round in the plane on
+    # the repr-round-tripped double, as before.
+    from deepdb_public_spark.operators.partitioning import spread_small_input
+    from deepdb_public_spark.operators.quantiles import (
+        exact_interpolated_percentiles,
+    )
+
+    li = spread_small_input(eng.catalog["lineitem"])
+    qres = exact_interpolated_percentiles(
+        li,
+        [
+            (
+                pred.replace("lineitem.", "") if pred else None,
+                spark_col,
+                frac,
             )
-            + f", 4) AS `{qid}`"
+            for _qid, _col, frac, pred, spark_col in cases
+        ],
+    )
+    truths = {
+        qid: r["exact"]
+        for (qid, _c, _f, _p, _s), r in zip(cases, qres)
+    }
+    truth_row = spark.sql(
+        "SELECT "
+        + ", ".join(
+            f"ROUND({truths[qid]!r}, 4) AS `{qid}`" for qid, *_ in cases
         )
-        for qid, _col, frac, pred, spark_col in cases
-    ]
-    truths = eng.catalog["lineitem"].selectExpr(*truth_exprs).collect()[0]
+    ).collect()[0]
+    truths = truth_row
     out = []
     for qid, col, frac, pred, spark_col in cases:
         q = (

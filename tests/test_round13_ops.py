@@ -361,3 +361,57 @@ def test_selectivity_many_equals_per_query(spark, emb):
             assert many_sketch[qid] == one_sk
     finally:
         sk.unpersist()
+
+
+# --------------------------------- banded exact percentiles (round 13)
+
+
+def test_exact_percentiles_match_percentile_aggregate(spark):
+    """exact_interpolated_percentiles must be bit-identical to the
+    classic percentile aggregate for: near-unique values, heavy-tie
+    low-cardinality values (band-guard/fallback exercise), a FILTER
+    predicate case, and an empty-population case."""
+    from deepdb_public_spark.operators.quantiles import (
+        exact_interpolated_percentiles,
+    )
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    cases = [
+        (None, "l_extendedprice", 0.25),
+        (None, "l_extendedprice", 0.5),
+        (None, "l_quantity", 0.9),          # 50 distinct -> tie mass
+        ("l_discount <= 0.05", "l_extendedprice", 0.5),
+        ("l_quantity < 0", "l_extendedprice", 0.5),  # empty
+    ]
+    got = exact_interpolated_percentiles(li, cases)
+    exprs = []
+    for i, (pred, col, p) in enumerate(cases):
+        f = f" FILTER (WHERE {pred})" if pred else ""
+        exprs.append(f"percentile({col}, {p!r}){f} AS e{i}")
+    want = li.selectExpr(*exprs).collect()[0]
+    for i, r in enumerate(got):
+        if want[f"e{i}"] is None:
+            assert r["exact"] is None
+        else:
+            assert r["exact"] == float(want[f"e{i}"]), (i, r, want[f"e{i}"])
+
+
+def test_exact_percentiles_tiny_and_forced_fallback(spark):
+    """A 3-row frame (every rank is an edge) and a band_cap=0 run
+    (every case forced through the fallback branch) both reproduce
+    the aggregate exactly."""
+    from deepdb_public_spark.operators.quantiles import (
+        exact_interpolated_percentiles,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (10.0,)], "v double"
+    )
+    cases = [(None, "v", 0.0), (None, "v", 0.5), (None, "v", 0.9), (None, "v", 1.0)]
+    want = df.selectExpr(
+        *[f"percentile(v, {p!r}) AS e{i}" for i, (_n, _c, p) in enumerate(cases)]
+    ).collect()[0]
+    for cap in (2_000_000, 0):
+        got = exact_interpolated_percentiles(df, cases, band_cap=cap)
+        for i, r in enumerate(got):
+            assert r["exact"] == float(want[f"e{i}"]), (cap, i)
