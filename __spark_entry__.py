@@ -3172,17 +3172,22 @@ def _x_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_count_distinct row). Output (exact_parts, exact_orders,
     parts_ok, orders_ok) is oracle-checked: exact distinct counts
     match DuckDB, and the HLL estimates must land within 15% relative
-    error (HLL++ default rsd is 5%)."""
-    return _engine(spark, sf_dir).sql(
-        """
-        SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
-               COUNT(DISTINCT l_orderkey) AS exact_orders,
-               ABS(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
-                 < 0.15 * COUNT(DISTINCT l_partkey) AS parts_ok,
-               ABS(approx_count_distinct(l_orderkey) - COUNT(DISTINCT l_orderkey))
-                 < 0.15 * COUNT(DISTINCT l_orderkey) AS orders_ok
-        FROM lineitem
-        """
+    error (HLL++ default rsd is 5%).
+
+    Round 13 note: spreading the input to session parallelism was
+    tried (x36 precedent) and REVERTED — the spread's repartition +
+    lazy-checkpoint materialization lands inside the timed rep, and
+    at this input size the extra job costs more than the 3-split
+    partial phase saves (bench min 1.33 -> 1.77 with spread; the x36
+    win comes from its 10x Expand amortizing the same cost)."""
+    li = _engine(spark, sf_dir).catalog["lineitem"]
+    return li.selectExpr(
+        "COUNT(DISTINCT l_partkey) AS exact_parts",
+        "COUNT(DISTINCT l_orderkey) AS exact_orders",
+        "ABS(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))"
+        " < 0.15 * COUNT(DISTINCT l_partkey) AS parts_ok",
+        "ABS(approx_count_distinct(l_orderkey) - COUNT(DISTINCT l_orderkey))"
+        " < 0.15 * COUNT(DISTINCT l_orderkey) AS orders_ok",
     )
 
 

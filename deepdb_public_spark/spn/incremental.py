@@ -202,21 +202,48 @@ def _melted_histograms(
     # 100-200k small rows, and row-at-a-time pickle + Row construction
     # cost ~1.4s per call (cProfile: fromInternal/_create_row dominate
     # the m10 rep). toArrow() moves the identical rows vectorized;
-    # to_pydict yields plain scalars (None for SQL NULL), and the NaN
-    # check below folds float NaN into the NULL bucket exactly as the
-    # Row loop did.
+    # to_pylist yields plain scalars (None for SQL NULL), and the NaN
+    # fold below maps float NaN into the NULL bucket exactly as the
+    # old Row loop did.
     tbl = sel.groupBy(*keys).count().toArrow()
-    d = tbl.to_pydict()
-    vals, cnts, colnames = d["__val"], d["count"], d["__col"]
-    tags = d[_OP] if tagged else None
+    # Group-slice instead of a per-row Python dict loop (round 13,
+    # cProfile: the 200k-iteration setdefault/append loop cost ~0.5s
+    # per call): sort by (tag, col) so each group is one contiguous
+    # slice, find boundaries vectorized, and build each group's
+    # (val, cnt) list with one zip. Within-group order was arbitrary
+    # shuffle order before and stays arbitrary — no consumer contract
+    # changes.
+    import numpy as np
+
+    sort_cols = ([_OP] if tagged else []) + ["__col"]
+    tbl = tbl.sort_by([(c, "ascending") for c in sort_cols])
+    n = tbl.num_rows
+    if n == 0:
+        return {}
+    key_codes = [
+        tbl[c]
+        .dictionary_encode()
+        .combine_chunks()
+        .indices.to_numpy(zero_copy_only=False)
+        for c in sort_cols
+    ]
+    change = np.zeros(n - 1, dtype=bool) if n > 1 else np.zeros(0, dtype=bool)
+    for kc in key_codes:
+        if n > 1:
+            change |= np.diff(kc) != 0
+    bounds = np.concatenate(
+        [[0], np.flatnonzero(change) + 1, [n]]
+    )
+    vals = tbl["__val"].to_pylist()
+    vals = [None if (v is not None and v != v) else v for v in vals]
+    cnts = tbl["count"].to_pylist()
+    colnames = tbl["__col"].to_pylist()
+    tags = tbl[_OP].to_pylist() if tagged else None
     out: dict[str, dict[str, list]] = {}
-    for i in range(len(vals)):
-        v = vals[i]
-        if v is not None and v != v:  # NaN -> NULL bucket
-            v = None
-        tag = tags[i] if tagged else ""
-        out.setdefault(tag, {}).setdefault(colnames[i], []).append(
-            (v, cnts[i])
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        tag = tags[s] if tagged else ""
+        out.setdefault(tag, {})[colnames[s]] = list(
+            zip(vals[s:e], cnts[s:e])
         )
     return out
 
