@@ -21,6 +21,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from deepdb_public_spark.engine import Engine
+from deepdb_public_spark.operators.partitioning import (
+    tiny_literal_frame as _tiny_frame,
+)
 
 _ENGINES: dict[tuple[int, str], Engine] = {}
 
@@ -745,7 +748,7 @@ def _x_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _engine(spark, sf_dir).catalog["documents"]
     merges, _wc = bpe_learn(docs, "text", n_merges=6)
-    return spark.createDataFrame(
+    return _tiny_frame(spark, 
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         "step int, left string, right string",
     )
@@ -1202,9 +1205,14 @@ def _x_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sel = []
     for name, r in zip(("p25", "p50", "p75"), res):
-        ex, ap = r["exact"], r["approx"]
-        sel.append(f"ROUND({ex!r}, 6) AS {name}")
-        sel.append(f"ABS({ap!r} - {ex!r}) < 0.02 * {ex!r} AS {name}_ok")
+        # CAST AS DOUBLE: a bare `26881.1525` literal parses as
+        # DECIMAL in Spark SQL, silently changing the column type
+        # (and ROUND's arithmetic) vs the old ROUND(percentile(..))
+        # double path — caught by test_oracle_parity on p25
+        ex = f"CAST({r['exact']!r} AS DOUBLE)"
+        ap = f"CAST({r['approx']!r} AS DOUBLE)"
+        sel.append(f"ROUND({ex}, 6) AS {name}")
+        sel.append(f"ABS({ap} - {ex}) < 0.02 * {ex} AS {name}_ok")
     # column order matches the previous SQL form: values then flags
     order = ["p25", "p50", "p75", "p25_ok", "p50_ok", "p75_ok"]
     return spark.sql(
@@ -1756,7 +1764,7 @@ def _x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the memoized index (bands/sets checkpoints) deliberately
         # stays alive on the engine for the next rep
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return _tiny_frame(spark, 
         result or [], "new_id long, index_id long, jaccard double"
     )
 
@@ -1796,7 +1804,7 @@ def _x_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return _tiny_frame(spark, 
         rows, "lang string, n_docs long, sum_chars long, sum_text_len long"
     )
 
@@ -1842,7 +1850,7 @@ def _x_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return _tiny_frame(spark, 
         [
             (
                 r["o_orderstatus"],
@@ -2008,7 +2016,7 @@ def _m_spn_qerrors(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_models(
         eng, [({"lineitem"}, 60_000), ({"orders", "lineitem"}, 80_000)]
     )
-    return spark.createDataFrame(
+    return _tiny_frame(spark, 
         _qerr_rows(eng, _M01_CASES), "qid string, true_cnt long, qerr_ok boolean"
     )
 
@@ -2061,7 +2069,7 @@ def _m_multi_spn(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_models(
         eng, [({"orders", "lineitem"}, 80_000), ({"customer"}, 60_000)]
     )
-    return spark.createDataFrame(
+    return _tiny_frame(spark, 
         _qerr_rows(eng, _M03_CASES), "qid string, true_cnt long, qerr_ok boolean"
     )
 
@@ -2098,7 +2106,7 @@ def _m_multi_spn_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         est = float(eng.ensemble.cardinality(q, max_variants=2))
         qerr = max(est / max(true, 1), true / max(est, 1e-9))
         rows.append((qid, true, bool(qerr < _MODEL_QERR_BUDGET)))
-    return spark.createDataFrame(
+    return _tiny_frame(spark, 
         rows, "qid string, true_cnt long, qerr_ok boolean"
     )
 
@@ -2148,7 +2156,7 @@ def _m_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         true = int(truths[pid])
         qerr = max(est / max(true, 1), true / max(est, 1e-9))
         out.append((pid, true, bool(qerr < _MODEL_QERR_BUDGET)))
-    return spark.createDataFrame(
+    return _tiny_frame(spark, 
         out, "pid string, true_cnt long, qerr_ok boolean"
     )
 
@@ -2195,7 +2203,7 @@ def _m_incremental_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         true = int(truths[pid])
         qerr = max(est / max(true, 1), true / max(est, 1e-9))
         out.append((pid, true, bool(qerr < _MODEL_QERR_BUDGET)))
-    return spark.createDataFrame(
+    return _tiny_frame(spark, 
         out, "pid string, true_cnt long, qerr_ok boolean"
     )
 
@@ -2248,7 +2256,7 @@ def _m_update_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
         true = int(truths[pid])
         qerr = max(est / max(true, 1), true / max(est, 1e-9))
         out.append((pid, true, bool(qerr < _MODEL_QERR_BUDGET)))
-    return spark.createDataFrame(
+    return _tiny_frame(spark, 
         out, "pid string, true_cnt long, qerr_ok boolean"
     )
 
@@ -2276,7 +2284,7 @@ def _m_events_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Table.irrelevant_attributes, consumed by the trainer)."""
     eng = _engine(spark, sf_dir)
     _ensure_models(eng, [({"events"}, 40_000)])
-    return spark.createDataFrame(
+    return _tiny_frame(spark, 
         _qerr_rows(eng, _M11_CASES), "qid string, true_cnt long, qerr_ok boolean"
     )
 
@@ -2316,7 +2324,7 @@ def _m_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         qerr = max(est / max(true, 1), true / max(est, 1e-9))
         out.append((did, true, bool(qerr < 1.3)))
-    return spark.createDataFrame(
+    return _tiny_frame(spark, 
         out, "did string, true_distinct long, ok boolean"
     )
 
@@ -2416,7 +2424,7 @@ def _m_factorized_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     t4 = int(r4[0]["v"])
     out.append(("d4", t4, ok(float(e4["v"]), t4)))
 
-    return spark.createDataFrame(
+    return _tiny_frame(spark, 
         out, "did string, true_distinct long, ok boolean"
     )
 
@@ -2478,7 +2486,7 @@ def _m_grouped_cross_piece(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bool(e and rel(e["ap"], t["ap"]) < 0.15),
             )
         )
-    return spark.createDataFrame(
+    return _tiny_frame(spark, 
         out,
         "grp string, true_cnt long, cnt_ok boolean, sum_ok boolean, "
         "avg_ok boolean",
@@ -2554,7 +2562,7 @@ def _m_grouped_on_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bool(e and rel(e["ap"], t["ap"]) < 0.15),
             )
         )
-    return spark.createDataFrame(
+    return _tiny_frame(spark, 
         out,
         "grp string, true_cnt long, od_trained boolean, cnt_ok boolean, "
         "avg_ok boolean",
@@ -2625,7 +2633,7 @@ def _m_grouped_on_demand_joint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bool(e and rel(e["ap"], t["ap"]) < 0.15),
             )
         )
-    return spark.createDataFrame(
+    return _tiny_frame(spark, 
         out,
         "grp string, true_cnt long, od_trained boolean, cnt_ok boolean, "
         "avg_ok boolean",
@@ -2691,7 +2699,11 @@ def _m_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth_row = spark.sql(
         "SELECT "
         + ", ".join(
-            f"ROUND({truths[qid]!r}, 4) AS `{qid}`" for qid, *_ in cases
+            # CAST AS DOUBLE: bare decimal-point literals parse as
+            # DECIMAL (see _x_quantile_sketch) — keep ROUND in double
+            # arithmetic, bit-compatible with the old aggregate path
+            f"ROUND(CAST({truths[qid]!r} AS DOUBLE), 4) AS `{qid}`"
+            for qid, *_ in cases
         )
     ).collect()[0]
     truths = truth_row
@@ -2706,7 +2718,7 @@ def _m_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         true = float(truths[qid])
         ok = abs(est - true) <= 0.10 * max(abs(true), 1e-9)
         out.append((qid, true, bool(ok)))
-    return spark.createDataFrame(out, "qid string, true_q double, ok boolean")
+    return _tiny_frame(spark, out, "qid string, true_q double, ok boolean")
 
 
 def _m_events_aqp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2741,7 +2753,7 @@ def _m_events_aqp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bool(e and rel(e["av"], t["av"]) < budget),
             )
         )
-    return spark.createDataFrame(
+    return _tiny_frame(spark, 
         out, "grp string, true_cnt long, cnt_ok boolean, sum_ok boolean, avg_ok boolean"
     )
 
@@ -2783,7 +2795,7 @@ def _m_aqp_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bool(e and rel(e["ap"], t["ap"]) < budget),
             )
         )
-    return spark.createDataFrame(
+    return _tiny_frame(spark, 
         out,
         "grp string, true_cnt long, cnt_ok boolean, sum_ok boolean, avg_ok boolean",
     )
@@ -2820,7 +2832,7 @@ def _m_aqp_join_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bool(e and rel(e["sq"], t["sq"]) < budget),
             )
         )
-    return spark.createDataFrame(
+    return _tiny_frame(spark, 
         out, "grp string, true_cnt long, cnt_ok boolean, sum_ok boolean"
     )
 
@@ -2867,7 +2879,7 @@ def _m_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ci,) = model.confidence_interval(q, confidence=0.99)
         true = float(eng.sql(true_sql).collect()[0][0])
         out.append((cid, true, bool(ci["lo"] <= true <= ci["hi"])))
-    return spark.createDataFrame(
+    return _tiny_frame(spark, 
         out, "cid string, true_val double, hit boolean"
     )
 
@@ -2905,7 +2917,7 @@ def _m_grouped_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ci = cis.get(r["grp"])
         hit = ci is not None and ci["lo"] <= float(r["t"]) <= ci["hi"]
         out.append((r["grp"], float(r["t6"]), bool(hit)))
-    return spark.createDataFrame(out, "grp string, true_avg double, hit boolean")
+    return _tiny_frame(spark, out, "grp string, true_avg double, hit boolean")
 
 
 def _m_or_grouped_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2936,7 +2948,7 @@ def _m_or_grouped_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ci = cis.get(r["grp"])
         hit = ci is not None and ci["lo"] <= float(r["c"]) <= ci["hi"]
         out.append((r["grp"], int(r["c"]), bool(hit)))
-    return spark.createDataFrame(out, "grp string, true_cnt long, hit boolean")
+    return _tiny_frame(spark, out, "grp string, true_cnt long, hit boolean")
 
 
 def _m_or_avg_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2993,7 +3005,7 @@ def _m_or_avg_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ci_d["lo"] <= true_d <= ci_d["hi"] and ci_d["est"] == aqp_d["d"]
     )
     out.append(("cd:all", true_d, hit_d))
-    return spark.createDataFrame(out, "grp string, true_avg double, hit boolean")
+    return _tiny_frame(spark, out, "grp string, true_avg double, hit boolean")
 
 
 def _m_factorized_aqp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3057,7 +3069,7 @@ def _m_factorized_aqp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bool(e and ok(e["aq"], r["a"], 0.15)),
             )
         )
-    return spark.createDataFrame(
+    return _tiny_frame(spark, 
         out,
         "grp string, true_cnt long, cnt_ok boolean, sum_ok boolean, "
         "avg_ok boolean",
@@ -3109,7 +3121,7 @@ def _m_sim_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         est = ests[qid]["estimate"]
         qerr = max(est / max(exact, 1.0), exact / max(est, 1e-9))
         out.append((qid, int(exact), bool(qerr < 10.0)))
-    return spark.createDataFrame(out, "qid long, true_cnt long, qerr_ok boolean")
+    return _tiny_frame(spark, out, "qid long, true_cnt long, qerr_ok boolean")
 
 
 _X43_QUERIES = [
@@ -3128,7 +3140,7 @@ def _x_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepdb_public_spark.operators.textstats import bm25_topk
 
     docs = _engine(spark, sf_dir).catalog["documents"]
-    qdf = spark.createDataFrame(_X43_QUERIES, "qid int, qtext string")
+    qdf = _tiny_frame(spark, _X43_QUERIES, "qid int, qtext string")
     return bm25_topk(docs, qdf, "text", "doc_id", k=5)
 
 
@@ -3141,7 +3153,7 @@ def hybrid_query_batch(spark: SparkSession, vecs: DataFrame):
     exactly the shipped entry."""
     from pyspark.sql import functions as F
 
-    qtext = spark.createDataFrame(_X43_QUERIES, "qid int, qtext string")
+    qtext = _tiny_frame(spark, _X43_QUERIES, "qid int, qtext string")
     vmap = {0: 1, 7: 2, 31: 3, 42: 4}
     mapping = F.create_map(*[F.lit(x) for kv in vmap.items() for x in kv])
     qvec = vecs.filter(F.col("vec_id").isin(list(vmap))).select(

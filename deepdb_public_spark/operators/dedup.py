@@ -1073,7 +1073,16 @@ def build_dense_index_verifier(
     The vocab covers the INDEX side only; new batches encode over it
     with true-|A| sizes (_dense_bitmaps size_from_array), which keeps
     the verified jaccard exact — an unmapped probe shingle cannot
-    intersect any index set."""
+    intersect any index set.
+
+    Gate cost (round 13, measured): an approx_count_distinct pre-gate
+    (one scan, no shuffle) to short-circuit the too-big case was
+    tried and REVERTED — on the bench corpus the char-5-gram vocab is
+    ~2k (dense path taken), so the HLL scan became pure extra work on
+    top of the exact counts it was meant to avoid (x35/x42 builds
+    3.9s -> 5.0/5.6s). The exact gate below is a one-job distinct
+    count; at a truly 100 TB vocab the caller should skip the dense
+    verifier outright rather than gate-probe it."""
     vocab = index_sets.select(F.explode("sh").alias("t")).distinct()
     n_vocab = vocab.count()
     if n_vocab > _DENSE_VOCAB_MAX:

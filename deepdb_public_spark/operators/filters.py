@@ -220,7 +220,12 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     then (doc_id). Two shuffles on near-uniform keys; aggregate state
     is bounded by per-document vocabulary, so this is the scale path
     (the per-row higher-order-function alternative is O(n_tokens *
-    n_distinct) inside a single task).
+    n_distinct) inside a single task). Round 13: a single
+    tagged-explode fusion (struct('w'|'g', unit), conditional
+    aggregates) was tried and REVERTED — measured SLOWER (noop-sink
+    warm 2.1-2.5s vs 1.8s; bench 1.26 -> 1.49): the per-element
+    struct construction and the wider shuffle rows cost more than
+    the saved second scan at this corpus shape.
     """
     text = F.lower(F.col(text_col))
     toks = word_tokens(text)

@@ -203,22 +203,24 @@ def ngram_contamination(
         .select("gram")
         .distinct()
     )
-    totals = test.groupBy("__id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        test.join(train, "gram")
-        .groupBy("__id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+    # round 13 (guide §1.2/§3): ONE left join + ONE aggregate replaces
+    # the totals aggregate + inner-join hits aggregate + final join.
+    # train is DISTINCT on gram, so the left join preserves every test
+    # gram exactly once: count(1) == the old totals, count(hit) == the
+    # old inner-join count (0, not NULL, for unhit docs — same value
+    # the old coalesce produced).
+    joined = test.join(
+        train.withColumn("__hit", F.lit(1)), "gram", "left"
     )
-    return (
-        totals.join(hits, "__id", "left")
-        .select(
-            F.col("__id").alias(id_col),
-            "n_grams",
-            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
-            F.round(
-                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_grams"), 6
-            ).alias("frac"),
-        )
+    per_doc = joined.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("__hit").alias("n_hit"),
+    )
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        "n_grams",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("frac"),
     )
 
 
@@ -306,14 +308,19 @@ def bpe_learn(
     wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     if min_word_count > 1:
         wc = wc.filter(F.col("c") >= min_word_count)
-    # initial symbols: one character each (unicode-safe via substr)
+    # initial symbols: one character each (unicode-safe via substr).
+    # localCheckpoint is LAZY (round-13): the very next pair-count
+    # collect materializes it inside its own job, so each loop
+    # iteration costs ONE scheduler round-trip instead of two while
+    # lineage still truncates (iteration N never recomputes merges
+    # 0..N-1 — the O(n) guarantee the docstring promises).
     wc = wc.select(
         F.transform(
             F.sequence(F.lit(1), F.length("w")),
             lambda i: F.col("w").substr(i, F.lit(1)),
         ).alias("symbols"),
         "c",
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -363,7 +370,7 @@ def bpe_learn(
                 ).otherwise(F.concat(acc, F.array(s))),
             ).alias("symbols"),
             "c",
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges, wc
 
 
