@@ -83,10 +83,18 @@ from pyspark.sql import SparkSession
 # iff load is quiet AND every sentinel's min AND median sit inside
 # their ceilings. Median ceilings measured from the r12 clean run
 # (x20 5.45, x05 9.80, x36 4.20) with ~30% headroom.
+# ROUND-13 RE-PIN (x36 only): the optimization round moved
+# x36_table_profile itself (spread barrier + the same multi-distinct
+# aggregate: bench min 2.64 -> 1.82; profile-window reps 1.8-2.2 under
+# load <= 2), so its old [2.8, 4.5] band would wave through a 2x
+# contended run. New band from the post-change measurements with the
+# same ~30% headroom rule. x20/x05 were NOT touched this round —
+# their round-12 pins stand (clean evidence this round: x20 min 4.69
+# in a flagged-load filtered run, x05 8.4-8.5 in the r12 clean runs).
 SENTINEL_FLOORS = {  # entry -> (floor_lo, min_ceiling, median_ceiling)
     "x20_dup_clusters": (4.5, 6.5, 7.0),
     "x05_jaccard_pairs": (8.0, 10.0, 11.5),
-    "x36_table_profile": (2.8, 4.5, 5.5),
+    "x36_table_profile": (1.5, 2.8, 3.6),
 }
 
 
