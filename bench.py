@@ -83,18 +83,24 @@ from pyspark.sql import SparkSession
 # iff load is quiet AND every sentinel's min AND median sit inside
 # their ceilings. Median ceilings measured from the r12 clean run
 # (x20 5.45, x05 9.80, x36 4.20) with ~30% headroom.
-# ROUND-13 RE-PIN (x36 only): the optimization round moved
-# x36_table_profile itself (spread barrier + the same multi-distinct
-# aggregate: bench min 2.64 -> 1.82; profile-window reps 1.8-2.2 under
-# load <= 2), so its old [2.8, 4.5] band would wave through a 2x
-# contended run. New band from the post-change measurements with the
-# same ~30% headroom rule. x20/x05 were NOT touched this round —
-# their round-12 pins stand (clean evidence this round: x20 min 4.69
-# in a flagged-load filtered run, x05 8.4-8.5 in the r12 clean runs).
+# ROUND-13 RE-PIN (all three): the driver regenerated /root/testdata
+# at round-13 start (parquet mtimes 12:23 — the standing order above
+# applies), and the optimization round moved x36 itself:
+# - x05: floors at ~12s on the new generation — solo fresh-session
+#   reps 11.99/13.16 at ambient load 0.03, in-bench mins 12.16-12.28
+#   across three runs whose other sentinels sat on their clean
+#   floors. dedup.py is bit-identical to the r12 code that floored
+#   at 8.4s on the old data, so this is the new pair structure.
+#   Clean in-bench median 14.43.
+# - x20: new-generation clean min 4.38 (run1, pre-load 0.17) /
+#   4.69 (filtered run) — floor_lo eased to 4.0, ceilings stand.
+# - x36: optimized this round (2.64 -> 1.42-1.8 bench min; spread
+#   barrier + same multi-distinct aggregate), old [2.8, 4.5] band
+#   would wave a 2x contended run through. Clean median 1.95.
 SENTINEL_FLOORS = {  # entry -> (floor_lo, min_ceiling, median_ceiling)
-    "x20_dup_clusters": (4.5, 6.5, 7.0),
-    "x05_jaccard_pairs": (8.0, 10.0, 11.5),
-    "x36_table_profile": (1.5, 2.8, 3.6),
+    "x20_dup_clusters": (4.0, 6.5, 7.0),
+    "x05_jaccard_pairs": (11.0, 14.5, 17.0),
+    "x36_table_profile": (1.2, 2.8, 3.6),
 }
 
 
