@@ -35,7 +35,11 @@ from ..functions.hashing import (
 )
 from ..functions.text import char_ngrams, fingerprint_md5, word_tokens
 from ..functions.vectors import hyperplane_sign_bits
-from .partitioning import spread_small_input, track_local_checkpoint
+from .partitioning import (
+    spread_small_input,
+    tiny_literal_frame,
+    track_local_checkpoint,
+)
 
 # DataFrames persisted by dedup operators. A long-lived session that
 # runs many corpora should call release_cached() between them —
@@ -202,6 +206,19 @@ def duplicate_clusters(
                     parent[hi] = lo
             out = [(x, find(x)) for x in parent]
             spark = pairs.sparkSession
+            id_type = dict(pairs.dtypes)["id_a"]
+            if len(out) <= 10_000 and id_type in (
+                "bigint", "int", "smallint", "tinyint", "string", "double"
+            ):
+                # KB-scale label set: emit as a pure-JVM VALUES plan.
+                # The classic createDataFrame path backs the frame with
+                # a pickled Python RDD, so EVERY downstream action
+                # launches Python workers (~0.2s each per rep, guide
+                # §4 — the same boundary cost as the round-13
+                # tiny-result-frame rewrite in __spark_entry__).
+                return tiny_literal_frame(
+                    spark, out, f"id {id_type}, cluster {id_type}"
+                )
             schema = pairs.select(
                 F.col("id_a").alias("id"), F.col("id_a").alias("cluster")
             ).schema
