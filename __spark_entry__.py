@@ -522,7 +522,16 @@ def _x_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the exact-verify stage prices a near-complete candidate
     universe. Quiet-window standalone reps: 6.15/6.27s; best in-bench
     min 5.44s; the bench sentinel floor was re-pinned accordingly
-    (bench.py::SENTINEL_FLOORS)."""
+    (bench.py::SENTINEL_FLOORS).
+
+    Round-13 optimization: the union-find label frame returns as a
+    JVM VALUES plan (duplicate_clusters -> tiny_literal_frame), so
+    the result plan carries no Python-RDD scan; interleaved solo
+    5-rep min 3.93s on the round-13 data generation (floor re-pinned
+    again). Persisting the dense bitmap table was ALSO tried and
+    measured ~1s SLOWER (interleaved min 4.89 vs 3.93) — the bitmap
+    encode re-fuses into each consumer's codegen plan more cheaply
+    than a cache barrier serves it."""
     from pyspark.sql import functions as F
 
     from deepdb_public_spark.operators.dedup import (

@@ -94,11 +94,16 @@ from pyspark.sql import SparkSession
 #   Clean in-bench median 14.43.
 # - x20: new-generation clean min 4.38 (run1, pre-load 0.17) /
 #   4.69 (filtered run) — floor_lo eased to 4.0, ceilings stand.
+# - x20 SECOND re-pin (optimization session 4): the union-find label
+#   frame now returns as a JVM VALUES plan (no Python-RDD jobs) —
+#   interleaved solo 5-rep min 3.93 at sf0.1. floor_lo eased to 3.5;
+#   the contention ceilings stand (clean in-bench mins still land
+#   4.0-4.7; a min above 6.5 remains external-load evidence).
 # - x36: optimized this round (2.64 -> 1.42-1.8 bench min; spread
 #   barrier + same multi-distinct aggregate), old [2.8, 4.5] band
 #   would wave a 2x contended run through. Clean median 1.95.
 SENTINEL_FLOORS = {  # entry -> (floor_lo, min_ceiling, median_ceiling)
-    "x20_dup_clusters": (4.0, 6.5, 7.0),
+    "x20_dup_clusters": (3.5, 6.5, 7.0),
     "x05_jaccard_pairs": (11.0, 14.5, 17.0),
     "x36_table_profile": (1.2, 2.8, 3.6),
 }
