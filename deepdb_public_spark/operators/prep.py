@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
 from ..plans.schema import Relationship, SchemaGraph
+from .partitioning import tiny_literal_frame
 
 
 @dataclass
@@ -136,11 +137,14 @@ def encode_table(
             # (== DENSE_RANK()-1, what the oracle computes), broadcast
             # mapping join
             value_to_code = {v: i for i, v in enumerate(vals)}
-            mapping = spark.createDataFrame(
+            # pure-JVM VALUES plan: the createDataFrame it replaces
+            # backed the broadcast build with a pickled Python RDD, so
+            # every encode action launched Python workers (guide §4;
+            # same swap as the round-13 tiny-result-frame rewrite)
+            mapping = tiny_literal_frame(
+                spark,
                 list(value_to_code.items()),
-                StructType(
-                    [StructField(col, StringType()), StructField("__code", LongType())]
-                ),
+                f"`{col}` string, __code bigint",
             )
             join_side = F.broadcast(mapping)
         else:
@@ -217,7 +221,8 @@ def encode_with_meta(df: DataFrame, meta: TableMeta) -> DataFrame:
                     else F.lit(None).cast("bigint"),
                 )
             else:
-                mapping = spark.createDataFrame(
+                mapping = tiny_literal_frame(
+                    spark,
                     [(v, int(c)) for v, c in cm.value_to_code.items()],
                     f"`{name}` string, __code bigint",
                 )
