@@ -430,7 +430,17 @@ def _x_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     not contention. dedup.py is bit-identical to the round-12 code
     that floored at ~8.4s on the previous generation (git log shows
     zero dedup changes in the r13 build). Bench sentinel band
-    re-pinned accordingly."""
+    re-pinned accordingly.
+
+    Round-13 optimization session: the new pair structure FLIPPED the
+    verdict on shave attempt (b) — with prefix filtering degenerating
+    toward all-pairs plus a 20M-row candidate-distinct shuffle, the
+    dense all-pairs branch now wins: interleaved 4-rep A/B at sf0.1,
+    all-pairs min 9.55s vs prefix 12.35s. _DENSE_ALLPAIRS_MAX raised
+    2048 -> 8192 (the branch sf0.01/sf0.001 oracles already exercise;
+    both branches are exact, so the gate is purely a cost choice —
+    crossover history in dedup.py). Sentinel band re-pinned for the
+    new floor."""
     from deepdb_public_spark.operators.dedup import jaccard_pairs_exact
 
     docs = _engine(spark, sf_dir).catalog["documents"]

@@ -94,6 +94,12 @@ from pyspark.sql import SparkSession
 #   Clean in-bench median 14.43.
 # - x20: new-generation clean min 4.38 (run1, pre-load 0.17) /
 #   4.69 (filtered run) — floor_lo eased to 4.0, ceilings stand.
+# - x05 SECOND re-pin (optimization session 4): _DENSE_ALLPAIRS_MAX
+#   raised 2048 -> 8192 — on the round-13 generation the dense
+#   all-pairs branch beats the degenerated prefix path (interleaved
+#   A/B min 9.55 vs 12.35; crossover history in dedup.py). floor_lo
+#   eased to 8.5, min ceiling 12.5, median ceiling 15.0 (clean
+#   in-bench evidence re-measured in run 5).
 # - x20 SECOND re-pin (optimization session 4): the union-find label
 #   frame now returns as a JVM VALUES plan (no Python-RDD jobs) —
 #   interleaved solo 5-rep min 3.93 at sf0.1. floor_lo eased to 3.5;
@@ -104,7 +110,7 @@ from pyspark.sql import SparkSession
 #   would wave a 2x contended run through. Clean median 1.95.
 SENTINEL_FLOORS = {  # entry -> (floor_lo, min_ceiling, median_ceiling)
     "x20_dup_clusters": (3.5, 6.5, 7.0),
-    "x05_jaccard_pairs": (11.0, 14.5, 17.0),
+    "x05_jaccard_pairs": (8.5, 12.5, 15.0),
     "x36_table_profile": (1.2, 2.8, 3.6),
 }
 

@@ -415,11 +415,19 @@ _DENSE_VOCAB_MAX = 4096
 # bitmap side is broadcast and every (a < b) pair verifies in one
 # codegen AND+popcount pass with NO shuffle at all; above it, the
 # prefix-filtered plan remains (all-pairs is O(N²) and only
-# acceptable bounded). Measured crossover on local[32]: ~500 reps the
-# broadcast loop wins clearly; by ~5k reps (25M pair evals) the
-# prefix+positional filter plan is ~40% faster and scales, so the
-# gate sits at 2k.
-_DENSE_ALLPAIRS_MAX = 2048
+# acceptable bounded; the broadcast side at the gate is ~8192 x
+# (n_words+2) x 8 B ~ 2 MB — trivially broadcastable at any corpus
+# scale, and the branch only triggers when the corpus-wide vocab is
+# dense-boundable anyway).
+# Crossover history: on the round-11 data generation ~5k reps (25M
+# pair evals) had the prefix+positional plan ~40% faster, so the gate
+# sat at 2k. The round-13 data regeneration made the sf0.1 doc slice
+# shingle-dense enough that prefix filtering degenerates toward
+# all-pairs WITH the candidate-distinct shuffle on top — interleaved
+# 4-rep A/B at sf0.1 (~4.97k reps): all-pairs min 9.55s vs prefix
+# 12.35s. Re-measure on every data regeneration; both branches are
+# exact, so the gate is purely a cost choice.
+_DENSE_ALLPAIRS_MAX = 8192
 
 # bitmap-table broadcast gate for the prefix-filtered dense-verify
 # path: a bitmap row is ~8*(n_words+2) bytes, so 100k representatives
