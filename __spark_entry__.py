@@ -1239,8 +1239,18 @@ def _x_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # DECIMAL in Spark SQL, silently changing the column type
         # (and ROUND's arithmetic) vs the old ROUND(percentile(..))
         # double path — caught by test_oracle_parity on p25
-        ex = f"CAST({r['exact']!r} AS DOUBLE)"
-        ap = f"CAST({r['approx']!r} AS DOUBLE)"
+        # repr(None) would inject a bare `None` token into the SQL
+        # (unparseable); an empty population legitimately yields NULL
+        ex = (
+            "CAST(NULL AS DOUBLE)"
+            if r["exact"] is None
+            else f"CAST({r['exact']!r} AS DOUBLE)"
+        )
+        ap = (
+            "CAST(NULL AS DOUBLE)"
+            if r["approx"] is None
+            else f"CAST({r['approx']!r} AS DOUBLE)"
+        )
         sel.append(f"ROUND({ex}, 6) AS {name}")
         sel.append(f"ABS({ap} - {ex}) < 0.02 * {ex} AS {name}_ok")
     # column order matches the previous SQL form: values then flags
@@ -2731,8 +2741,14 @@ def _m_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ", ".join(
             # CAST AS DOUBLE: bare decimal-point literals parse as
             # DECIMAL (see _x_quantile_sketch) — keep ROUND in double
-            # arithmetic, bit-compatible with the old aggregate path
-            f"ROUND(CAST({truths[qid]!r} AS DOUBLE), 4) AS `{qid}`"
+            # arithmetic, bit-compatible with the old aggregate path.
+            # NULL spelled explicitly: repr(None) is an unparseable
+            # bare `None` token (empty population case)
+            (
+                f"ROUND(CAST(NULL AS DOUBLE), 4) AS `{qid}`"
+                if truths[qid] is None
+                else f"ROUND(CAST({truths[qid]!r} AS DOUBLE), 4) AS `{qid}`"
+            )
             for qid, *_ in cases
         )
     ).collect()[0]

@@ -14,6 +14,8 @@ has no analogue; this is the Spark-native concern.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame
 
 # DataFrames whose localCheckpoint THIS package created. Only these
@@ -123,7 +125,15 @@ def _sql_literal(v, typ: str) -> str:
         items = ",".join(_sql_literal(x, inner) for x in v)
         return f"CAST(array({items}) AS {typ})" if not items else f"array({items})"
     if t in ("double", "float"):
-        return repr(float(v)) + "D"
+        x = float(v)
+        if x != x or x in (float("inf"), float("-inf")):
+            # repr() yields 'nan'/'inf', which the SQL parser rejects
+            # as bare 'nanD'/'infD' tokens; the string-cast spelling is
+            # how Spark SQL writes non-finite doubles (round-14 advice
+            # — the createDataFrame path this replaces accepted them)
+            s = "NaN" if x != x else ("Infinity" if x > 0 else "-Infinity")
+            return f"CAST('{s}' AS {typ})"
+        return repr(x) + "D"
     if t in ("int", "integer", "smallint", "tinyint"):
         return str(int(v))
     if t in ("bigint", "long"):
@@ -170,7 +180,20 @@ def tiny_literal_frame(spark, rows, schema_ddl: str) -> DataFrame:
         parts.append(cur)
     cols = []
     for p in parts:
-        name, typ = p.strip().split(None, 1)
+        p = p.strip()
+        if p.startswith("`"):
+            # backtick-quoted identifier (may contain spaces; doubled
+            # backticks escape a literal one) — a bare whitespace split
+            # would cut inside the name (round-14 advice; prep.py passes
+            # `{col}` for arbitrary catalog column names)
+            m = _re.match(r"`(?:[^`]|``)*`", p)
+            if m is None or not p[m.end() :].strip():
+                raise ValueError(
+                    f"tiny_literal_frame: malformed DDL field {p!r}"
+                )
+            name, typ = m.group(0), p[m.end() :]
+        else:
+            name, typ = p.split(None, 1)
         cols.append((name, typ.strip()))
     if not rows:
         sel = ",".join(f"CAST(NULL AS {t}) AS {n}" for n, t in cols)

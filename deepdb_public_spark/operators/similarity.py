@@ -959,8 +959,17 @@ def _dlit(x: float) -> str:
     ``repr`` emits the shortest decimal that parses back to the same
     IEEE double, and Spark's double-literal parser is correctly
     rounding, so ``expr(_dlit(x))`` reproduces ``F.lit(float(x))``
-    bit-for-bit."""
-    return repr(float(x)) + "D"
+    bit-for-bit. Non-finite values need the string-cast spelling —
+    bare 'nanD'/'infD' tokens do not parse (round-14 advice; the
+    F.lit path this replaced accepted NaN/Inf)."""
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(x) + "D"
 
 
 def _arr_sql(vals) -> str:
@@ -1033,6 +1042,14 @@ def _lloyd_fit(
     return _lloyd_fit_multi(vecs, [(None, None, int(k))], iters, op_name)[0]
 
 
+# Fusion gate for _lloyd_fit_multi: a fused batch groups by the JOINT
+# key of its specs, so its per-iteration collect is <= prod(k_s) rows.
+# 64k groups x (dim sums + count) is comfortably model-sized; above it
+# the joint key degenerates toward row-uniqueness (m=8, k=256 would be
+# 2^64) and fusion must split (round-14 advice).
+_FUSE_MAX_GROUPS = 65536
+
+
 def _lloyd_fit_multi(
     vecs: DataFrame,
     specs: list[tuple[int | None, int | None, int]],
@@ -1073,9 +1090,14 @@ def _lloyd_fit_multi(
     Scale shape: per iteration exactly ONE linear scan, no explode
     fan-out (the old path shuffled n*dim posexploded rows; this
     aggregates dim sum columns into <= prod(k_s) groups map-side).
-    The joint-key group count caps at prod(k_s) — fine for the ANN
-    regimes here (8^3 = 512); for very many wide specs, split the
-    call."""
+    The joint-key group count is capped: specs are fused greedily
+    into batches whose prod(k_s) stays <= ``_FUSE_MAX_GROUPS`` (64k)
+    and each batch runs its own fused chain (round-14 advice — at
+    documented-range params like m=8, k=256 an uncapped joint key is
+    near row-unique and the per-iteration collect corpus-sized; the
+    ANN regimes here, 8^3 = 512, always fuse into one batch, so the
+    bench plans are unchanged). Seeds are still collected ONCE and
+    shared across batches."""
     specs = [
         (None if s is None else int(s), None if w is None else int(w), int(k))
         for s, w, k in specs
@@ -1088,6 +1110,33 @@ def _lloyd_fit_multi(
             f"{op_name}: need >= {max_k} vectors, got {len(seed_rows)}"
         )
     dim = len(seed_rows[0]["v"])
+    # greedy fusion batches: each batch's joint-key cardinality
+    # prod(k_s) stays under the cap (a single spec is always its own
+    # lower bound — one spec alone is the classic per-fit chain)
+    batches: list[list[int]] = []
+    cur: list[int] = []
+    prod = 1
+    for idx, (_s, _w, k) in enumerate(specs):
+        if cur and prod * k > _FUSE_MAX_GROUPS:
+            batches.append(cur)
+            cur, prod = [], 1
+        cur.append(idx)
+        prod *= k
+    if cur:
+        batches.append(cur)
+    if len(batches) > 1:
+        out: list = [None] * len(specs)
+        for batch in batches:
+            fitted = _lloyd_fit_multi(
+                vecs,
+                [specs[i] for i in batch],
+                iters,
+                op_name=op_name,
+                seed_rows=seed_rows,
+            )
+            for i, c in zip(batch, fitted):
+                out[i] = c
+        return out
     cents: list[list[list[float]]] = []
     for start, width, k in specs:
         s0 = 0 if start is None else start

@@ -1,0 +1,125 @@
+"""Round 14 (optimization round 2): regression tests for the advisor's
+robustness fixes — non-finite SQL literals, backtick-quoted DDL names,
+the _lloyd_fit_multi fusion cap, and the None-exact literal guard."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepdb_public_spark.operators.partitioning import (
+    _sql_literal,
+    tiny_literal_frame,
+)
+from deepdb_public_spark.operators.similarity import _dlit
+
+
+# ------------------------------------------ non-finite SQL literals
+
+
+def test_dlit_non_finite_parses(spark):
+    """repr(nan)+'D' is an unparseable 'nanD' token — the cast
+    spelling must round-trip all three non-finite doubles."""
+    row = spark.sql(
+        f"SELECT {_dlit(float('nan'))} AS a, {_dlit(float('inf'))} AS b, "
+        f"{_dlit(float('-inf'))} AS c, {_dlit(1.5)} AS d"
+    ).collect()[0]
+    assert math.isnan(row["a"])
+    assert row["b"] == float("inf")
+    assert row["c"] == float("-inf")
+    assert row["d"] == 1.5
+
+
+def test_tiny_literal_frame_non_finite(spark):
+    rows = [
+        (1, float("nan")),
+        (2, float("inf")),
+        (3, float("-inf")),
+        (4, 2.75),
+    ]
+    got = (
+        tiny_literal_frame(spark, rows, "id int, x double")
+        .orderBy("id")
+        .collect()
+    )
+    assert math.isnan(got[0]["x"])
+    assert got[1]["x"] == float("inf")
+    assert got[2]["x"] == float("-inf")
+    assert got[3]["x"] == 2.75
+    # array elements go through the same renderer
+    arr = tiny_literal_frame(
+        spark, [([float("nan"), 1.0],)], "v array<double>"
+    ).collect()[0]["v"]
+    assert math.isnan(arr[0]) and arr[1] == 1.0
+
+
+def test_sql_literal_finite_unchanged():
+    assert _sql_literal(1.5, "double") == "1.5D"
+    assert _sql_literal(None, "double") == "CAST(NULL AS double)"
+
+
+# ------------------------------------- backtick-quoted column names
+
+
+def test_tiny_literal_frame_backtick_names(spark):
+    df = tiny_literal_frame(
+        spark,
+        [(1, "a"), (2, "b")],
+        "`weird name` int, `x` string",
+    )
+    assert df.columns == ["weird name", "x"]
+    got = df.orderBy("`weird name`").collect()
+    assert [(r["weird name"], r["x"]) for r in got] == [(1, "a"), (2, "b")]
+
+
+def test_tiny_literal_frame_malformed_backtick_rejected(spark):
+    with pytest.raises(ValueError):
+        tiny_literal_frame(spark, [(1,)], "`unclosed int")
+
+
+# ------------------------------------------- Lloyd fusion batching
+
+
+def test_lloyd_fit_multi_batched_equals_fused(spark, monkeypatch):
+    """Forcing the fusion cap below prod(k_s) must split the specs
+    into independent chains that return the IDENTICAL codebooks (each
+    batch is the classic per-fit chain over shared seeds)."""
+    from deepdb_public_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(200)
+    vecs = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    specs = [(0, 4, 4), (4, 4, 4), (8, 4, 4)]  # prod = 64
+    fused = sim._lloyd_fit_multi(vecs, specs, iters=2, op_name="t")
+    monkeypatch.setattr(sim, "_FUSE_MAX_GROUPS", 16)  # forces 3 batches
+    split = sim._lloyd_fit_multi(vecs, specs, iters=2, op_name="t")
+    assert fused == split
+
+
+# -------------------------------------- None-exact literal rendering
+
+
+def test_exact_percentiles_empty_population(spark):
+    """exact_interpolated_percentiles returns exact=None on an empty
+    population; the entry-side literal renderers must spell that as
+    CAST(NULL AS DOUBLE), which ROUND propagates as NULL."""
+    from deepdb_public_spark.operators.quantiles import (
+        exact_interpolated_percentiles,
+    )
+
+    df = spark.range(0).selectExpr("CAST(id AS DOUBLE) AS x")
+    (res,) = exact_interpolated_percentiles(df, [(None, "x", 0.5)])
+    assert res == {"n": 0, "exact": None, "approx": None}
+    ex = (
+        "CAST(NULL AS DOUBLE)"
+        if res["exact"] is None
+        else f"CAST({res['exact']!r} AS DOUBLE)"
+    )
+    row = spark.sql(f"SELECT ROUND({ex}, 6) AS p").collect()[0]
+    assert row["p"] is None

@@ -1,10 +1,11 @@
-"""Dump .explain("formatted") for named entries to plans/r13/.
+"""Dump .explain("formatted") for named entries to plans/r14/
+(override with SPARK_GRAFT_PLANS_DIR).
 
 Usage:
     python tools/dump_plans.py before x66 x67 x68
     python tools/dump_plans.py after x66_pq_encode
 
-Writes plans/r13/<entry>_<suffix>.txt for every registry entry whose
+Writes plans/<round>/<entry>_<suffix>.txt for every registry entry whose
 name starts with one of the given prefixes. Runs at the bench SF
 (sf0.1) and bench-like session settings so the captured plan is the
 one the bench executes. Entries whose runner performs eager driver
@@ -48,7 +49,9 @@ def main() -> None:
 
     queries = entry_mod.queries()
     names = [n for n in queries if any(n.startswith(p) for p in prefixes)]
-    out_dir = os.path.join(REPO, "plans", "r13")
+    out_dir = os.environ.get(
+        "SPARK_GRAFT_PLANS_DIR", os.path.join(REPO, "plans", "r14")
+    )
     os.makedirs(out_dir, exist_ok=True)
     jvm = spark._jvm
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
