@@ -811,6 +811,17 @@ def bm25_topk(
     # input is the (doc, term)-collapsed tf output, not the raw
     # explode (round 13, guide §1.2/§2.3; dfreq already derived so)
     doclen = tf.groupBy("__doc").agg(F.sum("tf").alias("dl"))
+    # Round-14 audit of the EXECUTED (final AQE) plan: doclen's chain
+    # already reuses tf's shuffle stage at runtime (ReusedExchange), so
+    # the corpus tokenizes once for tf+doclen. dfreq's chain does NOT
+    # fuse: Catalyst rewrites its count into a distinct-only aggregate
+    # (count("tf") folds back to count(1) — tf is provably non-null)
+    # and its subtree lacks the isnotnull(doc) filter the join pushes
+    # into tf's; forcing that filter would change dfreq on corpora with
+    # null ids. A persist of tf was also tried and measured SLOWER
+    # (x43 1.95 -> 2.46: the cache barrier serializes what AQE runs as
+    # concurrent stages — the x05/x19 barrier lesson). Left as-is with
+    # the evidence recorded.
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
     # aggregate each side to one row FIRST; the previous form routed
     # every corpus row through a nested-loop join just to count them

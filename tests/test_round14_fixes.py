@@ -102,6 +102,54 @@ def test_lloyd_fit_multi_batched_equals_fused(spark, monkeypatch):
     assert fused == split
 
 
+# ------------------------------ banded percentile refinement (r14)
+
+
+def test_exact_percentiles_refinement_path(spark):
+    """A band_cap far below the initial band mass forces the
+    sketch-refinement loop; the refined band must still yield the
+    bit-identical percentile (near-unique column, so refinement can
+    always shrink the bracket below the cap)."""
+    from deepdb_public_spark.operators.quantiles import (
+        exact_interpolated_percentiles,
+    )
+
+    df = spark.range(50_000).selectExpr(
+        "CAST(xxhash64(id) % 1000000 AS DOUBLE) AS x"
+    )
+    cases = [(None, "x", 0.25), (None, "x", 0.5), ("x > 0", "x", 0.9)]
+    truth = df.selectExpr(
+        *[
+            f"percentile(x, {p!r})"
+            + (f" FILTER (WHERE {pred})" if pred else "")
+            + f" AS t{i}"
+            for i, (pred, _c, p) in enumerate(cases)
+        ]
+    ).collect()[0]
+    # initial band ~ 2*0.002*50k = 200 rows >> cap=40 -> refine loop
+    got = exact_interpolated_percentiles(df, cases, band_cap=40)
+    for i in range(len(cases)):
+        assert got[i]["exact"] == truth[f"t{i}"], (i, got[i])
+
+
+def test_exact_percentiles_tie_mass_falls_back(spark):
+    """A single value with tie mass past band_cap can never shrink:
+    the no-progress check must route it to the classic fallback with
+    the identical result."""
+    from deepdb_public_spark.operators.quantiles import (
+        exact_interpolated_percentiles,
+    )
+
+    df = spark.range(10_000).selectExpr(
+        "CASE WHEN id < 9000 THEN 42.0D ELSE CAST(id AS DOUBLE) END AS x"
+    )
+    (got,) = exact_interpolated_percentiles(
+        df, [(None, "x", 0.5)], band_cap=100
+    )
+    truth = df.selectExpr("percentile(x, 0.5) AS t").collect()[0]["t"]
+    assert got["exact"] == truth == 42.0
+
+
 # -------------------------------------- None-exact literal rendering
 
 
