@@ -75,6 +75,7 @@ def capped_bucket_pairs(
     bucket_cols: list[str],
     max_bucket_size: int = 256,
     chain_width: int = 4,
+    distinct: bool = True,
 ) -> DataFrame:
     """Candidate (id_a < id_b) pairs within buckets, BOUNDED per
     bucket.
@@ -93,11 +94,27 @@ def capped_bucket_pairs(
 
     Shuffle profile: one window count per bucket (same key as the
     bucket join) + the bucket equi-joins; never an uncapped B².
+
+    ``distinct=False`` skips the cross-bucket pair dedup: a pair
+    agreeing on several buckets is emitted once per bucket. Callers
+    whose next step FILTERS the pairs cheaply (signature prefilter,
+    hamming verify) dedup after that filter instead — at sf0.1 the
+    minhash candidate distinct removed only 4k of 226k rows while
+    costing a full exchange of all of them (round 14, measured).
+
+    The sized table is persisted and filled EAGERLY: the small/big
+    self-joins reference it in four independent exchange branches of
+    one action, and with a lazy plan each branch re-evaluated the
+    window + the upstream signature subtree (round-14 profile: 4
+    stages x 9-16s executor time at sf0.1; eager fill cuts the
+    operator's candidate phase 2.5s -> 1.8s). Registered with
+    release_cached() like every dedup intermediate.
     """
     from pyspark.sql.window import Window
 
     wb = Window.partitionBy(*bucket_cols)
-    sized = members.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+    sized = _persist(members.withColumn("__bsz", F.count(F.lit(1)).over(wb)))
+    sized.count()
     small = sized.filter(F.col("__bsz") <= max_bucket_size)
     pairs_small = (
         small.alias("x")
@@ -134,7 +151,8 @@ def capped_bucket_pairs(
         ),
         bucket_cols + ["__target"],
     ).select("id_a", "id_b")
-    return pairs_small.unionByName(pairs_big).distinct()
+    pairs = pairs_small.unionByName(pairs_big)
+    return pairs.distinct() if distinct else pairs
 
 
 def duplicate_clusters(
@@ -931,8 +949,15 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "id", F.explode(band_keys(F.col("sig"), n_bands, rows_per_band)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # distinct=False: a pair agreeing on several bands is emitted once
+    # per band; the dedup moves BELOW the prefilter (or the verify) —
+    # at sf0.1 the up-front distinct exchanged 226k rows to remove 4k
+    # duplicates, while the post-prefilter set is ~1k rows (round 14).
+    # capped_bucket_pairs' eager sized fill also materializes the
+    # groups/sigs caches in one linear chain, so every later consumer
+    # is a cache read.
     cand = capped_bucket_pairs(
-        banded, ["band", "key"], max_bucket_size, chain_width
+        banded, ["band", "key"], max_bucket_size, chain_width, distinct=False
     )
     # Signature prefilter before the exact verify: band buckets admit
     # any pair agreeing on ONE band, so on shingle-dense corpora the
@@ -987,7 +1012,13 @@ def minhash_lsh_pairs(
             )
             .filter(F.col("__match") >= min_match)
             .select("id_a", "id_b")
+            .distinct()
         )
+    else:
+        # no prefilter ran: dedup the per-band duplicates before the
+        # array verify (the verify emits one row per input pair, and
+        # _expand_rep_pairs must see each rep pair exactly once)
+        cand = cand.distinct()
     sh = sigs.select("id", "sh")
     rep_pairs = (
         cand.join(
@@ -1299,7 +1330,15 @@ def simhash_pairs(
     blocked = sigs.select(
         "id", F.explode(simhash_block_keys(F.col("sig"), n_blocks)).alias("bk")
     ).select("id", F.col("bk.block").alias("block"), F.col("bk.key").alias("key"))
-    cand = capped_bucket_pairs(blocked, ["block", "key"], max_bucket_size, chain_width)
+    # distinct=False: the hamming verify is a cheap per-row popcount
+    # through two broadcast-sized joins, so per-block duplicate pairs
+    # dedup AFTER the <= max_hamming filter (the surviving set), not
+    # before it (round 14 — same shave as minhash_lsh_pairs; the
+    # eager sized fill in capped_bucket_pairs materializes groups in
+    # one linear chain too)
+    cand = capped_bucket_pairs(
+        blocked, ["block", "key"], max_bucket_size, chain_width, distinct=False
+    )
     rep_pairs = (
         cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
         .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
@@ -1309,6 +1348,7 @@ def simhash_pairs(
             hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
     return _expand_rep_pairs(groups, rep_pairs, "hamming", 0)
 
