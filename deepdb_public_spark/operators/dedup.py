@@ -617,8 +617,14 @@ def prepare_jaccard_corpus(
     s = groups.select(F.col("ids")[0].alias("id"), "sh")
     # corpus-adaptive strategy choice (two cheap aggregates over the
     # persisted groups): dense vocab -> bitmap encoding; dense vocab
-    # AND bounded rep count -> skip candidate generation entirely
+    # AND bounded rep count -> skip candidate generation entirely.
+    # The distinct is persisted so the gate count doubles as the cache
+    # fill — the vocab subtree otherwise re-runs once per downstream
+    # broadcast build (round 14, profiled on x05: 3 x 8-16s executor
+    # time for the same 60k-row distinct chain).
     vocab = s.select(F.explode("sh").alias("t")).distinct()
+    if not checkpoint:
+        vocab = _persist(vocab)
     n_vocab = vocab.count()
     prepared: dict = {
         "groups": groups, "n_vocab": n_vocab,
@@ -642,6 +648,14 @@ def prepare_jaccard_corpus(
             bm = bm.repartition(
                 df.sparkSession.sparkContext.defaultParallelism
             ).localCheckpoint()
+        # bm stays LAZY deliberately: persisting it was measured
+        # twice to be slower — round 13 (lazy persist, 3.93 -> 4.89
+        # on x20) and round 14 (eager persist+count: the all-pairs
+        # verify's BNLJ loses whole-stage codegen over the columnar
+        # cache and the 33-word popcount evaluates interpreted per
+        # pair, 3.5s -> 1023s executor at sf0.1). Re-fusing the
+        # bitmap encode into each side's codegen pipeline is the
+        # cheap option; its vocab input reads the cache above.
         prepared.update(
             vocab=vocab, n_words=n_words, bm=bm, n_reps=groups.count()
         )
