@@ -440,7 +440,17 @@ def _x_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     2048 -> 8192 (the branch sf0.01/sf0.001 oracles already exercise;
     both branches are exact, so the gate is purely a cost choice —
     crossover history in dedup.py). Sentinel band re-pinned for the
-    new floor."""
+    new floor.
+
+    Round 14 (VERDICT item 7): the hand-tuned constant — re-pinned
+    twice in two data generations — is replaced by a measured cost
+    gate: under the broadcast cap, ONE cheap aggregate over the
+    would-be prefix lists (sum_t C(plist_t, 2)) estimates the prefix
+    plan's candidate volume and all-pairs runs iff that volume is not
+    well under n_reps^2/2 (dedup._allpairs_beats_prefix; on this
+    generation the ratio is ~1.6, far past the 0.25 crossover, so the
+    branch choice is unchanged and reproduced from data, not from a
+    constant)."""
     from deepdb_public_spark.operators.dedup import jaccard_pairs_exact
 
     docs = _engine(spark, sf_dir).catalog["documents"]

@@ -425,27 +425,68 @@ def _jaccard(a, b):
 # are effectively unbounded).
 _DENSE_VOCAB_MAX = 4096
 
-# all-pairs gate for the dense-bitmap path. A tiny corpus-wide vocab
-# means documents share most shingles, so prefix filtering admits
-# ~all pairs anyway — generating, shuffling and deduplicating an
-# all-pairs-sized candidate set costs more than just comparing the
-# bitmaps directly. Up to this many collapsed representatives the
-# bitmap side is broadcast and every (a < b) pair verifies in one
-# codegen AND+popcount pass with NO shuffle at all; above it, the
-# prefix-filtered plan remains (all-pairs is O(N²) and only
-# acceptable bounded; the broadcast side at the gate is ~8192 x
+# all-pairs SIZE bound for the dense-bitmap path: up to this many
+# collapsed representatives the bitmap side is broadcast and every
+# (a < b) pair verifies in one codegen AND+popcount pass with NO
+# shuffle at all (the broadcast side at the bound is ~8192 x
 # (n_words+2) x 8 B ~ 2 MB — trivially broadcastable at any corpus
 # scale, and the branch only triggers when the corpus-wide vocab is
-# dense-boundable anyway).
-# Crossover history: on the round-11 data generation ~5k reps (25M
-# pair evals) had the prefix+positional plan ~40% faster, so the gate
-# sat at 2k. The round-13 data regeneration made the sf0.1 doc slice
-# shingle-dense enough that prefix filtering degenerates toward
-# all-pairs WITH the candidate-distinct shuffle on top — interleaved
-# 4-rep A/B at sf0.1 (~4.97k reps): all-pairs min 9.55s vs prefix
-# 12.35s. Re-measure on every data regeneration; both branches are
-# exact, so the gate is purely a cost choice.
-_DENSE_ALLPAIRS_MAX = 8192
+# dense-boundable anyway). This is a broadcast/memory BOUND, not a
+# tuning knob: WHETHER all-pairs beats the prefix plan under the
+# bound is decided per corpus by _allpairs_beats_prefix below.
+# Crossover history (what motivated the cost gate): on the round-11
+# data generation ~5k reps (25M pair evals) had the prefix+positional
+# plan ~40% faster; the round-13 data regeneration made the sf0.1 doc
+# slice shingle-dense enough that prefix filtering degenerated toward
+# all-pairs WITH a 20M-row candidate-distinct shuffle on top
+# (interleaved A/B: all-pairs 9.55s vs prefix 12.35s). Two hand
+# re-pins in two generations -> round-14 VERDICT item 7 replaced the
+# constant with the measured-density gate. Both branches are exact,
+# so the gate is purely a cost choice.
+_DENSE_ALLPAIRS_BROADCAST_CAP = 8192
+
+# prefix-vs-all-pairs crossover ratio for _allpairs_beats_prefix: the
+# prefix plan pays MORE per candidate row (inverted-index join +
+# cross-band DISTINCT shuffle + bitmap pickup) than the all-pairs plan
+# pays per broadcast-codegen pair evaluation, so prefix only wins when
+# its candidate set is well under all-pairs. 0.25 reproduces both
+# recorded generations: round-13/14 data has est/allpairs ~1.6 (->
+# all-pairs, measured 26% faster) and the round-11 generation's prefix
+# win implies its ratio sat far below 1. A wrong pick is bounded: the
+# gate only runs under _DENSE_ALLPAIRS_BROADCAST_CAP reps, where the
+# all-pairs fallback is <= 33M cheap codegen pair evals.
+_ALLPAIRS_DENSITY_CROSSOVER = 0.25
+
+
+def _allpairs_beats_prefix(
+    s: DataFrame, n_reps: int, threshold: float
+) -> bool:
+    """Corpus-measured branch choice for jaccard_pairs_exact's dense
+    path (round 14): ONE cheap aggregate over the would-be prefix
+    lists estimates the prefix plan's candidate volume
+    sum_t C(plist_t, 2) — an upper bound on its candidate pairs
+    (length/positional filters only shrink it, and pairs sharing
+    several prefix tokens are counted once per token, i.e. at their
+    true join fan-out). All-pairs wins when that volume is not well
+    under n_reps^2 / 2. Only called when n_reps is under the
+    broadcast cap, so the prefix table this aggregates is tiny."""
+    plen = (
+        F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh")) + 1
+    ).cast("int")
+    row = (
+        s.select(F.explode(F.slice(F.col("sh"), F.lit(1), plen)).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(
+                F.col("c").cast("double") * (F.col("c") - 1) / 2.0
+            ).alias("cand")
+        )
+        .collect()[0]
+    )
+    est_cand = float(row["cand"] or 0.0)
+    allpairs = n_reps * (n_reps - 1) / 2.0
+    return allpairs <= 0 or est_cand >= _ALLPAIRS_DENSITY_CROSSOVER * allpairs
 
 # bitmap-table broadcast gate for the prefix-filtered dense-verify
 # path: a bitmap row is ~8*(n_words+2) bytes, so 100k representatives
@@ -726,7 +767,9 @@ def jaccard_pairs_exact(
         n_words = prepared["n_words"]
         bm = prepared["bm"]
         n_reps = prepared["n_reps"]
-        if n_reps <= _DENSE_ALLPAIRS_MAX:
+        if n_reps <= _DENSE_ALLPAIRS_BROADCAST_CAP and _allpairs_beats_prefix(
+            s, n_reps, threshold
+        ):
             left = bm.select(
                 F.col("id").alias("id_a"),
                 F.col("sz").alias("sz_a"),

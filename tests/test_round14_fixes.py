@@ -102,6 +102,63 @@ def test_lloyd_fit_multi_batched_equals_fused(spark, monkeypatch):
     assert fused == split
 
 
+# ---------------------------------- all-pairs cost gate (r14, V7)
+
+
+def test_allpairs_gate_dense_vs_sparse(spark):
+    """The measured density gate must pick all-pairs on a corpus
+    whose prefix lists degenerate (every doc shares the same shingle
+    prefix) and the prefix plan on one with disjoint shingle sets."""
+    from deepdb_public_spark.operators.dedup import _allpairs_beats_prefix
+
+    n = 200
+    # dense: every doc's sorted hashed-shingle prefix is identical
+    dense = spark.range(n).selectExpr(
+        "id", "transform(sequence(0, 19), j -> CAST(j AS BIGINT)) AS sh"
+    )
+    assert _allpairs_beats_prefix(dense, n, 0.8) is True
+    # sparse: disjoint shingle sets -> zero prefix collisions
+    sparse = spark.range(n).selectExpr(
+        "id",
+        "transform(sequence(0, 19), j -> id * 100 + CAST(j AS BIGINT)) AS sh",
+    )
+    assert _allpairs_beats_prefix(sparse, n, 0.8) is False
+
+
+def test_jaccard_pairs_branches_agree(spark):
+    """Both gate outcomes are exact: forcing each branch on the same
+    corpus must produce identical pair sets (the gate is purely a
+    cost choice)."""
+    from deepdb_public_spark.operators import dedup as D
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(120)
+    )
+
+    def run():
+        out = D.jaccard_pairs_exact(
+            docs, "text", "doc_id", threshold=0.8,
+            use_char_ngrams=True, ngram=5,
+        )
+        rows = sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in out.collect()
+        )
+        D.release_cached()
+        return rows
+
+    orig = D._allpairs_beats_prefix
+    try:
+        D._allpairs_beats_prefix = lambda *a, **k: True
+        allpairs = run()
+        D._allpairs_beats_prefix = lambda *a, **k: False
+        prefix = run()
+    finally:
+        D._allpairs_beats_prefix = orig
+    assert allpairs == prefix and len(allpairs) > 0
+
+
 # ------------------------------ banded percentile refinement (r14)
 
 
