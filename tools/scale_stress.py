@@ -164,6 +164,11 @@ def main() -> None:
         "curate_corpus (3-stage pipeline)",
         "cluster_balanced_sample (two-phase quota)",
         "remove_repeated_spans (gram hist + rewrite)",
+        # round-14 (VERDICT item 5): the two super-linear r13 rows get
+        # their 8x point — the replication shape is dup-heavy, so the
+        # suspect is band-bucket mass growing k-fold per replica
+        "dedup_against_index (80/20)",
+        "semantic_dedup (hyperplane LSH)",
         # round-13: one doubling past 4x for every op with a join or a
         # fit (the r12 verdict's remaining super-linear-risk rows —
         # x62's pair join and the PQ Lloyd fits) plus the prebuilt
