@@ -34,6 +34,13 @@ def track_local_checkpoint(df: DataFrame) -> DataFrame:
     return df
 
 
+# spread_small_input results persisted by this package; released (with
+# the tracked checkpoints) by release_local_checkpoints(). Unlike a
+# checkpoint, a released persist is recomputable — lineage is intact —
+# so releasing early can never strand a pending consumer.
+_SPREAD_PERSISTED: list[DataFrame] = []
+
+
 def spread_small_input(df: DataFrame) -> DataFrame:
     """Repartition ``df`` to the session's default parallelism when it
     has fewer input partitions.
@@ -54,34 +61,36 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     # deterministic projections and filters below the round-robin
     # exchange (measured: a filter on size(shingles) was rewritten to
     # evaluate the full shingling expression UNDER the exchange — in
-    # the one-task scan stage — and again above it). A lazy
-    # localCheckpoint truncates the lineage at the exchange so
-    # downstream expression work genuinely runs on ``target``
-    # partitions.
+    # the one-task scan stage — and again above it). A barrier that
+    # pins the exchange is needed so downstream expression work
+    # genuinely runs on ``target`` partitions.
     #
-    # Trade-offs, accepted deliberately for THIS branch only (inputs
-    # smaller than one split per core; at warehouse scale the
-    # function is a metadata-only no-op): the checkpoint blocks are
-    # unreplicated, so losing an executor mid-pipeline fails later
-    # actions instead of recomputing (retry the operator — its input
-    # is small); and blocks are freed by the ContextCleaner only once
-    # the driver garbage-collects the underlying RDD, so a long-lived
-    # session briefly holds one small-input copy per operator call
-    # rather than releasing it at scope exit. Long-lived sessions can
-    # free the blocks deterministically via release_local_checkpoints()
-    # (wired into dedup.release_cached()).
-    return track_local_checkpoint(
-        df.repartition(target).localCheckpoint(eager=False)
-    )
+    # Round 14: the barrier is a lazy persist() instead of the
+    # previous lazy localCheckpoint(). An InMemoryRelation is equally
+    # pushdown-proof (the cached plan is frozen at registration;
+    # consumers read InMemoryTableScan and cannot move expressions
+    # below it) but costs ~1ms to CREATE, where localCheckpoint
+    # eagerly plans and instantiates the physical RDD on the driver —
+    # measured 240-580ms per call at sf0.1, paid once per operator
+    # invocation across the ~20 operators that spread. Recovery
+    # semantics also improve: a persisted block lost (or released)
+    # before a pending consumer runs is recomputed from lineage,
+    # where the checkpoint's truncated lineage made that a hard
+    # failure. Blocks are freed deterministically by
+    # release_local_checkpoints() (wired into dedup.release_cached()).
+    out = df.repartition(target).persist()
+    _SPREAD_PERSISTED.append(out)
+    return out
 
 
 def release_local_checkpoints(spark=None) -> int:
-    """Drop the storage blocks of the locally-checkpointed RDDs THIS
-    package created (everything registered via track_local_checkpoint);
-    returns how many were unpersisted. Checkpoints created by other
-    code in the session are never touched (round-5 advice: the old
-    session-wide getPersistentRDDs sweep could truncate an unrelated
-    pipeline's lineage out from under it).
+    """Drop the storage blocks THIS package created — the
+    spread_small_input persists and every locally-checkpointed RDD
+    registered via track_local_checkpoint; returns how many were
+    unpersisted. Checkpoints created by other code in the session are
+    never touched (round-5 advice: the old session-wide
+    getPersistentRDDs sweep could truncate an unrelated pipeline's
+    lineage out from under it).
 
     Call ONLY between pipelines, after results are materialized:
     localCheckpoint truncates lineage, so a not-yet-collected result
@@ -93,6 +102,13 @@ def release_local_checkpoints(spark=None) -> int:
     per-session).
     """
     released = 0
+    while _SPREAD_PERSISTED:
+        df = _SPREAD_PERSISTED.pop()
+        try:
+            df.unpersist()
+            released += 1
+        except Exception:
+            continue
     while _TRACKED:
         df = _TRACKED.pop()
         try:

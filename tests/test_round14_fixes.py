@@ -102,6 +102,38 @@ def test_lloyd_fit_multi_batched_equals_fused(spark, monkeypatch):
     assert fused == split
 
 
+# ------------------------------- spread barrier as persist (r14)
+
+
+def test_spread_barrier_blocks_pushdown(spark):
+    """The spread persist must stop Catalyst from evaluating
+    downstream expressions below the repartition: the physical plan
+    reads an InMemoryTableScan of the RAW columns and the expensive
+    projection sits above it, on the spread partitioning."""
+    from deepdb_public_spark.operators.partitioning import (
+        release_local_checkpoints,
+        spread_small_input,
+    )
+
+    release_local_checkpoints()
+    df = spark.range(100).coalesce(1).selectExpr(
+        "id", "repeat('ab', 50) AS text"
+    )
+    out = spread_small_input(df)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    work = out.selectExpr(
+        "id", "size(split(text, 'a')) AS n"
+    ).filter("n > 1")
+    plan = work._sc._jvm.PythonSQLUtils.explainString(
+        work._jdf.queryExecution(), "formatted"
+    ) if hasattr(work._sc._jvm, "PythonSQLUtils") else work._jdf.queryExecution().toString()
+    assert "InMemoryTableScan" in plan
+    assert work.count() == 100
+    # released persists are recomputable (unlike the old checkpoint)
+    assert release_local_checkpoints() >= 1
+    assert work.count() == 100
+
+
 # ---------------------------------- all-pairs cost gate (r14, V7)
 
 
