@@ -41,13 +41,48 @@ def track_local_checkpoint(df: DataFrame) -> DataFrame:
 _SPREAD_PERSISTED: list[DataFrame] = []
 
 
-def spread_small_input(df: DataFrame) -> DataFrame:
+def spread_small_input(df: DataFrame, barrier: str = "persist") -> DataFrame:
     """Repartition ``df`` to the session's default parallelism when it
     has fewer input partitions.
 
     The check is metadata-only (no job); the repartition shuffles the
     raw input rows BEFORE any expensive projection, so the exchanged
     bytes are the source rows, not the exploded/shingled form.
+
+    The repartition alone is NOT enough: Catalyst pushes
+    deterministic projections and filters below the round-robin
+    exchange (measured: a filter on size(shingles) was rewritten to
+    evaluate the full shingling expression UNDER the exchange — in
+    the one-task scan stage — and again above it). A barrier that
+    pins the exchange is needed so downstream expression work
+    genuinely runs on ``target`` partitions. Two barrier flavors,
+    chosen PER CALL SITE by measurement (round 14):
+
+    - ``barrier="persist"`` (default): a lazy ``persist()``. An
+      InMemoryRelation is pushdown-proof (the cached plan is frozen at
+      registration) and costs ~1ms to CREATE, where localCheckpoint
+      eagerly plans and instantiates the physical RDD on the driver —
+      measured 240-580ms per call at sf0.1. A released persist is also
+      recomputable (lineage intact), unlike a released checkpoint.
+      Best for operators whose downstream plan consumes the spread
+      frame LINEARLY (one aggregate/join chain): x36 2.70 -> 2.16,
+      m09 14.8 -> 12.0s executor in the interleaved A/B.
+    - ``barrier="checkpoint"``: the round-13 lazy tracked
+      localCheckpoint. Best for operators whose downstream plan FANS
+      OUT into several branches that each shuffle the same expensive
+      derivation (tokenize/explode/distinct): AQE's stage-level
+      exchange reuse unifies canonically-equal exchanges above a
+      LogicalRDD leaf but NOT above a table-cache stage (measured on
+      Spark 4.1: x62's distinct map stage ran 4x under persist, 2x
+      under checkpoint — 16 vs 8 stages, 48 vs 31s executor; with AQE
+      off the persist plan reuses fine, so it is the AQE stage cache
+      that skips InMemoryTableScan children). Branch-heavy text
+      operators measured faster under checkpoint: x62 2.59 -> 2.07,
+      x43 48 -> 35s executor, x46 37 -> 29, x50 12.3 -> 7.9,
+      x52 35.7 -> 29.0.
+
+    Blocks from either flavor are freed deterministically by
+    release_local_checkpoints() (wired into dedup.release_cached()).
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
@@ -57,27 +92,10 @@ def spread_small_input(df: DataFrame) -> DataFrame:
         return df
     if current >= target:
         return df
-    # The repartition alone is NOT enough: Catalyst pushes
-    # deterministic projections and filters below the round-robin
-    # exchange (measured: a filter on size(shingles) was rewritten to
-    # evaluate the full shingling expression UNDER the exchange — in
-    # the one-task scan stage — and again above it). A barrier that
-    # pins the exchange is needed so downstream expression work
-    # genuinely runs on ``target`` partitions.
-    #
-    # Round 14: the barrier is a lazy persist() instead of the
-    # previous lazy localCheckpoint(). An InMemoryRelation is equally
-    # pushdown-proof (the cached plan is frozen at registration;
-    # consumers read InMemoryTableScan and cannot move expressions
-    # below it) but costs ~1ms to CREATE, where localCheckpoint
-    # eagerly plans and instantiates the physical RDD on the driver —
-    # measured 240-580ms per call at sf0.1, paid once per operator
-    # invocation across the ~20 operators that spread. Recovery
-    # semantics also improve: a persisted block lost (or released)
-    # before a pending consumer runs is recomputed from lineage,
-    # where the checkpoint's truncated lineage made that a hard
-    # failure. Blocks are freed deterministically by
-    # release_local_checkpoints() (wired into dedup.release_cached()).
+    if barrier == "checkpoint":
+        return track_local_checkpoint(
+            df.repartition(target).localCheckpoint(eager=False)
+        )
     out = df.repartition(target).persist()
     _SPREAD_PERSISTED.append(out)
     return out

@@ -299,7 +299,7 @@ def bpe_learn(
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0 (got {n_merges})")
     words = (
-        spread_small_input(df)
+        spread_small_input(df, barrier="checkpoint")
         .select(
             F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
         )
@@ -422,7 +422,7 @@ def repeated_span_coverage(
     if salt < 0:
         raise ValueError(f"salt must be >= 0 (got {salt})")
     grams = (
-        spread_small_input(df)
+        spread_small_input(df, barrier="checkpoint")
         .filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("__id"),
@@ -525,7 +525,7 @@ def remove_repeated_spans(
     if salt < 0:
         raise ValueError(f"salt must be >= 0 (got {salt})")
     sep = "\x1f"
-    base = spread_small_input(df).select(
+    base = spread_small_input(df, barrier="checkpoint").select(
         F.col(id_col).alias("__id"),
         word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__l"),
     )
@@ -628,7 +628,7 @@ def source_overlap(
         raise ValueError(f"n must be >= 1 (got {n})")
     sep = "\x1f"
     sg = (
-        spread_small_input(df)
+        spread_small_input(df, barrier="checkpoint")
         .select(
             F.col(source_col).alias("__src"),
             word_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__l"),
@@ -801,7 +801,7 @@ def bm25_topk(
     from pyspark.sql.window import Window
 
     toks = (
-        _explode_tokens(spread_small_input(docs), text_col, id_col, min_len)
+        _explode_tokens(spread_small_input(docs, barrier="checkpoint"), text_col, id_col, min_len)
         .withColumnRenamed("__id", "__doc")
         .withColumnRenamed("token", "term")
     )

@@ -134,6 +134,28 @@ def test_spread_barrier_blocks_pushdown(spark):
     assert work.count() == 100
 
 
+def test_spread_barrier_checkpoint_flavor(spark):
+    """barrier="checkpoint" (the branch-heavy-consumer flavor) spreads
+    to full parallelism, presents a leaf (Scan ExistingRDD) that AQE's
+    stage cache can reuse exchanges above, and is tracked for release."""
+    from deepdb_public_spark.operators.partitioning import (
+        release_local_checkpoints,
+        spread_small_input,
+    )
+
+    release_local_checkpoints()
+    df = spark.range(100).coalesce(1).selectExpr(
+        "id", "repeat('ab', 50) AS text"
+    )
+    out = spread_small_input(df, barrier="checkpoint")
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    work = out.selectExpr("id", "size(split(text, 'a')) AS n").filter("n > 1")
+    plan = work._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    assert work.count() == 100
+    assert release_local_checkpoints() >= 1
+
+
 # ---------------------------------- all-pairs cost gate (r14, V7)
 
 
