@@ -219,15 +219,19 @@ def test_estimate_driven_join_order(engine):
 
 
 def test_chunking_is_narrow_pipeline(engine):
-    """chunk_documents: scan -> explode -> project, ZERO Exchange
-    (beyond the small-input spread, which sits below the checkpoint
-    and is invisible to this plan)."""
+    """chunk_documents: scan -> explode -> project, ZERO Exchange in
+    the executing pipeline. The small-input spread barrier is a lazy
+    persist, and the tree string inlines the cached plan (whose
+    round-robin repartition Exchange runs ONCE at fill) — only the
+    plan ABOVE the InMemoryRelation executes per action, so the
+    narrow-pipeline invariant is asserted on that slice."""
     from deepdb_public_spark.operators.chunking import chunk_documents
 
     plan = _plan(
         chunk_documents(engine.catalog["documents"], "text", "doc_id")
     )
-    assert "Exchange" not in plan
+    outer = plan.split("InMemoryRelation")[0]
+    assert "Exchange" not in outer
     assert "Generate" in plan  # the posexplode
 
 
