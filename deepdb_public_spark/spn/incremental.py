@@ -182,7 +182,7 @@ def _prepare_delta(
 
 def _melted_histograms(
     model: SPNModel, enc: DataFrame, tagged: bool = False
-) -> dict[str, dict[str, list]]:
+) -> dict[str, dict[str, tuple]]:
     """One-pass melt of every model column into (__col, __val) counts
     — the shared machinery behind the exact insert AND delete paths
     (they used to carry verbatim copies). With ``tagged``, the single
@@ -209,10 +209,14 @@ def _melted_histograms(
     # Group-slice instead of a per-row Python dict loop (round 13,
     # cProfile: the 200k-iteration setdefault/append loop cost ~0.5s
     # per call): sort by (tag, col) so each group is one contiguous
-    # slice, find boundaries vectorized, and build each group's
-    # (val, cnt) list with one zip. Within-group order was arbitrary
-    # shuffle order before and stays arbitrary — no consumer contract
-    # changes.
+    # slice, find boundaries vectorized, and hand each group its
+    # numpy slices directly (round 14 — the per-group list(zip(...))
+    # plus to_pylist materialized 100-200k Python objects per call
+    # that _apply_*_hist immediately re-packed into arrays). Arrow
+    # NULLs surface as NaN in the float64 view exactly like real NaN
+    # values, which is the NULL fold training uses; the appliers
+    # split on isnan. Within-group order was arbitrary shuffle order
+    # before and stays arbitrary — no consumer contract changes.
     import numpy as np
 
     sort_cols = ([_OP] if tagged else []) + ["__col"]
@@ -220,13 +224,11 @@ def _melted_histograms(
     n = tbl.num_rows
     if n == 0:
         return {}
+    enc_keys = [tbl[c].dictionary_encode().combine_chunks() for c in sort_cols]
     key_codes = [
-        tbl[c]
-        .dictionary_encode()
-        .combine_chunks()
-        .indices.to_numpy(zero_copy_only=False)
-        for c in sort_cols
+        k.indices.to_numpy(zero_copy_only=False) for k in enc_keys
     ]
+    key_names = [k.dictionary.to_pylist() for k in enc_keys]
     change = np.zeros(n - 1, dtype=bool) if n > 1 else np.zeros(0, dtype=bool)
     for kc in key_codes:
         if n > 1:
@@ -234,32 +236,43 @@ def _melted_histograms(
     bounds = np.concatenate(
         [[0], np.flatnonzero(change) + 1, [n]]
     )
-    vals = tbl["__val"].to_pylist()
-    vals = [None if (v is not None and v != v) else v for v in vals]
-    cnts = tbl["count"].to_pylist()
-    colnames = tbl["__col"].to_pylist()
-    tags = tbl[_OP].to_pylist() if tagged else None
-    out: dict[str, dict[str, list]] = {}
+    vals = tbl["__val"].combine_chunks().to_numpy(zero_copy_only=False)
+    cnts = tbl["count"].combine_chunks().to_numpy(zero_copy_only=False)
+    col_codes, col_names = key_codes[-1], key_names[-1]
+    out: dict[str, dict[str, tuple]] = {}
     for s, e in zip(bounds[:-1], bounds[1:]):
-        tag = tags[s] if tagged else ""
-        out.setdefault(tag, {})[colnames[s]] = list(
-            zip(vals[s:e], cnts[s:e])
+        tag = key_names[0][key_codes[0][s]] if tagged else ""
+        out.setdefault(tag, {})[col_names[col_codes[s]]] = (
+            vals[s:e],
+            cnts[s:e],
         )
     return out
 
 
+_EMPTY_F64 = np.array([], dtype=np.float64)
+
+
+def _split_nulls(group: tuple | None) -> tuple[np.ndarray, np.ndarray, float]:
+    """Split one melted-histogram group's (vals, cnts) numpy slices
+    into (non-null vals, their cnts, null mass) — NaN is the NULL
+    bucket (the melt's float64 view folds Arrow NULLs and real NaN
+    values together, exactly matching training's NaN-as-NULL fold)."""
+    if group is None:
+        return _EMPTY_F64, _EMPTY_F64, 0.0
+    vals, cnts = group
+    nn = ~np.isnan(vals)
+    return vals[nn], cnts[nn], float(cnts[~nn].sum())
+
+
 def _apply_insert_hist(
-    model: SPNModel, per_col: dict[str, list], n_total: int
+    model: SPNModel, per_col: dict[str, tuple], n_total: int
 ) -> None:
     """Merge exact per-column histogram deltas into the leaves
     (sum-free models) and grow the row bookkeeping."""
     scale = model.sample_size / max(model.full_join_size, 1.0)
     for leaf in iter_leaves(model.root):
         name = model.column_names[leaf.scope[0]]
-        entries = per_col.get(name, [])
-        vals = np.array([v for v, _c in entries if v is not None])
-        cnts = np.array([c for v, c in entries if v is not None])
-        nulls = sum(c for v, c in entries if v is None)
+        vals, cnts, nulls = _split_nulls(per_col.get(name))
         prior = getattr(leaf, "n_rows", model.sample_size)
         leaf.absorb_counts(vals, cnts, nulls, prior, scale)
         leaf.n_rows = prior + n_total * scale
@@ -274,17 +287,14 @@ def _apply_insert_hist(
 
 
 def _apply_delete_hist(
-    model: SPNModel, per_col: dict[str, list], n_total: int
+    model: SPNModel, per_col: dict[str, tuple], n_total: int
 ) -> None:
     """Subtract exact per-column histogram deltas (masses clamp at
     zero, Leaf.remove_counts) and shrink the row bookkeeping."""
     scale = model.sample_size / max(model.full_join_size, 1.0)
     for leaf in iter_leaves(model.root):
         name = model.column_names[leaf.scope[0]]
-        entries = per_col.get(name, [])
-        vals = np.array([v for v, _c in entries if v is not None])
-        cnts = np.array([c for v, c in entries if v is not None])
-        nulls = sum(c for v, c in entries if v is None)
+        vals, cnts, nulls = _split_nulls(per_col.get(name))
         prior = getattr(leaf, "n_rows", model.sample_size)
         leaf.n_rows = leaf.remove_counts(vals, cnts, nulls, prior, scale)
     for node in _iter_nodes(model.root):

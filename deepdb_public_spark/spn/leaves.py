@@ -126,19 +126,28 @@ class Leaf:
         """Merge an exact histogram delta (value/count pairs from a
         Spark ``groupBy(col).count()``); each delta row counts as
         ``scale`` relative to the stored sample mass."""
+        counts = np.asarray(counts, dtype=np.float64)
         n_new = (counts.sum() if len(counts) else 0.0) * scale + null_count * scale
         if n_new == 0:
             return
         total = prior_n + n_new
-        merged = {float(v): p * prior_n for v, p in zip(self.values, self.probs)}
-        for v, c in zip(values, counts):
-            merged[float(v)] = merged.get(float(v), 0.0) + c * scale
-        # drop zero-mass entries like absorb/remove_counts do (a
-        # prior_n=0 merge otherwise grows the histogram with dead
-        # values every _mask scan pays for)
-        items = sorted((v, c) for v, c in merged.items() if c > 0)
-        self.values = np.array([v for v, _ in items])
-        self.probs = np.array([c / total for _, c in items])
+        # vectorized merge: both sides are sorted-unique, so each value
+        # carries at most one stored and one delta addend — np.unique +
+        # bincount reproduces the old dict merge bit-for-bit (stored
+        # mass added before delta mass, ascending value order), without
+        # the per-value Python dict/sort that dominated the m-plane
+        # driver profile. Zero-mass entries drop as before (a prior_n=0
+        # merge otherwise grows the histogram with dead values every
+        # _mask scan pays for).
+        all_vals = np.concatenate(
+            [self.values, np.asarray(values, dtype=np.float64)]
+        )
+        all_mass = np.concatenate([self.probs * prior_n, counts * scale])
+        uniq, inv = np.unique(all_vals, return_inverse=True)
+        mass = np.bincount(inv, weights=all_mass, minlength=len(uniq))
+        keep = mass > 0
+        self.values = uniq[keep]
+        self.probs = mass[keep] / total
         self.null_prob = (self.null_prob * prior_n + null_count * scale) / total
 
     def absorb(self, column: np.ndarray, prior_n: float, weight: float = 1.0) -> None:
@@ -185,21 +194,36 @@ class Leaf:
         Spark ``groupBy(col).count()`` over the DELETED rows) — the
         delete twin of absorb_counts, beyond the reference (the DeepDB
         paper lists deletes as future work). Masses clamp at zero;
-        returns the remaining row mass so callers can update n_rows."""
-        mass = {float(v): p * prior_n for v, p in zip(self.values, self.probs)}
-        for v, c in zip(values, counts):
-            v = float(v)
-            if v in mass:
-                mass[v] = max(0.0, mass[v] - c * scale)
+        returns the remaining row mass so callers can update n_rows.
+
+        Vectorized like absorb_counts: delta values locate their
+        stored twin via searchsorted over the sorted-unique stored
+        values (misses are ignored, as the old dict lookup did), and
+        the remaining-mass total is a sequential cumsum in ascending
+        value order — the exact summation order of the old
+        sorted-items Python sum, so results are bit-identical."""
+        mass = self.probs * prior_n
+        vals = np.asarray(values, dtype=np.float64)
+        if len(vals) and len(self.values):
+            idx = np.searchsorted(self.values, vals)
+            idx = np.minimum(idx, len(self.values) - 1)
+            hit = self.values[idx] == vals
+            hit_idx = idx[hit]
+            mass[hit_idx] = np.maximum(
+                0.0,
+                mass[hit_idx]
+                - np.asarray(counts, dtype=np.float64)[hit] * scale,
+            )
         null_mass = max(0.0, self.null_prob * prior_n - null_count * scale)
-        items = sorted((v, m) for v, m in mass.items() if m > 0)
-        total = sum(m for _, m in items) + null_mass
+        keep = mass > 0
+        kept = mass[keep]
+        total = (float(kept.cumsum()[-1]) if len(kept) else 0.0) + null_mass
         if total <= 0:
             self.values = np.array([])
             self.probs = np.array([])
             self.null_prob = 0.0
             return 0.0
-        self.values = np.array([v for v, _ in items])
-        self.probs = np.array([m / total for _, m in items])
+        self.values = self.values[keep]
+        self.probs = kept / total
         self.null_prob = null_mass / total
         return total

@@ -180,3 +180,95 @@ def test_add_dataset_tracks_appends(engine):
     true = grown.filter("l_quantity < 25").count()
     model_est = model.cardinality(q)
     assert max(model_est / true, true / model_est) <= 1.1
+
+
+def _dict_absorb(values, probs, null_prob, d_vals, d_cnts, null_count,
+                 prior_n, scale):
+    """Classic dict-merge reference for Leaf.absorb_counts (pre-r14)."""
+    n_new = (sum(d_cnts) if len(d_cnts) else 0.0) * scale + null_count * scale
+    total = prior_n + n_new
+    merged = {float(v): p * prior_n for v, p in zip(values, probs)}
+    for v, c in zip(d_vals, d_cnts):
+        merged[float(v)] = merged.get(float(v), 0.0) + c * scale
+    items = sorted((v, c) for v, c in merged.items() if c > 0)
+    return (
+        np.array([v for v, _ in items]),
+        np.array([c / total for _, c in items]),
+        (null_prob * prior_n + null_count * scale) / total,
+    )
+
+
+def test_absorb_counts_matches_dict_reference():
+    """Round-14 vectorization: np.unique+bincount must reproduce the
+    old per-value dict merge BIT-identically (same values, same probs,
+    same null mass) on overlapping, disjoint and zero-prior deltas."""
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        nv = rng.integers(0, 40)
+        vals = np.sort(rng.choice(np.arange(100.0), size=nv, replace=False))
+        probs = rng.random(nv)
+        probs = probs / probs.sum() * 0.9 if nv else probs
+        null_prob = 0.1 if nv else 0.0
+        leaf = Leaf(0, vals, probs, null_prob)
+        nd = int(rng.integers(0, 30))
+        d_vals = np.sort(
+            rng.choice(np.arange(150.0), size=nd, replace=False)
+        )
+        d_cnts = rng.integers(1, 50, size=nd).astype(np.int64)
+        null_count = float(rng.integers(0, 5))
+        prior_n = float(rng.integers(0, 5000))
+        scale = float(rng.choice([1.0, 0.25, 3.0]))
+        ref = _dict_absorb(
+            vals, probs, null_prob, d_vals, d_cnts, null_count,
+            prior_n, scale,
+        )
+        leaf.absorb_counts(d_vals, d_cnts, null_count, prior_n, scale)
+        if (sum(d_cnts) if nd else 0.0) * scale + null_count * scale == 0:
+            continue  # no-op contract: leaf unchanged
+        np.testing.assert_array_equal(leaf.values, ref[0])
+        np.testing.assert_array_equal(leaf.probs, ref[1])
+        assert leaf.null_prob == ref[2]
+
+
+def test_remove_counts_matches_dict_reference():
+    """Same pin for the delete twin: searchsorted+clamp+cumsum must
+    equal the old dict subtraction with its sorted-order Python sum,
+    including over-deletion clamping and missing delta values."""
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        nv = int(rng.integers(1, 40))
+        vals = np.sort(rng.choice(np.arange(100.0), size=nv, replace=False))
+        probs = rng.random(nv)
+        probs = probs / probs.sum() * 0.9
+        leaf = Leaf(0, vals, probs, 0.1)
+        nd = int(rng.integers(0, 30))
+        d_vals = np.sort(
+            rng.choice(np.arange(150.0), size=nd, replace=False)
+        )
+        d_cnts = rng.integers(1, 50, size=nd).astype(np.int64)
+        null_count = float(rng.integers(0, 5))
+        prior_n = float(rng.integers(100, 5000))
+        scale = float(rng.choice([1.0, 0.25, 3.0]))
+        # reference: classic dict path
+        mass = {float(v): p * prior_n for v, p in zip(vals, probs)}
+        for v, c in zip(d_vals, d_cnts):
+            v = float(v)
+            if v in mass:
+                mass[v] = max(0.0, mass[v] - c * scale)
+        null_mass = max(0.0, 0.1 * prior_n - null_count * scale)
+        items = sorted((v, m) for v, m in mass.items() if m > 0)
+        ref_total = sum(m for _, m in items) + null_mass
+        got_total = leaf.remove_counts(
+            d_vals, d_cnts, null_count, prior_n, scale
+        )
+        assert got_total == ref_total
+        if ref_total <= 0:
+            assert len(leaf.values) == 0
+            continue
+        np.testing.assert_array_equal(
+            leaf.values, np.array([v for v, _ in items])
+        )
+        np.testing.assert_array_equal(
+            leaf.probs, np.array([m / ref_total for _, m in items])
+        )
+        assert leaf.null_prob == null_mass / ref_total
