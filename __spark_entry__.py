@@ -3160,14 +3160,25 @@ def _m_sim_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # batch both methods (round 13): one exact scan-aggregate and
         # one sketch scan-aggregate for ALL queries, replacing one
-        # count job per (query, method) — counts identical
-        exacts = similarity_selectivity_many(
-            emb, "embedding", "vec_id", qvecs, 0.3
-        )
-        ests = similarity_selectivity_many(
-            emb, "embedding", "vec_id", qvecs, 0.3,
-            method="sketch", sketches=sk, planes=planes,
-        )
+        # count job per (query, method) — counts identical. The two
+        # aggregates are independent scans, so they overlap through a
+        # thread pool (round 14, guide §2.6 — the m19 pattern; each
+        # call's plan compile and collect are serial per thread but
+        # the Spark jobs back-fill each other's tails).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_exact = pool.submit(
+                similarity_selectivity_many,
+                emb, "embedding", "vec_id", qvecs, 0.3,
+            )
+            f_est = pool.submit(
+                similarity_selectivity_many,
+                emb, "embedding", "vec_id", qvecs, 0.3,
+                method="sketch", sketches=sk, planes=planes,
+            )
+            exacts = f_exact.result()
+            ests = f_est.result()
     finally:
         sk.unpersist()
     out = []
